@@ -1,0 +1,46 @@
+"""Driver-contract parity: every queries() entry hash-matches its DuckDB
+oracle at sf0.001 (fast) and sf0.01 (the driver's actual gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_harness import compare
+
+NAMES = sorted(entry_mod.queries().keys())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_callable():
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_sf_smoke(spark, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if name not in oracles:
+        df = qs[name](spark, SF_SMOKE)
+        assert df.count() >= 0
+        return
+    ok, detail = compare(spark, SF_SMOKE, qs[name](spark, SF_SMOKE), oracles[name])
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_sf_driver_gate(spark, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if name not in oracles:
+        df = qs[name](spark, SF_ORACLE)
+        assert df.count() >= 0
+        return
+    ok, detail = compare(spark, SF_ORACLE, qs[name](spark, SF_ORACLE), oracles[name])
+    assert ok, f"{name}: {detail}"

@@ -1,0 +1,381 @@
+"""Driver-contract query registry: Spark plan + DuckDB oracle per operator.
+
+Each entry is one operator (or composed lifecycle) from SURVEY.md §2,
+expressed twice: as an idiomatic Spark DataFrame plan and as ANSI SQL the
+DuckDB oracle runs on the same parquet. Column names/aliases match
+exactly; float outputs are rounded so engine-level summation-order noise
+can't flip the value hash.
+
+Determinism rules used throughout:
+- every top-k has a total ordering (score DESC, id ASC);
+- per-row vector math is a left-to-right DOUBLE sum in both engines
+  (bit-identical), rounded at 6 dp on output;
+- money aggregates go through DECIMAL so sums are exact and
+  order-independent, then cast back to DOUBLE for a portable schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectra_py_spark.filters import compile_filter, filter_to_sql
+from vectra_py_spark.functions.vector import (
+    cosine_to_query,
+    cosine_to_query_sql,
+    l2_norm,
+)
+
+__all__ = ["QUERIES", "ORACLES", "seeded_query_vector", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The fixture events table is TIMESTAMP(NANOS) parquet, which Spark
+    # rejects by default; read nanos as BIGINT (runtime-settable, and the
+    # driver's own SparkSession won't have it preconfigured).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def seeded_query_vector(dim: int = 64, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random query vector (pure-integer LCG →
+    exactly-representable doubles; portable across engines/platforms).
+
+    The reference takes query vectors as call parameters
+    (``local_index.py:125-128``); tests need fixed literals (FIXTURES.md §2).
+    """
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    out: list[float] = []
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+    return out
+
+
+_QVEC = seeded_query_vector(64, seed=7)
+_SCORE_DP = 6
+
+# Filter ASTs shared between the Spark plan and its SQL oracle so both
+# sides compile from ONE source of truth (P1-P11 + filter_to_sql parity).
+# labels span 0-9 at every fixture scale factor
+_TOPK_FILTER = {"label": {"$gte": 2, "$lt": 8}}
+_EVENTS_FILTER = {
+    "$or": [
+        {"event_type": {"$in": ["purchase", "signup"]}},
+        {"value": {"$gt": 180.0}},
+    ]
+}
+_NIN_FILTER = {"event_type": {"$nin": ["click", "view", "error"]}}
+
+
+# ---------------------------------------------------------------------------
+# V5 — vector top-k (the reference's core query, local_index.py:125-150)
+# ---------------------------------------------------------------------------
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn(
+            "score", F.round(cosine_to_query("embedding", _QVEC), _SCORE_DP)
+        )
+        .select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_vector_topk() -> str:
+    cos = cosine_to_query_sql("embedding", _QVEC)
+    return f"""
+        SELECT vec_id, label, ROUND({cos}, {_SCORE_DP}) AS score
+        FROM embeddings
+        ORDER BY {cos} DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# P15 + V5 — metadata filter BEFORE scoring (local_index.py:131-139)
+# ---------------------------------------------------------------------------
+def q_vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(compile_filter(_TOPK_FILTER))
+        .withColumn(
+            "score", F.round(cosine_to_query("embedding", _QVEC), _SCORE_DP)
+        )
+        .select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_vector_topk_filtered() -> str:
+    cos = cosine_to_query_sql("embedding", _QVEC)
+    return f"""
+        SELECT vec_id, label, ROUND({cos}, {_SCORE_DP}) AS score
+        FROM embeddings
+        WHERE {filter_to_sql(_TOPK_FILTER)}
+        ORDER BY {cos} DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# D7/§3.3 — RAG document ranking: top-k chunks → group by "document"
+# (label plays document_id in the fixture) → mean score → top docs
+# (A4 grouping, A5 mean, O2 ranking; local_document_index.py:238-254)
+# ---------------------------------------------------------------------------
+def q_document_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    chunks = (
+        emb.withColumn("score", cosine_to_query("embedding", _QVEC))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return (
+        chunks.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("score"), _SCORE_DP).alias("doc_score"),
+        )
+        .orderBy(F.desc("doc_score"), F.asc("label"))
+        .limit(10)
+    )
+
+
+def _sql_document_ranking() -> str:
+    cos = cosine_to_query_sql("embedding", _QVEC)
+    return f"""
+        WITH chunks AS (
+            SELECT label, {cos} AS score
+            FROM embeddings
+            ORDER BY {cos} DESC, vec_id ASC
+            LIMIT 50
+        )
+        SELECT label,
+               COUNT(*) AS n_chunks,
+               ROUND(AVG(score), {_SCORE_DP}) AS doc_score
+        FROM chunks
+        GROUP BY label
+        ORDER BY doc_score DESC, label ASC
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# P1-P11 — filter compiler over events ($or / $in / $gt composition)
+# ---------------------------------------------------------------------------
+def q_filter_or_in_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(compile_filter(_EVENTS_FILTER))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_filter_or_in_gt() -> str:
+    return f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_value
+        FROM events
+        WHERE {filter_to_sql(_EVENTS_FILTER)}
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# P9 — $nin with P11 missing-field semantics
+# ---------------------------------------------------------------------------
+def q_filter_nin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(compile_filter(_NIN_FILTER))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def _sql_filter_nin() -> str:
+    return f"""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE {filter_to_sql(_NIN_FILTER)}
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# P13 — point lookup by id (local_index.py:100-103)
+# ---------------------------------------------------------------------------
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") == F.lit(42))
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(l2_norm(F.col("embedding")), _SCORE_DP).alias("norm"),
+        )
+        .limit(1)
+    )
+
+
+def _sql_point_lookup() -> str:
+    return f"""
+        SELECT vec_id, label,
+               len(embedding) AS dim,
+               ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])),
+                     {_SCORE_DP}) AS norm
+        FROM embeddings
+        WHERE vec_id = 42
+        LIMIT 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — index stats (counts; local_index.py:92-98)
+# ---------------------------------------------------------------------------
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).alias("items"),
+        F.countDistinct("label").alias("distinct_labels"),
+        F.max(F.size("embedding")).alias("dim"),
+    )
+
+
+def _sql_index_stats() -> str:
+    return """
+        SELECT COUNT(*) AS items,
+               COUNT(DISTINCT label) AS distinct_labels,
+               MAX(len(embedding)) AS dim
+        FROM embeddings
+    """
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage on the star schema (SURVEY.md §5.5): grouped
+# aggregation (TPC-H Q1 shape) — exercises partial-agg + shuffle-on-key.
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), _SCORE_DP)
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _sql_pricing_summary() -> str:
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order,
+               ROUND(SUM(l_quantity) / COUNT(*), {_SCORE_DP}) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# V6/V7-analog — broadcast dimension join + top-k
+# (catalog/metadata hydration joins become real joins in Spark)
+# ---------------------------------------------------------------------------
+def q_topk_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    # Top-k FIRST, join AFTER limit — the reference's "hydrate only the
+    # winners" optimization (local_index.py:144-148 / SURVEY.md S6):
+    # 20 rows join a broadcast dim instead of 15k rows.
+    topk = (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+    return (
+        topk.join(F.broadcast(cust), topk.o_custkey == cust.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+                .alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+    )
+
+
+def _sql_topk_orders_enriched() -> str:
+    return """
+        WITH topk AS (
+            SELECT * FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        )
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+               ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+                   AS total_price
+        FROM topk LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_price DESC, o_orderkey ASC
+    """
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "vector_topk": q_vector_topk,
+    "vector_topk_filtered": q_vector_topk_filtered,
+    "document_ranking": q_document_ranking,
+    "filter_or_in_gt": q_filter_or_in_gt,
+    "filter_nin": q_filter_nin,
+    "point_lookup": q_point_lookup,
+    "index_stats": q_index_stats,
+    "pricing_summary": q_pricing_summary,
+    "topk_orders_enriched": q_topk_orders_enriched,
+}
+
+ORACLES: dict[str, str] = {
+    "vector_topk": _sql_vector_topk(),
+    "vector_topk_filtered": _sql_vector_topk_filtered(),
+    "document_ranking": _sql_document_ranking(),
+    "filter_or_in_gt": _sql_filter_or_in_gt(),
+    "filter_nin": _sql_filter_nin(),
+    "point_lookup": _sql_point_lookup(),
+    "index_stats": _sql_index_stats(),
+    "pricing_summary": _sql_pricing_summary(),
+    "topk_orders_enriched": _sql_topk_orders_enriched(),
+}
