@@ -1,0 +1,114 @@
+"""Document pipeline e2e: ingest → query → render (SURVEY.md §3.2/3.3)
+with the deterministic embedder (hermetic, §5.4)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from vectra_py_spark.document_index import SparkDocumentIndex, infer_doc_type
+
+DOCS = [
+    {
+        "uri": "file:///corpus/fruit.md",
+        "text": "Apples are sweet red fruit.\n\nOranges are citrus fruit with vitamin C.\n\n"
+        "Bananas are yellow tropical fruit loved worldwide.",
+        "metadata": {"topic": "fruit"},
+    },
+    {
+        "uri": "file:///corpus/colors.txt",
+        "text": "Red is a warm color.\n\nBlue is a cool color of sky and sea.\n\n"
+        "Green is the color of grass and leaves.",
+        "metadata": {"topic": "color"},
+    },
+    {
+        "uri": "file:///corpus/space.txt",
+        "text": "Planets orbit the sun.\n\nStars shine in distant galaxies.\n\n"
+        "Telescopes observe the universe.",
+        "metadata": {"topic": "space"},
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark):
+    d = tempfile.mkdtemp()
+    idx = SparkDocumentIndex(spark, f"{d}/docidx", vector_dim=64, chunk_size=64)
+    idx.create()
+    idx.upsert_documents(DOCS)
+    yield idx
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_infer_doc_type():
+    assert infer_doc_type("http://x/a.md") == "md"
+    assert infer_doc_type("http://x/a.HTML") == "html"
+    assert infer_doc_type("file:///y/noext") is None
+    assert infer_doc_type("a.md", explicit="py") == "py"
+
+
+def test_ingest_created_chunks(doc_index):
+    stats = doc_index.get_catalog_stats()
+    assert stats["documents"] == 3
+    assert stats["chunks"] >= 3
+    items = doc_index.index.items().collect()
+    docs_text = {d["uri"]: d["text"] for d in DOCS}
+    uri_by_id = {
+        r.document_id: r.uri for r in doc_index.documents().collect()
+    }
+    for it in items:
+        assert len(it.vector) == 64
+        assert it.norm == pytest.approx(1.0, rel=1e-9)
+        # positions re-slice the source text exactly
+        src = docs_text[uri_by_id[it.document_id]]
+        assert src[int(it.start_pos) : int(it.end_pos) + 1]
+
+
+def test_uri_id_roundtrip(doc_index):
+    doc_id = doc_index.get_document_id("file:///corpus/fruit.md")
+    assert doc_id is not None
+    assert doc_index.get_document_uri(doc_id) == "file:///corpus/fruit.md"
+    assert doc_index.get_document_id("file:///nope") is None
+
+
+def test_query_documents_ranking(doc_index):
+    res = doc_index.query_documents("citrus fruit vitamin", max_documents=2).collect()
+    assert 1 <= len(res) <= 2
+    # the fruit doc must win for a fruit query (word-hash embedder keeps
+    # lexical overlap → similarity)
+    assert res[0].uri == "file:///corpus/fruit.md"
+    assert res[0].doc_score >= res[-1].doc_score
+
+
+def test_render_sections_end_to_end(doc_index):
+    rendered = doc_index.render_document_sections(
+        "blue sky color", max_documents=1, max_tokens=2000
+    )
+    assert len(rendered) == 1
+    doc_id, uri, score, sections = rendered[0]
+    assert uri == "file:///corpus/colors.txt"
+    assert sections and sections[0].text  # W1: whole doc fits budget
+    assert sections[0].score == 1.0
+
+
+def test_reupsert_replaces_chunks(doc_index):
+    before = doc_index.get_catalog_stats()
+    doc_index.upsert_document(
+        "file:///corpus/space.txt", "Rockets launch to orbit."
+    )
+    after = doc_index.get_catalog_stats()
+    assert after["documents"] == before["documents"]
+    assert after["chunks"] <= before["chunks"]
+    res = doc_index.query_documents("rockets orbit", max_documents=1).collect()
+    assert res[0].uri == "file:///corpus/space.txt"
+
+
+def test_delete_document(doc_index):
+    doc_index.upsert_document("file:///tmp/extra.txt", "Extra doc about cheese.")
+    n = doc_index.get_catalog_stats()["documents"]
+    doc_index.delete_document("file:///tmp/extra.txt")
+    stats = doc_index.get_catalog_stats()
+    assert stats["documents"] == n - 1
+    assert doc_index.get_document_id("file:///tmp/extra.txt") is None

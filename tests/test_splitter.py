@@ -1,0 +1,131 @@
+"""Splitter invariants + goldens (SURVEY.md §5.2/5.3, FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectra_py_spark.text.splitter import (
+    SplitterConfig,
+    TextSplitter,
+    split_documents,
+)
+from vectra_py_spark.text.tokenizers import DeterministicTokenizer
+
+TOK = DeterministicTokenizer()
+
+
+def make(chunk_size=32, overlap=0, keep=True, doc_type=None):
+    return TextSplitter(
+        SplitterConfig(
+            chunk_size=chunk_size,
+            chunk_overlap=overlap,
+            keep_separators=keep,
+            doc_type=doc_type,
+        ),
+        DeterministicTokenizer(),
+    )
+
+
+def test_empty_and_tiny():
+    assert make().split("") == []
+    chunks = make().split("hello world")
+    assert len(chunks) == 1
+    assert chunks[0].text == "hello world"
+    assert chunks[0].start_pos == 0
+    assert chunks[0].end_pos == 10
+
+
+def test_positions_reslice_exactly():
+    """keep_separators=True ⇒ text == source[start:end+1] for every chunk
+    (positions feed metadata; W2 re-slices by them)."""
+    text = "Para one has words.\n\nPara two is here.\n\nPara three ends.\n\n" * 20
+    chunks = make(chunk_size=16).split(text)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert text[c.start_pos : c.end_pos + 1] == c.text
+
+
+def test_chunks_within_budget():
+    text = ("word " * 200 + "\n\n") * 5
+    for c in make(chunk_size=32).split(text):
+        assert len(c.tokens) <= 32
+
+
+def test_no_alnum_free_chunks():
+    text = "real text\n\n!!!\n\n###\n\nmore text"
+    for c in make(chunk_size=4).split(text):
+        assert any(ch.isalnum() for ch in c.text)
+
+
+def test_greedy_packing_merges_small_parts():
+    text = "a b\n\nc d\n\ne f\n\ng h"
+    chunks = make(chunk_size=100).split(text)
+    assert len(chunks) == 1  # everything packs into one chunk
+    assert chunks[0].text == text  # keep_separators join reproduces source
+
+
+def test_overlap_tokens():
+    text = ("alpha beta gamma " * 20 + "\n\n") * 4
+    chunks = make(chunk_size=32, overlap=4).split(text)
+    assert len(chunks) >= 2
+    assert chunks[0].start_overlap == []
+    assert chunks[1].start_overlap == chunks[0].tokens[-4:]
+    assert chunks[0].end_overlap == chunks[1].tokens[:4]
+    assert chunks[-1].end_overlap == []
+
+
+def test_doc_type_separators_py():
+    code = "import os\n\n\nclass Foo:\n    pass\n\ndef bar():\n    return 1\n" * 30
+    chunks = make(chunk_size=48, doc_type="py").split(code)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert code[c.start_pos : c.end_pos + 1] == c.text
+
+
+def test_separatorless_halving():
+    text = "x" * 50 + "y" * 5000  # no separators at all
+    chunks = make(chunk_size=16).split(text)
+    assert chunks, "halving base case must still emit chunks"
+    for c in chunks:
+        assert len(c.tokens) <= 16
+        assert text[c.start_pos : c.end_pos + 1] == c.text
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        SplitterConfig(chunk_size=0)
+    with pytest.raises(ValueError):
+        SplitterConfig(chunk_size=10, chunk_overlap=11)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(alphabet="ab \n.!", min_size=0, max_size=400),
+    st.integers(min_value=4, max_value=64),
+)
+def test_property_reslice_and_budget(text, chunk_size):
+    sp = make(chunk_size=chunk_size)
+    for c in sp.split(text):
+        assert text[c.start_pos : c.end_pos + 1] == c.text
+        assert len(c.tokens) <= chunk_size
+        assert any(ch.isalnum() for ch in c.text)
+
+
+def test_split_documents_spark(spark):
+    rows = [
+        ("d1", "Header one.\n\nBody text here with words.\n\nMore body.", "md"),
+        ("d2", "def f():\n    return 1\n\ndef g():\n    return 2", "py"),
+        ("d3", None, None),
+    ]
+    df = spark.createDataFrame(rows, ["document_id", "text", "doc_type"])
+    out = split_documents(
+        df, doc_type_col="doc_type", chunk_size=16, keep_separators=True
+    ).collect()
+    assert {r.document_id for r in out} == {"d1", "d2"}  # null text skipped
+    originals = {r[0]: r[1] for r in rows if r[1]}
+    for r in out:
+        src = originals[r.document_id]
+        assert src[r.start_pos : r.end_pos + 1] == r.text
+        assert r.n_tokens <= 16

@@ -1,0 +1,316 @@
+"""SparkDocumentIndex — the document-RAG layer as two Parquet tables.
+
+Re-expresses the reference's ``LocalDocumentIndex``
+(``/root/reference/src/vectra_py/local_document_index.py``) — a
+``catalog.json`` + per-document ``.txt``/``.json`` side files + a chunk
+vector index — as:
+
+- a ``documents`` table ``(document_id, uri, doc_type, text, metadata)``
+  (catalog S7/S8 + text/metadata side files S9/S10 collapse into
+  columns; uri↔id maps become lookups, V6)
+- the chunk items table owned by :class:`~vectra_py_spark.index.SparkVectorIndex`
+  with ``document_id/start_pos/end_pos`` as typed indexed columns
+  (chunk metadata, ``custom_types.py:87-92``)
+
+Ingest (D5, §3.2) is ONE batch job per upsert batch:
+documents → splitter ``mapInPandas`` (T1–T4) → embedding ``mapInPandas``
+(E1/E3, token-budget batched A6) → norm (A1) → append to items.
+Query (D7, §3.3): embed query driver-side (E5) → V5 top-k-chunks →
+group by document (A4) → mean score (A5) → join documents (V6) →
+top documents (O2). Rendering (D8/W1–W6) stays driver-side.
+
+Scale: both tables partition by id hash; ingest is shuffle-free
+(split/embed are narrow maps); the query's only wide op is the
+``groupBy(document_id)`` over ≤ max_chunks rows (post-limit, trivial).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectra_py_spark.embeddings import DeterministicEmbedder, embed_chunks, scrub_newlines
+from vectra_py_spark.index import SparkVectorIndex
+from vectra_py_spark.render import RenderedSection, ScoredChunk, render_sections
+from vectra_py_spark.text.splitter import split_documents
+from vectra_py_spark.text.tokenizers import DeterministicTokenizer
+
+__all__ = ["SparkDocumentIndex", "DOCUMENT_SCHEMA", "infer_doc_type"]
+
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("document_id", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("doc_type", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def infer_doc_type(uri: str, explicit: str | None = None) -> str | None:
+    """T8: explicit arg → URI extension after the last '.'
+    (``local_document_index.py:143-152``)."""
+    if explicit:
+        return explicit.lower()
+    if "." in uri.rsplit("/", 1)[-1]:
+        return uri.rsplit(".", 1)[-1].lower() or None
+    return None
+
+
+class SparkDocumentIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        embedder_factory=None,
+        vector_dim: int = 64,
+        chunk_size: int = 512,
+        chunk_overlap: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.base_path = base_path
+        self.docs_path = f"{base_path}/documents"
+        self.vector_dim = vector_dim
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+        self.embedder_factory = embedder_factory or (
+            lambda: DeterministicEmbedder(dim=vector_dim)
+        )
+        self.index = SparkVectorIndex(
+            spark,
+            f"{base_path}/items",
+            vector_dim=vector_dim,
+            indexed_fields={
+                "document_id": T.StringType(),
+                "start_pos": T.LongType(),
+                "end_pos": T.LongType(),
+            },
+        )
+
+    # -- lifecycle --------------------------------------------------------
+    def create(self, overwrite: bool = False) -> None:
+        mode = "overwrite" if overwrite else "errorifexists"
+        empty = self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+        empty.write.mode(mode).parquet(self.docs_path)
+        self.index.create(overwrite=overwrite)
+
+    def documents(self) -> DataFrame:
+        return self.spark.read.schema(DOCUMENT_SCHEMA).parquet(self.docs_path)
+
+    # -- V6: uri↔id lookups ----------------------------------------------
+    def get_document_id(self, uri: str) -> str | None:
+        rows = (
+            self.documents()
+            .filter(F.col("uri") == F.lit(uri))
+            .select("document_id")
+            .limit(1)
+            .collect()
+        )
+        return rows[0].document_id if rows else None
+
+    def get_document_uri(self, document_id: str) -> str | None:
+        rows = (
+            self.documents()
+            .filter(F.col("document_id") == F.lit(document_id))
+            .select("uri")
+            .limit(1)
+            .collect()
+        )
+        return rows[0].uri if rows else None
+
+    # -- D5: ingest -------------------------------------------------------
+    def upsert_documents(self, docs: list[Mapping[str, Any]]) -> list[str]:
+        """Batch ingest: split → embed → norm → append, one Spark job.
+
+        Each doc: ``{uri, text, doc_type?, metadata?}``. Re-upserting a
+        known uri replaces its document row and chunks (the reference
+        deletes-then-inserts, ``local_document_index.py:137-141``).
+        """
+        rows = []
+        ids = []
+        for d in docs:
+            doc_id = str(d.get("document_id") or uuid.uuid4())
+            ids.append(doc_id)
+            rows.append(
+                {
+                    "document_id": doc_id,
+                    "uri": d["uri"],
+                    "doc_type": infer_doc_type(d["uri"], d.get("doc_type")),
+                    "text": d.get("text"),
+                    "metadata": {
+                        str(k): str(v) for k, v in (d.get("metadata") or {}).items()
+                    },
+                }
+            )
+        staged = self.spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+
+        # replace-by-uri upsert of document rows (window MERGE, as in
+        # SparkVectorIndex.commit)
+        existing = self.documents()
+        replaced_ids = [
+            r.document_id
+            for r in existing.join(
+                staged.select("uri"), "uri", "left_semi"
+            ).select("document_id").collect()
+        ]
+        merged = (
+            existing.withColumn("_new", F.lit(0))
+            .unionByName(staged.withColumn("_new", F.lit(1)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("uri").orderBy(F.desc("_new"))),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_new", "_rn")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(self.docs_path)
+
+        # chunk + embed the staged docs (one distributed pipeline)
+        chunks = split_documents(
+            staged,
+            id_col="document_id",
+            text_col="text",
+            doc_type_col="doc_type",
+            chunk_size=self.chunk_size,
+            chunk_overlap=self.chunk_overlap,
+            keep_separators=True,
+        )
+        embedded = embed_chunks(
+            chunks,
+            text_col="text",
+            n_tokens_col="n_tokens",
+            provider_factory=self.embedder_factory,
+            dim=self.vector_dim,
+        )
+        items = embedded.select(
+            F.expr("uuid()").alias("id"),
+            F.col("vector"),
+            F.col("norm"),
+            F.create_map(
+                F.lit("document_id"), F.col("document_id"),
+                F.lit("start_pos"), F.col("start_pos").cast("string"),
+                F.lit("end_pos"), F.col("end_pos").cast("string"),
+            ).alias("metadata"),
+            F.col("document_id"),
+            F.col("start_pos"),
+            F.col("end_pos"),
+        )
+
+        # drop chunks of replaced docs, then append new chunks atomically
+        old_items = self.index.items(use_cache=False)
+        if replaced_ids:
+            old_items = old_items.filter(
+                ~F.col("document_id").isin(*replaced_ids)
+            )
+        merged_items = old_items.unionByName(items).localCheckpoint(eager=True)
+        merged_items.write.mode("overwrite").parquet(self.index.path)
+        self.index._invalidate()
+        return ids
+
+    def upsert_document(
+        self,
+        uri: str,
+        text: str,
+        doc_type: str | None = None,
+        metadata: Mapping[str, Any] | None = None,
+    ) -> str:
+        return self.upsert_documents(
+            [{"uri": uri, "text": text, "doc_type": doc_type, "metadata": metadata}]
+        )[0]
+
+    # -- D6: delete -------------------------------------------------------
+    def delete_document(self, uri: str) -> None:
+        doc_id = self.get_document_id(uri)
+        if doc_id is None:
+            return
+        remaining_docs = (
+            self.documents().filter(F.col("uri") != F.lit(uri)).localCheckpoint(True)
+        )
+        remaining_docs.write.mode("overwrite").parquet(self.docs_path)
+        remaining_items = (
+            self.index.items(use_cache=False)
+            .filter(F.col("document_id") != F.lit(doc_id))
+            .localCheckpoint(True)
+        )
+        remaining_items.write.mode("overwrite").parquet(self.index.path)
+        self.index._invalidate()
+
+    # -- A3: stats --------------------------------------------------------
+    def get_catalog_stats(self) -> dict[str, Any]:
+        return {
+            "version": 1,
+            "documents": self.documents().count(),
+            "chunks": self.index.items().count(),
+            "metadata_config": {"indexed": ["document_id", "start_pos", "end_pos"]},
+        }
+
+    # -- D7/§3.3: query ---------------------------------------------------
+    def query_documents(
+        self,
+        query_text: str,
+        max_documents: int = 10,
+        max_chunks: int = 50,
+        filter_ast: Mapping[str, Any] | None = None,
+    ) -> DataFrame:
+        """Returns (document_id, uri, doc_score, chunks ARRAY<STRUCT>)."""
+        provider = self.embedder_factory()
+        qvec = provider.create_embeddings([scrub_newlines(query_text)])[0]  # E5
+        topk = self.index.query_items(qvec, max_chunks, filter_ast)
+        grouped = (
+            topk.groupBy("document_id")  # A4
+            .agg(
+                F.avg("score").alias("doc_score"),  # A5
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("start_pos", "end_pos", "score", "id")
+                    )
+                ).alias("chunks"),  # O3: chunks in document order
+            )
+        )
+        docs = self.documents().select("document_id", "uri", "text")
+        return (
+            grouped.join(F.broadcast(docs), "document_id", "left")  # V6
+            .select("document_id", "uri", "doc_score", "chunks", "text")
+            .orderBy(F.desc("doc_score"), F.asc("document_id"))  # O2
+            .limit(max_documents)
+        )
+
+    def render_document_sections(
+        self,
+        query_text: str,
+        max_documents: int = 10,
+        max_chunks: int = 50,
+        max_tokens: int = 2000,
+        max_sections: int = 1,
+        filter_ast: Mapping[str, Any] | None = None,
+    ) -> list[tuple[str, str, float, list[RenderedSection]]]:
+        """D8: collected top docs → driver-side W1–W6 rendering.
+
+        Returns ``[(document_id, uri, doc_score, sections)]``.
+        """
+        tokenizer = DeterministicTokenizer()
+        out = []
+        for row in self.query_documents(
+            query_text, max_documents, max_chunks, filter_ast
+        ).collect():
+            chunks = [
+                ScoredChunk(
+                    text="",
+                    score=c.score,
+                    start_pos=int(c.start_pos),
+                    end_pos=int(c.end_pos),
+                )
+                for c in row.chunks
+            ]
+            sections = render_sections(
+                row.text or "", chunks, tokenizer, max_tokens, max_sections
+            )
+            out.append((row.document_id, row.uri, row.doc_score, sections))
+        return out
