@@ -1,0 +1,132 @@
+"""Dedup / similarity / text-analysis operator semantics on planted data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators import dedup as dd
+from vectra_py_spark.operators import similarity as sim
+from vectra_py_spark.operators import text_analysis as ta
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark clusters and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "der hund und die katze und das haus und der baum ist hier"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r.text_hash: r for r in dd.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup pair
+    dup = [r for r in out.values() if r.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+
+
+def test_ngram_jaccard_finds_neardup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near-dup
+    assert not any(3 in p for p in pairs)  # distinct doc untouched
+
+
+def test_minhash_lsh_matches_planted(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_signature_shape(docs):
+    sig = dd.minhash_signatures(docs).collect()
+    assert len(sig) == 5
+    for r in sig:
+        for h in range(dd.DEFAULT_NUM_HASHES):
+            assert len(r[f"h{h}"]) == 32  # md5 hex
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    fp = {r.doc_id: r.simhash16 for r in dd.simhash(docs).collect()}
+    assert fp[1] == fp[4]
+    assert 0 <= fp[1] < (1 << dd.SIMHASH_BITS)
+    # near-dup fingerprints are close in hamming distance
+    ham = bin(fp[1] ^ fp[2]).count("1")
+    assert ham <= 4
+    assert bin(fp[1] ^ fp[5]).count("1") > ham
+
+
+def test_text_analysis_columns(docs):
+    out = {r.doc_id: r for r in ta.analyze_text(docs).collect()}
+    r = out[1]
+    assert r.n_words == 13
+    assert r.n_chars == len(DOCS[0][1])
+    assert 0.0 <= r.alpha_ratio <= 1.0
+    assert r.stopword_ratio > 0  # 'the' appears
+    assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_language_id_votes(docs, spark):
+    out = {r.doc_id: r.pred_lang for r in ta.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    zh = spark.createDataFrame([(9, "这是中文文本 with words")], ["doc_id", "text"])
+    assert ta.language_id(zh).collect()[0].pred_lang == "zh"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello  world ")],
+        ["doc_id", "text"],
+    )
+    fps = [r.fingerprint for r in ta.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 1
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_cosine_similarity_join(vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             sim.cosine_similarity_join(vecs, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(0.995, abs=1e-3)
+
+
+def test_cosine_topk(vecs):
+    out = sim.cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].score == 1.0
+
+
+def test_lsh_join_recall_vs_exact(vecs):
+    exact = {(r.id_a, r.id_b) for r in
+             sim.cosine_similarity_join(vecs, threshold=0.9).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              sim.lsh_similarity_join(vecs, threshold=0.9, dim=4).collect()}
+    # near-identical vectors land in the same bucket: full recall here
+    assert approx == exact
+
+
+def test_hyperplanes_deterministic():
+    a = sim.seeded_hyperplanes(8, 4, seed=99)
+    b = sim.seeded_hyperplanes(8, 4, seed=99)
+    assert a == b
+    assert sim.seeded_hyperplanes(8, 4, seed=100) != a

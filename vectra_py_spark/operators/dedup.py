@@ -1,0 +1,372 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Each operator is pure Catalyst (split/explode/md5/groupBy joins) with a
+DuckDB-SQL twin built from the SAME constants — the driver's oracle gate
+verifies the two stay in lockstep.
+
+Scale design (100 TB):
+
+- **exact** — one hash-groupBy; map-side partial agg makes the shuffle
+  carry (hash, partial-count) not raw text.
+- **n-gram Jaccard** — the exact-but-quadratic baseline: shingle explode
+  → equi-join on shingle → per-pair intersection counts. The shingle
+  join is the scale hazard (hot shingles fan out); MinHash-LSH below is
+  the production path, this is the oracle/recall reference.
+- **MinHash+LSH** — signatures via H independent min-hashes computed in
+  ONE groupBy (H agg columns, map-side combined); banding turns
+  near-dup search into B equi-joins on (band, band_value) — each a
+  standard shuffle join AQE can handle, no cartesian anywhere.
+  Candidate pairs then verify with the exact signature estimate.
+- **SimHash** — per-word hash bit votes aggregated in one groupBy
+  (16 sum columns), fingerprint = packed sign bits; near-dups =
+  fingerprint equality (or small hamming ball) — a groupBy, no joins.
+
+MinHash over *hex-string* md5 values: MinHash needs any total order on
+hash values, not integers — lexicographic min over fixed-width hex is
+portable across engines (no int64 conversion games).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle_df",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_sql",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_sql",
+    "simhash",
+    "simhash_sql",
+]
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # rows per band = NUM_HASHES // BANDS = 3
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical texts; keep the smallest id as survivor."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_expr: str = "text") -> str:
+    return f"""
+        SELECT md5({text_expr}) AS text_hash,
+               MIN({id_col}) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM {table}
+        GROUP BY md5({text_expr})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle helpers
+# ---------------------------------------------------------------------------
+def _shingles_expr(text_col: str, k: int) -> Column:
+    """Distinct word k-shingles as an array column (empty if < k words)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def _shingles_sql(text_expr: str, k: int) -> str:
+    """DuckDB twin: DISTINCT doc_id/shingle rows (lateral unnest)."""
+    return rf"""
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+{k - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower({text_expr}), '\s+') AS w
+              FROM {{table}}),
+             LATERAL unnest(range(1, greatest(len(w) - {k - 1}, 0) + 1)) AS t(i)
+    """
+
+
+def shingle_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, shingle) rows, distinct per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles_expr(text_col, k)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    inter-join on shingle → per-pair intersection; sizes re-joined for
+    ``|A∪B| = |A|+|B|−|A∩B|``. Pairs ordered (id_a < id_b).
+    """
+    sh = shingle_df(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents", text_expr: str = "text",
+    k: int = DEFAULT_SHINGLE_K, threshold: float = 0.5,
+) -> str:
+    sh = _shingles_sql(text_expr, k).format(table=table)
+    return f"""
+        WITH sh AS ({sh}),
+        pair AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+        SELECT id_a, id_b,
+               ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM pair
+        JOIN sz sa ON pair.id_a = sa.doc_id
+        JOIN sz sb ON pair.id_b = sb.doc_id
+        WHERE ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """One row per doc with columns h0..h{H-1}: lexicographic min of
+    seed-prefixed md5 over the doc's shingles. ONE groupBy for all H
+    hash functions (map-side partial min per column)."""
+    sh = shingle_df(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH, verified by signature agreement.
+
+    Candidates = pairs sharing ≥1 band (equi-join per band — no
+    cartesian); estimate = matching-minhash fraction; keep ≥ threshold.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).cache()
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "val"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(band_struct).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    return (
+        cand.join(siga, "id_a").join(sigb, "id_b")
+        .withColumn(
+            "est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents", text_expr: str = "text",
+    k: int = DEFAULT_SHINGLE_K, num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS, threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    sh = _shingles_sql(text_expr, k).format(table=table)
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{h}:' || shingle)) AS h{h}" for h in range(num_hashes)
+    )
+    band_selects = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " AS val FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{h} = sb.h{h} THEN 1 ELSE 0 END"
+        for h in range(num_hashes)
+    )
+    return f"""
+        WITH sh AS ({sh}),
+        sig AS (
+            SELECT doc_id,
+               {sig_cols}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS (
+{band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(({matches}) * 1.0 / {num_hashes}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON cand.id_a = sa.doc_id
+        JOIN sig sb ON cand.id_b = sb.doc_id
+        WHERE ROUND(({matches}) * 1.0 / {num_hashes}, 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit cross-engine variant)
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Frequency-weighted 16-bit SimHash fingerprint per document.
+
+    Bit b of a word's hash comes from nibble b//4 of its md5 hex
+    (``instr`` maps hex char → value; identical in both engines). Doc bit
+    = sign of the summed ±1 votes; fingerprint = packed bits. 16 bits is
+    the cross-engine (oracle-checkable) variant; a 64-bit production
+    variant is the same construction over 16 nibbles.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).withColumn("wh", F.md5(F.col("word")))
+    nib = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("wh"), j + 1, 1)) - 1
+        for j in range(4)
+    ]
+    votes = [
+        F.sum(
+            2 * (F.floor(nib[b // 4] / (1 << (b % 4))) % 2).cast("int") - 1
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = w.groupBy("doc_id").agg(*votes)
+    fp = sum(
+        F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", fp.cast("bigint").alias("simhash16"))
+
+
+def simhash_sql(table: str = "documents", text_expr: str = "text") -> str:
+    nib = [
+        f"(instr('0123456789abcdef', substr(wh, {j + 1}, 1)) - 1)"
+        for j in range(4)
+    ]
+    votes = ",\n               ".join(
+        f"SUM(2 * (CAST(floor({nib[b // 4]} / {1 << (b % 4)}) AS INT) % 2) - 1)"
+        f" AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+        WITH w AS (
+            SELECT doc_id, md5(word) AS wh
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower({text_expr}), '\s+'))
+                             AS word
+                  FROM {table})
+        ),
+        agg AS (
+            SELECT doc_id,
+               {votes}
+            FROM w GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16
+        FROM agg
+    """

@@ -1,0 +1,184 @@
+"""Text-analysis operators: token stats, quality scoring, language id,
+document fingerprints (SURVEY.md north-star extensions; BASELINE.json).
+
+All pure Catalyst expressions (split / regexp / HOF filter / md5) —
+whole-stage-codegen'd, shuffle-free per-row projections that scale
+linearly with partitions. Each operator has a DuckDB-SQL twin builder
+(used by the driver oracle) generated from the SAME constants so the
+two can't drift.
+
+Cross-engine parity notes (validated empirically):
+- ``split(lower(text), '\\s+')`` ≡ DuckDB ``string_split_regex``
+- ``regexp_extract_all`` counts agree for the pretoken pattern
+- ``md5`` hex output is identical
+- ``instr('0123456789abcdef', nibble)`` is identical
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words_col",
+    "analyze_text",
+    "analyze_text_sql",
+    "language_id",
+    "language_id_sql",
+    "fingerprint",
+    "fingerprint_sql",
+]
+
+# Pretokenizer pattern (BPE-shaped; see text/tokenizers.py) restricted to
+# RE2∩Java-compatible syntax so Spark and DuckDB count identically.
+PRETOKEN_SQL_PATTERN = r" ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Language marker words for the n-gram/stopword-vote heuristic. The CJK
+# check runs first (character-class evidence beats word votes).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "es", "y"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+_CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
+
+
+def words_col(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def _words_sql(text_expr: str) -> str:
+    return rf"string_split_regex(lower({text_expr}), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Token stats + quality score
+# ---------------------------------------------------------------------------
+def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts + character-class ratios + quality score.
+
+    Quality score (publicly standard shape: length/punct/stopword
+    signals): ``0.4·len_score + 0.3·alpha_ratio + 0.3·stopword_presence``
+    where len_score saturates at 100 words.
+    """
+    t = F.col(text_col)
+    words = words_col(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(PRETOKEN_SQL_PATTERN), 0))
+
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 6)
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        0.4 * len_score
+        + 0.3 * (alpha / F.greatest(n_chars, F.lit(1)))
+        + 0.3 * F.least(
+            (stop / F.greatest(n_words, F.lit(1))) * 10.0, F.lit(1.0)
+        ),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_bpe.alias("n_tokens_bpe"),
+        digits.alias("n_digits"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def analyze_text_sql(table: str = "documents", text_expr: str = "text") -> str:
+    w = _words_sql(text_expr)
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        SELECT doc_id,
+               length({text_expr}) AS n_chars,
+               len({w}) AS n_words,
+               len(regexp_extract_all({text_expr}, '{PRETOKEN_SQL_PATTERN}'))
+                   AS n_tokens_bpe,
+               length(regexp_replace({text_expr}, '[^0-9]', '', 'g')) AS n_digits,
+               ROUND(length(regexp_replace({text_expr}, '[^A-Za-z]', '', 'g'))
+                     * 1.0 / greatest(length({text_expr}), 1), 6) AS alpha_ratio,
+               ROUND(len(list_filter({w}, x -> x IN ({stops})))
+                     * 1.0 / greatest(len({w}), 1), 6) AS stopword_ratio,
+               ROUND(0.4 * least(len({w}) / 100.0, 1.0)
+                     + 0.3 * (length(regexp_replace({text_expr}, '[^A-Za-z]', '', 'g'))
+                              * 1.0 / greatest(length({text_expr}), 1))
+                     + 0.3 * least(len(list_filter({w}, x -> x IN ({stops})))
+                                   * 10.0 / greatest(len({w}), 1), 1.0),
+                     6) AS quality_score
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Language id (n-gram heuristic)
+# ---------------------------------------------------------------------------
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CJK character-class check, else arg-max of stopword votes
+    (ties resolved in fixed language order, 'und' for zero votes)."""
+    t = F.col(text_col)
+    words = words_col(text_col)
+    def _vote(markers: list[str]) -> Column:
+        # single-arg lambda required: F.filter treats 2-arg lambdas as
+        # (element, index)
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    votes = {lang: _vote(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*votes.values())
+    pred = F.when(t.rlike(_CJK_PATTERN), F.lit("zh"))
+    cond = None
+    for lang in LANG_MARKERS:  # fixed order = deterministic tie-break
+        branch = (votes[lang] == best) & (best > 0)
+        cond = branch if cond is None else cond
+        pred = pred.when(branch, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
+    w = _words_sql(text_expr)
+
+    def vote(markers: list[str]) -> str:
+        lits = ", ".join(f"'{m}'" for m in markers)
+        return f"len(list_filter({w}, x -> x IN ({lits})))"
+
+    votes = {lang: vote(m) for lang, m in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(votes.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {votes[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN regexp_matches({text_expr}, '{_CJK_PATTERN}') THEN 'zh'
+                    {whens}
+                    ELSE 'und' END AS pred_lang
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint (whitespace-normalized content hash)
+# ---------------------------------------------------------------------------
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:
+    return rf"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower({text_expr}), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM {table}
+    """

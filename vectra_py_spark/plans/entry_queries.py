@@ -27,6 +27,9 @@ from vectra_py_spark.functions.vector import (
     cosine_to_query_sql,
     l2_norm,
 )
+from vectra_py_spark.operators import dedup as dd
+from vectra_py_spark.operators import similarity as sim
+from vectra_py_spark.operators import text_analysis as ta
 
 __all__ = ["QUERIES", "ORACLES", "seeded_query_vector", "load"]
 
@@ -354,6 +357,65 @@ def _sql_topk_orders_enriched() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators over the documents/embeddings tables
+# (dedup / similarity / text analysis — BASELINE.json north star)
+# ---------------------------------------------------------------------------
+_JACCARD_T = 0.5
+_COSINE_T = 0.4
+_LSH_BITS = 3
+_LSH_TABLES = 12
+_LSH_SEED = 1234
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.analyze_text(load(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.language_id(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_similarity_join(
+        load(spark, sf_dir, "embeddings"), threshold=_COSINE_T
+    )
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_similarity_join(
+        load(spark, sf_dir, "embeddings"),
+        threshold=_COSINE_T,
+        bits_per_table=_LSH_BITS,
+        n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -366,6 +428,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_stats": q_index_stats,
     "pricing_summary": q_pricing_summary,
     "topk_orders_enriched": q_topk_orders_enriched,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "simhash_fingerprint": q_simhash,
+    "text_analysis": q_text_analysis,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_neardup": q_lsh_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -378,4 +449,16 @@ ORACLES: dict[str, str] = {
     "index_stats": _sql_index_stats(),
     "pricing_summary": _sql_pricing_summary(),
     "topk_orders_enriched": _sql_topk_orders_enriched(),
+    "exact_dedup": dd.exact_dedup_sql(),
+    "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
+    "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
+    "simhash_fingerprint": dd.simhash_sql(),
+    "text_analysis": ta.analyze_text_sql(),
+    "language_id": ta.language_id_sql(),
+    "doc_fingerprint": ta.fingerprint_sql(),
+    "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
+    "lsh_neardup": sim.lsh_similarity_join_sql(
+        threshold=_COSINE_T, bits_per_table=_LSH_BITS,
+        n_tables=_LSH_TABLES, seed=_LSH_SEED,
+    ),
 }
