@@ -1,0 +1,84 @@
+"""File fetcher, distributed directory ingest, HTML→markdown."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from vectra_py_spark.sources.fetchers import (
+    FileFetcher,
+    fetch_directory_df,
+    html_to_markdown,
+)
+
+
+@pytest.fixture(scope="module")
+def tree():
+    d = tempfile.mkdtemp()
+    os.makedirs(f"{d}/sub")
+    with open(f"{d}/a.md", "w") as fh:
+        fh.write("# Title\n\nBody text.")
+    with open(f"{d}/sub/b.py", "w") as fh:
+        fh.write("def f():\n    return 1\n")
+    with open(f"{d}/noext", "w") as fh:
+        fh.write("plain")
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_file_fetcher_single(tree):
+    out = FileFetcher().fetch(f"{tree}/a.md")
+    assert len(out) == 1
+    uri, text, doc_type = out[0]
+    assert text.startswith("# Title")
+    assert doc_type == "md"
+
+
+def test_file_fetcher_directory_recurses(tree):
+    # §2.9.8: the reference's recursion discarded results; intent keeps them
+    out = FileFetcher().fetch(tree)
+    assert len(out) == 3
+    types = {os.path.basename(u): t for u, _, t in out}
+    assert types["a.md"] == "md"
+    assert types["b.py"] == "py"
+    assert types["noext"] is None
+
+
+def test_fetch_directory_df_distributed(spark, tree):
+    df = fetch_directory_df(spark, tree)
+    rows = {os.path.basename(r.uri): r for r in df.collect()}
+    assert set(rows) == {"a.md", "b.py", "noext"}
+    assert rows["a.md"].doc_type == "md"
+    assert rows["noext"].doc_type is None
+    assert rows["b.py"].text.startswith("def f()")
+
+
+HTML = """
+<html><head><title>T</title><style>.x{color:red}</style>
+<script>alert(1)</script></head>
+<body>
+<h1>Main Heading</h1>
+<p>First paragraph with a <a href="/rel">relative link</a>.</p>
+<h2>Sub</h2>
+<ul><li>one</li><li>two</li></ul>
+<!-- comment -->
+<p>Second &amp; final.</p>
+</body></html>
+"""
+
+
+def test_html_to_markdown():
+    md = html_to_markdown(HTML, base_url="https://ex.com/page/")
+    assert "# Main Heading" in md
+    assert "## Sub" in md
+    assert "- one" in md and "- two" in md
+    assert "[relative link](https://ex.com/rel)" in md
+    assert "alert(1)" not in md  # script dropped
+    assert "color:red" not in md  # style dropped
+    assert "comment" not in md
+    assert "Second & final." in md  # entities unescaped
+    assert "\n\n\n" not in md  # blank-line collapse

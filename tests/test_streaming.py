@@ -1,0 +1,96 @@
+"""Streaming operators: batch twins + a real Structured Streaming run
+(file source → watermark → tumbling window, availableNow trigger)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_py_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_windowed_counts_shape(events):
+    out = ev.windowed_counts(events).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.window_start_us % ev.MICROS_PER_HOUR == 0
+        assert r.n_events > 0
+    total = sum(r.n_events for r in out)
+    assert total == events.count()
+
+
+def test_sessionize_invariants(events):
+    sessions = ev.sessionize(events).collect()
+    assert sum(r.n_events for r in sessions) == events.count()
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        assert s.session_start_us <= s.session_end_us
+        by_user.setdefault(s.user_id, []).append(s)
+    for user_sessions in by_user.values():
+        user_sessions.sort(key=lambda s: s.session_start_us)
+        for a, b in zip(user_sessions, user_sessions[1:]):
+            # gap between consecutive sessions exceeds the threshold
+            assert b.session_start_us - a.session_end_us > ev.DEFAULT_SESSION_GAP_US
+
+
+def test_top_users_per_type(events):
+    out = ev.top_users_per_type(events, n=3).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        ranks = [r.rnk for r in rows]
+        assert min(ranks) == 1 and max(ranks) <= 3
+        vals = [r.total_value for r in rows]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_streaming_windowed_counts_matches_batch(spark, events):
+    """The streaming plan (file source, watermark, availableNow) must
+    produce the same windows as the batch twin."""
+    d = tempfile.mkdtemp()
+    try:
+        # stage events as a real TIMESTAMP parquet stream source
+        src = events.select(
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            "event_type",
+            "value",
+        )
+        src.write.mode("overwrite").parquet(f"{d}/src")
+        stream = spark.readStream.schema(src.schema).parquet(f"{d}/src")
+        q = (
+            ev.streaming_windowed_counts(stream, "1 hour", "2 hours")
+            .writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 2))
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        want = {
+            (r.window_start_us, r.event_type): (r.n_events, r.total_value)
+            for r in ev.windowed_counts(events).collect()
+        }
+        assert len(got) == len(want)
+        for (ws, et), (n, v) in got.items():
+            key = (int(ws.timestamp() * 1_000_000), et)
+            assert key in want
+            assert want[key][0] == n
+            assert want[key][1] == pytest.approx(v, abs=0.01)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

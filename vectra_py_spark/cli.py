@@ -1,0 +1,149 @@
+"""CLI (SURVEY.md §2.8 D9) — thin argparse wrapper over the engine.
+
+Verbs mirror the reference's CLI (``vectra-cli.py:11-156``, fixed per
+§2.9.11: the reference never awaited its coroutine and called
+constructors that don't exist): create / delete / add / remove / stats /
+query, with ``--uri --list --chunk-size --document-count --chunk-count
+--section-count --tokens --format``.
+
+Usage::
+
+    python -m vectra_py_spark.cli create --index /tmp/idx
+    python -m vectra_py_spark.cli add --index /tmp/idx --uri ./docs/a.md
+    python -m vectra_py_spark.cli query --index /tmp/idx "what is ..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from vectra_py_spark.document_index import SparkDocumentIndex
+from vectra_py_spark.session import get_spark
+from vectra_py_spark.sources.fetchers import FileFetcher, WebFetcher
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vectra-py-spark", description=__doc__)
+    p.add_argument("--index", required=True, help="index base path")
+    p.add_argument("--chunk-size", type=int, default=512)
+    p.add_argument("--vector-dim", type=int, default=64)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sub.add_parser("create", help="create a new (empty) document index")
+    sub.add_parser("delete", help="delete the index contents")
+    sub.add_parser("stats", help="print catalog stats")
+
+    add = sub.add_parser("add", help="fetch + ingest documents")
+    add.add_argument("--uri", action="append", default=[], help="file path or URL")
+    add.add_argument("--list", dest="uri_list", help="file with one URI per line")
+
+    rem = sub.add_parser("remove", help="delete a document by uri")
+    rem.add_argument("--uri", required=True)
+
+    q = sub.add_parser("query", help="query the index")
+    q.add_argument("text")
+    q.add_argument("--document-count", type=int, default=10)
+    q.add_argument("--chunk-count", type=int, default=50)
+    q.add_argument("--section-count", type=int, default=1)
+    q.add_argument("--tokens", type=int, default=2000)
+    q.add_argument(
+        "--format", choices=["sections", "stats", "chunks"], default="sections"
+    )
+    return p
+
+
+def _expand_uris(args: argparse.Namespace) -> list[str]:
+    uris = list(args.uri)
+    if args.uri_list:
+        with open(args.uri_list, encoding="utf-8") as fh:
+            uris.extend(ln.strip() for ln in fh if ln.strip())
+    return uris
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    spark = get_spark("vectra-py-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = SparkDocumentIndex(
+        spark, args.index, vector_dim=args.vector_dim, chunk_size=args.chunk_size
+    )
+
+    if args.verb == "create":
+        idx.create(overwrite=False)
+        print(json.dumps({"created": args.index}))
+    elif args.verb == "delete":
+        idx.create(overwrite=True)
+        print(json.dumps({"deleted": args.index}))
+    elif args.verb == "stats":
+        print(json.dumps(idx.get_catalog_stats()))
+    elif args.verb == "add":
+        uris = _expand_uris(args)
+        if not uris:
+            print("error: add requires --uri or --list", file=sys.stderr)
+            return 2
+        file_fetcher, web_fetcher = FileFetcher(), WebFetcher()
+        docs = []
+        for uri in uris:
+            if uri.startswith(("http://", "https://")):
+                u, text, doc_type = web_fetcher.fetch(uri)
+                docs.append({"uri": u, "text": text, "doc_type": doc_type})
+            else:
+                for u, text, doc_type in file_fetcher.fetch(uri):
+                    docs.append({"uri": u, "text": text, "doc_type": doc_type})
+        ids = idx.upsert_documents(docs)
+        print(json.dumps({"added": len(ids)}))
+    elif args.verb == "remove":
+        idx.delete_document(args.uri)
+        print(json.dumps({"removed": args.uri}))
+    elif args.verb == "query":
+        if args.format == "stats":
+            print(json.dumps(idx.get_catalog_stats()))
+        elif args.format == "chunks":
+            rows = idx.query_documents(
+                args.text, args.document_count, args.chunk_count
+            ).collect()
+            for r in rows:
+                print(
+                    json.dumps(
+                        {
+                            "uri": r.uri,
+                            "doc_score": round(r.doc_score, 6),
+                            "chunks": [
+                                {
+                                    "start_pos": int(c.start_pos),
+                                    "end_pos": int(c.end_pos),
+                                    "score": round(c.score, 6),
+                                }
+                                for c in r.chunks
+                            ],
+                        }
+                    )
+                )
+        else:
+            for _doc_id, uri, score, sections in idx.render_document_sections(
+                args.text,
+                max_documents=args.document_count,
+                max_chunks=args.chunk_count,
+                max_tokens=args.tokens,
+                max_sections=args.section_count,
+            ):
+                for sec in sections:
+                    print(
+                        json.dumps(
+                            {
+                                "uri": uri,
+                                "doc_score": round(score, 6),
+                                "section_score": round(sec.score, 6),
+                                "token_count": sec.token_count,
+                                "text": sec.text,
+                            }
+                        )
+                    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,8 +141,19 @@ class SparkVectorIndex:
     def _norm(vec: Sequence[float]) -> float:
         return float(sum(float(x) * float(x) for x in vec) ** 0.5)
 
+    def _resolved_dim(self) -> int | None:
+        """Lazily adopt the index dimension: explicit ctor arg, else the
+        dimension of any committed row (one tiny head job, memoized)."""
+        if self.vector_dim is None:
+            head = self.items().select(F.size("vector").alias("d")).head(1)
+            if head:
+                self.vector_dim = int(head[0]["d"])
+        return self.vector_dim
+
     def _stage(self, item: Mapping[str, Any]) -> dict[str, Any]:
         vec = [float(x) for x in item["vector"]]
+        if self._resolved_dim() is None:
+            self.vector_dim = len(vec)  # first vector defines the index dim
         if self.vector_dim is not None and len(vec) != self.vector_dim:
             # Ingest-time dimension check — improvement over the reference,
             # whose dimension is implicit and unchecked (SURVEY.md §1.2).

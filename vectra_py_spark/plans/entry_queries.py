@@ -28,8 +28,10 @@ from vectra_py_spark.functions.vector import (
     l2_norm,
 )
 from vectra_py_spark.operators import dedup as dd
+from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import text_analysis as ta
+from vectra_py_spark.streaming import events as ev
 
 __all__ = ["QUERIES", "ORACLES", "seeded_query_vector", "load"]
 
@@ -416,6 +418,115 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-stream operators (batch twins of the streaming plans)
+# ---------------------------------------------------------------------------
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.windowed_counts(load(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(load(spark, sf_dir, "events"))
+
+
+def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_users_per_type(load(spark, sf_dir, "events"))
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def _sql_distinct_users() -> str:
+    return """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join (region→nation→customer→orders→lineitem revenue)
+# — broadcast the dimension chain, shuffle only the fact tables
+# ---------------------------------------------------------------------------
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _sql_revenue_by_region() -> str:
+    return """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing: payload sizes through the BINARY column path
+# ---------------------------------------------------------------------------
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_binary_payload(load(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            6,
+        ).alias("feature_sq_norm"),
+    )
+
+
+def _sql_multimodal_bytes() -> str:
+    # the fake features are unit-normalized → squared norm is 1 for any
+    # non-empty payload; DuckDB mirrors byte length + the constant norm
+    return """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               1.0 AS feature_sq_norm
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -437,6 +548,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "lsh_neardup": q_lsh_neardup,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "top_users_per_type": q_top_users_per_type,
+    "distinct_users": q_distinct_users,
+    "revenue_by_region": q_revenue_by_region,
+    "multimodal_bytes": q_multimodal_bytes,
 }
 
 ORACLES: dict[str, str] = {
@@ -461,4 +578,10 @@ ORACLES: dict[str, str] = {
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
     ),
+    "events_windowed": ev.windowed_counts_sql(),
+    "events_sessionize": ev.sessionize_sql(),
+    "top_users_per_type": ev.top_users_per_type_sql(),
+    "distinct_users": _sql_distinct_users(),
+    "revenue_by_region": _sql_revenue_by_region(),
+    "multimodal_bytes": _sql_multimodal_bytes(),
 }

@@ -1,0 +1,22 @@
+"""Structured Streaming operators over event streams.
+
+The reference has no streaming surface (SURVEY.md §1.1); this package
+adds the stream-shaped operators a production event pipeline needs,
+written so the SAME logical transformations run in batch (testable,
+oracle-checkable) and as a ``readStream`` plan (watermarks + windowed
+state).
+"""
+
+from vectra_py_spark.streaming.events import (
+    event_time_col,
+    sessionize,
+    streaming_windowed_counts,
+    windowed_counts,
+)
+
+__all__ = [
+    "event_time_col",
+    "sessionize",
+    "streaming_windowed_counts",
+    "windowed_counts",
+]

@@ -1,0 +1,248 @@
+"""Event-stream operators: tumbling windows, sessionization, watermarks.
+
+Design rule: one logical definition, two physical modes.
+
+- **Batch**: the operators below are plain DataFrame transformations —
+  they run on the parquet ``events`` table and are oracle-checkable
+  against DuckDB SQL.
+- **Streaming**: the same aggregations run on a ``readStream`` source
+  with a watermark (:func:`streaming_windowed_counts`); Spark's
+  incremental state store handles late data up to the watermark and
+  emits append-mode results per window close.
+
+Timestamp discipline: the fixture parquet stores TIMESTAMP(NANOS),
+which Spark reads as BIGINT nanoseconds (``nanosAsLong``) and DuckDB
+truncates to microseconds. All window math therefore normalizes to
+**epoch microseconds** (``floor(ns/1000)`` ≡ DuckDB ``epoch_us``) so
+the two engines bucket identically.
+
+Scale: tumbling-window counts are a single shuffle on (window, keys)
+with map-side partial aggregation. Sessionization is the classic
+gaps-and-islands — one shuffle on user, one window sort per user
+partition; skewed users are the hazard (AQE skew handling, or salt the
+session id computation per day first). Streaming state is bounded by
+watermark horizon × key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "event_time_col",
+    "windowed_counts",
+    "windowed_counts_sql",
+    "sessionize",
+    "sessionize_sql",
+    "top_users_per_type",
+    "top_users_per_type_sql",
+    "streaming_windowed_counts",
+]
+
+MICROS_PER_HOUR = 3_600_000_000
+DEFAULT_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def event_time_col(ts_col: str = "ts"):
+    """BIGINT nanoseconds (nanosAsLong read) → epoch microseconds.
+
+    Integer ``DIV``, not ``floor(x/1000)``: float division would round a
+    19-digit nanosecond count (doubles carry ~15.9 digits) and drift ±1µs.
+    """
+    return F.expr(f"{ts_col} DIV 1000")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (batch + oracle)
+# ---------------------------------------------------------------------------
+def windowed_counts(
+    df: DataFrame,
+    window_us: int = MICROS_PER_HOUR,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Events per (tumbling window, event_type) with value sums."""
+    bucket = (
+        (F.expr(f"({ts_col} DIV 1000) DIV {window_us}") * window_us)
+        .cast("bigint")
+        .alias("window_start_us")
+    )
+    return (
+        df.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def windowed_counts_sql(
+    window_us: int = MICROS_PER_HOUR, table: str = "events"
+) -> str:
+    return f"""
+        SELECT CAST((epoch_us(ts) // {window_us}) * {window_us} AS BIGINT)
+                   AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_value
+        FROM {table}
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands; batch twin of session_window)
+# ---------------------------------------------------------------------------
+def sessionize(
+    df: DataFrame,
+    gap_us: int = DEFAULT_SESSION_GAP_US,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """One row per (user, session): start/end, event count, value sum.
+
+    A new session starts when the gap since the user's previous event
+    exceeds ``gap_us``. Streaming twin: ``F.session_window(ts, gap)``
+    with a watermark; this batch formulation is the oracle.
+    """
+    t = event_time_col(ts_col)
+    w = Window.partitionBy(user_col).orderBy(t)
+    gap_flag = (
+        F.when(t - F.lag(t).over(w) > gap_us, 1)
+        .otherwise(0)
+    )
+    with_session = df.withColumn("_t", t).withColumn(
+        "session_idx",
+        F.sum(gap_flag).over(
+            Window.partitionBy(user_col)
+            .orderBy(F.col("_t"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_session.groupBy(user_col, "session_idx")
+        .agg(
+            F.min("_t").alias("session_start_us"),
+            F.max("_t").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            user_col, "session_start_us", "session_end_us",
+            "n_events", "total_value",
+        )
+        .orderBy(user_col, "session_start_us")
+    )
+
+
+def sessionize_sql(
+    gap_us: int = DEFAULT_SESSION_GAP_US, table: str = "events"
+) -> str:
+    return f"""
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS t_us, value,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER
+                               (PARTITION BY user_id ORDER BY epoch_us(ts))
+                             > {gap_us}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM {table}
+        ),
+        s AS (
+            SELECT user_id, t_us, value,
+                   SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY t_us
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM t
+        )
+        SELECT user_id,
+               MIN(t_us) AS session_start_us,
+               MAX(t_us) AS session_end_us,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_value
+        FROM s
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start_us
+    """
+
+
+# ---------------------------------------------------------------------------
+# Ranked window function (top-N per group)
+# ---------------------------------------------------------------------------
+def top_users_per_type(df: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N users by total value within each event_type (dense_rank)."""
+    per_user = df.groupBy("event_type", "user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= n)
+        .orderBy("event_type", "rnk", "user_id")
+    )
+
+
+def top_users_per_type_sql(n: int = 3, table: str = "events") -> str:
+    return f"""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                       AS total_value
+            FROM {table}
+            GROUP BY 1, 2
+        )
+        SELECT * FROM (
+            SELECT event_type, user_id, total_value,
+                   DENSE_RANK() OVER
+                       (PARTITION BY event_type
+                        ORDER BY total_value DESC, user_id ASC) AS rnk
+            FROM per_user
+        )
+        WHERE rnk <= {n}
+        ORDER BY event_type, rnk, user_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming surface
+# ---------------------------------------------------------------------------
+def streaming_windowed_counts(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """The streaming twin of :func:`windowed_counts`.
+
+    ``stream_df`` must carry a TIMESTAMP column (convert BIGINT nanos
+    with ``F.timestamp_micros(floor(ts/1000))``). Watermark bounds state
+    and admits late events up to the horizon; append-mode emits each
+    window once it closes.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -267,6 +267,16 @@ class TextSplitter:
             group, group_tokens = [], 0
 
         for atom in atoms:
+            # keep_separators merges by plain concatenation, which only
+            # reproduces source[start:end+1] when the atoms are char-adjacent;
+            # a gap (dropped non-alnum part, halving remainder) forces a flush
+            # so positions stay exact for W2 re-slicing.
+            if (
+                group
+                and not join
+                and atom.start_pos != group[-1].end_pos + 1
+            ):
+                flush()
             extra = len(atom.tokens) + (1 if (group and join) else 0)
             if group and group_tokens + extra > self.config.chunk_size:
                 flush()
