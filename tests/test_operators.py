@@ -130,3 +130,50 @@ def test_hyperplanes_deterministic():
     b = sim.seeded_hyperplanes(8, 4, seed=99)
     assert a == b
     assert sim.seeded_hyperplanes(8, 4, seed=100) != a
+
+
+def test_lsh_topk_matches_exact_on_planted(vecs):
+    out = sim.lsh_topk(
+        vecs, [1.0, 0.0, 0.0, 0.0], k=2, extra_cols=()
+    ).collect()
+    # the two nearest vectors collide with the query in ≥1 table
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].score == 1.0
+
+
+def test_query_buckets_deterministic():
+    q = [0.5, -0.25, 0.125, 1.0]
+    a = sim.query_buckets(q, 3, 12, 1234, 4)
+    assert a == sim.query_buckets(q, 3, 12, 1234, 4)
+    assert len(a) == 12
+    for t, key in enumerate(a):
+        assert t * 8 <= key < (t + 1) * 8  # packed tbl*2^b + bucket
+
+
+def test_token_budget_batch_ids(spark):
+    from vectra_py_spark.embeddings import (
+        _token_budget_batches,
+        token_budget_batch_ids,
+    )
+
+    rows = [
+        ("s1", 1, "one two three"),            # 3 tokens
+        ("s1", 2, "four five"),                # 2
+        ("s1", 3, "six seven eight nine"),     # 4
+        ("s1", 4, "ten"),                      # 1
+        ("s2", 5, " ".join(["w"] * 10)),       # oversized alone
+        ("s2", 6, "a b"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.batch_id)
+        for r in token_budget_batch_ids(df, max_tokens=5).collect()
+    }
+    # greedy ≤5: [3,2] | [4,1] per group s1; s2: [10] | [2]
+    assert out[1] == (3, 0) and out[2] == (2, 0)
+    assert out[3] == (4, 1) and out[4] == (1, 1)
+    assert out[5] == (10, 0) and out[6] == (2, 1)
+    # parity with the per-batch generator used by embed_chunks
+    counts = [3, 2, 4, 1]
+    batches = list(_token_budget_batches([""] * 4, counts, 5))
+    assert batches == [[0, 1], [2, 3]]

@@ -33,6 +33,8 @@ import time
 from collections.abc import Iterator, Sequence
 from typing import Protocol
 
+from pyspark.sql import functions as F
+
 __all__ = [
     "EmbeddingsProvider",
     "DeterministicEmbedder",
@@ -40,6 +42,8 @@ __all__ = [
     "SentenceTransformerEmbedder",
     "embed_chunks",
     "scrub_newlines",
+    "token_budget_batch_ids",
+    "token_budget_batch_ids_sql",
 ]
 
 DEFAULT_MAX_TOKENS = 8000  # E4: both reference providers
@@ -164,6 +168,96 @@ def _token_budget_batches(
         total += c
     if batch:
         yield batch
+
+
+def token_budget_batch_ids(
+    df,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2000,
+):
+    """A6 as a first-class DataFrame op: assign each row the greedy
+    token-budget batch it would be embedded in
+    (``local_document_index.py:156-171`` — batch breaks when adding the
+    next text would exceed ``max_tokens``; an oversized single text still
+    gets its own batch).
+
+    Token counting (whitespace split) stays JVM-side; only the
+    inherently-sequential greedy scan runs in Python, per group via
+    ``applyInPandas`` — groups pack independently, so this scales with
+    group cardinality (at 100 TB: group = ingest partition/day).
+    Greedy-with-reset is NOT ``floor(cumsum/budget)``; the oracle twin
+    is a recursive CTE (:func:`token_budget_batch_ids_sql`).
+    """
+    import pandas as pd
+
+    counted = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.size(F.split(F.col(text_col), r"\s+")).alias("n_tokens"),
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord").reset_index(drop=True)
+        batch, total = 0, 0
+        out = []
+        for c in pdf["n_tokens"]:
+            c = int(c)
+            if total > 0 and total + c > max_tokens:
+                batch += 1
+                total = 0
+            out.append(batch)
+            total += c
+        pdf["batch_id"] = out
+        return pdf
+
+    return (
+        counted.groupBy("grp")
+        .applyInPandas(assign, schema="grp string, ord bigint, n_tokens int, batch_id int")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("ord").alias(order_col),
+            "n_tokens",
+            "batch_id",
+        )
+        .orderBy(group_col, order_col)
+    )
+
+
+def token_budget_batch_ids_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2000,
+) -> str:
+    """DuckDB twin of :func:`token_budget_batch_ids`: the greedy scan as
+    a recursive CTE stepping row-by-row within each group."""
+    return rf"""
+        WITH RECURSIVE numbered AS (
+            SELECT {group_col} AS grp, {order_col} AS ord,
+                   CAST(len(string_split_regex({text_col}, '\s+')) AS INT)
+                       AS n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY {order_col}) AS rn
+            FROM {table}
+        ),
+        r AS (
+            SELECT grp, ord, n_tokens, rn, n_tokens AS acc, 0 AS batch_id
+            FROM numbered WHERE rn = 1
+            UNION ALL
+            SELECT n.grp, n.ord, n.n_tokens, n.rn,
+                   CASE WHEN r.acc + n.n_tokens > {max_tokens}
+                        THEN n.n_tokens ELSE r.acc + n.n_tokens END,
+                   CASE WHEN r.acc + n.n_tokens > {max_tokens}
+                        THEN r.batch_id + 1 ELSE r.batch_id END
+            FROM numbered n JOIN r ON n.grp = r.grp AND n.rn = r.rn + 1
+        )
+        SELECT grp AS {group_col}, ord AS {order_col}, n_tokens, batch_id
+        FROM r
+        ORDER BY {group_col}, {order_col}
+    """
 
 
 def embed_chunks(

@@ -46,6 +46,9 @@ __all__ = [
     "cosine_similarity_join_sql",
     "seeded_hyperplanes",
     "hyperplane_signatures",
+    "query_buckets",
+    "lsh_topk",
+    "lsh_topk_sql",
     "lsh_similarity_join",
     "lsh_similarity_join_sql",
 ]
@@ -324,6 +327,133 @@ def lsh_similarity_join(
     return cand.mapInPandas(check, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
 
 
+def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Left-to-right Python dot — bit-identical to the HOF/list_dot_product
+    summation order, so driver-computed query buckets agree with both
+    engines' row buckets."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def query_buckets(
+    query: Sequence[float], bits_per_table: int, n_tables: int,
+    seed: int, dim: int,
+) -> list[int]:
+    """Packed ``tbl·2^b + bucket`` keys of a query vector (driver-side)."""
+    planes = seeded_hyperplanes(dim, bits_per_table * n_tables, seed)
+    keys = []
+    for t in range(n_tables):
+        bucket = sum(
+            (1 << i)
+            for i in range(bits_per_table)
+            if _seq_dot(query, planes[t * bits_per_table + i]) >= 0
+        )
+        keys.append(t * (1 << bits_per_table) + bucket)
+    return keys
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    bits_per_table: int = 3,
+    n_tables: int = 12,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = ("label",),
+) -> DataFrame:
+    """ANN top-k: LSH-bucket-pruned candidates, exact-cosine ranked.
+
+    The query's bucket per table is computed once on the driver; rows
+    whose signature collides in ≥1 table become candidates (a semi-join
+    on the packed bucket key — at scale, with items Parquet-partitioned
+    by bucket prefix, this prunes entire partitions), then candidates
+    are scored exactly and ranked. Recall follows the same
+    1−(1−p^b)^L amplification as :func:`lsh_similarity_join`.
+    """
+    dim = len(query)
+    planes = seeded_hyperplanes(dim, bits_per_table * n_tables, seed)
+    qkeys = query_buckets(query, bits_per_table, n_tables, seed, dim)
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (p // bits_per_table, 1 << (p % bits_per_table), planes[p])
+            for p in range(len(planes))
+        ],
+        "tbl INT, bit INT, plane ARRAY<DOUBLE>",
+    )
+    base = df.select(F.col(id_col).alias("vid"), F.col(vector_col).alias("vec"))
+    sig = (
+        base.join(F.broadcast(planes_df))
+        .groupBy("vid", "tbl")
+        .agg(
+            F.sum(
+                F.when(dot(F.col("vec"), F.col("plane")) >= 0, F.col("bit"))
+                .otherwise(0)
+            ).cast("int").alias("bucket")
+        )
+        .select(
+            "vid",
+            (F.col("tbl") * (1 << bits_per_table) + F.col("bucket")).alias("key"),
+        )
+    )
+    cand_ids = sig.filter(F.col("key").isin(qkeys)).select("vid").distinct()
+    cand = df.join(cand_ids, df[id_col] == cand_ids["vid"], "left_semi")
+    return (
+        cand.withColumn(
+            "score", F.round(cosine_to_query(vector_col, query), _DP)
+        )
+        .select(id_col, *extra_cols, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _plane_lit_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_expr_sql(
+    planes: list[list[float]], t: int, bits_per_table: int, v: str
+) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product({v}, "
+        f"{_plane_lit_sql(planes[t * bits_per_table + i])}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(bits_per_table)
+    )
+
+
+def lsh_topk_sql(
+    query: Sequence[float], k: int, bits_per_table: int = 3,
+    n_tables: int = 12, seed: int = 1234, table: str = "embeddings",
+    id_col: str = "vec_id", vector_col: str = "embedding",
+    extra_cols: str = "label",
+) -> str:
+    """DuckDB twin of :func:`lsh_topk` (same planes, same query buckets)."""
+    dim = len(query)
+    planes = seeded_hyperplanes(dim, bits_per_table * n_tables, seed)
+    qkeys = query_buckets(query, bits_per_table, n_tables, seed, dim)
+    v = f"{vector_col}::DOUBLE[]"
+    collide = " OR ".join(
+        f"({_bucket_expr_sql(planes, t, bits_per_table, v)}) = "
+        f"{qkeys[t] - t * (1 << bits_per_table)}"
+        for t in range(n_tables)
+    )
+    cos = cosine_to_query_sql(vector_col, query)
+    cols = f"{id_col}, {extra_cols}, " if extra_cols else f"{id_col}, "
+    return f"""
+        SELECT {cols}ROUND({cos}, {_DP}) AS score
+        FROM {table}
+        WHERE {collide}
+        ORDER BY {cos} DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
 def lsh_similarity_join_sql(
     threshold: float, bits_per_table: int = 3, n_tables: int = 12,
     seed: int = 1234, table: str = "embeddings", id_col: str = "vec_id",
@@ -333,15 +463,10 @@ def lsh_similarity_join_sql(
     v = f"{vector_col}::DOUBLE[]"
 
     def plane_lit(p: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        return _plane_lit_sql(p)
 
     def bucket_expr(t: int) -> str:
-        return " + ".join(
-            f"CASE WHEN list_dot_product({v}, "
-            f"{plane_lit(planes[t * bits_per_table + i])}) >= 0 "
-            f"THEN {1 << i} ELSE 0 END"
-            for i in range(bits_per_table)
-        )
+        return _bucket_expr_sql(planes, t, bits_per_table, v)
 
     sig_union = "\n            UNION ALL\n".join(
         f"            SELECT {id_col} AS vid, {vector_col} AS vec, "

@@ -27,11 +27,14 @@ from vectra_py_spark.functions.vector import (
     cosine_to_query_sql,
     l2_norm,
 )
+from vectra_py_spark import embeddings as emb_mod
+from vectra_py_spark.embeddings import embed_chunks
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import text_analysis as ta
 from vectra_py_spark.streaming import events as ev
+from vectra_py_spark.text.splitter import split_documents
 
 __all__ = ["QUERIES", "ORACLES", "seeded_query_vector", "load"]
 
@@ -527,6 +530,52 @@ def _sql_multimodal_bytes() -> str:
 
 
 # ---------------------------------------------------------------------------
+# A6 — greedy token-budget batching (applyInPandas vs recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+_BATCH_BUDGET = 2000
+
+
+def q_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_mod.token_budget_batch_ids(
+        load(spark, sf_dir, "documents"), max_tokens=_BATCH_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# V8/ANN — LSH-bucket-pruned top-k search (the scale path of V5)
+# ---------------------------------------------------------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_topk(
+        load(spark, sf_dir, "embeddings"), _QVEC, k=10,
+        bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES, seed=_LSH_SEED,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1-T4 — distributed splitter + D5 ingest (non-SQL-expressible: the
+# recursive splitter and hash embedder are UDTF/UDF-shaped; rows-only gate
+# + unit-test goldens cover exact semantics)
+# ---------------------------------------------------------------------------
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("document_id"), "text"
+    )
+    return split_documents(docs, chunk_size=64)
+
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("document_id"), "text"
+    )
+    chunks = split_documents(docs, chunk_size=64)
+    return embed_chunks(chunks, dim=64).select(
+        "document_id", "chunk_index", "n_tokens",
+        F.round("norm", 6).alias("norm"),
+        F.size("vector").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -554,6 +603,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users": q_distinct_users,
     "revenue_by_region": q_revenue_by_region,
     "multimodal_bytes": q_multimodal_bytes,
+    "token_budget_batches": q_token_budget_batches,
+    "ann_topk": q_ann_topk,
+    "doc_chunks": q_doc_chunks,
+    "ingest_pipeline": q_ingest_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -584,4 +637,14 @@ ORACLES: dict[str, str] = {
     "distinct_users": _sql_distinct_users(),
     "revenue_by_region": _sql_revenue_by_region(),
     "multimodal_bytes": _sql_multimodal_bytes(),
+    "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
+        max_tokens=_BATCH_BUDGET
+    ),
+    "ann_topk": sim.lsh_topk_sql(
+        _QVEC, k=10, bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    ),
+    # doc_chunks / ingest_pipeline intentionally have no oracle: the
+    # recursive splitter + hash embedder are not SQL-expressible (driver
+    # records the rows-only check; goldens live in tests/).
 }
