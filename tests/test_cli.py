@@ -1,0 +1,50 @@
+"""D9 CLI verbs end-to-end (create → add → stats → query → remove)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+from vectra_py_spark.cli import _expand_uris, _build_parser, main
+
+
+def run(capsys, *argv) -> list[dict]:
+    assert main(list(argv)) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return [json.loads(ln) for ln in out if ln.startswith("{")]
+
+
+def test_cli_lifecycle(spark, capsys, tmp_path):
+    idx = str(tmp_path / "idx")
+    doc = tmp_path / "note.md"
+    doc.write_text(
+        "# Spark notes\n\nShuffle partitions control parallelism.\n\n"
+        "Broadcast joins avoid shuffles for small tables.\n"
+    )
+    run(capsys, "--index", idx, "create")
+    added = run(capsys, "--index", idx, "add", "--uri", str(doc))
+    assert added[-1] == {"added": 1}
+    stats = run(capsys, "--index", idx, "stats")[-1]
+    assert stats["documents"] == 1 and stats["chunks"] >= 1
+    hits = run(
+        capsys, "--index", idx, "query", "broadcast shuffle", "--format", "chunks"
+    )
+    assert hits and hits[0]["uri"] == str(doc)
+    secs = run(capsys, "--index", idx, "query", "broadcast shuffle")
+    assert secs and "Broadcast" in secs[0]["text"] or secs[0]["token_count"] > 0
+    run(capsys, "--index", idx, "remove", "--uri", str(doc))
+    stats = run(capsys, "--index", idx, "stats")[-1]
+    assert stats["documents"] == 0 and stats["chunks"] == 0
+
+
+def test_expand_uris_lines_and_filings_json(tmp_path):
+    lines = tmp_path / "uris.txt"
+    lines.write_text("a.md\n\nb.md\n")
+    filings = tmp_path / "filings.json"
+    filings.write_text(json.dumps({"filings": [{"url": "http://x/1"}, {"no": 1}]}))
+    p = _build_parser()
+    a1 = p.parse_args(["--index", "i", "add", "--list", str(lines)])
+    assert _expand_uris(a1) == ["a.md", "b.md"]
+    a2 = p.parse_args(["--index", "i", "add", "--uri", "c.md", "--list", str(filings)])
+    assert _expand_uris(a2) == ["c.md", "http://x/1"]

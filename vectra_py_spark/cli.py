@@ -29,6 +29,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", required=True, help="index base path")
     p.add_argument("--chunk-size", type=int, default=512)
     p.add_argument("--vector-dim", type=int, default=64)
+    p.add_argument(
+        "--keys",
+        help="JSON key file for a REST embeddings provider (S14; "
+        '{"api_key": ..., "model"?: ..., "endpoint"?: ...}). '
+        "Without it the deterministic hermetic embedder is used.",
+    )
     sub = p.add_subparsers(dest="verb", required=True)
 
     sub.add_parser("create", help="create a new (empty) document index")
@@ -55,19 +61,55 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _expand_uris(args: argparse.Namespace) -> list[str]:
+    """S15: one-URI-or-list-file expansion — plain lines, or the
+    reference pipeline's ``{"filings": [{..., "url": ...}]}`` JSON shape
+    (``vectra-pipeline.py:47-57``)."""
     uris = list(args.uri)
     if args.uri_list:
         with open(args.uri_list, encoding="utf-8") as fh:
-            uris.extend(ln.strip() for ln in fh if ln.strip())
+            body = fh.read()
+        if args.uri_list.endswith(".json"):
+            payload = json.loads(body)
+            uris.extend(
+                f["url"] for f in payload.get("filings", []) if f.get("url")
+            )
+        else:
+            uris.extend(ln.strip() for ln in body.splitlines() if ln.strip())
     return uris
 
 
+def _embedder_factory(args: argparse.Namespace):
+    """S14: --keys JSON file → REST provider; absent → deterministic."""
+    if not args.keys:
+        return None
+    with open(args.keys, encoding="utf-8") as fh:
+        keys = json.load(fh)
+
+    from vectra_py_spark.embeddings import OpenAIEmbedder
+
+    def factory():
+        return OpenAIEmbedder(
+            api_key=keys["api_key"],
+            model=keys.get("model", "text-embedding-ada-002"),
+            endpoint=keys.get("endpoint", "https://api.openai.com/v1/embeddings"),
+        )
+
+    return factory
+
+
 def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession
+
     args = _build_parser().parse_args(argv)
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("vectra-py-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     idx = SparkDocumentIndex(
-        spark, args.index, vector_dim=args.vector_dim, chunk_size=args.chunk_size
+        spark,
+        args.index,
+        embedder_factory=_embedder_factory(args),
+        vector_dim=args.vector_dim,
+        chunk_size=args.chunk_size,
     )
 
     if args.verb == "create":
@@ -141,7 +183,9 @@ def main(argv: list[str] | None = None) -> int:
                             }
                         )
                     )
-    spark.stop()
+    if not preexisting:
+        # only stop a session this invocation created (tests share one)
+        spark.stop()
     return 0
 
 

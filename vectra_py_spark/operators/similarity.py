@@ -42,6 +42,8 @@ from vectra_py_spark.functions.vector import (
 __all__ = [
     "cosine_topk",
     "cosine_topk_sql",
+    "cosine_topk_batch",
+    "cosine_topk_batch_sql",
     "cosine_similarity_join",
     "cosine_similarity_join_sql",
     "seeded_hyperplanes",
@@ -101,6 +103,96 @@ def cosine_topk_sql(
         FROM {table}
         ORDER BY {cos} DESC, {id_col} ASC
         LIMIT {k}
+    """
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: Sequence[Sequence[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one job.
+
+    The per-query cost of a literal-vector plan is dominated by
+    analysis + codegen (~180 ms hot on local[32]); serving Q queries as
+    one broadcast matrix amortizes that to one matmul block per Arrow
+    batch (N×d @ d×Q) + per-partition partial top-k, then one narrow
+    shuffle on query_id for the global top-k. At 100 TB this is the
+    pattern for offline retrieval: thousands of queries per pass over
+    the items table instead of thousands of passes.
+
+    Output: (query_id, id_col, score) — exact cosine, ties broken by id.
+    """
+    Q = np.array([[float(x) for x in q] for q in queries], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qu = Q / qn[:, None]
+    bc = df.sparkSession.sparkContext.broadcast(Qu)
+    nq = Q.shape[0]
+
+    def block(batches):
+        Qmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.array(list(pdf[vector_col]), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            sim = np.round((M / mn[:, None]) @ Qmat.T, _DP)  # n×Q
+            take = min(k, len(ids))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(Qmat.shape[0]):
+                col = sim[:, qi]
+                top = np.argpartition(-col, take - 1)[:take]
+                out_q.extend([qi] * take)
+                out_id.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "score": out_s}
+            )
+
+    partial = df.select(id_col, vector_col).mapInPandas(
+        block, schema=f"query_id INT, {id_col} BIGINT, score DOUBLE"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )
+
+
+def cosine_topk_batch_sql(
+    queries: Sequence[Sequence[float]], k: int, table: str = "embeddings",
+    id_col: str = "vec_id", vector_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_batch`: UNION ALL of per-query
+    exact top-k selects tagged with query_id."""
+    parts = []
+    for qi, q in enumerate(queries):
+        cos = cosine_to_query_sql(vector_col, q)
+        parts.append(
+            f"(SELECT {qi} AS query_id, {id_col}, "
+            f"ROUND({cos}, {_DP}) AS score "
+            # order by the ROUNDED score (like the Spark side) so the
+            # k-boundary cut is identical in both engines
+            f"FROM {table} ORDER BY ROUND({cos}, {_DP}) DESC, {id_col} ASC "
+            f"LIMIT {k})"
+        )
+    union = "\n        UNION ALL\n        ".join(parts)
+    return f"""
+        SELECT * FROM (
+        {union}
+        )
+        ORDER BY query_id, score DESC, {id_col} ASC
     """
 
 

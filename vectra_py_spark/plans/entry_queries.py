@@ -552,6 +552,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V8 serving pattern — batched exact top-k (Q queries, one pass)
+# ---------------------------------------------------------------------------
+_BATCH_QUERIES = [seeded_query_vector(64, s) for s in (7, 11, 13, 17)]
+
+
+def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk_batch(
+        load(spark, sf_dir, "embeddings"), _BATCH_QUERIES, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # T1-T4 — distributed splitter + D5 ingest (non-SQL-expressible: the
 # recursive splitter and hash embedder are UDTF/UDF-shaped; rows-only gate
 # + unit-test goldens cover exact semantics)
@@ -605,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_bytes": q_multimodal_bytes,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
+    "batch_topk": q_batch_topk,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -644,6 +657,7 @@ ORACLES: dict[str, str] = {
         _QVEC, k=10, bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES,
         seed=_LSH_SEED,
     ),
+    "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
