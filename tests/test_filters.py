@@ -139,3 +139,97 @@ def test_sql_rendering_matches_spark(spark, df):
         )
         assert ids(df, flt) == sql_ids, f"divergence for {flt}"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Property: compiled Column tree ≡ a pure-Python evaluator of the
+# reference's INTENDED semantics (SURVEY.md §2.2 incl. P11 null rules)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_eval(flt, row) -> bool:
+    """Reference-intent evaluator (item_selector.py:52-127, bugs fixed)."""
+
+    def leaf(field, cond) -> bool:
+        value = row.get(field)
+        if not isinstance(cond, dict):
+            cond = {"$eq": cond}
+        for op, arg in cond.items():
+            if value is None:
+                return False  # P11: missing field rejects, even $ne/$nin
+            if op == "$eq":
+                ok = value == arg
+            elif op == "$ne":
+                ok = value != arg
+            elif op == "$gt":
+                ok = value > arg
+            elif op == "$gte":
+                ok = value >= arg
+            elif op == "$lt":
+                ok = value < arg
+            elif op == "$lte":
+                ok = value <= arg
+            elif op == "$in":
+                ok = value in arg
+            elif op == "$nin":
+                ok = value not in arg
+            else:
+                ok = value == arg  # P10 fallback
+            if not ok:
+                return False
+        return True
+
+    if "$and" in flt:
+        return all(_py_eval(f, row) for f in flt["$and"])
+    if "$or" in flt:
+        return any(_py_eval(f, row) for f in flt["$or"])
+    return all(leaf(k, v) for k, v in flt.items())
+
+
+_FIELDS = ["a", "b"]
+_num = st.integers(min_value=-3, max_value=3)
+_leaf_cond = st.one_of(
+    _num,
+    st.fixed_dictionaries({"$eq": _num}),
+    st.fixed_dictionaries({"$ne": _num}),
+    st.fixed_dictionaries({"$gt": _num}),
+    st.fixed_dictionaries({"$gte": _num}),
+    st.fixed_dictionaries({"$lt": _num}),
+    st.fixed_dictionaries({"$lte": _num}),
+    st.fixed_dictionaries({"$in": st.lists(_num, min_size=1, max_size=3)}),
+    st.fixed_dictionaries({"$nin": st.lists(_num, min_size=1, max_size=3)}),
+)
+_simple = st.dictionaries(st.sampled_from(_FIELDS), _leaf_cond, min_size=1, max_size=2)
+_filter = st.one_of(
+    _simple,
+    st.fixed_dictionaries({"$and": st.lists(_simple, min_size=1, max_size=2)}),
+    st.fixed_dictionaries({"$or": st.lists(_simple, min_size=1, max_size=2)}),
+)
+
+
+@pytest.fixture(scope="module")
+def prop_rows(spark):
+    rows = [
+        {"id": i, "a": a, "b": b}
+        for i, (a, b) in enumerate(
+            (a, b)
+            for a in [None, -2, 0, 1, 3]
+            for b in [None, -1, 0, 2]
+        )
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["a"], r["b"]) for r in rows], "id int, a int, b int"
+    ).cache()
+    df.count()
+    return rows, df
+
+
+@settings(max_examples=60, deadline=None)
+@given(flt=_filter)
+def test_property_compiled_matches_python(prop_rows, flt):
+    rows, df = prop_rows
+    expected = {r["id"] for r in rows if _py_eval(flt, r)}
+    got = {r.id for r in df.filter(compile_filter(flt)).collect()}
+    assert got == expected, flt

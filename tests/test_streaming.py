@@ -94,3 +94,49 @@ def test_streaming_windowed_counts_matches_batch(spark, events):
             assert want[key][1] == pytest.approx(v, abs=0.01)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """State survives micro-batches: a text seen in batch 1 is dropped in
+    batch 2; a new text in batch 2 is emitted."""
+    import time
+
+    from vectra_py_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "doc_id string, text string"
+    b1 = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "gamma delta"), ("d3", "alpha beta")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+        assert first == {"d1", "d2"}  # d3 duplicates d1 within the batch
+
+        b2 = spark.createDataFrame(
+            [("d4", "alpha beta"), ("d5", "epsilon zeta")], schema
+        )
+        b2.coalesce(1).write.mode("append").parquet(str(src))
+        time.sleep(0.2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        ids = {r.doc_id for r in rows}
+        assert ids == {"d1", "d2", "d5"}  # d4 deduped ACROSS batches
+    finally:
+        q.stop()

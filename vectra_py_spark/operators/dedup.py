@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "shingle_df",
+    "shingle_df_with_sizes",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_sql",
     "minhash_signatures",
@@ -131,6 +132,46 @@ def shingle_df(
     )
 
 
+def shingle_df_with_sizes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, shingle, n_sh) rows — like :func:`shingle_df` but each row
+    carries its document's distinct-shingle count, so the Jaccard join
+    needs no separate size aggregation + re-joins (two shuffles saved;
+    the join payload grows by one int)."""
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            n_out: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                w = ws.split(str(t).lower())
+                seen: dict = {}
+                for j in range(len(w) - k + 1):
+                    seen.setdefault(" ".join(w[j : j + k]))
+                n = len(seen)
+                ids_out.extend([i] * n)
+                sh_out.extend(seen)
+                n_out.extend([n] * n)
+            yield pd.DataFrame(
+                {"doc_id": ids_out, "shingle": sh_out, "n_sh": n_out}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"doc_id {id_type}, shingle string, n_sh int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
@@ -143,11 +184,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold.
 
-    inter-join on shingle → per-pair intersection; sizes re-joined for
-    ``|A∪B| = |A|+|B|−|A∩B|``. Pairs ordered (id_a < id_b).
+    One equi-join on shingle; each side carries its doc's
+    distinct-shingle count (:func:`shingle_df_with_sizes`), so
+    ``|A∪B| = |A|+|B|−|A∩B|`` resolves inside the pair group-by —
+    no size aggregation, no re-joins. Pairs ordered (id_a < id_b).
     """
-    sh = shingle_df(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = shingle_df_with_sizes(df, id_col, text_col, k).cache()
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -155,14 +197,15 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
