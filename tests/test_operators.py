@@ -177,3 +177,29 @@ def test_token_budget_batch_ids(spark):
     counts = [3, 2, 4, 1]
     batches = list(_token_budget_batches([""] * 4, counts, 5))
     assert batches == [[0, 1], [2, 3]]
+
+
+def test_ivf_topk_planted(spark):
+    import numpy as np
+
+    cents = sim.seeded_centroids(4, 4, seed=4321)
+    # plant vectors exactly on two centroids plus noise elsewhere
+    rows = [
+        (1, list(cents[0])),
+        (2, [x * 0.9 for x in cents[0]]),
+        (3, list(cents[1])),
+        (4, [-x for x in cents[0]]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.ivf_topk(
+        df, cents[0], k=3, n_cells=4, nprobe=1, seed=4321, extra_cols=()
+    ).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] == 1 and 2 in ids          # same-cell neighbors found
+    assert 4 not in ids                      # opposite vector pruned away
+    assert out[0].score == 1.0
+
+
+def test_seeded_centroids_unit_norm():
+    for c in sim.seeded_centroids(16, 5):
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-12

@@ -51,6 +51,9 @@ __all__ = [
     "query_buckets",
     "lsh_topk",
     "lsh_topk_sql",
+    "seeded_centroids",
+    "ivf_topk",
+    "ivf_topk_sql",
     "lsh_similarity_join",
     "lsh_similarity_join_sql",
 ]
@@ -101,7 +104,7 @@ def cosine_topk_sql(
     return f"""
         SELECT {cols}ROUND({cos}, {_DP}) AS score
         FROM {table}
-        ORDER BY {cos} DESC, {id_col} ASC
+        ORDER BY ROUND({cos}, {_DP}) DESC, {id_col} ASC
         LIMIT {k}
     """
 
@@ -504,6 +507,117 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-style cell-probed top-k
+# ---------------------------------------------------------------------------
+def seeded_centroids(dim: int, n_cells: int, seed: int = 4321) -> list[list[float]]:
+    """Deterministic unit-norm centroids (LCG + driver-side normalize —
+    the same literal floats reach both engines). Production note: these
+    stand in for k-means centroids (MLlib KMeans); the cell-probe plan
+    shape is identical, only centroid quality differs."""
+    out = []
+    for c in range(n_cells):
+        v = _lcg_doubles(dim, seed + 104729 * c)
+        n = _seq_dot(v, v) ** 0.5 or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = ("label",),
+) -> DataFrame:
+    """IVF-style ANN top-k: assign every vector to its max-inner-product
+    centroid cell, probe only the ``nprobe`` cells nearest the query,
+    exact-score the survivors.
+
+    Cell assignment = ``first_value(cid) OVER (ORDER BY dot DESC, cid)``
+    — deterministic under dot ties, identical in the DuckDB twin. At
+    scale the assignment is precomputed at ingest and the items table is
+    partitioned by cell, so a query scans nprobe/n_cells of the data
+    (partition pruning); here it's computed inline for the oracle check.
+    """
+    dim = len(query)
+    cents = seeded_centroids(dim, n_cells, seed)
+    # driver-side: the query's nprobe nearest cells (same tie rule)
+    qd = sorted(
+        ((-_seq_dot(query, c), cid) for cid, c in enumerate(cents))
+    )[:nprobe]
+    probe = [cid for _, cid in qd]
+
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    base = df.select(F.col(id_col).alias("vid"), F.col(vector_col).alias("vec"))
+    dots = base.join(F.broadcast(cent_df)).select(
+        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
+    cells = (
+        dots.withColumn("cell", F.first("cid").over(w))
+        .select("vid", "cell")
+        .distinct()
+    )
+    probed = cells.filter(F.col("cell").isin(probe)).select("vid")
+    cand = df.join(probed, df[id_col] == probed["vid"], "left_semi")
+    return (
+        cand.withColumn(
+            "score", F.round(cosine_to_query(vector_col, query), _DP)
+        )
+        .select(id_col, *extra_cols, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    query: Sequence[float], k: int, n_cells: int = 8, nprobe: int = 2,
+    seed: int = 4321, table: str = "embeddings", id_col: str = "vec_id",
+    vector_col: str = "embedding", extra_cols: str = "label",
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` (same centroids, probes, ties)."""
+    dim = len(query)
+    cents = seeded_centroids(dim, n_cells, seed)
+    qd = sorted(
+        ((-_seq_dot(query, c), cid) for cid, c in enumerate(cents))
+    )[:nprobe]
+    probe = ", ".join(str(cid) for _, cid in qd)
+    v = f"{vector_col}::DOUBLE[]"
+    dot_union = "\n            UNION ALL\n".join(
+        f"            SELECT {id_col} AS vid, {cid} AS cid, "
+        f"list_dot_product({v}, {_plane_lit_sql(c)}) AS d FROM {table}"
+        for cid, c in enumerate(cents)
+    )
+    cos = cosine_to_query_sql(vector_col, query)
+    cols = f"{id_col}, {extra_cols}, " if extra_cols else f"{id_col}, "
+    return f"""
+        WITH dots AS (
+{dot_union}
+        ),
+        cells AS (
+            SELECT DISTINCT vid,
+                   first_value(cid) OVER
+                       (PARTITION BY vid ORDER BY d DESC, cid ASC) AS cell
+            FROM dots
+        )
+        SELECT {cols}ROUND({cos}, {_DP}) AS score
+        FROM {table}
+        JOIN cells ON {id_col} = cells.vid AND cells.cell IN ({probe})
+        ORDER BY ROUND({cos}, {_DP}) DESC, {id_col} ASC
+        LIMIT {k}
+    """
+
+
 def _plane_lit_sql(p: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
 
@@ -541,7 +655,7 @@ def lsh_topk_sql(
         SELECT {cols}ROUND({cos}, {_DP}) AS score
         FROM {table}
         WHERE {collide}
-        ORDER BY {cos} DESC, {id_col} ASC
+        ORDER BY ROUND({cos}, {_DP}) DESC, {id_col} ASC
         LIMIT {k}
     """
 

@@ -98,7 +98,7 @@ def _sql_vector_topk() -> str:
     return f"""
         SELECT vec_id, label, ROUND({cos}, {_SCORE_DP}) AS score
         FROM embeddings
-        ORDER BY {cos} DESC, vec_id ASC
+        ORDER BY ROUND({cos}, {_SCORE_DP}) DESC, vec_id ASC
         LIMIT 10
     """
 
@@ -125,7 +125,7 @@ def _sql_vector_topk_filtered() -> str:
         SELECT vec_id, label, ROUND({cos}, {_SCORE_DP}) AS score
         FROM embeddings
         WHERE {filter_to_sql(_TOPK_FILTER)}
-        ORDER BY {cos} DESC, vec_id ASC
+        ORDER BY ROUND({cos}, {_SCORE_DP}) DESC, vec_id ASC
         LIMIT 10
     """
 
@@ -551,6 +551,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(
+        load(spark, sf_dir, "embeddings"), _QVEC, k=10, n_cells=8, nprobe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # V8 serving pattern — batched exact top-k (Q queries, one pass)
 # ---------------------------------------------------------------------------
@@ -617,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_bytes": q_multimodal_bytes,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "batch_topk": q_batch_topk,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
@@ -657,6 +664,7 @@ ORACLES: dict[str, str] = {
         _QVEC, k=10, bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES,
         seed=_LSH_SEED,
     ),
+    "ivf_topk": sim.ivf_topk_sql(_QVEC, k=10, n_cells=8, nprobe=2),
     "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
