@@ -203,3 +203,21 @@ def test_ivf_topk_planted(spark):
 def test_seeded_centroids_unit_norm():
     for c in sim.seeded_centroids(16, 5):
         assert abs(sum(x * x for x in c) - 1.0) < 1e-12
+
+
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: results equal the inline
+    ivf_topk, and the scan plan prunes to the probed cell partitions."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from vectra_py_spark.plans.entry_queries import seeded_query_vector
+
+    q = seeded_query_vector(64, 7)
+    path = str(tmp_path / "ivf")
+    sim.ivf_write_index(emb, path, n_cells=8)
+    indexed = sim.ivf_topk_indexed(spark, path, q, k=10, n_cells=8, nprobe=2)
+    inline = sim.ivf_topk(emb, q, k=10, n_cells=8, nprobe=2)
+    assert [
+        (r.vec_id, r.score) for r in indexed.collect()
+    ] == [(r.vec_id, r.score) for r in inline.collect()]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

@@ -140,3 +140,42 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         assert ids == {"d1", "d2", "d5"}  # d4 deduped ACROSS batches
     finally:
         q.stop()
+
+
+def test_sessionize_matches_native_session_window(spark, events):
+    """Our gaps-and-islands sessionize ≡ Spark's built-in
+    F.session_window on the same 30-min gap (same starts/ends/counts)."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.streaming.events import (
+        DEFAULT_SESSION_GAP_US,
+        event_time_col,
+        sessionize,
+    )
+
+    ours = sessionize(events).collect()
+
+    native = (
+        events.withColumn(
+            "event_time", F.timestamp_micros(event_time_col("ts"))
+        )
+        .groupBy(
+            F.session_window("event_time", "30 minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+        .collect()
+    )
+    assert len(ours) == len(native)
+    for a, b in zip(ours, native):
+        assert a.user_id == b.user_id
+        assert a.session_start_us == b.session_start_us
+        # native end = last event + gap; ours = last event timestamp
+        assert a.session_end_us == b.session_end_us - DEFAULT_SESSION_GAP_US
+        assert a.n_events == b.n_events

@@ -54,6 +54,8 @@ __all__ = [
     "seeded_centroids",
     "ivf_topk",
     "ivf_topk_sql",
+    "ivf_write_index",
+    "ivf_topk_indexed",
     "lsh_similarity_join",
     "lsh_similarity_join_sql",
 ]
@@ -616,6 +618,84 @@ def ivf_topk_sql(
         ORDER BY ROUND({cos}, {_DP}) DESC, {id_col} ASC
         LIMIT {k}
     """
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize an IVF index: the table written partitioned by cell.
+
+    This is the 100 TB layout behind :func:`ivf_topk`: cell assignment
+    happens ONCE at ingest, and ``partitionBy("cell")`` turns every
+    probe query into a partition-pruned scan — a query touching
+    ``nprobe`` of ``n_cells`` partitions reads ``nprobe/n_cells`` of
+    the bytes (verify: `PartitionFilters` in the scan node, see
+    :func:`ivf_topk_indexed` and BENCH.md).
+    """
+    cents = seeded_centroids(dim, n_cells, seed)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    base = df.select(F.col(id_col).alias("vid"), F.col(vector_col).alias("vec"))
+    dots = base.join(F.broadcast(cent_df)).select(
+        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
+    cells = (
+        dots.withColumn("cell", F.first("cid").over(w))
+        .select("vid", "cell")
+        .distinct()
+    )
+    (
+        df.join(cells, df[id_col] == cells["vid"])
+        .drop("vid")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    extra_cols: Sequence[str] = ("label",),
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Query an :func:`ivf_write_index` layout with partition pruning.
+
+    ``cell IN (probes)`` is a partition filter — Spark lists and reads
+    only the probed directories; the other ``n_cells − nprobe`` cells
+    are never opened.
+    """
+    dim = len(query)
+    cents = seeded_centroids(dim, n_cells, seed)
+    qd = sorted(
+        ((-_seq_dot(query, c), cid) for cid, c in enumerate(cents))
+    )[:nprobe]
+    probe = [cid for _, cid in qd]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
+        .withColumn("score", F.round(cosine_to_query(vector_col, query), _DP))
+        .select(id_col, *extra_cols, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def _plane_lit_sql(p: list[float]) -> str:
