@@ -82,3 +82,70 @@ def test_html_to_markdown():
     assert "comment" not in md
     assert "Second & final." in md  # entities unescaped
     assert "\n\n\n" not in md  # blank-line collapse
+
+
+class _FakeResp:
+    def __init__(self, text, ctype, status=200):
+        self.text = text
+        self.headers = {"Content-Type": ctype}
+        self.status_code = status
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+
+def test_web_fetcher_html_to_md(monkeypatch):
+    from vectra_py_spark.sources import fetchers as f
+
+    seen = {}
+
+    def fake_get(uri, headers=None, timeout=None):
+        seen["headers"] = headers
+        return _FakeResp("<h1>Hi</h1><p>Body</p>", "text/html; charset=utf-8")
+
+    import requests
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    uri, text, doc_type = f.WebFetcher().fetch("https://ex.com/page")
+    assert doc_type == "md" and "# Hi" in text
+    # reference's browser-like header discipline (web_fetcher.py:16-29)
+    assert "Mozilla" in seen["headers"]["User-Agent"]
+
+
+def test_web_fetcher_content_type_allowlist(monkeypatch):
+    from vectra_py_spark.sources import fetchers as f
+
+    import requests
+
+    monkeypatch.setattr(
+        requests, "get",
+        lambda *a, **k: _FakeResp(b"\x00", "application/octet-stream"),
+    )
+    with pytest.raises(ValueError, match="disallowed content type"):
+        f.WebFetcher().fetch("https://ex.com/blob.bin")
+
+
+def test_web_fetcher_raises_on_error_status(monkeypatch):
+    from vectra_py_spark.sources import fetchers as f
+
+    import requests
+
+    monkeypatch.setattr(
+        requests, "get", lambda *a, **k: _FakeResp("x", "text/plain", 503)
+    )
+    with pytest.raises(RuntimeError, match="HTTP 503"):
+        f.WebFetcher().fetch("https://ex.com/down")
+
+
+def test_fetch_uris_df_records_errors(spark, monkeypatch, tree):
+    """Bulk fetch keeps failing rows with fetch_error populated."""
+    from vectra_py_spark.sources.fetchers import fetch_uris_df
+
+    df = spark.createDataFrame(
+        [("https://nonexistent.invalid/x",)], ["uri"]
+    )
+    out = fetch_uris_df(df, timeout=0.5).collect()
+    assert len(out) == 1
+    assert out[0].text is None
+    assert out[0].fetch_error  # connection error recorded, row kept

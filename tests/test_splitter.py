@@ -129,3 +129,49 @@ def test_split_documents_spark(spark):
         src = originals[r.document_id]
         assert src[r.start_pos : r.end_pos + 1] == r.text
         assert r.n_tokens <= 16
+
+
+def test_doc_type_separators_md():
+    doc = (
+        "# Guide\n\nIntro paragraph with several words here.\n"
+        "\n## Install\n\nRun the installer and follow prompts.\n"
+        "\n## Usage\n\nCall the function with arguments.\n" * 10
+    )
+    chunks = make(chunk_size=24, doc_type="md").split(doc)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert doc[c.start_pos : c.end_pos + 1] == c.text
+        assert len(c.tokens) <= 24
+    # heading ladder is used: keep_separators attaches "\n## " to the
+    # END of the preceding part, so later chunks begin right after it
+    boundary_hits = sum(
+        1
+        for c in chunks[1:]
+        if doc[max(0, c.start_pos - 4) : c.start_pos] == "\n## "
+    )
+    assert boundary_hits > 0
+
+
+def test_doc_type_separators_html():
+    doc = (
+        "<body><h1>Title</h1><p>First paragraph text here.</p>"
+        "<div>Second block with more words.</div>"
+        "<p>Third block closes out.</p></body>" * 20
+    )
+    chunks = make(chunk_size=24, doc_type="html").split(doc)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert doc[c.start_pos : c.end_pos + 1] == c.text
+        assert len(c.tokens) <= 24
+
+
+def test_doc_type_alias_resolution():
+    from vectra_py_spark.text.splitter import SEPARATORS_BY_DOC_TYPE
+
+    assert SEPARATORS_BY_DOC_TYPE["typescript"] == SEPARATORS_BY_DOC_TYPE["ts"]
+    assert SEPARATORS_BY_DOC_TYPE["csharp"] == SEPARATORS_BY_DOC_TYPE["c#"]
+    assert SEPARATORS_BY_DOC_TYPE["python"] == SEPARATORS_BY_DOC_TYPE["py"]
+    cfg = SplitterConfig(doc_type="unknown-type")
+    from vectra_py_spark.text.splitter import DEFAULT_SEPARATORS
+
+    assert cfg.separators == DEFAULT_SEPARATORS
