@@ -17,9 +17,10 @@ Scale design (100 TB):
   near-dup search into B equi-joins on (band, band_value) — each a
   standard shuffle join AQE can handle, no cartesian anywhere.
   Candidate pairs then verify with the exact signature estimate.
-- **SimHash** — per-word hash bit votes aggregated in one groupBy
-  (16 sum columns), fingerprint = packed sign bits; near-dups =
-  fingerprint equality (or small hamming ball) — a groupBy, no joins.
+- **SimHash** — per-word hash bit votes summed per document INSIDE a
+  narrow ``mapInPandas`` (a doc's words live in its own text cell — no
+  explode, no shuffle), fingerprint = packed sign bits; near-dups =
+  fingerprint equality (or small hamming ball) — no joins.
 
 MinHash over *hex-string* md5 values: MinHash needs any total order on
 hash values, not integers — lexicographic min over fixed-width hex is
@@ -373,32 +374,56 @@ def simhash(
 ) -> DataFrame:
     """Frequency-weighted 16-bit SimHash fingerprint per document.
 
-    Bit b of a word's hash comes from nibble b//4 of its md5 hex
-    (``instr`` maps hex char → value; identical in both engines). Doc bit
-    = sign of the summed ±1 votes; fingerprint = packed bits. 16 bits is
-    the cross-engine (oracle-checkable) variant; a 64-bit production
-    variant is the same construction over 16 nibbles.
+    Bit b of a word's hash comes from nibble b//4 of its md5 hex; doc
+    bit = sign of the summed ±1 votes; fingerprint = packed bits.
+    16 bits is the cross-engine (oracle-checkable) variant; a 64-bit
+    production variant is the same construction over 16 nibbles.
+
+    A document's words all live in its own ``text`` cell, so the whole
+    fingerprint computes inside ``mapInPandas`` — no word explode, no
+    16-column vote shuffle (the previous pure-Catalyst formulation spent
+    ~2 s in codegen + shuffle at sf0.1; this is a narrow map). Python's
+    md5 hex ≡ Spark/DuckDB ``md5``, so the oracle twin
+    (:func:`simhash_sql`, word-explode + vote SUMs in SQL) stays
+    bit-identical.
     """
-    w = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
-    ).withColumn("wh", F.md5(F.col("word")))
-    nib = [
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("wh"), j + 1, 1)) - 1
-        for j in range(4)
-    ]
-    votes = [
-        F.sum(
-            2 * (F.floor(nib[b // 4] / (1 << (b % 4))) % 2).cast("int") - 1
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = w.groupBy("doc_id").agg(*votes)
-    fp = sum(
-        F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
-        for b in range(SIMHASH_BITS)
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        word_votes: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_out: list = []
+            fp_out: list = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                votes = [0] * SIMHASH_BITS
+                for word in ws.split(str(t).lower()):
+                    wv = word_votes.get(word)
+                    if wv is None:
+                        h = hashlib.md5(word.encode()).hexdigest()
+                        nib = [int(h[j], 16) for j in range(4)]
+                        wv = [
+                            2 * ((nib[b // 4] >> (b % 4)) & 1) - 1
+                            for b in range(SIMHASH_BITS)
+                        ]
+                        word_votes[word] = wv
+                    for b in range(SIMHASH_BITS):
+                        votes[b] += wv[b]
+                fp = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+                ids_out.append(i)
+                fp_out.append(fp)
+            yield pd.DataFrame({"doc_id": ids_out, "simhash16": fp_out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"doc_id {id_type}, simhash16 bigint"
     )
-    return agg.select("doc_id", fp.cast("bigint").alias("simhash16"))
 
 
 def simhash_sql(table: str = "documents", text_expr: str = "text") -> str:
