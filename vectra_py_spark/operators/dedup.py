@@ -246,14 +246,60 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """One row per doc with columns h0..h{H-1}: lexicographic min of
-    seed-prefixed md5 over the doc's shingles. ONE groupBy for all H
-    hash functions (map-side partial min per column)."""
-    sh = shingle_df(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"h{h}")
-        for h in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    seed-prefixed md5 over the doc's shingles.
+
+    A document's shingles derive from its own text cell, so all H mins
+    compute inside one narrow ``mapInPandas`` pass — no shingle explode,
+    no H-column groupBy shuffle. A per-task memo caches the H hashes of
+    repeated shingles (corpus vocabulary ≪ total shingle occurrences).
+    Python's md5 hex of ``f"{h}:{shingle}"`` is byte-identical to the
+    SQL twin's ``md5(h || ':' || shingle)``, so the oracle stays exact.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    prefixes = [f"{h}:".encode() for h in range(num_hashes)]
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            cols: dict[str, list] = {"doc_id": []}
+            for h in range(num_hashes):
+                cols[f"h{h}"] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                w = ws.split(str(t).lower())
+                shingles = {
+                    " ".join(w[j : j + k]) for j in range(len(w) - k + 1)
+                }
+                if not shingles:
+                    continue
+                mins: list[str | None] = [None] * num_hashes
+                for s in shingles:
+                    hs = memo.get(s)
+                    if hs is None:
+                        sb = s.encode()
+                        hs = [
+                            hashlib.md5(p + sb).hexdigest() for p in prefixes
+                        ]
+                        memo[s] = hs
+                    for h in range(num_hashes):
+                        if mins[h] is None or hs[h] < mins[h]:
+                            mins[h] = hs[h]
+                cols["doc_id"].append(i)
+                for h in range(num_hashes):
+                    cols[f"h{h}"].append(mins[h])
+            yield pd.DataFrame(cols)
+
+    schema = f"doc_id {id_type}, " + ", ".join(
+        f"h{h} string" for h in range(num_hashes)
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_pairs(

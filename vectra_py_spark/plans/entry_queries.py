@@ -451,6 +451,33 @@ def _sql_distinct_users() -> str:
     """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    ≡ DuckDB `quantile_cont` — verified bit-equal after 6 dp rounding).
+    At 100 TB exact percentile sorts per group; the approximate path is
+    `percentile_approx` (t-digest), which has no cross-engine oracle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_value_quantiles() -> str:
+    return """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(MAX(value), 6) AS vmax
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multi-way star join (region→nation→customer→orders→lineitem revenue)
 # — broadcast the dimension chain, shuffle only the fact tables
@@ -619,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "top_users_per_type": q_top_users_per_type,
     "distinct_users": q_distinct_users,
+    "value_quantiles": q_value_quantiles,
     "revenue_by_region": q_revenue_by_region,
     "multimodal_bytes": q_multimodal_bytes,
     "token_budget_batches": q_token_budget_batches,
@@ -655,6 +683,7 @@ ORACLES: dict[str, str] = {
     "events_sessionize": ev.sessionize_sql(),
     "top_users_per_type": ev.top_users_per_type_sql(),
     "distinct_users": _sql_distinct_users(),
+    "value_quantiles": _sql_value_quantiles(),
     "revenue_by_region": _sql_revenue_by_region(),
     "multimodal_bytes": _sql_multimodal_bytes(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
