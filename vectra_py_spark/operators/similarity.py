@@ -372,10 +372,10 @@ def lsh_similarity_join(
         a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
     if verify == "join":
+        cand = cand.distinct()
         va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
         vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
         pairs = cand.join(va, "id_a").join(vb, "id_b")
@@ -404,6 +404,11 @@ def lsh_similarity_join(
     order = np.argsort(ids)
     bc = spark.sparkContext.broadcast((ids[order], unit[order]))
 
+    # A pair colliding in several tables appears several times; verifying
+    # the duplicates is a few vectorized flops each, so the winning plan
+    # verifies FIRST (narrow map, drops ~all rows at the threshold) and
+    # dedups the tiny survivor set — instead of a distinct() shuffle over
+    # the full multi-million-row candidate stream.
     def check(batches):
         s_ids, s_unit = bc.value
         for pdf in batches:
@@ -421,7 +426,9 @@ def lsh_similarity_join(
                 }
             )
 
-    return cand.mapInPandas(check, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+    return cand.mapInPandas(
+        check, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+    ).distinct()
 
 
 def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
