@@ -1,0 +1,241 @@
+"""Dataset splitting / sampling / decontamination for training-data
+pipelines (north-star extensions; BASELINE.json "training-data ops").
+
+Three operators a pretraining corpus pipeline needs beyond dedup:
+
+- :func:`assign_splits` — deterministic train/val/test assignment by a
+  content-stable hash bucket of the document id. Hash-bucketing (not
+  ``rand()``) is the production idiom: assignments are reproducible
+  across reruns, stable under backfills (a re-ingested doc lands in the
+  same split), and require no RNG state or seed plumbing. The bucket is
+  a narrow projection — no shuffle, no UDF.
+- :func:`stratified_sample` — per-stratum sampling fractions (e.g.
+  up/down-weighting languages) via a broadcast-joined cutoff table over
+  the same hash bucket. Still a narrow map after the broadcast join;
+  deterministic for the same reasons.
+- :func:`decontaminate` — benchmark-contamination check: flag corpus
+  documents sharing ≥ ``min_overlap`` word k-grams with an eval set.
+  The eval side (benchmarks: thousands of docs) broadcasts; the corpus
+  side shingles in a narrow ``mapInPandas`` (reusing
+  :func:`~vectra_py_spark.operators.dedup.shingle_df_with_sizes`); the
+  only shuffle is the final per-doc overlap count (map-side combined).
+
+Every operator has a DuckDB-SQL twin built from the SAME constants so
+the driver's oracle gate verifies both engines in lockstep. The hash
+bucket is md5-based (both engines agree byte-for-byte on md5 of the
+decimal id string); the first 4 hex chars → 0..65535 → mod
+``N_BUCKETS``.
+
+100 TB notes: ``assign_splits``/``stratified_sample`` add zero shuffles
+to an ingest pipeline (pure projections + one broadcast). For
+``decontaminate``, the corpus shingle stream never materializes — it
+flows from the text cell straight into the (broadcast) hash semi-join;
+with a 13-gram production setting the match rate is ~0 and the groupBy
+input is tiny. Eval sets are benchmark-sized (MBs), always
+broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators.dedup import (
+    _shingles_sql,
+    shingle_df,
+    shingle_df_with_sizes,
+)
+
+__all__ = [
+    "N_BUCKETS",
+    "hash_bucket",
+    "hash_bucket_sql",
+    "assign_splits",
+    "assign_splits_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
+    "decontaminate",
+    "decontaminate_sql",
+]
+
+N_BUCKETS = 1000
+DEFAULT_TRAIN_CUT = 800  # bucket <  800        → train  (80%)
+DEFAULT_VAL_CUT = 900    # bucket in [800, 900) → val    (10%); rest → test
+
+
+def hash_bucket(col: F.Column) -> F.Column:
+    """Stable bucket in [0, N_BUCKETS): first 4 hex chars of
+    ``md5(string(col))`` as an integer, mod ``N_BUCKETS``."""
+    hex4 = F.substring(F.md5(col.cast("string")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % N_BUCKETS).cast("int")
+
+
+def hash_bucket_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash_bucket` (no ``conv`` in DuckDB —
+    nibble arithmetic over the same 4 hex chars)."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    nib = [
+        f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+        for j in range(4)
+    ]
+    val = f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+    return f"CAST({val} % {N_BUCKETS} AS INT)"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_cut: int = DEFAULT_TRAIN_CUT,
+    val_cut: int = DEFAULT_VAL_CUT,
+    extra_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """(id, *extra, bucket, split) with split ∈ {train, val, test}."""
+    b = hash_bucket(F.col(id_col))
+    split = (
+        F.when(F.col("bucket") < train_cut, "train")
+        .when(F.col("bucket") < val_cut, "val")
+        .otherwise("test")
+    )
+    return (
+        df.select(id_col, *extra_cols)
+        .withColumn("bucket", b)
+        .withColumn("split", split)
+    )
+
+
+def assign_splits_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    train_cut: int = DEFAULT_TRAIN_CUT,
+    val_cut: int = DEFAULT_VAL_CUT,
+    extra_cols: str = "lang",
+) -> str:
+    b = hash_bucket_sql(id_col)
+    cols = f"{id_col}, {extra_cols}, " if extra_cols else f"{id_col}, "
+    return f"""
+        SELECT {cols}{b} AS bucket,
+               CASE WHEN {b} < {train_cut} THEN 'train'
+                    WHEN {b} < {val_cut} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+def stratified_sample(
+    df: DataFrame,
+    cuts: dict[str, int],
+    default_cut: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a row iff ``bucket < cut(stratum)`` — per-stratum sampling
+    rates in thousandths (``cuts['en']=300`` keeps ~30% of English).
+
+    The cutoff table is rows-per-stratum small → broadcast hash join;
+    the filter stays a narrow map over the scan.
+    """
+    spark = df.sparkSession
+    cut_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(cuts.items())],
+        f"{strat_col} string, cut int",
+    )
+    return (
+        df.select(id_col, strat_col)
+        .withColumn("bucket", hash_bucket(F.col(id_col)))
+        .join(F.broadcast(cut_df), strat_col, "left")
+        .filter(F.col("bucket") < F.coalesce(F.col("cut"), F.lit(default_cut)))
+        .select(id_col, strat_col, "bucket")
+    )
+
+
+def stratified_sample_sql(
+    cuts: dict[str, int],
+    default_cut: int,
+    table: str = "documents",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    b = hash_bucket_sql(id_col)
+    cases = " ".join(
+        f"WHEN {strat_col} = '{k}' THEN {v}" for k, v in sorted(cuts.items())
+    )
+    return f"""
+        SELECT {id_col}, {strat_col}, {b} AS bucket
+        FROM {table}
+        WHERE {b} < CASE {cases} ELSE {default_cut} END
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval k-gram overlap)
+# ---------------------------------------------------------------------------
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Corpus docs sharing ≥ ``min_overlap`` distinct word k-grams with
+    the eval set: (doc_id, n_overlap, contamination = n_overlap/n_sh).
+
+    Production settings use k=13 (GPT-3/PaLM-style n-gram
+    decontamination), where incidental collisions vanish; the fixture
+    demo uses k=3 so the check exercises non-trivial matches.
+    """
+    corpus_sh = shingle_df_with_sizes(corpus, id_col, text_col, k)
+    eval_sh = shingle_df(eval_docs, id_col, text_col, k).select(
+        "shingle"
+    ).distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_sh").alias("n_sh"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_sh"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def decontaminate_sql(
+    eval_pred: str,
+    table: str = "documents",
+    text_expr: str = "text",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    """DuckDB twin: ``eval_pred`` selects the eval rows of ``table``
+    (e.g. ``doc_id % 41 = 0``); the corpus is its complement."""
+    sh = _shingles_sql(text_expr, k).format(table=table)
+    return f"""
+        WITH sh AS ({sh}),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE {eval_pred}),
+        corpus AS (SELECT * FROM sh WHERE NOT ({eval_pred})),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY 1),
+        hits AS (
+            SELECT corpus.doc_id, COUNT(*) AS n_overlap
+            FROM corpus JOIN ev USING (shingle)
+            GROUP BY 1
+        )
+        SELECT hits.doc_id, n_overlap,
+               ROUND(n_overlap * 1.0 / n_sh, 6) AS contamination
+        FROM hits JOIN sz ON hits.doc_id = sz.doc_id
+        WHERE n_overlap >= {min_overlap}
+    """

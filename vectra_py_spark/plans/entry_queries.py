@@ -32,6 +32,7 @@ from vectra_py_spark.embeddings import embed_chunks
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
+from vectra_py_spark.operators import splits as sp
 from vectra_py_spark.operators import text_analysis as ta
 from vectra_py_spark.streaming import events as ev
 from vectra_py_spark.text.splitter import split_documents
@@ -621,6 +622,30 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data splits / sampling / decontamination (north-star extensions)
+# ---------------------------------------------------------------------------
+_STRAT_CUTS = {"en": 300, "de": 500}
+_STRAT_DEFAULT = 200
+_EVAL_PRED = "doc_id % 41 = 0"
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.assign_splits(load(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.stratified_sample(
+        load(spark, sf_dir, "documents"), _STRAT_CUTS, _STRAT_DEFAULT
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 41 == 0
+    return sp.decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -653,6 +678,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "batch_topk": q_batch_topk,
+    "train_split": q_train_split,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -695,6 +723,9 @@ ORACLES: dict[str, str] = {
     ),
     "ivf_topk": sim.ivf_topk_sql(_QVEC, k=10, n_cells=8, nprobe=2),
     "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
+    "train_split": sp.assign_splits_sql(),
+    "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
+    "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
