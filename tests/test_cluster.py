@@ -1,0 +1,55 @@
+"""Unit semantics for near-dup clustering
+(`vectra_py_spark.operators.cluster`) — cross-engine parity is covered
+by `test_entry_oracle.py` (neardup_clusters entry)."""
+
+from __future__ import annotations
+
+from vectra_py_spark.operators.cluster import (
+    connected_components,
+    neardup_clusters,
+)
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iter_bounds_work(spark):
+    # a 6-node path needs ~5 propagation rounds; max_iter=2 must still
+    # return a labelling (possibly unconverged) without error
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    full = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert set(full.values()) == {1}
+
+
+def test_neardup_clusters_survivor_longest_then_smallest_id(spark):
+    docs = spark.createDataFrame(
+        [
+            # near-dup trio: 1 & 2 identical text, 3 is longer superset
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta eta"),
+            # unrelated doc
+            (9, "totally different content with many words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = neardup_clusters(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 1
+    assert r["size"] == 3
+    assert r["survivor_id"] == 3  # longest text wins

@@ -1,0 +1,168 @@
+"""Near-duplicate clustering: connected components over near-dup pairs
+plus survivor selection (the step after pair generation in a dedup
+pipeline — pairs alone don't say which documents to drop).
+
+- :func:`connected_components` — min-label propagation over an edge
+  list as a DataFrame loop: each round, every node takes the minimum
+  label among itself and its neighbours; converges when no label
+  changes. Each round is one shuffle (groupBy node); rounds =
+  graph diameter. Near-dup graphs are overwhelmingly tiny cliques and
+  chains (diameter ≤ ~3), so 2–4 rounds close virtually any corpus; a
+  hard ``max_iter`` guards adversarial chains. At 1000-executor scale
+  the same loop runs with checkpointing every few rounds to truncate
+  lineage; the alternating large-star/small-star variant (Kiveris et
+  al., "Connected Components in MapReduce") drops rounds to
+  O(log diameter) with identical per-round plan shape — same shuffle
+  key, same partial-agg min.
+- :func:`neardup_clusters` — end-to-end: MinHash-LSH near-dup pairs →
+  components → per-cluster survivor pick. Survivor = the longest
+  document (ties → smallest id): deterministic, and expressible in
+  both engines as an argmax struct-max aggregation.
+
+The DuckDB twin computes components with a recursive CTE (transitive
+closure → min reachable id). Closure enumeration is exponential-ish on
+dense graphs — fine for an oracle at fixture scale, never the
+production path; the Spark loop is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SHINGLE_K,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+)
+
+__all__ = [
+    "connected_components",
+    "neardup_clusters",
+    "neardup_clusters_sql",
+]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    node id reachable. Pure DataFrame min-label propagation."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).cache()
+    for _ in range(max_iter):
+        # neighbour labels: node u sees label of each neighbour v
+        neigh = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp").union(neigh)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(cluster_id, size, survivor_id) per near-dup cluster.
+
+    cluster_id = min doc id in the component; survivor = longest text
+    (ties → smallest id) via a single struct-max aggregation — no
+    window, one shuffle on cluster_id.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, k, num_hashes, bands, threshold
+    )
+    comp = connected_components(pairs)
+    sized = comp.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.length(text_col).alias("n_len")
+        ),
+        "node",
+    )
+    best = F.max(
+        F.struct(F.col("n_len"), (-F.col("node")).alias("neg_id"))
+    )
+    return (
+        sized.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            (-best.getField("neg_id")).cast("long").alias("survivor_id"),
+        )
+        .select("cluster_id", "size", "survivor_id")
+    )
+
+
+def neardup_clusters_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> str:
+    pairs = minhash_lsh_pairs_sql(
+        table, text_expr, k, num_hashes, bands, threshold
+    )
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u AS node, v AS r FROM edges
+            UNION
+            SELECT reach.node, edges.v
+            FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(r)) AS comp
+            FROM reach GROUP BY node
+        ),
+        sized AS (
+            SELECT comp.node, comp.comp, length({text_expr}) AS n_len
+            FROM comp JOIN {table} d ON comp.node = d.doc_id
+        )
+        SELECT comp AS cluster_id,
+               COUNT(*) AS size,
+               CAST(MIN(struct_pack(a := -n_len, b := node)).b
+                    AS BIGINT) AS survivor_id
+        FROM sized
+        GROUP BY comp
+    """

@@ -29,6 +29,7 @@ from vectra_py_spark.functions.vector import (
 )
 from vectra_py_spark import embeddings as emb_mod
 from vectra_py_spark.embeddings import embed_chunks
+from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
@@ -645,6 +646,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cl.neardup_clusters(
+        load(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -681,6 +688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "neardup_clusters": q_neardup_clusters,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -726,6 +734,7 @@ ORACLES: dict[str, str] = {
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
     "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
+    "neardup_clusters": cl.neardup_clusters_sql(threshold=_JACCARD_T),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
