@@ -29,6 +29,7 @@ from vectra_py_spark.functions.vector import (
 )
 from vectra_py_spark import embeddings as emb_mod
 from vectra_py_spark.embeddings import embed_chunks
+from vectra_py_spark.operators import asof as aj
 from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import multimodal as mm
@@ -653,6 +654,67 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (as-of / range) — custom operators Spark lacks built-in
+# ---------------------------------------------------------------------------
+_RANGE_WIDTH_US = 3_600_000_000  # 1 hour
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's latest at-or-before purchase."""
+    evd = load(spark, sf_dir, "events")
+    t = F.expr("ts DIV 1000").alias("t_us")
+    left = evd.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t, "value"
+    )
+    right = evd.filter(F.col("event_type") == "purchase").select(
+        "user_id", t, "value"
+    )
+    return aj.asof_join(left, right)
+
+
+def _sql_asof_enrich() -> str:
+    return """
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value
+                   FROM events WHERE event_type = 'click'),
+             r AS (SELECT user_id, epoch_us(ts) AS t_us, value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.t_us, l.value,
+               r.t_us AS asof_t_us, r.value AS asof_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.t_us >= r.t_us
+    """
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per signup: views by the same user within the following hour."""
+    evd = load(spark, sf_dir, "events")
+    t = F.expr("ts DIV 1000").alias("t_us")
+    left = evd.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", t
+    )
+    right = evd.filter(F.col("event_type") == "view").select(
+        "user_id", t, "value"
+    )
+    return aj.range_join_bucketed(left, right, width=_RANGE_WIDTH_US)
+
+
+def _sql_range_join() -> str:
+    return f"""
+        WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+                   FROM events WHERE event_type = 'signup'),
+             r AS (SELECT user_id, epoch_us(ts) AS t_us, value
+                   FROM events WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id, l.t_us,
+               COUNT(r.t_us) AS n_in_range,
+               ROUND(COALESCE(SUM(r.value), 0), 6) AS sum_in_range
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id
+         AND r.t_us >= l.t_us AND r.t_us < l.t_us + {_RANGE_WIDTH_US}
+        GROUP BY 1, 2, 3
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -689,6 +751,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
     "neardup_clusters": q_neardup_clusters,
+    "asof_enrich": q_asof_enrich,
+    "range_join": q_range_join,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -735,6 +799,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
     "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
     "neardup_clusters": cl.neardup_clusters_sql(threshold=_JACCARD_T),
+    "asof_enrich": _sql_asof_enrich(),
+    "range_join": _sql_range_join(),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
