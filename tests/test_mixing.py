@@ -1,0 +1,61 @@
+"""Unit semantics for deterministic epoch mixing
+(`vectra_py_spark.operators.mixing`) — cross-engine parity is covered
+by `test_entry_oracle.py` (epoch_mix entry)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from vectra_py_spark.operators.mixing import _SALT, epoch_mix
+from vectra_py_spark.operators.splits import N_BUCKETS
+
+
+def _bucket(i) -> int:
+    s = f"{i}{_SALT}".encode()
+    return int(hashlib.md5(s).hexdigest()[:4], 16) % N_BUCKETS
+
+
+def test_epoch_mix_copy_counts_exact(spark):
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "fr"][i % 3]) for i in range(n)],
+        "doc_id long, lang string",
+    )
+    out = epoch_mix(df, {"en": 0.5, "zh": 2.5}, default_epochs=1.0)
+    rows = out.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for i in range(n):
+        lang = ["en", "zh", "fr"][i % 3]
+        base, frac = {"en": (0, 500), "zh": (2, 500), "fr": (1, 0)}[lang]
+        expected = base + (1 if _bucket(i) < frac else 0)
+        got = sorted(by_doc.get(i, []))
+        assert got == list(range(expected)), (i, lang, expected, got)
+
+
+def test_epoch_mix_realized_weights_near_targets(spark):
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(n)],
+        "doc_id long, lang string",
+    )
+    out = epoch_mix(df, {"en": 0.5, "zh": 2.5}).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    assert abs(got["en"] / (n / 2) - 0.5) < 0.05
+    assert abs(got["zh"] / (n / 2) - 2.5) < 0.05
+
+
+def test_epoch_mix_is_deterministic_and_subset_stable(spark):
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(500)], "doc_id long, lang string"
+    )
+    a = sorted(map(tuple, epoch_mix(df, {"en": 1.5}).collect()))
+    b = sorted(map(tuple, epoch_mix(df, {"en": 1.5}).collect()))
+    assert a == b
+    # a document's copy count doesn't depend on the rest of the corpus
+    sub = sorted(
+        map(tuple, epoch_mix(df.limit(50), {"en": 1.5}).collect())
+    )
+    full_first50 = [t for t in a if t[0] in {r[0] for r in sub}]
+    assert sorted(full_first50) == sub

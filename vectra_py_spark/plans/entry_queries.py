@@ -32,6 +32,7 @@ from vectra_py_spark.embeddings import embed_chunks
 from vectra_py_spark.operators import asof as aj
 from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
+from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import splits as sp
@@ -653,6 +654,13 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_EPOCHS = {"en": 0.5, "zh": 2.5, "de": 1.25}
+
+
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mx.epoch_mix(load(spark, sf_dir, "documents"), _MIX_EPOCHS)
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (as-of / range) — custom operators Spark lacks built-in
 # ---------------------------------------------------------------------------
@@ -753,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_clusters": q_neardup_clusters,
     "asof_enrich": q_asof_enrich,
     "range_join": q_range_join,
+    "epoch_mix": q_epoch_mix,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -801,6 +810,7 @@ ORACLES: dict[str, str] = {
     "neardup_clusters": cl.neardup_clusters_sql(threshold=_JACCARD_T),
     "asof_enrich": _sql_asof_enrich(),
     "range_join": _sql_range_join(),
+    "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
