@@ -248,6 +248,55 @@ class SparkVectorIndex:
         self.cancel_update()
         self._invalidate()
 
+    def merge_batch(self, df: DataFrame) -> None:
+        """Bulk upsert a DataFrame of items — the distributed twin of
+        ``upsert_item``+``commit`` for batches too large to stage on the
+        driver, and the sink for streaming ingest
+        (:func:`vectra_py_spark.streaming.ingest.stream_upsert` calls
+        this per micro-batch).
+
+        ``df`` needs ``id`` and ``vector``; ``norm`` is (re)computed,
+        missing schema columns null-fill. Duplicate ids within the
+        batch are rejected (which row should win is undefined), as are
+        vectors of the wrong dimension — same ingest-time checks as the
+        row-at-a-time path.
+        """
+        staged = df.withColumn("vector", F.col("vector").cast("array<double>"))
+        dup = staged.groupBy("id").count().filter(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError("merge_batch: duplicate id within batch")
+        dim = self._resolved_dim()
+        if dim is None:
+            head = staged.select(F.size("vector").alias("d")).head(1)
+            if head:
+                self.vector_dim = dim = int(head[0]["d"])
+        if dim is not None:
+            bad = staged.filter(F.size("vector") != dim).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"merge_batch: vector dimension != index dim {dim}"
+                )
+        staged = staged.withColumn("norm", l2_norm(F.col("vector")))
+        for f in self._schema().fields:
+            if f.name not in staged.columns:
+                staged = staged.withColumn(f.name, F.lit(None).cast(f.dataType))
+        staged = staged.select(*[f.name for f in self._schema().fields])
+        merged = (
+            self.items(use_cache=False).withColumn("_new", F.lit(0))
+            .unionByName(staged.withColumn("_new", F.lit(1)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("_new"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_new", "_rn")
+        )
+        out = merged.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(self.path)
+        self._invalidate()
+
     # -- reads (P12-P14, A2) ---------------------------------------------
     def get_item(self, item_id: str) -> DataFrame:
         """P13: point lookup by id."""
