@@ -59,9 +59,15 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    ).cache()
+    # round 0 fused into init: comp = min(self, direct neighbours) is one
+    # aggregation over the edge list — no join. Cliques and pairs (the
+    # overwhelming near-dup shape) are already converged here, so the
+    # loop's first iteration just confirms and exits.
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
+        .cache()
+    )
     for _ in range(max_iter):
         # neighbour labels: node u sees label of each neighbour v
         neigh = (
