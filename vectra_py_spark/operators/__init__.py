@@ -2,9 +2,14 @@
 
 The reference is a single-process vector store; these are the operators a
 100 TB training-data pipeline needs on top of its semantics: dedup
-(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
-similarity search (brute-force exact + LSH-bucketed ANN), text analysis
-(language id, quality, token stats, fingerprints), and multimodal binary
-column plumbing. Everything SQL-expressible is built from JVM-side
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine) with
+near-dup clustering + survivor selection (:mod:`.cluster`), similarity
+search (brute-force exact + LSH/IVF ANN + batched serving), text
+analysis (language id, quality, token stats, fingerprints),
+deterministic splits / stratified sampling / decontamination
+(:mod:`.splits`), epoch-weighted mixing (:mod:`.mixing`), as-of + range
+temporal joins (:mod:`.asof`), sketch aggregations (:mod:`.sketches`),
+skew mitigation (:mod:`.skew`), and multimodal binary column plumbing.
+Everything SQL-expressible is built from JVM-side
 ``pyspark.sql.functions`` only — no Python in the hot path.
 """

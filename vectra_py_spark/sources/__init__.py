@@ -1,10 +1,22 @@
-"""Ingest sources: local files, web pages, HTML→markdown conversion."""
+"""Ingest sources and table layout: local files, web pages,
+HTML→markdown conversion, bucketed tables (:mod:`.bucketed`), and
+small-file compaction (:mod:`.maintenance`)."""
 
+from vectra_py_spark.sources.bucketed import read_table, write_bucketed
 from vectra_py_spark.sources.fetchers import (
     FileFetcher,
     WebFetcher,
     fetch_directory_df,
     html_to_markdown,
 )
+from vectra_py_spark.sources.maintenance import compact_parquet
 
-__all__ = ["FileFetcher", "WebFetcher", "fetch_directory_df", "html_to_markdown"]
+__all__ = [
+    "FileFetcher",
+    "WebFetcher",
+    "fetch_directory_df",
+    "html_to_markdown",
+    "read_table",
+    "write_bucketed",
+    "compact_parquet",
+]

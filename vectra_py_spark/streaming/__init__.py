@@ -13,10 +13,12 @@ from vectra_py_spark.streaming.events import (
     streaming_windowed_counts,
     windowed_counts,
 )
+from vectra_py_spark.streaming.ingest import stream_upsert
 
 __all__ = [
     "event_time_col",
     "sessionize",
     "streaming_windowed_counts",
     "windowed_counts",
+    "stream_upsert",
 ]
