@@ -35,6 +35,7 @@ from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import similarity as sim
+from vectra_py_spark.operators import skew as sk
 from vectra_py_spark.operators import splits as sp
 from vectra_py_spark.operators import text_analysis as ta
 from vectra_py_spark.streaming import events as ev
@@ -654,6 +655,16 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) per-user event count: the hot-key-safe plan,
+    oracle-gated against the plain GROUP BY it must equal."""
+    return sk.two_phase_agg_count(load(spark, sf_dir, "events"), "user_id")
+
+
+def _sql_salted_agg() -> str:
+    return "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+
+
 _MIX_EPOCHS = {"en": 0.5, "zh": 2.5, "de": 1.25}
 
 
@@ -762,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_enrich": q_asof_enrich,
     "range_join": q_range_join,
     "epoch_mix": q_epoch_mix,
+    "salted_agg": q_salted_agg,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -811,6 +823,7 @@ ORACLES: dict[str, str] = {
     "asof_enrich": _sql_asof_enrich(),
     "range_join": _sql_range_join(),
     "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
+    "salted_agg": _sql_salted_agg(),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
