@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectra_py_spark.session import spread
+
 __all__ = [
     "exact_dedup",
     "shingle_df",
@@ -128,7 +130,7 @@ def shingle_df(
                         sh_out.append(s)
             yield pd.DataFrame({"doc_id": ids_out, "shingle": sh_out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"doc_id {id_type}, shingle string"
     )
 
@@ -168,7 +170,7 @@ def shingle_df_with_sizes(
                 {"doc_id": ids_out, "shingle": sh_out, "n_sh": n_out}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"doc_id {id_type}, shingle string, n_sh int"
     )
 
@@ -299,7 +301,7 @@ def minhash_signatures(
     schema = f"doc_id {id_type}, " + ", ".join(
         f"h{h} string" for h in range(num_hashes)
     )
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -467,7 +469,7 @@ def simhash(
                 fp_out.append(fp)
             yield pd.DataFrame({"doc_id": ids_out, "simhash16": fp_out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return spread(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"doc_id {id_type}, simhash16 bigint"
     )
 

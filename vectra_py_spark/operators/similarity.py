@@ -38,6 +38,7 @@ from vectra_py_spark.functions.vector import (
     dot,
     vector_literal,
 )
+from vectra_py_spark.session import spread
 
 __all__ = [
     "cosine_topk",
@@ -159,7 +160,7 @@ def cosine_topk_batch(
                 {"query_id": out_q, id_col: out_id, "score": out_s}
             )
 
-    partial = df.select(id_col, vector_col).mapInPandas(
+    partial = spread(df.select(id_col, vector_col)).mapInPandas(
         block, schema=f"query_id INT, {id_col} BIGINT, score DOUBLE"
     )
     from pyspark.sql import Window
@@ -264,7 +265,7 @@ def cosine_similarity_join(
                     }
                 )
 
-    return df.select(id_col, vector_col).mapInPandas(
+    return spread(df.select(id_col, vector_col)).mapInPandas(
         block, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE"
     )
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectra_py_spark.session import spread
+
 __all__ = [
     "words_col",
     "analyze_text",
@@ -64,6 +66,7 @@ def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     signals): ``0.4·len_score + 0.3·alpha_ratio + 0.3·stopword_presence``
     where len_score saturates at 100 words.
     """
+    df = spread(df)
     t = F.col(text_col)
     words = words_col(text_col)
     n_words = F.size(words)
@@ -126,6 +129,7 @@ def analyze_text_sql(table: str = "documents", text_expr: str = "text") -> str:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """CJK character-class check, else arg-max of stopword votes
     (ties resolved in fixed language order, 'und' for zero votes)."""
+    df = spread(df)
     t = F.col(text_col)
     words = words_col(text_col)
     def _vote(markers: list[str]) -> Column:

@@ -58,3 +58,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread(df, target: int | None = None):
+    """Repartition a narrow-source DataFrame so per-partition stages
+    (``mapInPandas`` workers, regex-heavy projections) use every core.
+
+    A small table read from one Parquet file arrives as ONE partition,
+    which serializes every downstream narrow stage onto a single Python
+    worker/JVM task (measured: 3.6 s → 1.6 s for sf0.1 shingling just
+    by spreading). No-op when the source already has ≥ target
+    partitions — the 100 TB case, where inputs carry thousands of file
+    splits and adding a shuffle here would be pure loss.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or min(sc.defaultParallelism, 64)
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df

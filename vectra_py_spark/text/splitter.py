@@ -323,6 +323,8 @@ def split_documents(
     """
     import pandas as pd
 
+    from vectra_py_spark.session import spread
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-executor lazy init (tokenizer never pickled)
         splitters: dict[str, TextSplitter] = {}
@@ -360,4 +362,4 @@ def split_documents(
                     rows["end_pos"].append(ch.end_pos)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=CHUNK_SCHEMA)
+    return spread(df).mapInPandas(run, schema=CHUNK_SCHEMA)
