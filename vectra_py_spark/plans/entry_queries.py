@@ -655,6 +655,101 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue
+    top-10. The date filters reach both fact scans (pushdown); the
+    customer side prunes to keys before broadcasting."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    ckeys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(
+            orders.filter(F.col("o_orderdate") < cut),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(ckeys), orders.o_custkey == ckeys.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _sql_shipping_priority() -> str:
+    return """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-sliced fact scan ⋈ broadcast part dim,
+    conditional aggregation → one row."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    rev = price * disc
+    lo = F.lit("1999-09-01").cast("timestamp_ntz")
+    hi = F.lit("1999-10-01").cast("timestamp_ntz")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .select(
+            "promo_rev",
+            "total_rev",
+            F.round(
+                F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def _sql_promo_revenue() -> str:
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return f"""
+        SELECT promo_rev, total_rev,
+               ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct
+        FROM (
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev}
+                                 ELSE 0 END) AS DOUBLE) AS promo_rev,
+                   CAST(SUM({rev}) AS DOUBLE) AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1999-09-01'
+              AND l_shipdate <  TIMESTAMP '1999-10-01'
+        )
+    """
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) per-user event count: the hot-key-safe plan,
     oracle-gated against the plain GROUP BY it must equal."""
@@ -774,6 +869,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "epoch_mix": q_epoch_mix,
     "salted_agg": q_salted_agg,
+    "shipping_priority": q_shipping_priority,
+    "promo_revenue": q_promo_revenue,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -824,6 +921,8 @@ ORACLES: dict[str, str] = {
     "range_join": _sql_range_join(),
     "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
     "salted_agg": _sql_salted_agg(),
+    "shipping_priority": _sql_shipping_priority(),
+    "promo_revenue": _sql_promo_revenue(),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
