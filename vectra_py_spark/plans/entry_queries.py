@@ -655,6 +655,45 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval shape: exact cosine top-k over the
+    embeddings table, then hydrate the 10 winners from ``documents``
+    (S6 join-AFTER-limit — the dim joins 10 rows, not the corpus)."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    topk = (
+        emb.withColumn(
+            "score", F.round(cosine_to_query("embedding", _QVEC), _SCORE_DP)
+        )
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return (
+        F.broadcast(topk)
+        .join(docs, topk.vec_id == docs.doc_id)
+        .select("vec_id", "score", "lang", "n_chars")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+def _sql_semantic_search() -> str:
+    cos = cosine_to_query_sql("embedding", _QVEC)
+    return f"""
+        WITH topk AS (
+            SELECT vec_id, ROUND({cos}, {_SCORE_DP}) AS score
+            FROM embeddings
+            ORDER BY ROUND({cos}, {_SCORE_DP}) DESC, vec_id ASC
+            LIMIT 10
+        )
+        SELECT t.vec_id, t.score, d.lang, d.n_chars
+        FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+        ORDER BY t.score DESC, t.vec_id ASC
+    """
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue
     top-10. The date filters reach both fact scans (pushdown); the
@@ -871,6 +910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "shipping_priority": q_shipping_priority,
     "promo_revenue": q_promo_revenue,
+    "semantic_search": q_semantic_search,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
 }
@@ -923,6 +963,7 @@ ORACLES: dict[str, str] = {
     "salted_agg": _sql_salted_agg(),
     "shipping_priority": _sql_shipping_priority(),
     "promo_revenue": _sql_promo_revenue(),
+    "semantic_search": _sql_semantic_search(),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
     # recursive splitter + hash embedder are not SQL-expressible (driver
     # records the rows-only check; goldens live in tests/).
