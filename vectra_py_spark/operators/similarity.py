@@ -42,6 +42,7 @@ from vectra_py_spark.session import spread
 
 __all__ = [
     "cosine_topk",
+    "kmeans_centroids",
     "cosine_topk_sql",
     "cosine_topk_batch",
     "cosine_topk_batch_sql",
@@ -533,6 +534,36 @@ def seeded_centroids(dim: int, n_cells: int, seed: int = 4321) -> list[list[floa
     return out
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vector_col: str = "embedding",
+    seed: int = 4321,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Real k-means centroids via MLlib (the production replacement for
+    :func:`seeded_centroids` — tighter cells → fewer probes for the
+    same recall). Unit-normalized so max-inner-product cell assignment
+    ≈ spherical k-means. Train on a sample at scale; assignment stays
+    the same broadcast-join plan in :func:`ivf_topk`.
+
+    Not oracle-able: MLlib's parallel k-means init + float accumulation
+    isn't reproducible in SQL — recall is bounded against exact top-k
+    in `tests/test_operators.py` instead (same gate as LSH ANN).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vector_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    out = []
+    for c in model.clusterCenters():
+        v = [float(x) for x in c]
+        n = _seq_dot(v, v) ** 0.5 or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -543,6 +574,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     extra_cols: Sequence[str] = ("label",),
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: assign every vector to its max-inner-product
     centroid cell, probe only the ``nprobe`` cells nearest the query,
@@ -553,9 +585,11 @@ def ivf_topk(
     scale the assignment is precomputed at ingest and the items table is
     partitioned by cell, so a query scans nprobe/n_cells of the data
     (partition pruning); here it's computed inline for the oracle check.
+    ``centroids`` overrides the seeded defaults (pass
+    :func:`kmeans_centroids` output for trained cells).
     """
     dim = len(query)
-    cents = seeded_centroids(dim, n_cells, seed)
+    cents = centroids or seeded_centroids(dim, n_cells, seed)
     # driver-side: the query's nprobe nearest cells (same tie rule)
     qd = sorted(
         ((-_seq_dot(query, c), cid) for cid, c in enumerate(cents))
