@@ -14,6 +14,7 @@ from vectra_py_spark.streaming.events import (
     windowed_counts,
 )
 from vectra_py_spark.streaming.ingest import stream_upsert
+from vectra_py_spark.streaming.joins import streaming_interval_join
 
 __all__ = [
     "event_time_col",
@@ -21,4 +22,5 @@ __all__ = [
     "streaming_windowed_counts",
     "windowed_counts",
     "stream_upsert",
+    "streaming_interval_join",
 ]
