@@ -249,3 +249,20 @@ def test_kmeans_ivf_recall_beats_or_matches_seeded(spark):
     r_seeded = recall(sim.seeded_centroids(64, 8, 4321))
     assert r_trained >= 0.5
     assert r_trained >= r_seeded - 0.2  # never materially worse
+
+
+def test_lsh_join_verify_fallback_matches_broadcast(spark):
+    """verify="join" (the beyond-broadcast-scale path: two hash joins +
+    pair-cosine pandas_udf) must return exactly the broadcast-verify
+    results — same candidates, same exact-cosine filter."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=0.4, bits_per_table=3, n_tables=12, seed=1234)
+    a = sorted(
+        map(tuple, sim.lsh_similarity_join(emb, verify="broadcast", **kw)
+            .collect())
+    )
+    b = sorted(
+        map(tuple, sim.lsh_similarity_join(emb, verify="join", **kw)
+            .collect())
+    )
+    assert a == b and len(a) > 0
