@@ -266,3 +266,81 @@ def test_lsh_join_verify_fallback_matches_broadcast(spark):
             .collect())
     )
     assert a == b and len(a) > 0
+
+class TestSizeAwareAutoSelection:
+    """The "auto" defaults must resolve to the driver-collect fast paths
+    only under the broadcast budget; past it (simulated by shrinking the
+    budget conf — a genuinely over-budget corpus doesn't fit CI) the
+    fully distributed paths take over, with identical results."""
+
+    def _with_budget(self, spark, n_bytes):
+        spark.conf.set(sim.BROADCAST_BYTES_CONF, str(n_bytes))
+
+    def _reset(self, spark):
+        spark.conf.unset(sim.BROADCAST_BYTES_CONF)
+
+    def test_resolve_switches_on_budget(self, spark, vecs):
+        try:
+            self._with_budget(spark, 1)  # nothing fits
+            assert sim.resolve_similarity_strategy(
+                vecs, "auto", "embedding", "matmul", "hof") == "hof"
+            assert sim.resolve_similarity_strategy(
+                vecs, "auto", "embedding", "broadcast", "join") == "join"
+            self._with_budget(spark, 1 << 30)  # everything fits
+            assert sim.resolve_similarity_strategy(
+                vecs, "auto", "embedding", "matmul", "hof") == "matmul"
+        finally:
+            self._reset(spark)
+
+    def test_explicit_strategy_skips_probe(self, vecs):
+        # non-auto passes through untouched (no probe job, no override)
+        assert sim.resolve_similarity_strategy(
+            vecs, "hof", "embedding", "matmul", "hof") == "hof"
+        assert sim.resolve_similarity_strategy(
+            vecs, "matmul", "embedding", "matmul", "hof") == "matmul"
+
+    def test_auto_over_budget_avoids_driver_collect(self, spark, vecs, monkeypatch):
+        """With the budget forced under the data size, the auto plans for
+        BOTH operators must build without ever collecting a vector set:
+        only the 1-row size-probe aggregation may pass through collect."""
+        from pyspark.sql import DataFrame
+
+        probe_rows = []
+        orig = DataFrame.collect
+
+        def guarded(df):
+            rows = orig(df)
+            # the probe collects exactly one (n, d) row; anything larger
+            # is a vector-set collect leaking back into the default path
+            assert len(rows) <= 1, "driver-side collect of a vector set"
+            probe_rows.append(len(rows))
+            return rows
+
+        try:
+            self._with_budget(spark, 1)
+            monkeypatch.setattr(DataFrame, "collect", guarded)
+            plan_a = sim.cosine_similarity_join(vecs, threshold=0.9)
+            plan_b = sim.lsh_similarity_join(vecs, threshold=0.9, dim=4)
+            monkeypatch.undo()
+            pairs_a = {(r.id_a, r.id_b) for r in plan_a.collect()}
+            pairs_b = {(r.id_a, r.id_b) for r in plan_b.collect()}
+        finally:
+            monkeypatch.undo()
+            self._reset(spark)
+        assert pairs_a == {(1, 2)}
+        assert pairs_b == {(1, 2)}
+
+    def test_auto_matches_forced_paths(self, spark, vecs):
+        """auto under a tiny budget (hof/join) == auto under a huge
+        budget (matmul/broadcast) == the planted truth."""
+        try:
+            results = []
+            for budget in (1, 1 << 30):
+                self._with_budget(spark, budget)
+                results.append(sorted(map(
+                    tuple,
+                    sim.cosine_similarity_join(vecs, threshold=0.9).collect(),
+                )))
+            assert results[0] == results[1] != []
+        finally:
+            self._reset(spark)

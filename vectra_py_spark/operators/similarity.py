@@ -42,6 +42,7 @@ from vectra_py_spark.session import spread
 
 __all__ = [
     "cosine_topk",
+    "resolve_similarity_strategy",
     "kmeans_centroids",
     "cosine_topk_sql",
     "cosine_topk_batch",
@@ -77,6 +78,57 @@ def _lcg_doubles(n: int, seed: int) -> list[float]:
 def seeded_hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes, portable across engines."""
     return [_lcg_doubles(dim, seed + 7919 * p) for p in range(n_planes)]
+
+
+# ---------------------------------------------------------------------------
+# Size-aware strategy selection
+# ---------------------------------------------------------------------------
+# Budget for collecting the id+vector set to the driver for broadcast.
+# Overridable per-session via spark.conf — clusters with fat drivers raise
+# it, serving tiers with thin drivers lower it.
+BROADCAST_BYTES_CONF = "vectra_py_spark.similarity.broadcastBytes"
+DEFAULT_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
+def _vector_set_bytes(df: DataFrame, vector_col: str) -> int:
+    """Estimated driver-side size of the collected id+vector set: one
+    cheap count/max-dim aggregation job (the scan is column-pruned to the
+    vector column's length; no vectors move)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vector_col)).alias("d")
+    ).head()
+    n = int(row["n"] or 0)
+    d = int(row["d"] or 0)
+    # float64 payload + numpy row overhead + id
+    return n * (d * 8 + 24)
+
+
+def resolve_similarity_strategy(
+    df: DataFrame,
+    strategy: str,
+    vector_col: str,
+    small: str,
+    large: str,
+) -> str:
+    """Resolve ``"auto"`` to the broadcast-bounded fast path (``small``)
+    when the vector set fits the driver budget, else the fully
+    distributed path (``large``).
+
+    This is the guard that keeps ``collect()`` out of the default call
+    path at scale: matmul / broadcast-verify are strictly faster while
+    the id+vector set fits one driver/executor, and strictly wrong once
+    it doesn't — a 100 TB corpus must fall through to the join-shaped
+    plans. The probe costs one count/max aggregation job, which is noise
+    next to either join.
+    """
+    if strategy != "auto":
+        return strategy
+    limit = int(
+        df.sparkSession.conf.get(
+            BROADCAST_BYTES_CONF, str(DEFAULT_BROADCAST_BYTES)
+        )
+    )
+    return small if _vector_set_bytes(df, vector_col) <= limit else large
 
 
 # ---------------------------------------------------------------------------
@@ -208,20 +260,29 @@ def cosine_similarity_join(
     threshold: float,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
-    strategy: str = "matmul",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact N×N self-join: pairs with cosine ≥ threshold (id_a < id_b).
 
-    ``matmul`` (default): broadcast the full id+unit-vector matrix
-    (8 KB/vector at d=64 → ~1M vectors fit comfortably) and compute
-    block × matrixᵀ with numpy inside ``mapInPandas``. This is the N×M
-    case where an Arrow-batched BLAS matmul beats codegen'd per-pair HOF
-    dots by ~50× (measured: 87 s → <2 s at N=2000). Beyond
-    broadcastable N, use :func:`lsh_similarity_join`.
+    ``auto`` (default): size-aware — ``matmul`` while the id+vector set
+    fits the driver broadcast budget (:data:`BROADCAST_BYTES_CONF`),
+    else ``hof``. The default call path never collects an unbounded
+    vector set to the driver.
+
+    ``matmul``: broadcast the full id+unit-vector matrix (8 KB/vector at
+    d=64 → ~1M vectors fit comfortably) and compute block × matrixᵀ with
+    numpy inside ``mapInPandas``. This is the N×M case where an
+    Arrow-batched BLAS matmul beats codegen'd per-pair HOF dots by ~50×
+    (measured: 87 s → <2 s at N=2000).
 
     ``hof``: pure-Catalyst cross join with HOF cosine — no Python, no
-    broadcast; the oracle-identical reference path.
+    broadcast; the oracle-identical, fully distributed path. Exact
+    all-pairs is inherently quadratic past broadcast scale — prefer
+    :func:`lsh_similarity_join` there.
     """
+    strategy = resolve_similarity_strategy(
+        df, strategy, vector_col, small="matmul", large="hof"
+    )
     if strategy == "hof":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
@@ -315,7 +376,7 @@ def lsh_similarity_join(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     dim: int = 64,
-    verify: str = "broadcast",
+    verify: str = "auto",
 ) -> DataFrame:
     """Approximate pair join with OR-amplified random-hyperplane LSH.
 
@@ -336,13 +397,18 @@ def lsh_similarity_join(
     - **candidates** equi-join on one packed int key
       ``tbl·2^b + bucket``; ids only — vectors never ride the banding
       explode (the 100 TB shuffle hazard); AQE splits skewed buckets.
-    - **verify** ``broadcast``: id→unit-vector matrix broadcast once,
-      candidates stream through ``mapInPandas`` (np fancy-index + row
-      dot) — no join, no per-pair array shipping. Falls back to
-      ``verify="join"`` (two hash joins + pair-cosine pandas_udf) when
-      the vector set exceeds broadcast size (the beyond-one-executor
-      path at 100 TB).
+    - **verify** ``auto`` (default): size-aware — ``broadcast`` (id→
+      unit-vector matrix broadcast once, candidates stream through
+      ``mapInPandas`` with np fancy-index + row dot — no join, no
+      per-pair array shipping) while the vector set fits the driver
+      budget (:data:`BROADCAST_BYTES_CONF`); past it, ``join`` (two hash
+      joins + pair-cosine pandas_udf — the beyond-one-executor path at
+      100 TB). Both verify paths are equivalence-tested; the default
+      call path never collects an unbounded vector set.
     """
+    verify = resolve_similarity_strategy(
+        df, verify, vector_col, small="broadcast", large="join"
+    )
     spark = df.sparkSession
     planes = seeded_hyperplanes(dim, bits_per_table * n_tables, seed)
     planes_df = spark.createDataFrame(

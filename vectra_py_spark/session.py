@@ -67,10 +67,25 @@ def spread(df, target: int | None = None):
     A small table read from one Parquet file arrives as ONE partition,
     which serializes every downstream narrow stage onto a single Python
     worker/JVM task (measured: 3.6 s → 1.6 s for sf0.1 shingling just
-    by spreading). No-op when the source already has ≥ target
-    partitions — the 100 TB case, where inputs carry thousands of file
+    by spreading). No-op when the source already carries ≥ target input
+    files — the 100 TB case, where inputs arrive as thousands of file
     splits and adding a shuffle here would be pure loss.
+
+    The check reads the plan's file listing (``df.inputFiles()``), NOT
+    ``df.rdd.getNumPartitions()``: materializing ``df.rdd`` converts the
+    whole plan to RDD form per call, which is far from free on a wide
+    plan at scale. File count underestimates split count for multi-GB
+    files (one file can be many splits), so a many-files source is never
+    repartitioned while a few-huge-files source pays at most one
+    round-robin shuffle it didn't strictly need — the cheap direction of
+    the trade-off. Non-file sources (in-memory relations) report zero
+    files and get spread, which is exactly right for driver-built
+    fixtures.
     """
     sc = df.sparkSession.sparkContext
     n = target or min(sc.defaultParallelism, 64)
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    return df.repartition(n) if n_files < n else df
