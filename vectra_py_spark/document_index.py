@@ -203,15 +203,13 @@ class SparkDocumentIndex:
             F.col("end_pos"),
         )
 
-        # drop chunks of replaced docs, then append new chunks atomically
-        old_items = self.index.items(use_cache=False)
-        if replaced_ids:
-            old_items = old_items.filter(
-                ~F.col("document_id").isin(*replaced_ids)
-            )
-        merged_items = old_items.unionByName(items).localCheckpoint(eager=True)
-        merged_items.write.mode("overwrite").parquet(self.index.path)
-        self.index._invalidate()
+        # drop chunks of replaced docs + append new chunks in ONE
+        # partition-scoped MERGE: only buckets holding the replaced docs'
+        # old chunks or the fresh chunks are rewritten (VERDICT r1 #2).
+        delete_cond = (
+            F.col("document_id").isin(*replaced_ids) if replaced_ids else None
+        )
+        self.index.merge_batch(items, delete_cond=delete_cond)
         return ids
 
     def upsert_document(
@@ -234,13 +232,8 @@ class SparkDocumentIndex:
             self.documents().filter(F.col("uri") != F.lit(uri)).localCheckpoint(True)
         )
         remaining_docs.write.mode("overwrite").parquet(self.docs_path)
-        remaining_items = (
-            self.index.items(use_cache=False)
-            .filter(F.col("document_id") != F.lit(doc_id))
-            .localCheckpoint(True)
-        )
-        remaining_items.write.mode("overwrite").parquet(self.index.path)
-        self.index._invalidate()
+        # partition-scoped: only buckets containing this doc's chunks rewrite
+        self.index.delete_where(F.col("document_id") == F.lit(doc_id))
 
     # -- A3: stats --------------------------------------------------------
     def get_catalog_stats(self) -> dict[str, Any]:
