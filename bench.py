@@ -21,8 +21,53 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-from vectra_py_spark.plans.entry_queries import QUERIES  # noqa: E402
+from vectra_py_spark.operators import similarity as sim  # noqa: E402
+from vectra_py_spark.plans.entry_queries import (  # noqa: E402
+    QUERIES,
+    load,
+    seeded_query_vector,
+)
 from vectra_py_spark.session import get_spark  # noqa: E402
+
+
+def warm_serving(spark, sf_dir: str) -> dict:
+    """Steady-state serving numbers against BASELINE's ~1–2 ms/query warm
+    in-memory claim: the items table cached and materialized once, then
+
+    - ``adhoc``: a fresh single-query plan per request (honest
+      per-request latency — dominated by plan analysis + codegen, the
+      'Spark is not an online ANN server' floor), and
+    - ``batch``: Q queries served in one pass via the broadcast-Q-matrix
+      matmul (`cosine_topk_batch`) — the design answer, amortizing the
+      fixed plan cost across the batch.
+    """
+    emb = load(spark, sf_dir, "embeddings").cache()
+    cached_rows = emb.count()  # materialize the cache
+
+    # -- adhoc: N distinct single-query plans over the cached table
+    n_adhoc = 20
+    t0 = time.perf_counter()
+    for s in range(n_adhoc):
+        sim.cosine_topk(emb, seeded_query_vector(64, seed=100 + s), k=10).collect()
+    adhoc_ms = (time.perf_counter() - t0) * 1000.0 / n_adhoc
+
+    # -- batched: one pass, Q queries (warm-up pass first so we measure
+    #    steady state, not Python-worker spin-up)
+    n_batch = 200
+    qs = [seeded_query_vector(64, seed=1000 + s) for s in range(n_batch)]
+    sim.cosine_topk_batch(emb, qs[:4], k=10).collect()
+    t0 = time.perf_counter()
+    sim.cosine_topk_batch(emb, qs, k=10).collect()
+    batch_ms = (time.perf_counter() - t0) * 1000.0 / n_batch
+
+    emb.unpersist()
+    return {
+        "cached_rows": cached_rows,
+        "adhoc_ms_per_query": round(adhoc_ms, 3),
+        "adhoc_queries": n_adhoc,
+        "batch_ms_per_query": round(batch_ms, 3),
+        "batch_queries": n_batch,
+    }
 
 
 def main() -> None:
@@ -49,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "bench_warm": warm_serving(spark, sf_dir),
             }
         )
     )
