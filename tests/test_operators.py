@@ -63,6 +63,22 @@ def test_simhash_identical_for_exact_dups(docs):
     assert bin(fp[1] ^ fp[5]).count("1") > ham
 
 
+def test_simhash_neardup_hamming_ball(docs):
+    """Banding must recover every pair within the radius (pigeonhole
+    guarantee — banding is lossless for Hamming balls, unlike MinHash),
+    and exclude everything outside it."""
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           dd.simhash_neardup(docs, radius=3).collect()}
+    fp = {r.doc_id: r.simhash16 for r in dd.simhash(docs).collect()}
+    expect = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a in fp for b in fp if a < b
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert out == expect
+    assert (1, 4) in out and out[(1, 4)] == 0  # exact dup → distance 0
+
+
 def test_text_analysis_columns(docs):
     out = {r.doc_id: r for r in ta.analyze_text(docs).collect()}
     r = out[1]

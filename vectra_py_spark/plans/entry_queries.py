@@ -397,6 +397,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_neardup(load(spark, sf_dir, "documents"), radius=3)
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.analyze_text(load(spark, sf_dir, "documents"))
 
@@ -884,6 +888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_fingerprint": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "text_analysis": q_text_analysis,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -929,6 +934,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
     "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
     "simhash_fingerprint": dd.simhash_sql(),
+    "simhash_neardup": dd.simhash_neardup_sql(radius=3),
     "text_analysis": ta.analyze_text_sql(),
     "language_id": ta.language_id_sql(),
     "doc_fingerprint": ta.fingerprint_sql(),
