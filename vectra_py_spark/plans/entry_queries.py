@@ -872,6 +872,111 @@ def _sql_range_join() -> str:
 
 
 # ---------------------------------------------------------------------------
+# D1-D3/D6 — oracle-gated DML lifecycle (VERDICT r1 #5)
+#
+# Each query materializes a scratch index from the embeddings table,
+# runs DML through the REAL API (insert_item / upsert_item / delete_item
+# / merge_batch + partition-scoped commit), and returns the post-DML
+# table state; the DuckDB oracle states the same final relation
+# declaratively. This turns the mutation path itself — staging, window
+# MERGE, bucket pruning, dynamic partition overwrite — into a
+# hash-checked driver entry instead of a pytest-only surface.
+# ---------------------------------------------------------------------------
+_DML_SUBSET = 100  # vec_id < 100 exists at every fixture sf
+
+
+def _dml_index(spark: SparkSession, sf_dir: str, name: str):
+    import os
+
+    from vectra_py_spark.index import SparkVectorIndex
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = SparkVectorIndex(
+        spark, f"/tmp/vectra_dml/{sf_tag}/{name}", n_buckets=8
+    )
+    idx.create(overwrite=True)
+    idx.merge_batch(
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _DML_SUBSET)
+        .select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        )
+    )
+    return idx
+
+
+def _dml_state(idx) -> DataFrame:
+    return idx.items(use_cache=False).select(
+        "id",
+        F.round("norm", 6).alias("norm"),
+        F.size("vector").cast("int").alias("dim"),
+    )
+
+
+def _dml_base_sql(exclude: str = "") -> str:
+    return f"""
+        SELECT CAST(vec_id AS VARCHAR) AS id,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                                                  x -> x * x))), 6) AS norm,
+               CAST(len(embedding) AS INT) AS dim
+        FROM embeddings
+        WHERE vec_id < {_DML_SUBSET} {exclude}
+    """
+
+
+def _const_norm(value: float, dim: int = 64) -> float:
+    total = 0.0
+    for _ in range(dim):  # same left-to-right double sum as l2_norm
+        total += value * value
+    return round(total**0.5, 6)
+
+
+def q_dml_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dml_index(spark, sf_dir, "insert")
+    for i in range(5):
+        idx.insert_item({"id": f"n{i}", "vector": [(i + 1) / 10.0] * 64})
+    idx.commit()
+    return _dml_state(idx)
+
+
+def _sql_dml_insert() -> str:
+    lits = " UNION ALL ".join(
+        f"SELECT 'n{i}' AS id, {_const_norm((i + 1) / 10.0)} AS norm, 64 AS dim"
+        for i in range(5)
+    )
+    return f"{_dml_base_sql()} UNION ALL {lits}"
+
+
+def q_dml_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dml_index(spark, sf_dir, "upsert")
+    for i in range(10):
+        idx.upsert_item({"id": str(i), "vector": [(i + 1) * 0.25] * 64})
+    idx.commit()
+    return _dml_state(idx)
+
+
+def _sql_dml_upsert() -> str:
+    lits = " UNION ALL ".join(
+        f"SELECT '{i}' AS id, {_const_norm((i + 1) * 0.25)} AS norm, 64 AS dim"
+        for i in range(10)
+    )
+    return f"{_dml_base_sql('AND vec_id >= 10')} UNION ALL {lits}"
+
+
+def q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _dml_index(spark, sf_dir, "delete")
+    for i in range(0, _DML_SUBSET, 7):
+        idx.delete_item(str(i))
+    idx.commit()
+    return _dml_state(idx)
+
+
+def _sql_dml_delete() -> str:
+    return _dml_base_sql("AND vec_id % 7 != 0")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -918,6 +1023,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search": q_semantic_search,
     "doc_chunks": q_doc_chunks,
     "ingest_pipeline": q_ingest_pipeline,
+    "dml_insert": q_dml_insert,
+    "dml_upsert": q_dml_upsert,
+    "dml_delete": q_dml_delete,
 }
 
 ORACLES: dict[str, str] = {
@@ -962,6 +1070,9 @@ ORACLES: dict[str, str] = {
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
     "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
+    "dml_insert": _sql_dml_insert(),
+    "dml_upsert": _sql_dml_upsert(),
+    "dml_delete": _sql_dml_delete(),
     "neardup_clusters": cl.neardup_clusters_sql(threshold=_JACCARD_T),
     "asof_enrich": _sql_asof_enrich(),
     "range_join": _sql_range_join(),
