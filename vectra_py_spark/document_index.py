@@ -38,7 +38,7 @@ from vectra_py_spark.embeddings import DeterministicEmbedder, embed_chunks, scru
 from vectra_py_spark.index import SparkVectorIndex
 from vectra_py_spark.render import RenderedSection, ScoredChunk, render_sections
 from vectra_py_spark.text.splitter import split_documents
-from vectra_py_spark.text.tokenizers import DeterministicTokenizer
+from vectra_py_spark.text.tokenizers import get_tokenizer
 
 __all__ = ["SparkDocumentIndex", "DOCUMENT_SCHEMA", "infer_doc_type"]
 
@@ -288,7 +288,7 @@ class SparkDocumentIndex:
 
         Returns ``[(document_id, uri, doc_score, sections)]``.
         """
-        tokenizer = DeterministicTokenizer()
+        tokenizer = get_tokenizer()
         out = []
         for row in self.query_documents(
             query_text, max_documents, max_chunks, filter_ast

@@ -35,7 +35,7 @@ import re
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
 
-from vectra_py_spark.text.tokenizers import DeterministicTokenizer, Tokenizer
+from vectra_py_spark.text.tokenizers import ByteLevelBPETokenizer, Tokenizer
 
 __all__ = [
     "SplitterConfig",
@@ -165,7 +165,7 @@ class TextSplitter:
         self, config: SplitterConfig | None = None, tokenizer: Tokenizer | None = None
     ) -> None:
         self.config = config or SplitterConfig()
-        self.tokenizer = tokenizer or DeterministicTokenizer()
+        self.tokenizer = tokenizer or ByteLevelBPETokenizer()
 
     # -- public ----------------------------------------------------------
     def split(self, text: str) -> list[TextChunk]:
