@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""sf1-scale stress run of the near-dup family (VERDICT r1 #8).
+
+The driver ships fixtures up to sf0.1 (5k documents / 2k embeddings).
+This script generates a 10x corpus (50k documents / 20k embeddings) with
+the same schema, length distribution, and planted-dup structure, then
+times the near-dup operators at BOTH scales in one session and reports
+the scaling ratio: a scale-correct operator should cost <= ~2x its
+10x-extrapolated sf0.1 time (banding joins are near-linear in rows at
+fixed threshold; candidate volume is the thing to watch, so it's
+reported too).
+
+Usage: python scripts/stress_sf1.py   (writes /tmp/vectra_stress_sf1)
+Output: one JSON line; paste the numbers into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from vectra_py_spark.plans.entry_queries import QUERIES  # noqa: E402
+from vectra_py_spark.session import get_spark  # noqa: E402
+
+SF01_DIR = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/vectra_stress_sf1"
+N_DOCS = 50_000
+N_VECS = 20_000
+DIM = 64
+
+VOCAB = (
+    "spark table query join filter group agg sort scan hash merge stream "
+    "batch vector column line part order value key fast slow big small "
+    "the a customer plan shuffle broadcast partition index"
+).split()
+
+STRESS_QUERIES = [
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "lsh_neardup",
+    "embedding_neardup",
+]
+
+
+def generate(spark) -> None:
+    rng = np.random.default_rng(20260813)
+    rows = []
+    for i in range(N_DOCS):
+        n_words = int(rng.integers(8, 90))
+        words = list(rng.choice(VOCAB, size=n_words))
+        rows.append(words)
+    # planted structure, mirroring the fixture: ~0.2% exact dups and a
+    # sprinkle of near-dups (1-2 word edits)
+    for i in range(0, N_DOCS, 500):
+        rows[i + 1] = list(rows[i])  # exact dup
+    for i in range(2, N_DOCS, 500):
+        nd = list(rows[i])
+        nd[len(nd) // 2] = "vector" if nd[len(nd) // 2] != "vector" else "table"
+        rows[i + 3] = nd  # near-dup
+    langs = ["en", "en", "en", "zh", "fr", "de"]
+    docs = [
+        (
+            i,
+            " ".join(w),
+            langs[int(rng.integers(0, len(langs)))],
+            f"src{i % 10}",
+            len(" ".join(w)),
+        )
+        for i, w in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+
+    V = rng.standard_normal((N_VECS, DIM)).astype(np.float32)
+    for i in range(0, N_VECS, 50):  # planted near-dup vector pairs
+        j = i + 1
+        V[j] = V[i] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    vecs = [
+        (i, [float(x) for x in V[i]], int(i % 10)) for i in range(N_VECS)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    ).repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+
+def main() -> None:
+    spark = get_spark("vectra-stress-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+
+    report: dict = {"n_docs": N_DOCS, "n_vecs": N_VECS, "queries": {}}
+    for name in STRESS_QUERIES:
+        fn = QUERIES[name]
+        # count(), not collect(): pair cardinality + wall time is the
+        # metric; collecting millions of pairs to the driver would just
+        # re-measure driver serialization (and trips maxResultSize on
+        # the 16-bit simhash variant, which saturates by the birthday
+        # bound at this corpus size — reported honestly via sf1_pairs).
+        fn(spark, SF01_DIR).count()  # warm both plans
+        t0 = time.perf_counter()
+        small = fn(spark, SF01_DIR).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big = fn(spark, SF1_DIR).count()
+        t_big = time.perf_counter() - t0
+        # docs queries scale 10x in rows; embeddings queries too
+        ratio_vs_linear = t_big / (10.0 * t_small) if t_small else None
+        report["queries"][name] = {
+            "sf0.1_sec": round(t_small, 2),
+            "sf1_sec": round(t_big, 2),
+            "sf0.1_pairs": small,
+            "sf1_pairs": big,
+            "vs_10x_extrapolated": round(ratio_vs_linear, 2),
+        }
+        print(f"# {name}: {report['queries'][name]}", file=sys.stderr)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
