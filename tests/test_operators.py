@@ -360,3 +360,21 @@ class TestSizeAwareAutoSelection:
             assert results[0] == results[1] != []
         finally:
             self._reset(spark)
+
+
+def test_repetition_signals_flags_planted_spam(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            # 20 distinct words: top bigram share 1/19 < 0.06 cut
+            (2, " ".join(f"w{i}" for i in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ta.repetition_signals(df).collect()}
+    assert out[1].dup_word_frac == 0.75          # 4 words, 1 distinct
+    assert out[1].top_bigram_frac == 1.0          # all bigrams identical
+    assert out[1].dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1].is_repetitive == 1
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].is_repetitive == 0

@@ -1,0 +1,183 @@
+"""Scalar (int8-range) embedding quantization + quantized ANN scoring.
+
+North-star extension (no reference analog — the reference stores raw
+``list[float]`` vectors, ``/root/reference/src/vectra_py/local_index.py``):
+at 100 TB the embedding column dominates scan and shuffle bytes, and the
+standard fix is scalar quantization (SQ8): per-dimension affine codes in
+0..255, an ~4× byte reduction at float32 (~8× at float64) with recall
+loss small enough that SQ8 is the default compressed tier in public ANN
+systems (FAISS ``SQ8``, Lucene/Elasticsearch int8 HNSW).
+
+Spark-first design:
+- **Params** (per-dim min/max) are ONE aggregate pass — 2·dim partial
+  aggs, map-side combined, no shuffle of vectors; the one-row result is
+  broadcast back into the scoring plan (``crossJoin(broadcast(...))``),
+  so the whole pipeline stays in the declarative plan (no driver
+  ``collect`` round-trip baked into the operator).
+- **Codes / dequantize / score** are pure HOF projections over the
+  vector column — whole-stage codegen, no Python workers, feeding
+  ``TakeOrderedAndProject`` for top-k.
+- At production scale the params row is computed once at ingest (or on
+  a sample) and stored with the index metadata, not recomputed per
+  query; the query path is then a single scan of the (4× smaller)
+  codes column. Codes are materialized as ``array<smallint>`` here so
+  the DuckDB oracle can read them; the documented scale format is a
+  packed ``binary(dim)`` column.
+
+All arithmetic is DOUBLE with identical op order in the DuckDB twin
+(round → clamp → int cast → dequantize → left-to-right dot), so scores
+hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectra_py_spark.functions.vector import (
+    cosine_to_query_sql,
+    dot,
+    l2_norm,
+    vector_literal,
+)
+
+__all__ = [
+    "sq8_params",
+    "sq8_quantize",
+    "sq8_topk",
+    "sq8_topk_sql",
+]
+
+
+def sq8_params(df: DataFrame, vector_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """One-row DataFrame of per-dimension quantization params.
+
+    Columns: ``mins array<double>``, ``scales array<double>`` where
+    ``scale_d = (max_d − min_d)/255`` (1.0 for constant dims so the
+    round-trip is the identity there).
+    """
+    aggs = []
+    for i in range(dim):
+        e = F.col(vector_col).getItem(i).cast("double")
+        aggs.append(F.min(e).alias(f"_mn{i}"))
+        aggs.append(F.max(e).alias(f"_mx{i}"))
+    wide = df.agg(*aggs)
+    mins = F.array(*[F.col(f"_mn{i}") for i in range(dim)])
+    scales = F.array(
+        *[
+            F.when(F.col(f"_mx{i}") == F.col(f"_mn{i}"), F.lit(1.0)).otherwise(
+                (F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0)
+            )
+            for i in range(dim)
+        ]
+    )
+    return wide.select(mins.alias("mins"), scales.alias("scales"))
+
+
+def _codes(vector_col: Column, mins: Column, scales: Column) -> Column:
+    """``array<smallint>`` codes: round((x−min)/scale) clamped to 0..255."""
+    return F.transform(
+        vector_col,
+        lambda x, i: F.least(
+            F.greatest(
+                F.round((x.cast("double") - F.element_at(mins, i + 1))
+                        / F.element_at(scales, i + 1)),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        ).cast("smallint"),
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, codes) — the compressed table a production index would store."""
+    params = sq8_params(df, vector_col, dim)
+    return df.crossJoin(F.broadcast(params)).select(
+        id_col,
+        _codes(F.col(vector_col), F.col("mins"), F.col("scales")).alias("codes"),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_dp: int = 6,
+) -> DataFrame:
+    """Cosine top-k against the *dequantized* vectors (full-precision
+    query, SQ8 corpus) — the standard asymmetric-distance setup.
+
+    Single scan → broadcast params → HOF dequantize+score →
+    ``TakeOrderedAndProject``. The quantization error is visible in the
+    scores by design (that's what the operator demonstrates vs
+    ``vector_topk``'s exact scores).
+    """
+    q = [float(x) for x in query]
+    q_norm = sum(x * x for x in q) ** 0.5
+    params = sq8_params(df, vector_col, dim=len(q))
+    codes = _codes(F.col(vector_col), F.col("mins"), F.col("scales"))
+    dq = F.transform(
+        codes,
+        lambda c, i: F.element_at(F.col("mins"), i + 1)
+        + c.cast("double") * F.element_at(F.col("scales"), i + 1),
+    )
+    scored = df.crossJoin(F.broadcast(params)).select(
+        id_col,
+        F.round(
+            dot(dq, vector_literal(q)) / (l2_norm(dq) * F.lit(q_norm)),
+            score_dp,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def sq8_topk_sql(
+    query: Sequence[float],
+    k: int = 10,
+    table: str = "embeddings",
+    vector_expr: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    score_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`sq8_topk` (same op order; per-dim params via
+    unnest-by-index GROUP BY instead of 2·dim aggs — same values)."""
+    d = dim or len(query)
+    q = [float(x) for x in query]
+    code = (
+        f"CAST(least(greatest(round((CAST({vector_expr}[i] AS DOUBLE) - mins[i])"
+        f" / scales[i]), 0.0), 255.0) AS SMALLINT)"
+    )
+    return f"""
+        WITH dims AS (
+          SELECT i,
+                 min(CAST({vector_expr}[i] AS DOUBLE)) AS mn,
+                 max(CAST({vector_expr}[i] AS DOUBLE)) AS mx
+          FROM {table}, range(1, {d + 1}) t(i)
+          GROUP BY i
+        ), params AS (
+          SELECT list(mn ORDER BY i) AS mins,
+                 list(CASE WHEN mx = mn THEN 1.0
+                           ELSE (mx - mn) / 255.0 END ORDER BY i) AS scales
+          FROM dims
+        ), dq AS (
+          SELECT {id_col},
+                 [mins[i] + CAST({code} AS DOUBLE) * scales[i]
+                  for i in range(1, {d + 1})] AS v
+          FROM {table}, params
+        )
+        SELECT {id_col},
+               ROUND({cosine_to_query_sql('v', q)}, {score_dp}) AS score
+        FROM dq
+        ORDER BY score DESC, {id_col}
+        LIMIT {k}
+    """

@@ -29,6 +29,8 @@ __all__ = [
     "language_id_sql",
     "fingerprint",
     "fingerprint_sql",
+    "repetition_signals",
+    "repetition_signals_sql",
 ]
 
 # Pretokenizer pattern (BPE-shaped; see text/tokenizers.py) restricted to
@@ -168,6 +170,115 @@ def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
                     {whens}
                     ELSE 'und' END AS pred_lang
         FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filter; Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+# Flag thresholds: chosen so the fixture corpus splits (see COVERAGE.md);
+# the Gopher paper's own cuts are corpus-tuned too.
+REPETITION_TOP_BIGRAM_MAX = 0.06
+REPETITION_DUP_BIGRAM_MAX = 0.10
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition ratios + a repetition flag.
+
+    Signals (word-level; the fixture corpus has no line structure):
+    ``dup_word_frac`` (1 − distinct/total words), ``dup_bigram_frac``,
+    ``top_bigram_frac`` (share of the most frequent bigram among all
+    bigrams) and ``is_repetitive`` (either bigram signal past its cut).
+
+    100 TB design: a pure per-row projection — words/bigrams live only
+    inside array HOFs, the most-frequent-bigram count is a run-length
+    scan over the row's SORTED bigram array (``aggregate`` HOF), so no
+    explode, no shuffle, whole-stage codegen end to end. Contrast the
+    DuckDB oracle twin, which uses unnest + GROUP BY: same semantics,
+    quadratic-shuffle shape we deliberately avoid on the Spark side.
+    """
+    df = spread(df)
+    words = words_col(text_col)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bigrams = F.size(bigrams)
+    # longest run in the sorted array == count of the most frequent bigram
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    dup_word = F.round(
+        F.lit(1.0) - n_distinct * F.lit(1.0) / F.greatest(n_words, F.lit(1)), 6
+    )
+    dup_bigram = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams))
+        * F.lit(1.0)
+        / F.greatest(n_bigrams, F.lit(1)),
+        6,
+    )
+    top_bigram = F.round(
+        top_count * F.lit(1.0) / F.greatest(n_bigrams, F.lit(1)), 6
+    )
+    flag = (
+        (top_bigram > REPETITION_TOP_BIGRAM_MAX)
+        | (dup_bigram > REPETITION_DUP_BIGRAM_MAX)
+    ).cast("int")
+    return df.select(
+        "doc_id",
+        dup_word.alias("dup_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        flag.alias("is_repetitive"),
+    )
+
+
+def repetition_signals_sql(table: str = "documents", text_expr: str = "text") -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH b AS (
+          SELECT doc_id, len(words) AS n_words,
+                 len(list_distinct(words)) AS n_distinct_words,
+                 [words[i] || ' ' || words[i+1]
+                  for i in range(1, len(words))] AS bigrams
+          FROM (SELECT doc_id, {w} AS words FROM {table})
+        ), e AS (
+          SELECT doc_id, unnest(bigrams) AS bg FROM b
+        ), c AS (
+          SELECT doc_id, max(c) AS top_c FROM (
+            SELECT doc_id, bg, count(*) AS c FROM e GROUP BY doc_id, bg
+          ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               ROUND(1.0 - n_distinct_words * 1.0 / greatest(n_words, 1), 6)
+                   AS dup_word_frac,
+               ROUND(1.0 - len(list_distinct(bigrams)) * 1.0
+                     / greatest(len(bigrams), 1), 6) AS dup_bigram_frac,
+               ROUND(coalesce(top_c, 0) * 1.0
+                     / greatest(len(bigrams), 1), 6) AS top_bigram_frac,
+               CAST(ROUND(coalesce(top_c, 0) * 1.0 / greatest(len(bigrams), 1), 6)
+                        > {REPETITION_TOP_BIGRAM_MAX}
+                    OR ROUND(1.0 - len(list_distinct(bigrams)) * 1.0
+                             / greatest(len(bigrams), 1), 6)
+                        > {REPETITION_DUP_BIGRAM_MAX}
+                    AS int) AS is_repetitive
+        FROM b LEFT JOIN c ON b.doc_id = c.doc_id
     """
 
 

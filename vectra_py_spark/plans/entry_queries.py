@@ -34,6 +34,7 @@ from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.operators import quantize as qz
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import skew as sk
 from vectra_py_spark.operators import splits as sp
@@ -413,6 +414,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.fingerprint(load(spark, sf_dir, "documents"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_signals(load(spark, sf_dir, "documents"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_similarity_join(
         load(spark, sf_dir, "embeddings"), threshold=_COSINE_T
@@ -599,6 +604,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BATCH_QUERIES = [seeded_query_vector(64, s) for s in (7, 11, 13, 17)]
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qz.sq8_topk(load(spark, sf_dir, "embeddings"), _QVEC, k=10)
+
+
 def q_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_batch(
         load(spark, sf_dir, "embeddings"), _BATCH_QUERIES, k=5
@@ -741,6 +750,106 @@ def _sql_shipping_priority() -> str:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+    """
+
+
+# Q18-shape qty cut ≈ top-1% of orders at fixture scale
+_BIG_SPENDER_QTY = 250
+
+
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-windowed orders EXISTS-semi-joined to late
+    lineitems (equi key + residual non-equi predicate), priority counts.
+
+    100 TB design: LeftSemi hash join on the order key — the probe side
+    never duplicates rows, so the agg input stays ≤ |orders-in-window|;
+    both date filters push to the parquet scans.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > windowed.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_late_ship_priority() -> str:
+    return """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery over the fact table,
+    hydrated through orders → customer, top-100 by order value.
+
+    100 TB design: the qualified-orders set (sum qty > cut ≈ top 1%) is
+    aggregated map-side-partial then broadcast back against lineitem and
+    orders — the big fact tables never shuffle on the join key; the
+    final customer join broadcasts the ~|qualified| joined rows, and
+    the top-100 is TakeOrderedAndProject (no global sort).
+
+    l_quantity is integer-valued, so the double sums are exact and
+    cross-engine stable.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # one aggregate serves both the HAVING filter and the output column
+    # (same rows — the classic Q18 re-join/re-agg is redundant)
+    sum_qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > _BIG_SPENDER_QTY)
+        .select("l_orderkey", F.round(F.col("s"), 2).alias("sum_qty"))
+    )
+    o_qty = orders.join(
+        F.broadcast(sum_qty), orders.o_orderkey == sum_qty.l_orderkey
+    )
+    return (
+        cust.join(F.broadcast(o_qty), cust.c_custkey == o_qty.o_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def _sql_big_spenders() -> str:
+    return f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > {_BIG_SPENDER_QTY})
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
     """
 
 
@@ -997,6 +1106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_signals": q_repetition_signals,
     "embedding_neardup": q_embedding_neardup,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
@@ -1009,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "quantized_topk": q_quantized_topk,
     "batch_topk": q_batch_topk,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
@@ -1019,6 +1130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_mix": q_epoch_mix,
     "salted_agg": q_salted_agg,
     "shipping_priority": q_shipping_priority,
+    "late_ship_priority": q_late_ship_priority,
+    "big_spenders": q_big_spenders,
     "promo_revenue": q_promo_revenue,
     "semantic_search": q_semantic_search,
     "doc_chunks": q_doc_chunks,
@@ -1046,6 +1159,7 @@ ORACLES: dict[str, str] = {
     "text_analysis": ta.analyze_text_sql(),
     "language_id": ta.language_id_sql(),
     "doc_fingerprint": ta.fingerprint_sql(),
+    "repetition_signals": ta.repetition_signals_sql(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
@@ -1066,6 +1180,7 @@ ORACLES: dict[str, str] = {
         seed=_LSH_SEED,
     ),
     "ivf_topk": sim.ivf_topk_sql(_QVEC, k=10, n_cells=8, nprobe=2),
+    "quantized_topk": qz.sq8_topk_sql(_QVEC, k=10),
     "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
@@ -1079,6 +1194,8 @@ ORACLES: dict[str, str] = {
     "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
     "salted_agg": _sql_salted_agg(),
     "shipping_priority": _sql_shipping_priority(),
+    "late_ship_priority": _sql_late_ship_priority(),
+    "big_spenders": _sql_big_spenders(),
     "promo_revenue": _sql_promo_revenue(),
     "semantic_search": _sql_semantic_search(),
     # doc_chunks / ingest_pipeline intentionally have no oracle: the
