@@ -7,6 +7,7 @@ oracle-checkable) and as a ``readStream`` plan (watermarks + windowed
 state).
 """
 
+from vectra_py_spark.streaming.asof import streaming_asof_enrich
 from vectra_py_spark.streaming.events import (
     event_time_col,
     sessionize,
@@ -17,6 +18,7 @@ from vectra_py_spark.streaming.ingest import stream_upsert
 from vectra_py_spark.streaming.joins import streaming_interval_join
 
 __all__ = [
+    "streaming_asof_enrich",
     "event_time_col",
     "sessionize",
     "streaming_windowed_counts",
