@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectra_py_spark.filters import compile_filter, filter_to_sql
@@ -902,6 +902,184 @@ def _sql_promo_revenue() -> str:
     """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation dimension chain: per-nation,
+    per-region subtotal, and grand-total revenue in one pass.
+
+    100 TB design: the dim chain (region⋈nation⋈customer) broadcasts
+    into the orders fact scan — the fact never shuffles for the join;
+    the rollup itself is Expand + one partial-then-final aggregation
+    (one shuffle keyed on the rollup tuple). Money through DECIMAL.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name"))
+            .cast("int").alias("lvl"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "lvl", "n_orders", "revenue",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def _sql_rollup_revenue() -> str:
+    return """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               CAST(grouping(r_name) + grouping(n_name) AS INT) AS lvl,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM region
+        JOIN nation   ON r_regionkey = n_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region, nation
+    """
+
+
+def q_churned_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery balance cutoff + NOT EXISTS
+    anti-join (customers above the average balance with no order since
+    the cutoff date), grouped by segment.
+
+    100 TB design: the scalar average is a one-row broadcast; the anti
+    join is a hash LeftAnti whose build side is date-pruned at the
+    orders scan (only keys survive the pushed filter); the fact side
+    never shuffles.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp_ntz")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _sql_churned_rich() -> str:
+    return """
+        WITH cutoff AS (SELECT avg(c_acctbal) AS a FROM customer
+                        WHERE c_acctbal > 0)
+        SELECT c_mktsegment, count(*) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_bal
+        FROM customer, cutoff
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel per user: first view → first click
+    after that view → first purchase after that click (strict order,
+    nulls where the user never progressed).
+
+    100 TB design: three chained window minima over the SAME
+    ``partitionBy(user_id)`` window — Catalyst plans ONE Exchange and
+    stacks the Window operators on it (no joins, no self-scans; the
+    per-stage predicates reference the previous stage's column, which a
+    conditional-agg + join cascade would need three shuffles for).
+    """
+    ev = load(spark, sf_dir, "events")
+    tus = F.expr("ts DIV 1000")  # TIMESTAMP(NANOS)-as-BIGINT → micros
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", tus.alias("tus"), "event_type")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("tus"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("tus") > F.col("t1")),
+                    F.col("tus"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tus") > F.col("t2")),
+                    F.col("tus"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.max("t1").alias("first_view_us"),
+            F.max("t2").alias("first_click_after_view_us"),
+            F.max("t3").alias("first_purchase_after_click_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_event_funnel() -> str:
+    return """
+        WITH a AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+                   FROM events),
+        b AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+                         OVER (PARTITION BY user_id) AS t1 FROM a),
+        c AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus > t1
+                                 THEN tus END)
+                         OVER (PARTITION BY user_id) AS t2 FROM b),
+        d AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t2
+                                 THEN tus END)
+                         OVER (PARTITION BY user_id) AS t3 FROM c)
+        SELECT user_id,
+               max(t1) AS first_view_us,
+               max(t2) AS first_click_after_view_us,
+               max(t3) AS first_purchase_after_click_us
+        FROM d
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) per-user event count: the hot-key-safe plan,
     oracle-gated against the plain GROUP BY it must equal."""
@@ -1129,6 +1307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "epoch_mix": q_epoch_mix,
     "salted_agg": q_salted_agg,
+    "rollup_revenue": q_rollup_revenue,
+    "churned_rich": q_churned_rich,
+    "event_funnel": q_event_funnel,
     "shipping_priority": q_shipping_priority,
     "late_ship_priority": q_late_ship_priority,
     "big_spenders": q_big_spenders,
@@ -1193,6 +1374,9 @@ ORACLES: dict[str, str] = {
     "range_join": _sql_range_join(),
     "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
     "salted_agg": _sql_salted_agg(),
+    "rollup_revenue": _sql_rollup_revenue(),
+    "churned_rich": _sql_churned_rich(),
+    "event_funnel": _sql_event_funnel(),
     "shipping_priority": _sql_shipping_priority(),
     "late_ship_priority": _sql_late_ship_priority(),
     "big_spenders": _sql_big_spenders(),
