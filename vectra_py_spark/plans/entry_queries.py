@@ -399,7 +399,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_neardup(load(spark, sf_dir, "documents"), radius=3)
+    # radius 1 on 16 bits tolerates ~6% differing bits — the closest
+    # analog of production 64-bit simhash practice (radius 3/64 = 5%);
+    # radius 3/16 = 19% saturates by the birthday bound (see BENCH.md)
+    return dd.simhash_neardup(load(spark, sf_dir, "documents"), radius=1)
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,7 +1339,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
     "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
     "simhash_fingerprint": dd.simhash_sql(),
-    "simhash_neardup": dd.simhash_neardup_sql(radius=3),
+    "simhash_neardup": dd.simhash_neardup_sql(radius=1),
     "text_analysis": ta.analyze_text_sql(),
     "language_id": ta.language_id_sql(),
     "doc_fingerprint": ta.fingerprint_sql(),
