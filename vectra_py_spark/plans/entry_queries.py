@@ -1083,6 +1083,134 @@ def _sql_event_funnel() -> str:
     """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_EPOCH = "1970-01-01"
+_US_PER_DAY = 86_400_000_000
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per type.
+
+    The pivot values are pinned explicitly — with an explicit list
+    Spark skips the extra distinct-values job and the output schema is
+    deterministic (the implicit form runs a collect of the pivot column
+    first, a driver round-trip you don't want at 100 TB).
+    """
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(t)
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+def _sql_event_type_pivot() -> str:
+    cols = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {cols}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
+def q_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + rolling window: per-type daily
+    totals on a gap-filled date spine, then a 3-day RANGE-frame moving
+    average. Rolling frames silently skip missing days unless the spine
+    is dense — gap-fill and the window belong in one pipeline.
+
+    Day = integer epoch-microsecond division (no date_trunc): immune to
+    session-timezone drift between engines. 100 TB design: daily
+    aggregation is the only full-data shuffle; the spine is
+    |types|×|days| rows built from a broadcast one-row bounds aggregate,
+    and the window partitions by type over already-tiny dailies.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.date_add(
+        F.lit(_EPOCH).cast("date"),
+        F.expr(f"CAST(ts DIV 1000 DIV {_US_PER_DAY} AS INT)"),
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            day.alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit(_EPOCH).cast("date")))
+        .rangeBetween(-2, 0)
+    )
+    tv = F.coalesce(F.col("total_value"), F.lit(0.0))
+    return filled.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.round(tv, 2).alias("day_value"),
+        F.round(F.avg(tv).over(w), 2).alias("rolling_3d_avg"),
+    ).orderBy("event_type", "day")
+
+
+def _sql_daily_rolling() -> str:
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 DATE '{_EPOCH}'
+                   + CAST(epoch_us(ts) // {_US_PER_DAY} AS INT) AS day,
+                 count(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+          FROM events GROUP BY 1, 2
+        ), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        spine AS (
+          SELECT t.event_type,
+                 CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                     AS day
+          FROM (SELECT DISTINCT event_type FROM events) t, bounds
+        )
+        SELECT spine.event_type AS event_type, spine.day AS day,
+               coalesce(n, 0) AS n_events,
+               ROUND(coalesce(total_value, 0.0), 2) AS day_value,
+               ROUND(avg(coalesce(total_value, 0.0)) OVER (
+                 PARTITION BY spine.event_type
+                 ORDER BY spine.day - DATE '{_EPOCH}'
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS rolling_3d_avg
+        FROM spine LEFT JOIN daily
+          ON spine.event_type = daily.event_type AND spine.day = daily.day
+        ORDER BY spine.event_type, spine.day
+    """
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) per-user event count: the hot-key-safe plan,
     oracle-gated against the plain GROUP BY it must equal."""
@@ -1313,6 +1441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "churned_rich": q_churned_rich,
     "event_funnel": q_event_funnel,
+    "event_type_pivot": q_event_type_pivot,
+    "daily_rolling": q_daily_rolling,
     "shipping_priority": q_shipping_priority,
     "late_ship_priority": q_late_ship_priority,
     "big_spenders": q_big_spenders,
@@ -1380,6 +1510,8 @@ ORACLES: dict[str, str] = {
     "rollup_revenue": _sql_rollup_revenue(),
     "churned_rich": _sql_churned_rich(),
     "event_funnel": _sql_event_funnel(),
+    "event_type_pivot": _sql_event_type_pivot(),
+    "daily_rolling": _sql_daily_rolling(),
     "shipping_priority": _sql_shipping_priority(),
     "late_ship_priority": _sql_late_ship_priority(),
     "big_spenders": _sql_big_spenders(),
