@@ -378,3 +378,24 @@ def test_repetition_signals_flags_planted_spam(spark):
     assert out[1].is_repetitive == 1
     assert out[2].dup_word_frac == 0.0
     assert out[2].is_repetitive == 0
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-123-4567 today"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org one phone 111.222.3333"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in ta.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert (out[3].n_emails, out[3].n_phones) == (2, 1)
+    # scrubbed fingerprint equals the hash of the redacted text
+    import hashlib
+    expect = hashlib.md5(
+        b"contact [EMAIL] or [PHONE] today"
+    ).hexdigest()
+    assert out[1].scrubbed_fp == expect

@@ -47,6 +47,8 @@ from vectra_py_spark.operators.dedup import (
 )
 
 __all__ = [
+    "source_quota",
+    "source_quota_sql",
     "N_BUCKETS",
     "hash_bucket",
     "hash_bucket_sql",
@@ -238,4 +240,52 @@ def decontaminate_sql(
                ROUND(n_overlap * 1.0 / n_sh, 6) AS contamination
         FROM hits JOIN sz ON hits.doc_id = sz.doc_id
         WHERE n_overlap >= {min_overlap}
+    """
+
+
+def source_quota(
+    df,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-source quota sampling (crawl balancing): keep at most ``cap``
+    documents per source, chosen deterministically by id order — the
+    standard guard against one domain dominating a training mix.
+
+    100 TB design: one shuffle on the group key; ``row_number`` is a
+    running count per partition-sorted group (no global sort). For
+    heavy-hitter sources the window input is the group's full row set —
+    if a single source exceeds executor memory, pre-filter with an
+    approximate per-source count and sample the heavy tail first;
+    deterministic rank semantics are preserved for every group under
+    the threshold.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(cap))
+        .select(id_col, group_col, F.col("rn").alias("quota_rank"))
+        .orderBy(group_col, "quota_rank")
+    )
+
+
+def source_quota_sql(
+    cap: int,
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+        SELECT {id_col}, {group_col}, rn AS quota_rank
+        FROM (
+          SELECT {id_col}, {group_col},
+                 row_number() OVER (PARTITION BY {group_col}
+                                    ORDER BY {id_col} ASC) AS rn
+          FROM {table}
+        )
+        WHERE rn <= {int(cap)}
+        ORDER BY {group_col}, quota_rank
     """

@@ -31,7 +31,15 @@ __all__ = [
     "fingerprint_sql",
     "repetition_signals",
     "repetition_signals_sql",
+    "pii_scrub",
+    "pii_scrub_sql",
 ]
+
+# PII patterns restricted to the Java∩RE2 regex subset so Spark and
+# DuckDB match identically. Conservative by design (precision over
+# recall — a scrubber that mangles non-PII text corrupts training data).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 # Pretokenizer pattern (BPE-shaped; see text/tokenizers.py) restricted to
 # RE2∩Java-compatible syntax so Spark and DuckDB count identically.
@@ -279,6 +287,49 @@ def repetition_signals_sql(table: str = "documents", text_expr: str = "text") ->
                         > {REPETITION_DUP_BIGRAM_MAX}
                     AS int) AS is_repetitive
         FROM b LEFT JOIN c ON b.doc_id = c.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email/phone redaction — standard pre-training step)
+# ---------------------------------------------------------------------------
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones; per-doc counts + hash of the scrubbed text.
+
+    Pure Catalyst regexp projections (codegen'd, shuffle-free). The
+    driver fixture corpus contains no PII, so the driver oracle checks
+    the zero-redaction path end to end; planted-data semantics live in
+    the unit test (same pattern as the multimodal decode stub).
+    """
+    df = spread(df)
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "[EMAIL]"),
+        PHONE_PATTERN,
+        "[PHONE]",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), 0))
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all({text_expr}, '{EMAIL_PATTERN}'))
+                   AS n_emails,
+               len(regexp_extract_all({text_expr}, '{PHONE_PATTERN}'))
+                   AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace({text_expr}, '{EMAIL_PATTERN}',
+                                    '[EMAIL]', 'g'),
+                     '{PHONE_PATTERN}', '[PHONE]', 'g')) AS scrubbed_fp
+        FROM {table}
     """
 
 

@@ -421,6 +421,47 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_signals(load(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.source_quota(load(spark, sf_dir, "documents"), cap=15)
+
+
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: per-type stats over a JSON props
+    column (`get_json_object` path expression — JVM-side, no Python).
+    Ints ≤ 2^53 keep the double-accumulated average engine-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_props_json_stats() -> str:
+    return """
+        SELECT event_type,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               ROUND(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+                   AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_similarity_join(
         load(spark, sf_dir, "embeddings"), threshold=_COSINE_T
@@ -1416,6 +1457,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
+    "pii_scrub": q_pii_scrub,
+    "source_quota": q_source_quota,
+    "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
@@ -1474,6 +1518,9 @@ ORACLES: dict[str, str] = {
     "language_id": ta.language_id_sql(),
     "doc_fingerprint": ta.fingerprint_sql(),
     "repetition_signals": ta.repetition_signals_sql(),
+    "pii_scrub": ta.pii_scrub_sql(),
+    "source_quota": sp.source_quota_sql(cap=15),
+    "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
