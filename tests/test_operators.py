@@ -399,3 +399,23 @@ def test_pii_scrub_planted(spark):
         b"contact [EMAIL] or [PHONE] today"
     ).hexdigest()
     assert out[1].scrubbed_fp == expect
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from vectra_py_spark.operators import ranking as rk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),        # both rare terms
+            (2, "spark table column row filter"),   # one term once
+            (3, "table column row filter group"),   # no terms
+            (4, "the a of and to in is it the a"),  # no terms, long
+        ],
+        ["doc_id", "text"],
+    )
+    out = [(r.doc_id, r.bm25) for r in
+           rk.bm25_topk(df, ["spark", "shuffle"], k=4).collect()]
+    ids = [d for d, _ in out]
+    assert ids[0] == 1            # highest tf on both terms
+    assert ids[1] == 2            # one term beats none
+    assert out[2][1] == out[3][1] == 0.0   # no-term docs score zero

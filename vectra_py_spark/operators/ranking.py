@@ -1,0 +1,133 @@
+"""Full-text relevance ranking: BM25 as pure Catalyst expressions.
+
+North-star retrieval operator (the reference ecosystem's hybrid
+"keyword + vector" search implies a lexical ranker; the reference
+itself has none — ``/root/reference/src/vectra_py/local_index.py`` is
+vector-only). BM25 (Robertson/Spärck Jones, the standard probabilistic
+relevance function) over a whitespace token stream:
+
+    score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    idf(t)      = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Spark-first design: corpus stats (N, avgdl, per-term df) are ONE
+aggregate pass with map-side partial aggregation — a single small row
+broadcast back into the scoring scan (same shape as SQ8 params). The
+per-document score is a pure HOF projection (``filter``/``size`` term
+frequencies — no explode, no shuffle, whole-stage codegen) feeding
+``TakeOrderedAndProject``. At 100 TB the stats row is maintained at
+ingest instead of recomputed; for large vocabularies the df map moves
+from fixed columns to a broadcast map column — same plan shape.
+
+The DuckDB twin is generated from the SAME constants with identical
+operation order, so scores hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators.text_analysis import words_col, _words_sql
+from vectra_py_spark.session import spread
+
+__all__ = ["bm25_topk", "bm25_topk_sql", "BM25_K1", "BM25_B"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tf(words: Column, term: str) -> Column:
+    return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to the query terms."""
+    words = words_col(text_col)
+    dl = F.size(words)
+    stats = df.agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("n_docs"),
+        F.avg(F.size(words_col(text_col))).alias("avgdl"),
+        *[
+            (
+                F.sum(
+                    F.when(F.array_contains(words_col(text_col), t), 1)
+                    .otherwise(0)
+                )
+                * F.lit(1.0)
+            ).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    parts = []
+    for i, t in enumerate(terms):
+        tf = _tf(words, t)
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        parts.append(
+            idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / F.col("avgdl")))
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    return (
+        spread(df)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(score, score_dp).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    terms: Sequence[str],
+    k: int = 10,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> str:
+    w = _words_sql(text_expr)
+    dfs = ",\n                 ".join(
+        f"sum(CASE WHEN list_contains(words, '{t}') THEN 1 ELSE 0 END)"
+        f" * 1.0 AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    parts = "\n          + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (len(list_filter(words, x -> x = '{t}')) * {k1p1!r})"
+        f" / (len(list_filter(words, x -> x = '{t}'))"
+        f" + {BM25_K1!r} * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, words, len(words) AS dl
+          FROM (SELECT {id_col}, {w} AS words FROM {table})
+        ), stats AS (
+          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl,
+                 {dfs}
+          FROM d
+        )
+        SELECT {id_col},
+          ROUND({parts}, {score_dp}) AS bm25
+        FROM d, stats
+        ORDER BY bm25 DESC, {id_col}
+        LIMIT {k}
+    """

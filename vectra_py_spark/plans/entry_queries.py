@@ -35,6 +35,7 @@ from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import quantize as qz
+from vectra_py_spark.operators import ranking as rk
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import skew as sk
 from vectra_py_spark.operators import splits as sp
@@ -423,6 +424,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ("spark", "shuffle", "vector")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rk.bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
+    "bm25_topk": q_bm25_topk,
     "source_quota": q_source_quota,
     "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
@@ -1519,6 +1528,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ta.fingerprint_sql(),
     "repetition_signals": ta.repetition_signals_sql(),
     "pii_scrub": ta.pii_scrub_sql(),
+    "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
     "source_quota": sp.source_quota_sql(cap=15),
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
