@@ -433,6 +433,75 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+_RRF_K = 60
+_RRF_N = 100
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers (BM25 relevance × quality
+    score) — the standard hybrid-retrieval combiner
+    (``1/(k + rank)`` summed per ranker, k=60 per Cormack et al.).
+
+    Scale note: ranks are assigned only within each ranker's top-N
+    candidate list (N=100) — the production pattern. The global
+    ``row_number`` windows therefore run on N rows, not the corpus;
+    the corpus-wide work is the two rankers themselves, which are
+    shuffle-free scans + TakeOrderedAndProject.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    a = (
+        rk.bm25_topk(docs, _BM25_TERMS, k=_RRF_N)
+        .select("doc_id", F.row_number().over(wa).alias("ra"))
+    )
+    wb = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    b = (
+        ta.analyze_text(docs)
+        .select("doc_id", "quality_score")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(_RRF_N)
+        .select("doc_id", F.row_number().over(wb).alias("rb"))
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
+        6,
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    bm25 = rk.bm25_topk_sql(_BM25_TERMS, k=_RRF_N)
+    qual = ta.analyze_text_sql()
+    return f"""
+        WITH a AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+          FROM ({bm25})
+        ), b AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rb
+          FROM (SELECT doc_id, quality_score FROM ({qual})
+                ORDER BY quality_score DESC, doc_id LIMIT {_RRF_N})
+        )
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               ROUND(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + rb), 0.0), 6) AS rrf
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.source_quota(load(spark, sf_dir, "documents"), cap=15)
 
@@ -1467,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "source_quota": q_source_quota,
     "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
@@ -1529,6 +1599,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": ta.repetition_signals_sql(),
     "pii_scrub": ta.pii_scrub_sql(),
     "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
+    "rrf_fusion": _sql_rrf_fusion(),
     "source_quota": sp.source_quota_sql(cap=15),
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
