@@ -47,6 +47,12 @@ STRESS_QUERIES = [
     "simhash_neardup",
     "lsh_neardup",
     "embedding_neardup",
+    # round-2 document/vector operators (narrow maps / broadcast-agg
+    # shapes — expected well under linear)
+    "repetition_signals",
+    "bm25_topk",
+    "quantized_topk",
+    "ivf_topk",
 ]
 
 
