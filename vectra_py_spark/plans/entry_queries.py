@@ -34,6 +34,7 @@ from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.operators import packing as pk
 from vectra_py_spark.operators import quantize as qz
 from vectra_py_spark.operators import ranking as rk
 from vectra_py_spark.operators import similarity as sim
@@ -504,6 +505,10 @@ def _sql_rrf_fusion() -> str:
 
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.source_quota(load(spark, sf_dir, "documents"), cap=15)
+
+
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pk.pack_sequences(load(spark, sf_dir, "documents"), budget=512)
 
 
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,6 +1543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "source_quota": q_source_quota,
+    "packed_sequences": q_packed_sequences,
     "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
     "lsh_neardup": q_lsh_neardup,
@@ -1645,7 +1651,8 @@ ORACLES: dict[str, str] = {
     "big_spenders": _sql_big_spenders(),
     "promo_revenue": _sql_promo_revenue(),
     "semantic_search": _sql_semantic_search(),
-    # doc_chunks / ingest_pipeline intentionally have no oracle: the
-    # recursive splitter + hash embedder are not SQL-expressible (driver
-    # records the rows-only check; goldens live in tests/).
+    # doc_chunks / ingest_pipeline / packed_sequences intentionally have
+    # no oracle: the recursive splitter, hash embedder, and FFD bin
+    # packing are not SQL-expressible (driver records the rows-only
+    # check; goldens/property tests live in tests/).
 }
