@@ -6,10 +6,13 @@ The reference is a single-process vector store; these are the operators a
 near-dup clustering + survivor selection (:mod:`.cluster`), similarity
 search (brute-force exact + LSH/IVF ANN + batched serving), text
 analysis (language id, quality, token stats, fingerprints),
-deterministic splits / stratified sampling / decontamination
-(:mod:`.splits`), epoch-weighted mixing (:mod:`.mixing`), as-of + range
-temporal joins (:mod:`.asof`), sketch aggregations (:mod:`.sketches`),
-skew mitigation (:mod:`.skew`), and multimodal binary column plumbing.
+deterministic splits / stratified sampling / decontamination /
+per-source quotas (:mod:`.splits`), epoch-weighted mixing
+(:mod:`.mixing`), as-of + range temporal joins (:mod:`.asof`), sketch
+aggregations (:mod:`.sketches`), skew mitigation (:mod:`.skew`),
+SQ8 embedding quantization (:mod:`.quantize`), BM25 full-text ranking
+(:mod:`.ranking`), sequence packing (:mod:`.packing`), and multimodal
+binary column plumbing.
 Everything SQL-expressible is built from JVM-side
 ``pyspark.sql.functions`` only — no Python in the hot path.
 """
