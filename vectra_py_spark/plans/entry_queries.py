@@ -1211,6 +1211,37 @@ _EPOCH = "1970-01-01"
 _US_PER_DAY = 86_400_000_000
 
 
+def q_viewers_not_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): users who viewed in the last fixture
+    week but purchased nothing in it — the classic audience-carve-out.
+
+    Plan shape: EXCEPT DISTINCT compiles to a LeftAnti hash join over
+    two pre-aggregated (distinct) key sets — both sides shrink to
+    distinct user ids before any join, and the date filters push to
+    both scans.
+    """
+    ev = load(spark, sf_dir, "events")
+    cut_us = F.lit(1_706_400_000_000_000)  # ~2024-01-28: final fixture week
+    recent = ev.filter(F.expr("ts DIV 1000") >= cut_us)
+    viewers = recent.filter(F.col("event_type") == "view").select("user_id")
+    purchasers = recent.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id")
+    # subtract == EXCEPT DISTINCT
+    return viewers.subtract(purchasers).orderBy("user_id")
+
+
+def _sql_viewers_not_purchasers() -> str:
+    return """
+        SELECT DISTINCT user_id FROM events
+        WHERE epoch_us(ts) >= 1706400000000000 AND event_type = 'view'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE epoch_us(ts) >= 1706400000000000 AND event_type = 'purchase'
+        ORDER BY user_id
+    """
+
+
 def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): per-user event counts, one column per type.
 
@@ -1571,6 +1602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "churned_rich": q_churned_rich,
     "event_funnel": q_event_funnel,
     "event_type_pivot": q_event_type_pivot,
+    "viewers_not_purchasers": q_viewers_not_purchasers,
     "daily_rolling": q_daily_rolling,
     "shipping_priority": q_shipping_priority,
     "late_ship_priority": q_late_ship_priority,
@@ -1645,6 +1677,7 @@ ORACLES: dict[str, str] = {
     "churned_rich": _sql_churned_rich(),
     "event_funnel": _sql_event_funnel(),
     "event_type_pivot": _sql_event_type_pivot(),
+    "viewers_not_purchasers": _sql_viewers_not_purchasers(),
     "daily_rolling": _sql_daily_rolling(),
     "shipping_priority": _sql_shipping_priority(),
     "late_ship_priority": _sql_late_ship_priority(),
