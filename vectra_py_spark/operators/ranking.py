@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 from vectra_py_spark.operators.text_analysis import words_col, _words_sql
 from vectra_py_spark.session import spread
 
-__all__ = ["bm25_topk", "bm25_topk_sql", "BM25_K1", "BM25_B"]
+__all__ = [
+    "bm25_scores",
+    "bm25_scores_sql",
+    "bm25_topk",
+    "bm25_topk_sql",
+    "BM25_K1",
+    "BM25_B",
+]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -42,15 +49,16 @@ def _tf(words: Column, term: str) -> Column:
     return F.size(F.filter(words, lambda x: x == F.lit(term)))
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     terms: Sequence[str],
-    k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
     score_dp: int = 6,
 ) -> DataFrame:
-    """Top-k documents by BM25 relevance to the query terms."""
+    """Per-document BM25 score for the query terms (full corpus, no
+    truncation) — the candidate-scoring half reused by :func:`bm25_topk`
+    and the hybrid lexical+vector fusion query."""
     words = words_col(text_col)
     dl = F.size(words)
     stats = df.agg(
@@ -88,19 +96,33 @@ def bm25_topk(
         spread(df)
         .crossJoin(F.broadcast(stats))
         .select(id_col, F.round(score, score_dp).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to the query terms."""
+    return (
+        bm25_scores(df, terms, text_col=text_col, id_col=id_col, score_dp=score_dp)
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
 
 
-def bm25_topk_sql(
+def bm25_scores_sql(
     terms: Sequence[str],
-    k: int = 10,
     table: str = "documents",
     text_expr: str = "text",
     id_col: str = "doc_id",
     score_dp: int = 6,
 ) -> str:
+    """DuckDB twin of :func:`bm25_scores` (no ordering/truncation)."""
     w = _words_sql(text_expr)
     dfs = ",\n                 ".join(
         f"sum(CASE WHEN list_contains(words, '{t}') THEN 1 ELSE 0 END)"
@@ -128,6 +150,22 @@ def bm25_topk_sql(
         SELECT {id_col},
           ROUND({parts}, {score_dp}) AS bm25
         FROM d, stats
+    """
+
+
+def bm25_topk_sql(
+    terms: Sequence[str],
+    k: int = 10,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> str:
+    scores = bm25_scores_sql(
+        terms, table=table, text_expr=text_expr, id_col=id_col, score_dp=score_dp
+    )
+    return f"""
+        SELECT * FROM ({scores})
         ORDER BY bm25 DESC, {id_col}
         LIMIT {k}
     """

@@ -503,6 +503,65 @@ def _sql_rrf_fusion() -> str:
     """
 
 
+_HYBRID_ALPHA = 0.5  # lexical weight; 1-alpha goes to the vector score
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: convex combination of the BM25
+    score and the cosine-to-query score, fused in ONE join.
+
+    The other standard hybrid combiner next to rank-based RRF
+    (`rrf_fusion`): score-based weighted fusion
+    ``alpha·bm25 + (1-alpha)·cosine`` (Vespa/Elastic "linear" mode).
+    The reference ecosystem's keyword+vector search implies exactly this
+    pairing; the reference itself is vector-only
+    (``/root/reference/src/vectra_py/local_index.py:125-150``).
+
+    Plan shape: two corpus scans (text side is a shuffle-free
+    stats-broadcast scan, vector side a narrow projection) joined 1:1 on
+    doc_id, then ``TakeOrderedAndProject``. At 100 TB text and vectors
+    live bucketed on doc_id (or in one table), making the join
+    co-located — no shuffle; both component scores stay in whole-stage
+    codegen. Components are rounded at 6 dp before fusing; the fused
+    score is NOT re-rounded: 0.5·x is an exact power-of-two scale and
+    the single IEEE addition is bit-identical across engines, whereas
+    re-rounding would sit exactly on a decimal midpoint (the 7th digit
+    is always 0 or 5) where Spark's and DuckDB's ROUND disagree.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    text = rk.bm25_scores(docs, _BM25_TERMS)
+    vec = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_to_query("embedding", _QVEC), _SCORE_DP).alias("cos"),
+    )
+    a = F.lit(_HYBRID_ALPHA)
+    hybrid = a * F.col("bm25") + (F.lit(1.0) - a) * F.col("cos")
+    return (
+        text.join(vec, "doc_id")
+        .select("doc_id", "bm25", "cos", hybrid.alias("hybrid"))
+        .orderBy(F.desc("hybrid"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_hybrid_search() -> str:
+    scores = rk.bm25_scores_sql(_BM25_TERMS)
+    cos = cosine_to_query_sql("embedding", _QVEC)
+    return f"""
+        WITH t AS ({scores}),
+        v AS (
+          SELECT vec_id AS doc_id, ROUND({cos}, {_SCORE_DP}) AS cos
+          FROM embeddings
+        )
+        SELECT t.doc_id, bm25, cos,
+               {_HYBRID_ALPHA!r} * bm25 + {1.0 - _HYBRID_ALPHA!r} * cos AS hybrid
+        FROM t JOIN v ON t.doc_id = v.doc_id
+        ORDER BY hybrid DESC, t.doc_id
+        LIMIT 20
+    """
+
+
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.source_quota(load(spark, sf_dir, "documents"), cap=15)
 
@@ -1573,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
+    "hybrid_search": q_hybrid_search,
     "source_quota": q_source_quota,
     "packed_sequences": q_packed_sequences,
     "props_json_stats": q_props_json_stats,
@@ -1638,6 +1698,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": ta.pii_scrub_sql(),
     "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
     "rrf_fusion": _sql_rrf_fusion(),
+    "hybrid_search": _sql_hybrid_search(),
     "source_quota": sp.source_quota_sql(cap=15),
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
