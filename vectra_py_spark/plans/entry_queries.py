@@ -1191,6 +1191,390 @@ def _sql_churned_rich() -> str:
     """
 
 
+# Q7-shape nation sets (single pairs are empty at sf0.001 — probed)
+_Q7_SUPP_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+_Q7_CUST_NATIONS = ("NATION_4", "NATION_5", "NATION_6")
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (adapted to fixture columns): shipping volume
+    between supplier-nation and customer-nation sets by ship year.
+
+    100 TB design: both nation dims are filtered BEFORE broadcast, so
+    the two fact tables (lineitem, orders) are reduced by broadcast
+    semi-equivalent hash joins without shuffling on the join keys; the
+    only shuffle is the final small (supp × cust × year) aggregation,
+    with map-side partials. Ship-date range reaches the lineitem scan
+    as a pushed filter.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    supp_dim = (
+        supp.join(
+            F.broadcast(
+                nation.filter(F.col("n_name").isin(*_Q7_SUPP_NATIONS))
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_dim = (
+        cust.join(
+            F.broadcast(
+                nation.filter(F.col("n_name").isin(*_Q7_CUST_NATIONS))
+            ),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _sql_nation_volume() -> str:
+    sn = ", ".join(f"'{n}'" for n in _Q7_SUPP_NATIONS)
+    cn = ", ".join(f"'{n}'" for n in _Q7_CUST_NATIONS)
+    return f"""
+        SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        WHERE n2.n_name IN ({sn}) AND n1.n_name IN ({cn})
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+
+_Q8_SHARE_NATION = "NATION_3"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (adapted): one supplier nation's share of PROMO
+    part revenue sold into ASIA customers, by order year.
+
+    100 TB design: a single pass computes numerator and denominator as
+    conditional aggregates over the SAME joined stream (no second scan
+    or self-join); part/customer/nation/region dims broadcast after
+    their filters prune them. The share division happens on the two
+    exact DECIMAL sums cast to DOUBLE — one IEEE op, cross-engine
+    stable, rounded on output only.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pkeys = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    cdim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    sdim = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(pkeys), li.l_partkey == pkeys.p_partkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == _Q8_SHARE_NATION, vol).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(num.cast("double") / F.sum(vol).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+def _sql_market_share() -> str:
+    return f"""
+        SELECT year(o_orderdate) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN n2.n_name = '{_Q8_SHARE_NATION}'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (CAST(1 AS DECIMAL(18,2)) -
+                                CAST(l_discount AS DECIMAL(18,2)))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) -
+                             CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one order quarter, top 20 customers.
+
+    100 TB design: both date bounds and the R return-flag reach the
+    parquet scans as pushed filters; the lineitem↔orders join is the
+    only fact-fact join (shuffle on orderkey), customer+nation hydrate
+    via broadcast AFTER the aggregation has reduced cardinality to
+    |customers-in-window|; top-20 is TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+    cdim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(cdim), per_cust.o_custkey == cdim.c_custkey
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _sql_returned_customers() -> str:
+    return """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               ROUND(c_acctbal, 2) AS c_acctbal, n_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to fixture columns): revenue under an
+    OR of three brand/size/quantity conjunction clauses.
+
+    100 TB design: the lineitem-local quantity bounds (qty ≥ 1, ≤ 50 —
+    the union envelope of the three clauses) and part-local predicates
+    are pushed to their scans; the part side shrinks to the 3-brand
+    subset before broadcast, and the OR residual evaluates in one
+    whole-stage-codegen projection after the join — no fact shuffle at
+    all.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    qty = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & sz.between(1, 15) & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & sz.between(1, 20) & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & sz.between(1, 25) & qty.between(20, 50)
+        )
+    )
+    pdim = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _sql_disjunctive_revenue() -> str:
+    return """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) -
+                         CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 50)
+    """
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers who were the SOLE late
+    shipper on multi-supplier finished orders, ranked by offence count.
+
+    Late = shipped >60 days after the order date (fixture has no
+    commit/receipt dates); multi-supplier and sole-late are expressed
+    as two min/max aggregations on the SAME key (l_orderkey) instead of
+    the classic EXISTS / NOT EXISTS correlated pair — each is a plain
+    map-side-partial agg with a single exchange, they end up
+    co-partitioned for the semi-join, and the fact table is scanned
+    narrowly (3 columns) twice rather than self-joined row-to-row.
+    Final supplier hydration is a broadcast; top-20 is
+    TakeOrderedAndProject.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    late_rows = li.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+    # "exactly one distinct supplier" ⟺ min == max: a plain map-side
+    # partial aggregate with ONE exchange on l_orderkey, vs
+    # count_distinct's Expand + two-exchange plan (or distinct()'s
+    # extra shuffle on the pair key)
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("l_orderkey")
+    )
+    sole = (
+        late_rows.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("s_key"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("s_key") == F.col("mx"))
+        .join(multi, "l_orderkey", "leftsemi")
+    )
+    return (
+        sole.groupBy("s_key")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("s_key") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def _sql_waiting_suppliers() -> str:
+    return """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        ), multi AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+        ), sole AS (
+          SELECT l_orderkey, min(l_suppkey) AS s_key
+          FROM late GROUP BY l_orderkey HAVING count(*) = 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM sole
+        JOIN multi USING (l_orderkey)
+        JOIN supplier ON s_key = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel per user: first view → first click
     after that view → first purchase after that click (strict order,
@@ -1660,6 +2044,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "rollup_revenue": q_rollup_revenue,
     "churned_rich": q_churned_rich,
+    "nation_volume": q_nation_volume,
+    "market_share": q_market_share,
+    "returned_customers": q_returned_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
     "event_funnel": q_event_funnel,
     "event_type_pivot": q_event_type_pivot,
     "viewers_not_purchasers": q_viewers_not_purchasers,
@@ -1736,6 +2125,11 @@ ORACLES: dict[str, str] = {
     "salted_agg": _sql_salted_agg(),
     "rollup_revenue": _sql_rollup_revenue(),
     "churned_rich": _sql_churned_rich(),
+    "nation_volume": _sql_nation_volume(),
+    "market_share": _sql_market_share(),
+    "returned_customers": _sql_returned_customers(),
+    "disjunctive_revenue": _sql_disjunctive_revenue(),
+    "waiting_suppliers": _sql_waiting_suppliers(),
     "event_funnel": _sql_event_funnel(),
     "event_type_pivot": _sql_event_type_pivot(),
     "viewers_not_purchasers": _sql_viewers_not_purchasers(),
