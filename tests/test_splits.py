@@ -95,3 +95,69 @@ def test_decontaminate_counts_distinct_shared_shingles(spark):
     # doc 4: 5 distinct shingles, 3 of them eval shingles — repeats
     # count once
     assert got[4] == (3, round(3 / 5, 6))
+
+
+def test_bloom_decontaminate_matches_exact_and_prunes(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta token{i} epsilon zeta eta theta")
+            for i in range(40)
+        ]
+        + [(100, "alpha beta gamma delta shared phrase in both sets")],
+        "doc_id long, text string",
+    )
+    is_eval = F.col("doc_id") % 7 == 0
+    corpus, eval_docs = docs.filter(~is_eval), docs.filter(is_eval)
+    exact = {
+        (r["doc_id"], r["n_overlap"], r["contamination"])
+        for r in sp.decontaminate(
+            corpus, eval_docs, k=3, min_overlap=1
+        ).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_overlap"], r["contamination"])
+        for r in sp.bloom_decontaminate(
+            corpus, eval_docs, k=3, min_overlap=1
+        ).collect()
+    }
+    assert bloom == exact and len(bloom) > 0
+
+
+def test_bloom_membership_has_no_false_negatives(spark):
+    # every eval shingle must pass its own bitmap (Bloom guarantee);
+    # a disjoint probe set should be mostly rejected (prefilter prunes)
+    eval_docs = spark.createDataFrame(
+        [(i, f"common prefix words unique{i} suffix tail") for i in range(20)],
+        "doc_id long, text string",
+    )
+    from vectra_py_spark.operators.dedup import shingle_df
+
+    eval_sh = shingle_df(eval_docs, k=3).select("shingle").distinct()
+    pos_rows = eval_sh.selectExpr(
+        "explode(array("
+        + ", ".join(sp._bloom_pos_sql(i) for i in range(sp.BLOOM_K))
+        + ")) AS pos"
+    ).distinct().collect()
+    words = [0] * (sp.BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bloom_row = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+    self_pass = (
+        eval_sh.crossJoin(F.broadcast(bloom_row))
+        .filter(F.expr(sp.bloom_membership_expr()))
+        .count()
+    )
+    assert self_pass == eval_sh.count()  # zero false negatives
+    probe = spark.createDataFrame(
+        [(i, f"totally different vocabulary item{i} goes here now") for i in range(50)],
+        "doc_id long, text string",
+    )
+    probe_sh = shingle_df(probe, k=3).select("shingle").distinct()
+    fp_pass = (
+        probe_sh.crossJoin(F.broadcast(bloom_row))
+        .filter(F.expr(sp.bloom_membership_expr()))
+        .count()
+    )
+    assert fp_pass < probe_sh.count() * 0.1  # sparse bitmap prunes hard

@@ -58,6 +58,10 @@ __all__ = [
     "stratified_sample_sql",
     "decontaminate",
     "decontaminate_sql",
+    "bloom_decontaminate",
+    "bloom_membership_expr",
+    "BLOOM_M_BITS",
+    "BLOOM_K",
 ]
 
 N_BUCKETS = 1000
@@ -241,6 +245,98 @@ def decontaminate_sql(
         FROM hits JOIN sz ON hits.doc_id = sz.doc_id
         WHERE n_overlap >= {min_overlap}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the eval-set-too-big-to-broadcast path)
+# ---------------------------------------------------------------------------
+BLOOM_M_BITS = 1 << 14  # bitmap size (bits); 2^14 = 256 longs ≈ 2 KB
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_pos_sql(i: int) -> str:
+    # xxhash64 is JVM-side; the extra int column varies the seed
+    return f"pmod(xxhash64(shingle, {i}), {BLOOM_M_BITS})"
+
+
+def bloom_membership_expr() -> str:
+    """Spark SQL boolean testing a shingle against the ``bloom``
+    bitmap column — pure Catalyst (shiftright/element_at/&), stays in
+    whole-stage codegen."""
+    tests = []
+    for i in range(BLOOM_K):
+        p = _bloom_pos_sql(i)
+        tests.append(
+            f"(shiftright(element_at(bloom, cast(({p}) div 64 as int) + 1),"
+            f" cast(pmod({p}, 64) as int)) & 1) = 1"
+        )
+    return " AND ".join(tests)
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter: EXACT results, but
+    the corpus-wide probe tests a 2 KB bitmap instead of joining the
+    full eval shingle set.
+
+    Scale rationale: production eval suites can reach 10^8 distinct
+    13-grams — too big to broadcast as strings. The Bloom bitmap is
+    ``BLOOM_M_BITS`` bits regardless of eval size; corpus shingles that
+    fail it (the overwhelming majority) never enter a join. Survivors
+    are exactly verified with a join against the true shingle set, so
+    false positives cannot leak into the output — the result is
+    bit-identical to the exact operator, and the verify join's input is
+    pre-shrunk from |corpus shingles| to |candidates|, turning a
+    corpus-scale shuffle into a candidate-scale one.
+
+    Construction collects the DISTINCT bit positions of the eval set —
+    bounded by the bitmap size (2^14), a filter-sized transfer like
+    k-means centroids, NOT data-sized. The membership probe itself is
+    pure Catalyst expressions over a one-row broadcast bitmap (same
+    stats-broadcast shape as BM25/SQ8): no Python in the corpus path.
+    """
+    spark = corpus.sparkSession
+    eval_sh = (
+        shingle_df(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    pos_rows = (
+        eval_sh.selectExpr(
+            f"explode(array({', '.join(_bloom_pos_sql(i) for i in range(BLOOM_K))})) AS pos"
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_M_BITS // 64)
+    for r in pos_rows:
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bloom_row = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+    corpus_sh = shingle_df_with_sizes(corpus, id_col, text_col, k)
+    candidates = corpus_sh.crossJoin(F.broadcast(bloom_row)).filter(
+        F.expr(bloom_membership_expr())
+    )
+    hits = (
+        candidates.join(eval_sh, "shingle")  # exact verify: no FP leaks
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.first("n_sh").alias("n_sh"),
+        )
+    )
+    return hits.filter(F.col("n_overlap") >= min_overlap).select(
+        id_col,
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_sh"), 6).alias("contamination"),
+    )
 
 
 def source_quota(

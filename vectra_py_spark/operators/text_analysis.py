@@ -33,6 +33,8 @@ __all__ = [
     "repetition_signals_sql",
     "pii_scrub",
     "pii_scrub_sql",
+    "frequent_tokens",
+    "frequent_tokens_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -347,4 +349,51 @@ def fingerprint_sql(table: str = "documents", text_expr: str = "text") -> str:
                md5(trim(regexp_replace(lower({text_expr}), '\s+', ' ', 'g')))
                    AS fingerprint
         FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: corpus-wide token frequency top-k
+# ---------------------------------------------------------------------------
+def frequent_tokens(
+    df: DataFrame, k: int = 25, text_col: str = "text", min_len: int = 2
+) -> DataFrame:
+    """Top-k most frequent tokens across the corpus (count DESC, token
+    ASC) — the vocabulary/stopword-discovery pass of a training-data
+    pipeline.
+
+    100 TB design: ``explode`` is a narrow map (no shuffle); the count
+    aggregates map-side per partition first, so the single exchange
+    carries one row per DISTINCT token per partition — vocabulary-sized,
+    not corpus-sized (Zipf: the head tokens partial-aggregate millions
+    of occurrences into one row each). Top-k is
+    ``TakeOrderedAndProject``, no global sort. For heavy skew on the
+    head tokens the partial agg IS the salting — no explicit salt
+    needed. An approximate alternative (count-min / ``freqItems``)
+    exists in ``DataFrame.stat``, but the exact form is itself
+    scale-correct here, so we keep the oracle-able exact query.
+    """
+    return (
+        df.select(F.explode(words_col(text_col)).alias("token"))
+        .filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def frequent_tokens_sql(
+    k: int = 25, table: str = "documents", text_expr: str = "text",
+    min_len: int = 2,
+) -> str:
+    w = _words_sql(text_expr)
+    # unnest must be projected in a subquery before GROUP BY (DuckDB)
+    return f"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest({w}) AS token FROM {table})
+        WHERE length(token) >= {min_len}
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT {k}
     """

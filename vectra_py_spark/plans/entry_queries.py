@@ -427,6 +427,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pii_scrub(load(spark, sf_dir, "documents"))
 
 
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.frequent_tokens(load(spark, sf_dir, "documents"), k=25)
+
+
 _BM25_TERMS = ("spark", "shuffle", "vector")
 
 
@@ -845,6 +849,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 41 == 0
     return sp.decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (see
+    :func:`vectra_py_spark.operators.splits.bloom_decontaminate`):
+    exact-identical output to the broadcast-join operator, with the
+    corpus probe reduced to a 2 KB bitmap test. Distinct params from
+    `decontaminate` (k=4, min_overlap=1, eval = doc_id % 37) so the two
+    queries exercise different data."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 37 == 0
+    return sp.bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), k=4, min_overlap=1
+    )
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2014,6 +2032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
+    "frequent_tokens": q_frequent_tokens,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "hybrid_search": q_hybrid_search,
@@ -2037,6 +2056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "neardup_clusters": q_neardup_clusters,
     "asof_enrich": q_asof_enrich,
     "range_join": q_range_join,
@@ -2085,6 +2105,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": ta.fingerprint_sql(),
     "repetition_signals": ta.repetition_signals_sql(),
     "pii_scrub": ta.pii_scrub_sql(),
+    "frequent_tokens": ta.frequent_tokens_sql(k=25),
     "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
     "rrf_fusion": _sql_rrf_fusion(),
     "hybrid_search": _sql_hybrid_search(),
@@ -2115,6 +2136,9 @@ ORACLES: dict[str, str] = {
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
     "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
+    "bloom_decontaminate": sp.decontaminate_sql(
+        "doc_id % 37 = 0", k=4, min_overlap=1
+    ),
     "dml_insert": _sql_dml_insert(),
     "dml_upsert": _sql_dml_upsert(),
     "dml_delete": _sql_dml_delete(),
