@@ -123,3 +123,66 @@ def test_bm25_stats_broadcast_scoring_shuffle_free(spark):
     assert "BroadcastExchange" in plan, plan
     # corpus-side scoring adds no hash shuffle beyond the 1-row stats agg
     assert _n_shuffles(plan) <= 1, plan
+
+
+def test_hybrid_search_is_one_join_no_fact_shuffle(spark):
+    from vectra_py_spark.plans.entry_queries import q_hybrid_search
+
+    plan = _plan(q_hybrid_search(spark, SF_ORACLE))
+    # corpus-side shuffles: only the BM25 stats singleton + spread's
+    # round-robin; scoring/fusion joins are broadcast, top-k is
+    # TakeOrderedAndProject
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_waiting_suppliers_min_max_aggs_not_expand(spark):
+    from vectra_py_spark.plans.entry_queries import q_waiting_suppliers
+
+    plan = _plan(q_waiting_suppliers(spark, SF_ORACLE))
+    # the count_distinct formulation plans Expand + 2 exchanges per agg
+    # (5 total); the min/max formulation needs 3 plain hash aggs
+    assert "Expand" not in plan, plan
+    assert _n_shuffles(plan) <= 3, plan
+
+
+def test_frequent_tokens_one_exchange_with_partial_agg(spark):
+    from vectra_py_spark.operators.text_analysis import frequent_tokens
+
+    plan = _plan(frequent_tokens(load(spark, SF_ORACLE, "documents")))
+    assert _n_shuffles(plan) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_disjunctive_revenue_broadcast_part_no_fact_shuffle(spark):
+    from vectra_py_spark.plans.entry_queries import q_disjunctive_revenue
+
+    plan = _plan(q_disjunctive_revenue(spark, SF_ORACLE))
+    # lineitem never shuffles: part dim broadcasts, agg is global
+    # (single partition exchange only)
+    assert _n_shuffles(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_membership_stays_in_codegen(spark):
+    from vectra_py_spark.operators.splits import (
+        BLOOM_M_BITS,
+        bloom_membership_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c",)], "shingle: string"
+    ).crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [([0] * (BLOOM_M_BITS // 64),)], "bloom: array<bigint>"
+            )
+        )
+    )
+    plan = _plan(df.filter(F.expr(bloom_membership_expr())))
+    # membership test compiles to JVM expressions (xxhash64/shiftright
+    # in the plan), never a Python eval node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "xxhash64" in plan and "shiftright" in plan, plan

@@ -30,6 +30,8 @@ __all__ = [
     "attach_binary_payload",
     "extract_features",
     "decode_stub",
+    "resize_media",
+    "sample_frames",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -119,4 +121,104 @@ def extract_features(
 
     return df.mapInPandas(
         run, schema="media_id STRING, n_bytes BIGINT, features ARRAY<DOUBLE>"
+    )
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: md5-keyed byte
+    stream of exactly width·height bytes (a real one returns w·h·C
+    pixels; the plumbing cares about sizes and determinism, not
+    pixels)."""
+    target = width * height
+    digest = hashlib.md5(payload or b"").digest()
+    reps = target // len(digest) + 1
+    return (digest * reps)[:target]
+
+
+RESIZERS = {"fake": _fake_resize}
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: str = "fake",
+    data_col: str = "data",
+) -> DataFrame:
+    """Payload → fixed-size payload, preserving the MEDIA_SCHEMA shape
+    so resize composes with :func:`extract_features` / sinks.
+
+    A real implementation swaps :data:`RESIZERS` entries (PIL/libvips);
+    the Spark contract — narrow ``mapInPandas``, payload stays out of
+    any shuffle, meta records the output dims — is identical. Arrow
+    batch sizing: at w·h·C ≈ MBs per row, set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch stays
+    ≲ worker heap (documented, not enforced here).
+    """
+    if resizer not in RESIZERS:
+        decode_stub(resizer, b"")
+    fn = RESIZERS[resizer]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[data_col] = [
+                fn(bytes(b) if b is not None else b"", width, height)
+                for b in pdf[data_col]
+            ]
+            out["meta"] = [
+                {**(m or {}), "out_w": str(width), "out_h": str(height)}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video-style frame sampling: ONE payload row → ``n_frames`` rows,
+    frame i = the byte slice [L·i/n, L·(i+1)/n) of the payload (a real
+    sampler decodes and picks keyframes; the slice boundaries stand in
+    deterministically and reconstruct the payload exactly when
+    concatenated — unit-tested).
+
+    Plan shape: a row-exploding narrow ``mapInPandas`` — the multimodal
+    analog of ``explode`` — with NO shuffle; downstream per-frame
+    operators (resize, features) chain onto it still shuffle-free.
+    Frame payloads inherit the payload-out-of-shuffle rule; the
+    byte-boundary arithmetic (floor(L·i/n)) is integer-exact, which is
+    what makes the operator oracle-checkable end-to-end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                payload = bytes(b) if b is not None else b""
+                length = len(payload)
+                for i in range(n_frames):
+                    lo = length * i // n_frames
+                    hi = length * (i + 1) // n_frames
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[lo:hi])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(x) for x in frames],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="media_id STRING, frame_idx INT, frame BINARY, n_bytes BIGINT",
     )

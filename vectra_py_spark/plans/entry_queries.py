@@ -759,6 +759,34 @@ def _sql_multimodal_bytes() -> str:
     """
 
 
+_N_FRAMES = 4
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing e2e: payload → n rows/payload via the
+    row-exploding ``mapInPandas`` (see
+    :func:`vectra_py_spark.operators.multimodal.sample_frames`); the
+    oracle re-derives each frame's byte count from the integer slice
+    boundaries floor(L·i/n), so the boundary math is value-checked, not
+    just row-counted."""
+    media = mm.attach_binary_payload(load(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, n_frames=_N_FRAMES).select(
+        "media_id", "frame_idx", "n_bytes"
+    )
+
+
+def _sql_frame_sample() -> str:
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               i AS frame_idx,
+               (L * (i + 1)) // {_N_FRAMES} - (L * i) // {_N_FRAMES}
+                   AS n_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS L
+              FROM documents),
+             (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS i)
+    """
+
+
 # ---------------------------------------------------------------------------
 # A6 — greedy token-budget batching (applyInPandas vs recursive-CTE oracle)
 # ---------------------------------------------------------------------------
@@ -2048,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "revenue_by_region": q_revenue_by_region,
     "multimodal_bytes": q_multimodal_bytes,
+    "frame_sample": q_frame_sample,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -2123,6 +2152,7 @@ ORACLES: dict[str, str] = {
     "value_quantiles": _sql_value_quantiles(),
     "revenue_by_region": _sql_revenue_by_region(),
     "multimodal_bytes": _sql_multimodal_bytes(),
+    "frame_sample": _sql_frame_sample(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
     ),
