@@ -36,6 +36,7 @@ N_CUST = 15_000 * SCALE
 N_ORDERS = 150_000 * SCALE
 N_LINES = 600_000 * SCALE
 N_PART = 20_000 * SCALE
+N_SUPP = 1_000 * SCALE
 
 STRESS_QUERIES = [
     "pricing_summary",
@@ -46,6 +47,11 @@ STRESS_QUERIES = [
     "big_spenders",
     "rollup_revenue",
     "churned_rich",
+    "nation_volume",
+    "market_share",
+    "returned_customers",
+    "disjunctive_revenue",
+    "waiting_suppliers",
 ]
 
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -101,7 +107,7 @@ def generate(spark) -> None:
     li = spark.range(N_LINES).select(
         (h(F.col("id"), 9) % N_ORDERS).alias("l_orderkey"),
         (h(F.col("id"), 10) % N_PART).alias("l_partkey"),
-        (h(F.col("id"), 11) % 10_000).alias("l_suppkey"),
+        (h(F.col("id"), 11) % N_SUPP).alias("l_suppkey"),
         (F.col("id") % 7).cast("int").alias("l_linenumber"),
         ((h(F.col("id"), 12) % 50) + 1).cast("double").alias("l_quantity"),
         ((h(F.col("id"), 13) % 10_000_000) / 100.0).alias("l_extendedprice"),
@@ -127,6 +133,16 @@ def generate(spark) -> None:
     )
     part.repartition(8).write.mode("overwrite").parquet(
         f"{BIG_DIR}/part.parquet"
+    )
+
+    supp = spark.range(N_SUPP).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id")).alias("s_name"),
+        (h(F.col("id"), 23) % n_nations).cast("int").alias("s_nationkey"),
+        ((h(F.col("id"), 24) % 1_100_000) / 100.0 - 1000.0).alias("s_acctbal"),
+    )
+    supp.repartition(4).write.mode("overwrite").parquet(
+        f"{BIG_DIR}/supplier.parquet"
     )
 
 
