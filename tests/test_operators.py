@@ -419,3 +419,49 @@ def test_bm25_ranks_relevant_docs_first(spark):
     assert ids[0] == 1            # highest tf on both terms
     assert ids[1] == 2            # one term beats none
     assert out[2][1] == out[3][1] == 0.0   # no-term docs score zero
+
+
+def test_minhash_index_probe_finds_planted_dups(docs, tmp_path):
+    path = str(tmp_path / "mh_idx")
+    dd.minhash_write_index(docs, path)
+    # probe with doc 1's text: exact dup (4) scores 1.0, self included
+    probe_text = DOCS[0][1]
+    got = {
+        r["doc_id"]: r["est_jaccard"]
+        for r in dd.minhash_probe(docs.sparkSession, path, probe_text).collect()
+    }
+    assert got[1] == 1.0 and got[4] == 1.0
+    assert 3 not in got and 5 not in got
+    # probe consistency with the batch pairs operator: doc 2 appears iff
+    # (1, 2) survives the same threshold there
+    batch = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert ((1, 2) in batch) == (2 in got)
+    if 2 in got:
+        assert got[2] == batch[(1, 2)]
+
+
+def test_minhash_probe_prunes_partitions(docs, tmp_path):
+    path = str(tmp_path / "mh_idx2")
+    dd.minhash_write_index(docs, path)
+    df = dd.minhash_probe(docs.sparkSession, path, DOCS[0][1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # FileScan's field rendering truncates long predicates with "...",
+    # so match the prefix: non-empty PartitionFilters naming both
+    # partition columns
+    m = re.search(r"PartitionFilters: \[\(+(.{0,200})", plan)
+    assert m, plan
+    assert "band" in m.group(1) and "bucket" in m.group(1), plan
+
+
+def test_minhash_of_text_matches_distributed_signatures(docs):
+    sigs = {
+        r["doc_id"]: [r[f"h{h}"] for h in range(dd.DEFAULT_NUM_HASHES)]
+        for r in dd.minhash_signatures(docs).collect()
+    }
+    for doc_id, text in DOCS:
+        assert dd.minhash_of_text(text) == sigs[doc_id]

@@ -407,6 +407,28 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_neardup(load(spark, sf_dir, "documents"), radius=1)
 
 
+_PROBE_DOC = 0
+
+
+def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup lookup: materialize the banded MinHash
+    index (partitionBy band, bucket), then probe it with one document's
+    text — the timing includes the index build, the probe itself opens
+    ≤ B (band, bucket) directories (PartitionFilters asserted in
+    tests). Probe = fixture doc 0, so the result always contains the
+    self-match (est 1.0) plus any genuine near-dups."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/vectra_minhash_idx/{sf_tag}"
+    dd.minhash_write_index(docs, path)
+    text = (
+        docs.filter(F.col("doc_id") == _PROBE_DOC).select("text").head()[0]
+    )
+    return dd.minhash_probe(spark, path, text)
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.analyze_text(load(spark, sf_dir, "documents"))
 
@@ -2053,6 +2075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "minhash_probe": q_minhash_probe,
     "simhash_fingerprint": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "text_analysis": q_text_analysis,
@@ -2127,6 +2150,7 @@ ORACLES: dict[str, str] = {
     "exact_dedup": dd.exact_dedup_sql(),
     "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
     "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
+    "minhash_probe": dd.minhash_probe_sql(_PROBE_DOC),
     "simhash_fingerprint": dd.simhash_sql(),
     "simhash_neardup": dd.simhash_neardup_sql(radius=1),
     "text_analysis": ta.analyze_text_sql(),
