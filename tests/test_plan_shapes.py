@@ -186,3 +186,23 @@ def test_bloom_membership_stays_in_codegen(spark):
     # in the plan), never a Python eval node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "xxhash64" in plan and "shiftright" in plan, plan
+
+
+def test_clean_corpus_single_scan_single_exchange(spark):
+    from vectra_py_spark.plans.entry_queries import q_clean_corpus
+
+    plan = _plan(q_clean_corpus(spark, SF_ORACLE))
+    # all three text signals compose as expressions over ONE corpus
+    # scan; survivorship is the only exchange (window on text hash)
+    assert plan.count("FileScan") == 1, plan
+    assert _n_shuffles(plan) == 1, plan
+
+
+def test_label_centroids_partial_agg_no_codegen_bomb(spark):
+    from vectra_py_spark.operators.similarity import group_centroids
+
+    plan = _plan(group_centroids(load(spark, SF_ORACLE, "embeddings")))
+    # posexplode + groupBy(group, pos) with map-side partials — not the
+    # 2-dim-wide one-shot aggregate (the BENCH.md codegen bomb)
+    assert "partial_sum" in plan, plan
+    assert "Generate posexplode" in plan or "posexplode" in plan, plan

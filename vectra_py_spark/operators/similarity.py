@@ -61,6 +61,8 @@ __all__ = [
     "ivf_topk_indexed",
     "lsh_similarity_join",
     "lsh_similarity_join_sql",
+    "group_centroids",
+    "group_centroids_sql",
 ]
 
 _DP = 6
@@ -885,4 +887,73 @@ def lsh_similarity_join_sql(
         SELECT id_a, id_b, ROUND({cos}, {_DP}) AS cosine
         FROM cand
         WHERE ROUND({cos}, {_DP}) >= {threshold}
+    """
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group centroid in LONG form: (group, pos, centroid) — mean of
+    each vector dimension over the group (class centroids / mean-pooled
+    embeddings / k-means init).
+
+    100 TB design: ``posexplode`` → ``groupBy(group, pos)`` with
+    map-side partial aggregation — the shuffle carries one partial per
+    (group, dim, partition), not the vectors; NOT the 2·dim-aggregate
+    one-shot form, which is a codegen bomb at dim ≥ 64 (see BENCH.md).
+    Long output avoids an array re-assembly shuffle; callers needing
+    array form pivot with ``collect_list`` over a (group, pos) sort.
+
+    Cross-engine determinism: float sums are order-sensitive, so each
+    float32 value is first cast to DECIMAL(28,10) — the cast rounds the
+    same exact binary value identically in both engines — then summed
+    exactly (order-free) and divided as DOUBLE on output.
+    """
+    dec = "decimal(28,10)"
+    return (
+        df.select(
+            F.col(group_col),
+            F.posexplode(vector_col).alias("pos", "x"),
+        )
+        .groupBy(group_col, "pos")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("x").cast(dec)).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                dp,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(group_col, "pos")
+    )
+
+
+def group_centroids_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`group_centroids`. DuckDB has no WITH
+    ORDINALITY; two same-length ``unnest`` calls in one SELECT zip
+    row-wise (and unnest can't appear in GROUP BY, so the explode is
+    projected in a subquery)."""
+    return f"""
+        SELECT {group_col}, pos,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), {dp}) AS centroid,
+               COUNT(*) AS n
+        FROM (
+            SELECT {group_col},
+                   unnest(generate_series(0, len({vector_col}) - 1)) AS pos,
+                   unnest({vector_col}) AS x
+            FROM {table}
+        )
+        GROUP BY {group_col}, pos
+        ORDER BY {group_col}, pos
     """

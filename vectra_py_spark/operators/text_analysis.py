@@ -35,6 +35,9 @@ __all__ = [
     "pii_scrub_sql",
     "frequent_tokens",
     "frequent_tokens_sql",
+    "quality_score_col",
+    "pred_lang_col",
+    "is_repetitive_col",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -71,6 +74,27 @@ def _words_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Token stats + quality score
 # ---------------------------------------------------------------------------
+def quality_score_col(text_col: str = "text") -> Column:
+    """The quality-score expression alone — reusable in single-scan
+    compositions (``clean_corpus``); identical structure to what
+    :func:`analyze_text` emits."""
+    t = F.col(text_col)
+    words = words_col(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score
+        + 0.3 * (alpha / F.greatest(n_chars, F.lit(1)))
+        + 0.3 * F.least(
+            (stop / F.greatest(n_words, F.lit(1))) * 10.0, F.lit(1.0)
+        ),
+        6,
+    )
+
+
 def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counts + character-class ratios + quality score.
 
@@ -90,15 +114,7 @@ def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 6)
-    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
-    quality = F.round(
-        0.4 * len_score
-        + 0.3 * (alpha / F.greatest(n_chars, F.lit(1)))
-        + 0.3 * F.least(
-            (stop / F.greatest(n_words, F.lit(1))) * 10.0, F.lit(1.0)
-        ),
-        6,
-    )
+    quality = quality_score_col(text_col)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -138,12 +154,12 @@ def analyze_text_sql(table: str = "documents", text_expr: str = "text") -> str:
 # ---------------------------------------------------------------------------
 # Language id (n-gram heuristic)
 # ---------------------------------------------------------------------------
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """CJK character-class check, else arg-max of stopword votes
-    (ties resolved in fixed language order, 'und' for zero votes)."""
-    df = spread(df)
+def pred_lang_col(text_col: str = "text") -> Column:
+    """The language-id CASE expression alone — reusable in single-scan
+    compositions; identical structure to :func:`language_id`."""
     t = F.col(text_col)
     words = words_col(text_col)
+
     def _vote(markers: list[str]) -> Column:
         # single-arg lambda required: F.filter treats 2-arg lambdas as
         # (element, index)
@@ -152,13 +168,17 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     votes = {lang: _vote(markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*votes.values())
     pred = F.when(t.rlike(_CJK_PATTERN), F.lit("zh"))
-    cond = None
     for lang in LANG_MARKERS:  # fixed order = deterministic tie-break
-        branch = (votes[lang] == best) & (best > 0)
-        cond = branch if cond is None else cond
-        pred = pred.when(branch, F.lit(lang))
-    pred = pred.otherwise(F.lit("und"))
-    return df.select("doc_id", pred.alias("pred_lang"))
+        pred = pred.when((votes[lang] == best) & (best > 0), F.lit(lang))
+    return pred.otherwise(F.lit("und"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CJK character-class check, else arg-max of stopword votes
+    (ties resolved in fixed language order, 'und' for zero votes)."""
+    return spread(df).select(
+        "doc_id", pred_lang_col(text_col).alias("pred_lang")
+    )
 
 
 def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
@@ -192,6 +212,54 @@ REPETITION_TOP_BIGRAM_MAX = 0.06
 REPETITION_DUP_BIGRAM_MAX = 0.10
 
 
+def _bigram_signal_cols(text_col: str = "text") -> tuple[Column, Column]:
+    """(dup_bigram_frac, top_bigram_frac) expressions — the two inputs
+    of the repetition flag, reusable in single-scan compositions."""
+    words = words_col(text_col)
+    n_words = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bigrams = F.size(bigrams)
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    dup_bigram = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams))
+        * F.lit(1.0)
+        / F.greatest(n_bigrams, F.lit(1)),
+        6,
+    )
+    top_bigram = F.round(
+        top_count * F.lit(1.0) / F.greatest(n_bigrams, F.lit(1)), 6
+    )
+    return dup_bigram, top_bigram
+
+
+def is_repetitive_col(text_col: str = "text") -> Column:
+    """The repetition flag alone (int 0/1), for compositions."""
+    dup_bigram, top_bigram = _bigram_signal_cols(text_col)
+    return (
+        (top_bigram > REPETITION_TOP_BIGRAM_MAX)
+        | (dup_bigram > REPETITION_DUP_BIGRAM_MAX)
+    ).cast("int")
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition ratios + a repetition flag.
 
@@ -211,41 +279,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = words_col(text_col)
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    n_bigrams = F.size(bigrams)
-    # longest run in the sorted array == count of the most frequent bigram
-    top_count = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
     dup_word = F.round(
         F.lit(1.0) - n_distinct * F.lit(1.0) / F.greatest(n_words, F.lit(1)), 6
     )
-    dup_bigram = F.round(
-        F.lit(1.0)
-        - F.size(F.array_distinct(bigrams))
-        * F.lit(1.0)
-        / F.greatest(n_bigrams, F.lit(1)),
-        6,
-    )
-    top_bigram = F.round(
-        top_count * F.lit(1.0) / F.greatest(n_bigrams, F.lit(1)), 6
-    )
+    dup_bigram, top_bigram = _bigram_signal_cols(text_col)
     flag = (
         (top_bigram > REPETITION_TOP_BIGRAM_MAX)
         | (dup_bigram > REPETITION_DUP_BIGRAM_MAX)

@@ -453,6 +453,63 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.frequent_tokens(load(spark, sf_dir, "documents"), k=25)
 
 
+_CLEAN_QUALITY_MIN = 0.5
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation pipeline in ONE pass: quality floor ×
+    repetition filter × language gate × exact-dedup survivorship.
+
+    Composition design: the three text signals are COLUMN expressions
+    (``quality_score_col`` / ``pred_lang_col`` / ``is_repetitive_col``)
+    over a single corpus scan — not a join of the three operator
+    DataFrames, which would scan the corpus three times and shuffle
+    twice. Survivorship is one window (min doc_id per text-hash), so
+    the whole pipeline is scan → project → 1 exchange → filter. At
+    100 TB the per-row signals cost one pass and the only shuffle
+    carries (doc_id, hash, signals), not text.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs.select(
+            "doc_id",
+            ta.quality_score_col("text").alias("quality_score"),
+            ta.pred_lang_col("text").alias("pred_lang"),
+            ta.is_repetitive_col("text").alias("is_repetitive"),
+            F.min("doc_id").over(w).alias("keep_id"),
+        )
+        .filter(
+            (F.col("quality_score") >= _CLEAN_QUALITY_MIN)
+            & (F.col("is_repetitive") == 0)
+            & (F.col("pred_lang") == "en")
+            & (F.col("doc_id") == F.col("keep_id"))
+        )
+        .select("doc_id", "quality_score", "pred_lang")
+    )
+
+
+def _sql_clean_corpus() -> str:
+    q = ta.analyze_text_sql()
+    r = ta.repetition_signals_sql()
+    lid = ta.language_id_sql()
+    return f"""
+        WITH q AS ({q}), r AS ({r}), l AS ({lid}),
+        d AS (SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              FROM documents)
+        SELECT q.doc_id, quality_score, pred_lang
+        FROM q
+        JOIN r ON q.doc_id = r.doc_id
+        JOIN l ON q.doc_id = l.doc_id
+        JOIN d ON q.doc_id = d.doc_id
+        WHERE quality_score >= {_CLEAN_QUALITY_MIN}
+          AND is_repetitive = 0
+          AND pred_lang = 'en'
+          AND q.doc_id = keep_id
+    """
+
+
 _BM25_TERMS = ("spark", "shuffle", "vector")
 
 
@@ -841,6 +898,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # V8 serving pattern — batched exact top-k (Q queries, one pass)
 # ---------------------------------------------------------------------------
 _BATCH_QUERIES = [seeded_query_vector(64, s) for s in (7, 11, 13, 17)]
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pooling: per-label class centroids in long form (see
+    :func:`vectra_py_spark.operators.similarity.group_centroids`)."""
+    return sim.group_centroids(load(spark, sf_dir, "embeddings"))
 
 
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
     "frequent_tokens": q_frequent_tokens,
+    "clean_corpus": q_clean_corpus,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
     "hybrid_search": q_hybrid_search,
@@ -2104,6 +2168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "quantized_topk": q_quantized_topk,
+    "label_centroids": q_label_centroids,
     "batch_topk": q_batch_topk,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
@@ -2159,6 +2224,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": ta.repetition_signals_sql(),
     "pii_scrub": ta.pii_scrub_sql(),
     "frequent_tokens": ta.frequent_tokens_sql(k=25),
+    "clean_corpus": _sql_clean_corpus(),
     "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
     "rrf_fusion": _sql_rrf_fusion(),
     "hybrid_search": _sql_hybrid_search(),
@@ -2186,6 +2252,7 @@ ORACLES: dict[str, str] = {
     ),
     "ivf_topk": sim.ivf_topk_sql(_QVEC, k=10, n_cells=8, nprobe=2),
     "quantized_topk": qz.sq8_topk_sql(_QVEC, k=10),
+    "label_centroids": sim.group_centroids_sql(),
     "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
