@@ -38,6 +38,8 @@ __all__ = [
     "quality_score_col",
     "pred_lang_col",
     "is_repetitive_col",
+    "ngram_diversity",
+    "ngram_diversity_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -433,4 +435,94 @@ def frequent_tokens_sql(
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram diversity per source (inter-document repetition health)
+# ---------------------------------------------------------------------------
+def ngram_diversity(
+    df: DataFrame,
+    k: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus diversity: distinct k-grams / total per-doc
+    k-gram emissions (1.0 = no k-gram shared between documents of that
+    source; low values flag template/boilerplate-heavy sources before
+    they reach training).
+
+    100 TB design: per-doc distinct shingles stream out of a narrow
+    ``mapInPandas`` (same batch-sliced slicing as the dedup family —
+    no explode of a corpus-wide array column); the distinct aggregate
+    partially de-dups map-side on (source, shingle) before its
+    exchange, so the shuffle carries the source vocabulary, not the
+    emission stream.
+    """
+    import re
+
+    import pandas as pd
+
+    from vectra_py_spark.session import spread as _spread
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            src_out: list = []
+            sh_out: list = []
+            for src, t in zip(pdf[source_col], pdf[text_col]):
+                if t is None:
+                    continue
+                w = ws.split(str(t).lower())
+                seen = set()
+                for j in range(len(w) - k + 1):
+                    s = " ".join(w[j : j + k])
+                    if s not in seen:
+                        seen.add(s)
+                        src_out.append(src)
+                        sh_out.append(s)
+            yield pd.DataFrame({"source": src_out, "shingle": sh_out})
+
+    sh = _spread(df.select(source_col, text_col)).mapInPandas(
+        gen, schema="source string, shingle string"
+    )
+    return (
+        sh.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.count_distinct("shingle").alias("distinct_shingles"),
+        )
+        .select(
+            "source",
+            "total_shingles",
+            "distinct_shingles",
+            F.round(
+                F.col("distinct_shingles") / F.col("total_shingles"), 6
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+def ngram_diversity_sql(
+    k: int = 3,
+    table: str = "documents",
+    source_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    return rf"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, {source_col} AS source,
+                 array_to_string(w[i:i+{k - 1}], ' ') AS shingle
+          FROM (SELECT doc_id, {source_col},
+                       string_split_regex(lower({text_expr}), '\s+') AS w
+                FROM {table}),
+               LATERAL unnest(range(1, greatest(len(w) - {k - 1}, 0) + 1))
+                   AS t(i)
+        )
+        SELECT source, count(*) AS total_shingles,
+               count(DISTINCT shingle) AS distinct_shingles,
+               ROUND(count(DISTINCT shingle) * 1.0 / count(*), 6)
+                   AS diversity
+        FROM sh GROUP BY source ORDER BY source
     """

@@ -453,6 +453,10 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.frequent_tokens(load(spark, sf_dir, "documents"), k=25)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.ngram_diversity(load(spark, sf_dir, "documents"))
+
+
 _CLEAN_QUALITY_MIN = 0.5
 
 
@@ -1706,6 +1710,53 @@ def _sql_waiting_suppliers() -> str:
     """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-active day,
+    counted per (cohort, days-since-cohort) — the standard
+    product-analytics triangle.
+
+    100 TB design: ONE aggregation per user collects (first day,
+    distinct active days) — a single exchange on user_id, with the
+    per-user day set bounded by the calendar window (≤31 here), NOT by
+    event volume; the explode that follows is narrow and the final
+    (cohort, age) aggregate is the only other exchange. The textbook
+    formulation (min-day subquery joined back to a distinct activity
+    set) costs three exchanges and a join; for unbounded lookback
+    windows it remains the fallback. Day arithmetic is integer
+    epoch-day (micros DIV 86400000000) — no session-timezone drift.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("(ts DIV 1000) DIV 86400000000")
+    per_user = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("cohort"),
+            F.collect_set("day").alias("days"),
+        )
+    )
+    return (
+        per_user.select("cohort", F.explode("days").alias("day"))
+        .groupBy("cohort", (F.col("day") - F.col("cohort")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "age")
+    )
+
+
+def _sql_cohort_retention() -> str:
+    return """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        ),
+        c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, day FROM e)
+        SELECT cohort, day - cohort AS age, count(*) AS n_users
+        FROM a JOIN c USING (user_id)
+        GROUP BY cohort, age
+        ORDER BY cohort, age
+    """
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel per user: first view → first click
     after that view → first purchase after that click (strict order,
@@ -2147,6 +2198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
     "frequent_tokens": q_frequent_tokens,
+    "ngram_diversity": q_ngram_diversity,
     "clean_corpus": q_clean_corpus,
     "bm25_topk": q_bm25_topk,
     "rrf_fusion": q_rrf_fusion,
@@ -2187,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "event_type_pivot": q_event_type_pivot,
     "viewers_not_purchasers": q_viewers_not_purchasers,
     "daily_rolling": q_daily_rolling,
@@ -2224,6 +2277,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": ta.repetition_signals_sql(),
     "pii_scrub": ta.pii_scrub_sql(),
     "frequent_tokens": ta.frequent_tokens_sql(k=25),
+    "ngram_diversity": ta.ngram_diversity_sql(),
     "clean_corpus": _sql_clean_corpus(),
     "bm25_topk": rk.bm25_topk_sql(_BM25_TERMS, k=10),
     "rrf_fusion": _sql_rrf_fusion(),
@@ -2276,6 +2330,7 @@ ORACLES: dict[str, str] = {
     "disjunctive_revenue": _sql_disjunctive_revenue(),
     "waiting_suppliers": _sql_waiting_suppliers(),
     "event_funnel": _sql_event_funnel(),
+    "cohort_retention": _sql_cohort_retention(),
     "event_type_pivot": _sql_event_type_pivot(),
     "viewers_not_purchasers": _sql_viewers_not_purchasers(),
     "daily_rolling": _sql_daily_rolling(),
