@@ -179,3 +179,64 @@ def test_sessionize_matches_native_session_window(spark, events):
         # native end = last event + gap; ours = last event timestamp
         assert a.session_end_us == b.session_end_us - DEFAULT_SESSION_GAP_US
         assert a.n_events == b.n_events
+
+
+def test_streaming_clean_corpus_filters_then_dedups_across_batches(
+    spark, tmp_path
+):
+    """Junk is dropped BEFORE the stateful dedup; survivorship holds
+    across micro-batches; result matches the batch signal semantics."""
+    import time
+
+    from vectra_py_spark.streaming.curation import streaming_clean_corpus
+
+    # long and non-repeating: every bigram touches a unique token, so
+    # the quality floor passes without tripping the bigram filters
+    conns = [("the", "of"), ("a", "and"), ("it", "is"), ("to", "in")]
+    good = " ".join(
+        f"{conns[i % 4][0]} word{i} {conns[i % 4][1]} thing{i}"
+        for i in range(40)
+    )
+    german = (
+        "der hund und die katze und das haus und der baum ist hier und da "
+    ) * 5
+    repetitive = "spam ham spam ham " * 40
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "doc_id string, text string"
+    b1 = spark.createDataFrame(
+        [("d1", good), ("d2", german), ("d3", repetitive), ("d4", good)],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_clean_corpus(stream)
+        .writeStream.format("memory")
+        .queryName("clean_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM clean_out").collect()}
+        # d2 fails the language gate, d3 the repetition filter, d4
+        # duplicates d1 within the batch
+        assert ids == {"d1"}
+
+        b2 = spark.createDataFrame(
+            [("d5", good), ("d6", good + "completely new ending here ")],
+            schema,
+        )
+        b2.coalesce(1).write.mode("append").parquet(str(src))
+        time.sleep(0.2)
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.sql("SELECT * FROM clean_out").collect()}
+        # d5 duplicates d1 ACROSS batches (state survived); d6 is new
+        assert ids == {"d1", "d6"}
+    finally:
+        q.stop()
