@@ -53,6 +53,15 @@ STRESS_QUERIES = [
     "bm25_topk",
     "quantized_topk",
     "ivf_topk",
+    # late-round-2 operators: fused retrieval, bitmap-prefiltered
+    # decontamination, heavy-hitters, one-scan curation, index probe
+    "hybrid_search",
+    "bloom_decontaminate",
+    "frequent_tokens",
+    "ngram_diversity",
+    "clean_corpus",
+    "minhash_probe",
+    "label_centroids",
 ]
 
 
