@@ -58,3 +58,64 @@ def test_sorted_compaction_enables_rowgroup_pruning_ranges(spark):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (ranges,)
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_compact_index_preserves_layout_and_results(spark, tmp_path):
+    import json as _json
+
+    from vectra_py_spark.index import SparkVectorIndex
+    from vectra_py_spark.sources.maintenance import compact_index
+
+    path = str(tmp_path / "vidx")
+    idx = SparkVectorIndex(spark, path, n_buckets=4)
+    idx.create()
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.range(64)
+        .select(
+            F.concat(F.lit("it"), F.col("id")).alias("id"),
+            F.array(F.col("id").cast("double"), F.lit(1.0)).alias("vector"),
+        )
+        .repartition(8)
+    )
+    idx.merge_batch(batch)
+    # simulate micro-batch accretion: append an extra small file into
+    # each bucket directory (what per-batch streaming ingest produces;
+    # at fixture scale AQE coalesces the merge to one file per bucket)
+    from vectra_py_spark.index import ITEM_SCHEMA
+
+    for b in range(4):
+        extra = spark.createDataFrame(
+            [(f"xtra{b}", [0.5, 0.5], 0.5**0.5, {})],
+            ITEM_SCHEMA,
+        )
+        extra.coalesce(1).write.mode("append").parquet(
+            f"{path}/_bucket={b}"
+        )
+    before_rows = sorted(
+        (r["id"], r["norm"]) for r in idx.items(use_cache=False).collect()
+    )
+    n_before, _ = parquet_file_stats(path)
+
+    report = compact_index(spark, path, target_bytes=64 * 1024 * 1024)
+    assert report["files_before"] == n_before
+    assert report["files_after"] < n_before
+    assert report["buckets_compacted"] >= 1
+
+    # bucket layout + pinned meta survive; results are bit-identical
+    from pathlib import Path as _P
+
+    assert (_P(path) / "_vectra_meta.json").exists()
+    assert _json.loads((_P(path) / "_vectra_meta.json").read_text())[
+        "n_buckets"
+    ] == 4
+    idx2 = SparkVectorIndex(spark, path)
+    after_rows = sorted(
+        (r["id"], r["norm"]) for r in idx2.items(use_cache=False).collect()
+    )
+    assert after_rows == before_rows
+    # DML still works post-compaction (layout intact for the merge path)
+    idx2.upsert_item({"id": "it0_0", "vector": [9.0, 9.0]})
+    idx2.commit()
+    assert idx2.get_item("it0_0").collect()[0]["vector"] == [9.0, 9.0]

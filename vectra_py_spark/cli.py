@@ -48,6 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
     rem = sub.add_parser("remove", help="delete a document by uri")
     rem.add_argument("--uri", required=True)
 
+    opt = sub.add_parser(
+        "optimize",
+        help="compact small files accreted by per-commit DML "
+        "(bucket-by-bucket; layout and meta side-file preserved)",
+    )
+    opt.add_argument("--target-mb", type=int, default=128)
+
     q = sub.add_parser("query", help="query the index")
     q.add_argument("text")
     q.add_argument("--document-count", type=int, default=10)
@@ -139,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.verb == "remove":
         idx.delete_document(args.uri)
         print(json.dumps({"removed": args.uri}))
+    elif args.verb == "optimize":
+        from vectra_py_spark.sources.maintenance import compact_index
+
+        report = compact_index(
+            spark,
+            f"{args.index}/items",
+            target_bytes=args.target_mb * 1024 * 1024,
+        )
+        idx.index._invalidate()  # drop the cached pre-compaction scan
+        print(json.dumps(report))
     elif args.verb == "query":
         if args.format == "stats":
             print(json.dumps(idx.get_catalog_stats()))

@@ -23,7 +23,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["compact_parquet", "parquet_file_stats"]
+__all__ = ["compact_parquet", "compact_index", "parquet_file_stats"]
 
 
 def parquet_file_stats(path: str) -> tuple[int, int]:
@@ -61,3 +61,37 @@ def compact_parquet(
     shutil.rmtree(old)
     n, _ = parquet_file_stats(path)
     return n
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact a bucket-partitioned items table (``_bucket=N`` layout,
+    see :class:`~vectra_py_spark.index.SparkVectorIndex`) bucket by
+    bucket — each directory is rewritten independently, so the
+    partition layout and the ``_vectra_meta.json`` side-file are
+    untouched and a failure affects at most one bucket. Per-commit DML
+    accretes one file per touched bucket per commit; this is the
+    OPTIMIZE step that folds them back down.
+
+    Returns {files_before, files_after, buckets_compacted}.
+    """
+    root = Path(index_path)
+    before_total, _ = parquet_file_stats(index_path)
+    compacted = 0
+    for bucket_dir in sorted(root.glob("_bucket=*")):
+        if not bucket_dir.is_dir():
+            continue
+        n, _ = parquet_file_stats(str(bucket_dir))
+        if n <= 1:
+            continue  # already one file: nothing to fold
+        compact_parquet(spark, str(bucket_dir), target_bytes=target_bytes)
+        compacted += 1
+    after_total, _ = parquet_file_stats(index_path)
+    return {
+        "files_before": before_total,
+        "files_after": after_total,
+        "buckets_compacted": compacted,
+    }
