@@ -56,6 +56,8 @@ __all__ = [
     "assign_splits_sql",
     "stratified_sample",
     "stratified_sample_sql",
+    "quality_weighted_sample",
+    "quality_weighted_sample_sql",
     "decontaminate",
     "decontaminate_sql",
     "bloom_decontaminate",
@@ -244,6 +246,57 @@ def decontaminate_sql(
                ROUND(n_overlap * 1.0 / n_sh, 6) AS contamination
         FROM hits JOIN sz ON hits.doc_id = sz.doc_id
         WHERE n_overlap >= {min_overlap}
+    """
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    quality_col: F.Column,
+    id_col: str = "doc_id",
+    floor: float = 0.0,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep a row with
+    probability ``min(1, floor + scale·quality)`` — realized as
+    ``hash_bucket(id) < cutoff`` rather than RNG, so reruns, backfills
+    and multi-reader materializations agree row-for-row (same
+    provenance story as :func:`assign_splits`).
+
+    100 TB design: pure projection + filter — no shuffle, no state, no
+    driver involvement; the acceptance threshold varies per row (the
+    quality expression), which RNG-free bucket arithmetic handles for
+    free where ``DataFrame.sample`` cannot.
+    """
+    cutoff = F.least(
+        F.lit(float(N_BUCKETS)),
+        (F.lit(floor) + F.lit(scale) * quality_col) * N_BUCKETS,
+    )
+    b = hash_bucket(F.col(id_col))
+    return (
+        df.select(
+            id_col,
+            F.round(quality_col, 6).alias("quality_score"),
+            b.alias("bucket"),
+        )
+        .filter(F.col("bucket") < cutoff)
+    )
+
+
+def quality_weighted_sample_sql(
+    quality_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    floor: float = 0.0,
+    scale: float = 1.0,
+) -> str:
+    b = hash_bucket_sql(id_col)
+    return f"""
+        SELECT {id_col}, ROUND({quality_expr}, 6) AS quality_score,
+               {b} AS bucket
+        FROM {table}
+        WHERE {b} < least({float(N_BUCKETS)},
+                          ({floor!r} + {scale!r} * ({quality_expr}))
+                          * {N_BUCKETS})
     """
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "frequent_tokens",
     "frequent_tokens_sql",
     "quality_score_col",
+    "quality_score_sql_expr",
     "pred_lang_col",
     "is_repetitive_col",
     "ngram_diversity",
@@ -126,6 +127,20 @@ def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+    )
+
+
+def quality_score_sql_expr(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score_col` as a bare expression
+    (rounded at 6 dp, like the Column builder)."""
+    w = _words_sql(text_expr)
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return (
+        f"ROUND(0.4 * least(len({w}) / 100.0, 1.0)"
+        f" + 0.3 * (length(regexp_replace({text_expr}, '[^A-Za-z]', '', 'g'))"
+        f" * 1.0 / greatest(length({text_expr}), 1))"
+        f" + 0.3 * least(len(list_filter({w}, x -> x IN ({stops})))"
+        f" * 10.0 / greatest(len({w}), 1), 1.0), 6)"
     )
 
 

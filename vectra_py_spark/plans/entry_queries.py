@@ -962,6 +962,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QWS_FLOOR, _QWS_SCALE = 0.1, 0.9
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling: keep probability
+    0.1 + 0.9·quality, realized as hash-bucket arithmetic (no RNG) —
+    rerun/backfill-stable where ``DataFrame.sample`` is not."""
+    return sp.quality_weighted_sample(
+        load(spark, sf_dir, "documents"),
+        ta.quality_score_col("text"),
+        floor=_QWS_FLOOR,
+        scale=_QWS_SCALE,
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 41 == 0
@@ -2224,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_topk": q_batch_topk,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
     "neardup_clusters": q_neardup_clusters,
@@ -2310,6 +2326,9 @@ ORACLES: dict[str, str] = {
     "batch_topk": sim.cosine_topk_batch_sql(_BATCH_QUERIES, k=5),
     "train_split": sp.assign_splits_sql(),
     "stratified_sample": sp.stratified_sample_sql(_STRAT_CUTS, _STRAT_DEFAULT),
+    "quality_weighted_sample": sp.quality_weighted_sample_sql(
+        ta.quality_score_sql_expr(), floor=_QWS_FLOOR, scale=_QWS_SCALE
+    ),
     "decontaminate": sp.decontaminate_sql(_EVAL_PRED),
     "bloom_decontaminate": sp.decontaminate_sql(
         "doc_id % 37 = 0", k=4, min_overlap=1
