@@ -206,3 +206,59 @@ def test_label_centroids_partial_agg_no_codegen_bomb(spark):
     # 2-dim-wide one-shot aggregate (the BENCH.md codegen bomb)
     assert "partial_sum" in plan, plan
     assert "Generate posexplode" in plan or "posexplode" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# Round-3 relational sweep shapes (plans/relational.py)
+# --------------------------------------------------------------------------
+def test_forecast_revenue_zero_shuffle_scan_agg(spark):
+    from vectra_py_spark.plans.relational import q_forecast_revenue
+
+    plan = _plan(q_forecast_revenue(spark, SF_ORACLE))
+    # pure scan-filter-agg: partial sum map-side, single-partition final
+    # — no hash exchange, no join, and the date bounds reach the scan
+    assert _n_shuffles(plan) == 0, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:400], plan
+
+
+def test_product_profit_dims_broadcast_one_group_exchange(spark):
+    from vectra_py_spark.plans.relational import q_product_profit
+
+    plan = _plan(q_product_profit(spark, SF_ORACLE))
+    # part/supplier/nation (and orders at this SF) broadcast into the
+    # lineitem scan; the only hash exchange is the (nation, year) agg
+    assert _n_shuffles(plan) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_min_cost_supplier_ids_only_distinct_then_window(spark):
+    from vectra_py_spark.plans.relational import q_min_cost_supplier
+
+    plan = _plan(q_min_cost_supplier(spark, SF_ORACLE))
+    # two inherent exchanges: the (part, supplier) id distinct and the
+    # window min on partkey; dims broadcast, facts never sort-merge
+    assert _n_shuffles(plan) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_top_supplier_argmax_broadcasts_back(spark):
+    from vectra_py_spark.plans.relational import q_top_supplier
+
+    plan = _plan(q_top_supplier(spark, SF_ORACLE))
+    # suppkey agg + global-window max over the tiny aggregate: the fact
+    # scans ONCE (no rev self-join), supplier dim broadcasts
+    assert plan.count("FileScan parquet") == 2, plan  # lineitem + supplier
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_excess_suppliers_semi_join_chain_no_fact_key_shuffle(spark):
+    from vectra_py_spark.plans.relational import q_excess_suppliers
+
+    plan = _plan(q_excess_suppliers(spark, SF_ORACLE))
+    # part keys broadcast-semi into the date-pruned scan; the
+    # (supp, part) agg is the only fact exchange; supplier join is
+    # broadcast-semi
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_shuffles(plan) <= 2, plan

@@ -41,6 +41,10 @@ from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import skew as sk
 from vectra_py_spark.operators import splits as sp
 from vectra_py_spark.operators import text_analysis as ta
+from vectra_py_spark.plans.relational import (
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
 from vectra_py_spark.streaming import events as ev
 from vectra_py_spark.text.splitter import split_documents
 
@@ -2269,6 +2273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dml_insert": q_dml_insert,
     "dml_upsert": q_dml_upsert,
     "dml_delete": q_dml_delete,
+    **RELATIONAL_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -2362,4 +2367,5 @@ ORACLES: dict[str, str] = {
     # no oracle: the recursive splitter, hash embedder, and FFD bin
     # packing are not SQL-expressible (driver records the rows-only
     # check; goldens/property tests live in tests/).
+    **RELATIONAL_ORACLES,
 }
