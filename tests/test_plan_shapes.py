@@ -53,7 +53,8 @@ def test_epoch_mix_adds_no_shuffle(spark):
 
 def test_asof_join_is_one_shuffle_on_the_key(spark):
     evd = load(spark, SF_ORACLE, "events")
-    t = F.expr("ts DIV 1000").alias("t_us")
+    from vectra_py_spark.streaming.events import event_time_col
+    t = event_time_col("ts", evd).alias("t_us")
     left = evd.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", t, "value"
     )

@@ -63,7 +63,7 @@ def test_streaming_windowed_counts_matches_batch(spark, events):
     try:
         # stage events as a real TIMESTAMP parquet stream source
         src = events.select(
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            F.timestamp_micros(ev.event_time_col("ts", events)).alias("event_time"),
             "event_type",
             "value",
         )
@@ -157,7 +157,7 @@ def test_sessionize_matches_native_session_window(spark, events):
 
     native = (
         events.withColumn(
-            "event_time", F.timestamp_micros(event_time_col("ts"))
+            "event_time", F.timestamp_micros(event_time_col("ts", events))
         )
         .groupBy(
             F.session_window("event_time", "30 minutes"), "user_id"

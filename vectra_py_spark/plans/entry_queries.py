@@ -46,6 +46,7 @@ from vectra_py_spark.plans.relational import (
     RELATIONAL_QUERIES,
 )
 from vectra_py_spark.streaming import events as ev
+from vectra_py_spark.streaming.events import event_time_col as _t_us
 from vectra_py_spark.text.splitter import split_documents
 
 __all__ = ["QUERIES", "ORACLES", "seeded_query_vector", "load"]
@@ -1745,7 +1746,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-day (micros DIV 86400000000) — no session-timezone drift.
     """
     ev = load(spark, sf_dir, "events")
-    day = F.expr("(ts DIV 1000) DIV 86400000000")
+    t = _t_us("ts", ev)
+    # (t - t%W)/W == t DIV W with no float hop on a non-exact multiple
+    day = ((t - (t % 86400000000)) / 86400000000).cast("bigint")
     per_user = (
         ev.select("user_id", day.alias("day"))
         .groupBy("user_id")
@@ -1788,7 +1791,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-agg + join cascade would need three shuffles for).
     """
     ev = load(spark, sf_dir, "events")
-    tus = F.expr("ts DIV 1000")  # TIMESTAMP(NANOS)-as-BIGINT → micros
+    tus = _t_us("ts", ev)  # dtype-aware: nanos-as-BIGINT or TIMESTAMP → µs
     w = Window.partitionBy("user_id")
     staged = (
         ev.select("user_id", tus.alias("tus"), "event_type")
@@ -1866,7 +1869,7 @@ def q_viewers_not_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     cut_us = F.lit(1_706_400_000_000_000)  # ~2024-01-28: final fixture week
-    recent = ev.filter(F.expr("ts DIV 1000") >= cut_us)
+    recent = ev.filter(_t_us("ts", ev) >= cut_us)
     viewers = recent.filter(F.col("event_type") == "view").select("user_id")
     purchasers = recent.filter(
         F.col("event_type") == "purchase"
@@ -1936,9 +1939,10 @@ def q_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the window partitions by type over already-tiny dailies.
     """
     ev = load(spark, sf_dir, "events")
+    t = _t_us("ts", ev)
     day = F.date_add(
         F.lit(_EPOCH).cast("date"),
-        F.expr(f"CAST(ts DIV 1000 DIV {_US_PER_DAY} AS INT)"),
+        ((t - (t % _US_PER_DAY)) / _US_PER_DAY).cast("int"),
     )
     daily = (
         ev.select(
@@ -2035,7 +2039,7 @@ _RANGE_WIDTH_US = 3_600_000_000  # 1 hour
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click enriched with the user's latest at-or-before purchase."""
     evd = load(spark, sf_dir, "events")
-    t = F.expr("ts DIV 1000").alias("t_us")
+    t = _t_us("ts", evd).alias("t_us")
     left = evd.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", t, "value"
     )
@@ -2061,7 +2065,7 @@ def _sql_asof_enrich() -> str:
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per signup: views by the same user within the following hour."""
     evd = load(spark, sf_dir, "events")
-    t = F.expr("ts DIV 1000").alias("t_us")
+    t = _t_us("ts", evd).alias("t_us")
     left = evd.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", t
     )

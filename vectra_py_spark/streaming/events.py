@@ -44,12 +44,36 @@ MICROS_PER_HOUR = 3_600_000_000
 DEFAULT_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
-def event_time_col(ts_col: str = "ts"):
-    """BIGINT nanoseconds (nanosAsLong read) → epoch microseconds.
+def event_time_col(ts_col: str = "ts", df: DataFrame | None = None):
+    """Event time → epoch microseconds, for either physical layout.
 
-    Integer ``DIV``, not ``floor(x/1000)``: float division would round a
-    19-digit nanosecond count (doubles carry ~15.9 digits) and drift ±1µs.
+    The fixture ``events.ts`` has shipped as both TIMESTAMP(NANOS)
+    read as BIGINT (nanosAsLong) and as ``timestamp[us]`` read as
+    TIMESTAMP_NTZ; branch on the actual dtype when a frame is given.
+    For the BIGINT layout use integer ``DIV``, not ``floor(x/1000)``:
+    float division would round a 19-digit nanosecond count (doubles
+    carry ~15.9 digits) and drift ±1µs. For the timestamp layout,
+    ``unix_micros`` after a cast to TIMESTAMP is exact (session tz is
+    pinned to UTC, so NTZ-naive == DuckDB ``epoch_us``).
     """
+    if df is not None:
+        dtype = dict(df.dtypes).get(ts_col, "bigint")
+        if dtype == "timestamp_ntz":
+            # naive-as-UTC via wall-clock decomposition. Any route
+            # through an NTZ→TIMESTAMP cast (even inside
+            # to_utc_timestamp) re-interprets the wall time in the
+            # SESSION timezone, and the driver runs a vanilla session
+            # that may not pin UTC. date/extract on NTZ are tz-free,
+            # and extract(SECOND) is a decimal carrying the micros.
+            return F.expr(
+                f"cast(unix_date(cast({ts_col} as date)) as bigint)"
+                f"   * 86400000000"
+                f" + cast(extract(hour from {ts_col}) as bigint) * 3600000000"
+                f" + cast(extract(minute from {ts_col}) as bigint) * 60000000"
+                f" + cast(extract(second from {ts_col}) * 1000000 as bigint)"
+            )
+        if dtype.startswith("timestamp"):
+            return F.unix_micros(F.col(ts_col))
     return F.expr(f"{ts_col} DIV 1000")
 
 
@@ -62,11 +86,9 @@ def windowed_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Events per (tumbling window, event_type) with value sums."""
-    bucket = (
-        (F.expr(f"({ts_col} DIV 1000) DIV {window_us}") * window_us)
-        .cast("bigint")
-        .alias("window_start_us")
-    )
+    t = event_time_col(ts_col, df)
+    # t - t % w == (t DIV w) * w in pure integer arithmetic (no float hop)
+    bucket = (t - (t % window_us)).cast("bigint").alias("window_start_us")
     return (
         df.groupBy(bucket, "event_type")
         .agg(
@@ -110,7 +132,7 @@ def sessionize(
     exceeds ``gap_us``. Streaming twin: ``F.session_window(ts, gap)``
     with a watermark; this batch formulation is the oracle.
     """
-    t = event_time_col(ts_col)
+    t = event_time_col(ts_col, df)
     w = Window.partitionBy(user_col).orderBy(t)
     gap_flag = (
         F.when(t - F.lag(t).over(w) > gap_us, 1)
