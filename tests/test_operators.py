@@ -465,3 +465,47 @@ def test_minhash_of_text_matches_distributed_signatures(docs):
     }
     for doc_id, text in DOCS:
         assert dd.minhash_of_text(text) == sigs[doc_id]
+
+
+def test_semantic_dedup_prunes_planted_neardup(vecs):
+    # one centroid per quadrant-ish: all 4 vectors share dim=4 cells from
+    # seeded centroids; with τ=0.9 only (1,2) are neighbors → 2 dropped
+    out = sim.semantic_dedup(
+        vecs, threshold=0.9, n_cells=2, dim=4, extra_cols=()
+    ).collect()
+    kept = {r.vec_id for r in out}
+    assert 1 in kept and 2 not in kept          # min-id survivor rule
+    assert {3, 4} <= kept                        # non-dups survive
+    # survivors keep their cell assignment
+    assert all(r.cell is not None for r in out)
+
+
+def test_semantic_dedup_same_cell_only(spark):
+    # a near-dup pair forced into DIFFERENT cells must both survive;
+    # hand centroids pin the assignment (dot-product argmax, so a
+    # non-unit centroid can capture one vector deterministically)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.97, 0.1])], ["vec_id", "embedding"]
+    )
+    same = sim.semantic_dedup(
+        df, threshold=0.5, centroids=[[1.0, 0.0], [0.0, 1.0]],
+        extra_cols=(),
+    ).collect()
+    assert {r.vec_id for r in same} == {1}      # same cell ⇒ 2 pruned
+    split = sim.semantic_dedup(
+        df, threshold=0.5, centroids=[[1.0, 0.0], [0.0, 20.0]],
+        extra_cols=(),
+    ).collect()
+    # v2: dot [0,20] = 2.0 > 0.97 ⇒ cell 1, away from v1 ⇒ no prune
+    assert {r.vec_id for r in split} == {1, 2}
+
+
+def test_cell_assignment_expr_is_shuffle_free(vecs):
+    cents = sim.seeded_centroids(4, 4)
+    plan = (
+        vecs.withColumn("cell", sim.cell_assignment_expr(cents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

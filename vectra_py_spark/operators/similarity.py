@@ -63,6 +63,9 @@ __all__ = [
     "lsh_similarity_join_sql",
     "group_centroids",
     "group_centroids_sql",
+    "cell_assignment_expr",
+    "semantic_dedup",
+    "semantic_dedup_sql",
 ]
 
 _DP = 6
@@ -956,4 +959,135 @@ def group_centroids_sql(
         )
         GROUP BY {group_col}, pos
         ORDER BY {group_col}, pos
+    """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic near-duplicate pruning
+# ---------------------------------------------------------------------------
+def cell_assignment_expr(
+    centroids: list[list[float]], vector_col: str = "embedding"
+):
+    """Nearest-centroid cell id as a pure projection (no shuffle).
+
+    ``array_max`` over ``struct(dot, -cid)`` implements
+    ``argmax(dot) BREAK TIES BY min(cid)`` entirely inside whole-stage
+    codegen — unlike the explode + window formulation in
+    :func:`ivf_topk`, nothing leaves the row. With C centroids this is
+    C literal dot products per row; centroids travel as literals, so
+    Catalyst constant-folds the vectors into the generated code.
+    """
+    candidates = [
+        F.struct(
+            dot(F.col(vector_col), vector_literal(c)).alias("d"),
+            F.lit(-cid).alias("ncid"),
+        )
+        for cid, c in enumerate(centroids)
+    ]
+    return (-F.array_max(F.array(*candidates)).getField("ncid")).cast("int")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.85,
+    n_cells: int = 8,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = ("label",),
+    centroids: list[list[float]] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: survivors after within-cell
+    cosine pruning (Abbas et al. 2023, arXiv:2303.09540).
+
+    Every vector is assigned to its nearest centroid cell; a row is
+    dropped iff some SAME-CELL row with a smaller id has cosine ≥
+    ``threshold`` to it. Deterministic (min-id survivor per
+    neighborhood) and SQL-expressible, which is what the oracle checks.
+
+    100 TB design: the cell assignment is a shuffle-free projection
+    (:func:`cell_assignment_expr`); the only exchange is the equi-join
+    on ``cell``, so the quadratic term is bounded by the largest cell
+    (cells ≈ N/C; split hot cells by raising ``n_cells`` — in
+    production pass :func:`kmeans_centroids` output). The prune join
+    carries (cell, id, vector) only, and survivors come back via a
+    LEFT ANTI join on ids. No reference analog (the reference has no
+    dedup at all, `/root/reference/README.md:4-15`) — north-star op.
+    """
+    if centroids is None:
+        if dim is None:
+            dim = df.select(F.size(vector_col)).first()[0]
+        centroids = seeded_centroids(dim, n_cells, seed)
+    withc = df.withColumn("cell", cell_assignment_expr(centroids, vector_col))
+    a = withc.select(
+        F.col("cell").alias("ca"),
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("va"),
+    )
+    b = withc.select(
+        F.col("cell").alias("cb"),
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("vb"),
+    )
+    na = F.sqrt(dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(dot(F.col("vb"), F.col("vb")))
+    cos = dot(F.col("va"), F.col("vb")) / (na * nb)
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(cos, _DP) >= threshold)
+        .select(F.col("id_b").alias("did"))
+        .distinct()
+    )
+    return (
+        withc.join(dropped, withc[id_col] == dropped["did"], "left_anti")
+        .select(id_col, "cell", *extra_cols)
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.85, n_cells: int = 8, seed: int = 4321,
+    table: str = "embeddings", id_col: str = "vec_id",
+    vector_col: str = "embedding", extra_cols: str = "label", dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same centroids and ties)."""
+    cents = seeded_centroids(dim, n_cells, seed)
+    v = f"{vector_col}::DOUBLE[]"
+    dot_union = "\n            UNION ALL\n".join(
+        f"            SELECT {id_col} AS vid, {cid} AS cid, "
+        f"list_dot_product({v}, {_plane_lit_sql(c)}) AS d FROM {table}"
+        for cid, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * "
+        "sqrt(list_dot_product(b.vec, b.vec)))"
+    )
+    extra = f", {extra_cols}" if extra_cols else ""
+    return f"""
+        WITH dots AS (
+{dot_union}
+        ),
+        cells AS (
+            SELECT DISTINCT vid,
+                   first_value(cid) OVER
+                       (PARTITION BY vid ORDER BY d DESC, cid ASC) AS cell
+            FROM dots
+        ),
+        v AS (
+            SELECT t.{id_col}, t.{vector_col}::DOUBLE[] AS vec,
+                   cells.cell{extra}
+            FROM {table} t JOIN cells ON t.{id_col} = cells.vid
+        ),
+        dropped AS (
+            SELECT DISTINCT b.{id_col} AS did
+            FROM v a JOIN v b
+              ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+            WHERE ROUND({cos}, {_DP}) >= {threshold}
+        )
+        SELECT {id_col}, cell{extra}
+        FROM v LEFT JOIN dropped ON {id_col} = did
+        WHERE did IS NULL
+        ORDER BY {id_col}
     """

@@ -701,6 +701,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: nearest-centroid cells bound the quadratic
+    prune; a row drops iff a smaller-id same-cell row has cosine ≥ τ."""
+    return sim.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=_COSINE_T, dim=64
+    )
+
+
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_similarity_join(
         load(spark, sf_dir, "embeddings"),
@@ -2230,6 +2238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequences": q_packed_sequences,
     "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2310,6 +2319,7 @@ ORACLES: dict[str, str] = {
     "source_quota": sp.source_quota_sql(cap=15),
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
+    "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
