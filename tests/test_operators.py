@@ -509,3 +509,32 @@ def test_cell_assignment_expr_is_shuffle_free(vecs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_unigram_lm_flags_gibberish(spark):
+    from vectra_py_spark.operators.text_analysis import unigram_lm_score
+
+    common = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((9, "zxqv jkwpf qmzt vvrx plonk"))  # out-of-distribution
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.xent for r in unigram_lm_score(df).collect()}
+    assert len(out) == 9
+    # the gibberish doc diverges hardest from the corpus LM
+    assert out[9] == max(out.values())
+    assert out[1] == pytest.approx(out[8])  # identical docs tie
+
+
+def test_unigram_lm_model_reenters_broadcast(spark):
+    from vectra_py_spark.operators.text_analysis import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    plan = (
+        unigram_lm_score(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # vocab freqs and the 1-row total must come back as broadcasts —
+    # the corpus-sized token stream is never shuffled on token
+    assert plan.count("BroadcastExchange") >= 2, plan

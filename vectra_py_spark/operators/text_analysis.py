@@ -41,6 +41,8 @@ __all__ = [
     "is_repetitive_col",
     "ngram_diversity",
     "ngram_diversity_sql",
+    "unigram_lm_score",
+    "unigram_lm_score_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -540,4 +542,74 @@ def ngram_diversity_sql(
                ROUND(count(DISTINCT shingle) * 1.0 / count(*), 6)
                    AS diversity
         FROM sh GROUP BY source ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy quality score (CCNet-style)
+# ---------------------------------------------------------------------------
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN unigram LM —
+    the language-model quality filter of CCNet (Wenzek et al. 2020)
+    with the corpus itself as the reference model: documents whose
+    token distribution diverges from the corpus (gibberish, boilerplate
+    floods, wrong-language shards) score HIGH and can be cut at a
+    quantile.
+
+    ``xent(doc) = -avg_w log2(count(w) / total_tokens)`` over the
+    doc's tokens. Docs with no qualifying tokens are omitted (same in
+    the twin).
+
+    100 TB design: two passes over the token stream, both map-side
+    combined — (1) the vocab count aggregate shuffles one row per
+    distinct token per partition (Zipf makes this vocabulary-sized),
+    (2) the per-doc aggregate shuffles (doc_id, partial sums) only.
+    The trained model (vocab freqs + 1-row total) re-enters via
+    broadcast joins, so the corpus-sized token stream is never
+    shuffled on token. No driver action: the model stays a lazy
+    DataFrame, composable downstream of any filter.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("token"))
+        .filter((F.length("token") >= min_len) & (F.col("token") != ""))
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log2(F.col("n") / F.col("total"))), 6
+            ).alias("xent"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def unigram_lm_score_sql(
+    table: str = "documents", id_col: str = "doc_id",
+    text_expr: str = "text", min_len: int = 1,
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, token
+            FROM (SELECT {id_col}, unnest({w}) AS token FROM {table})
+            WHERE length(token) >= {min_len} AND token <> ''
+        ),
+        f AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        t AS (SELECT sum(n) AS total FROM f)
+        SELECT {id_col}, count(*) AS n_tokens,
+               ROUND(-avg(log2(n / total)), 6) AS xent
+        FROM toks JOIN f USING (token) CROSS JOIN t
+        GROUP BY {id_col}
+        ORDER BY {id_col}
     """

@@ -701,6 +701,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM cross-entropy: corpus trains the model,
+    every doc is scored against it (high xent = quality outlier)."""
+    return ta.unigram_lm_score(load(spark, sf_dir, "documents"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors: nearest-centroid cells bound the quadratic
     prune; a row drops iff a smaller-id same-cell row has cosine ≥ τ."""
@@ -2239,6 +2245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json_stats": q_props_json_stats,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "lm_quality": q_lm_quality,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2320,6 +2327,7 @@ ORACLES: dict[str, str] = {
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
+    "lm_quality": ta.unigram_lm_score_sql(),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
