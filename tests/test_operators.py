@@ -538,3 +538,25 @@ def test_unigram_lm_model_reenters_broadcast(spark):
     # vocab freqs and the 1-row total must come back as broadcasts —
     # the corpus-sized token stream is never shuffled on token
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_incremental_dedup_corpus_wins(spark):
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of corpus
+            (2, "totally different words entirely here"),  # fresh
+            (3, "totally different words entirely here"),  # dup of 2 in-batch
+        ],
+        ["doc_id", "text"],
+    )
+    out = dd.incremental_dedup(corpus, batch, radius=0).collect()
+    kept = {r.doc_id for r in out}
+    # 1 loses to corpus even though its id is smaller than the corpus id;
+    # 2 survives; 3 loses to the earlier in-batch doc 2
+    assert kept == {2}
+    # survivors carry their fingerprint for corpus-side appending
+    assert all(r.simhash16 is not None for r in out)

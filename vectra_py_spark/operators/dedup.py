@@ -51,6 +51,8 @@ __all__ = [
     "simhash_sql",
     "simhash_neardup",
     "simhash_neardup_sql",
+    "incremental_dedup",
+    "incremental_dedup_sql",
 ]
 
 DEFAULT_SHINGLE_K = 3
@@ -829,4 +831,138 @@ def simhash_sql(table: str = "documents", text_expr: str = "text") -> str:
         )
         SELECT doc_id, CAST({fp} AS BIGINT) AS simhash16
         FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    radius: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving BATCH documents after dedup against an existing corpus
+    — the steady-state ingest shape of a training-data pipeline (the
+    corpus is already deduped; only the delta needs checking).
+
+    A batch doc drops iff some document within simhash Hamming distance
+    ``radius`` exists (a) anywhere in the corpus — corpus always wins,
+    including same-id re-ingests — or (b) earlier in the batch
+    (smaller id). Exact duplicates are Hamming 0, so this subsumes the
+    exact pass. Survivors return with their fingerprint so the caller
+    can append (doc, fp) to the corpus-side fingerprint store and keep
+    the loop incremental.
+
+    100 TB design: same pigeonhole block-banding equi-join as
+    :func:`simhash_neardup` (ids + 8-byte fingerprints ride the
+    shuffle, never text). The corpus side needs only its FINGERPRINT
+    table — at steady state that is a materialized, block-partitioned
+    artifact (cf. :func:`minhash_write_index`), so each increment scans
+    fingerprints, not corpus text. Candidate volume is |batch|-driven,
+    not |corpus|²-driven.
+    """
+    n_blocks = radius + 1
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError(
+            f"radius+1 ({n_blocks}) must divide SIMHASH_BITS ({SIMHASH_BITS})"
+        )
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    tagged = corpus.select(
+        id_col, text_col, F.lit(0).alias("is_new")
+    ).unionByName(batch.select(id_col, text_col, F.lit(1).alias("is_new")))
+    fp = simhash(tagged, id_col=id_col, text_col=text_col).join(
+        tagged.select(id_col, "is_new"), id_col
+    )
+    blocks = fp.select(
+        id_col,
+        "simhash16",
+        "is_new",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_blocks)])
+        ).alias("block_idx"),
+    ).withColumn(
+        "block_val",
+        F.expr(f"shiftright(simhash16, {width} * block_idx) & {mask}"),
+    )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash16").alias("fp_a"),
+        F.col("is_new").alias("new_a"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash16").alias("fp_b"),
+        F.col("is_new").alias("new_b"),
+        "block_idx",
+        "block_val",
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    dropped = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(
+            (F.col("new_b") == 1)
+            & (
+                (F.col("new_a") == 0)
+                | ((F.col("new_a") == 1) & (F.col("id_a") < F.col("id_b")))
+            )
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select(F.col("id_b").alias("did"))
+        .distinct()
+    )
+    new_fp = fp.filter(F.col("is_new") == 1)
+    return (
+        new_fp.join(dropped, new_fp[id_col] == dropped["did"], "left_anti")
+        .select(id_col, "simhash16")
+        .orderBy(id_col)
+    )
+
+
+def incremental_dedup_sql(
+    new_pred: str,
+    radius: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`incremental_dedup` where corpus/batch are
+    the rows of ``table`` failing/passing ``new_pred``."""
+    n_blocks = radius + 1
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
+    return f"""
+        WITH fp0 AS ({simhash_sql(table, text_expr)}),
+        fp AS (
+            SELECT fp0.{id_col}, fp0.simhash16,
+                   CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new
+            FROM fp0 JOIN {table} t ON fp0.{id_col} = t.{id_col}
+        ),
+        blocks AS (
+            SELECT {id_col}, simhash16, is_new, b.block_idx,
+                   (simhash16 >> ({width} * b.block_idx)) & {mask} AS block_val
+            FROM fp, (SELECT unnest(range({n_blocks})) AS block_idx) b
+        ),
+        dropped AS (
+            SELECT DISTINCT b.{id_col} AS did
+            FROM blocks a
+            JOIN blocks b
+              ON a.block_idx = b.block_idx
+             AND a.block_val = b.block_val
+            WHERE b.is_new = 1
+              AND (a.is_new = 0
+                   OR (a.is_new = 1 AND a.{id_col} < b.{id_col}))
+              AND CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT)
+                  <= {radius}
+        )
+        SELECT {id_col}, simhash16
+        FROM fp LEFT JOIN dropped ON {id_col} = did
+        WHERE is_new = 1 AND did IS NULL
+        ORDER BY {id_col}
     """

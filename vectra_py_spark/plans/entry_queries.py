@@ -701,6 +701,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest dedup: every fifth doc arrives as the new
+    batch; the rest are the already-deduped corpus the batch checks
+    against (corpus wins, then min-id within the batch)."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.incremental_dedup(corpus, batch, radius=1)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM cross-entropy: corpus trains the model,
     every doc is scored against it (high xent = quality outlier)."""
@@ -2246,6 +2256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
     "lm_quality": q_lm_quality,
+    "incremental_dedup": q_incremental_dedup,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2328,6 +2339,9 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
     "lm_quality": ta.unigram_lm_score_sql(),
+    "incremental_dedup": dd.incremental_dedup_sql(
+        new_pred="fp0.doc_id % 5 = 0", radius=1
+    ),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
