@@ -560,3 +560,19 @@ def test_incremental_dedup_corpus_wins(spark):
     assert kept == {2}
     # survivors carry their fingerprint for corpus-side appending
     assert all(r.simhash16 is not None for r in out)
+
+
+def test_corpus_stats_counts_dups_and_langs(spark):
+    rows = [
+        (1, "same text", "en", "web"),
+        (2, "same text", "en", "web"),      # exact dup within source
+        (3, "other text here", "de", "web"),
+        (4, "unique per source", "en", "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {r.source: r for r in ta.corpus_stats(df).collect()}
+    assert out["web"].n_docs == 3
+    assert out["web"].n_dups == 1
+    assert out["web"].n_langs == 2
+    assert out["books"].n_docs == 1 and out["books"].n_dups == 0
+    assert out["web"].total_chars == len("same text") * 2 + len("other text here")

@@ -43,6 +43,8 @@ __all__ = [
     "ngram_diversity_sql",
     "unigram_lm_score",
     "unigram_lm_score_sql",
+    "corpus_stats",
+    "corpus_stats_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -612,4 +614,67 @@ def unigram_lm_score_sql(
         FROM toks JOIN f USING (token) CROSS JOIN t
         GROUP BY {id_col}
         ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus statistics (dataset-card aggregate)
+# ---------------------------------------------------------------------------
+def corpus_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-scan dataset card per source: volume, language spread, exact
+    duplicate count, and length distribution — the summary table every
+    training-data curation round starts and ends with.
+
+    100 TB design: single groupBy on source; all metrics are aggregate
+    expressions over one pass (no self-joins — duplicates are counted
+    as ``n_docs − count(DISTINCT md5(text))`` inside the same
+    aggregate). The two DISTINCT aggregates make Catalyst plan an
+    Expand (~2× rows into the exchange, still map-side combined); at
+    extreme scale swap ``approx_count_distinct`` (HLL) — no SQL oracle
+    for the sketch, hence the exact form here. Exact percentiles sort
+    per group; ``percentile_approx`` is the sketch path.
+    """
+    length = F.length(F.col(text_col))
+    n_words = F.size(words_col(text_col))
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))
+            ).alias("n_dups"),
+            F.countDistinct(F.col(lang_col)).alias("n_langs"),
+            F.sum(length).alias("total_chars"),
+            F.round(F.avg(n_words), 6).alias("avg_words"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.5)"), 6)
+            .alias("p50_chars"),
+            F.round(F.expr(f"percentile(length({text_col}), 0.9)"), 6)
+            .alias("p90_chars"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def corpus_stats_sql(
+    table: str = "documents", source_col: str = "source",
+    text_expr: str = "text", lang_col: str = "lang",
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        SELECT {source_col},
+               COUNT(*) AS n_docs,
+               COUNT(*) - COUNT(DISTINCT md5({text_expr})) AS n_dups,
+               COUNT(DISTINCT {lang_col}) AS n_langs,
+               SUM(length({text_expr})) AS total_chars,
+               ROUND(AVG(len({w})), 6) AS avg_words,
+               ROUND(quantile_cont(length({text_expr}), 0.5), 6) AS p50_chars,
+               ROUND(quantile_cont(length({text_expr}), 0.9), 6) AS p90_chars
+        FROM {table}
+        GROUP BY {source_col}
+        ORDER BY {source_col}
     """

@@ -701,6 +701,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card per source: volume, language spread, exact-dup
+    count, and length distribution in one scan."""
+    return ta.corpus_stats(load(spark, sf_dir, "documents"))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state ingest dedup: every fifth doc arrives as the new
     batch; the rest are the already-deduped corpus the batch checks
@@ -2257,6 +2263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "lm_quality": q_lm_quality,
     "incremental_dedup": q_incremental_dedup,
+    "corpus_stats": q_corpus_stats,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2342,6 +2349,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
+    "corpus_stats": ta.corpus_stats_sql(),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
