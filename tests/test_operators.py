@@ -576,3 +576,12 @@ def test_corpus_stats_counts_dups_and_langs(spark):
     assert out["web"].n_langs == 2
     assert out["books"].n_docs == 1 and out["books"].n_dups == 0
     assert out["web"].total_chars == len("same text") * 2 + len("other text here")
+
+
+def test_semantic_dedup_strategies_agree(vecs):
+    kw = dict(threshold=0.9, n_cells=2, dim=4, extra_cols=())
+    a = sorted(map(tuple, sim.semantic_dedup(vecs, **kw).collect()))
+    b = sorted(
+        map(tuple, sim.semantic_dedup(vecs, strategy="join", **kw).collect())
+    )
+    assert a == b and len(a) == 3

@@ -997,6 +997,7 @@ def semantic_dedup(
     extra_cols: Sequence[str] = ("label",),
     centroids: list[list[float]] | None = None,
     dim: int | None = None,
+    strategy: str = "matmul",
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: survivors after within-cell
     cosine pruning (Abbas et al. 2023, arXiv:2303.09540).
@@ -1006,12 +1007,20 @@ def semantic_dedup(
     ``threshold`` to it. Deterministic (min-id survivor per
     neighborhood) and SQL-expressible, which is what the oracle checks.
 
+    ``strategy="matmul"`` (default): one shuffle on cell
+    (``applyInPandas``), then a blocked unit-matrix BLAS product per
+    cell — each pair costs one fused multiply row, vs three 64-element
+    HOF aggregates per pair for the ``"join"`` formulation (measured
+    6.5× on the sf0.1 fixture). ``"join"``: the pure-Catalyst same-cell
+    equi-join — no Python, keeps survivors fully streaming; use it when
+    a hot cell would not fit one task's memory even blocked.
+
     100 TB design: the cell assignment is a shuffle-free projection
-    (:func:`cell_assignment_expr`); the only exchange is the equi-join
-    on ``cell``, so the quadratic term is bounded by the largest cell
-    (cells ≈ N/C; split hot cells by raising ``n_cells`` — in
-    production pass :func:`kmeans_centroids` output). The prune join
-    carries (cell, id, vector) only, and survivors come back via a
+    (:func:`cell_assignment_expr`); the only exchange is the hash
+    shuffle on ``cell``, so the quadratic term is bounded by the
+    largest cell (cells ≈ N/C; split hot cells by raising ``n_cells``
+    — in production pass :func:`kmeans_centroids` output). Only
+    (cell, id, vector) rides the shuffle; survivors come back via a
     LEFT ANTI join on ids. No reference analog (the reference has no
     dedup at all, `/root/reference/README.md:4-15`) — north-star op.
     """
@@ -1020,27 +1029,68 @@ def semantic_dedup(
             dim = df.select(F.size(vector_col)).first()[0]
         centroids = seeded_centroids(dim, n_cells, seed)
     withc = df.withColumn("cell", cell_assignment_expr(centroids, vector_col))
-    a = withc.select(
-        F.col("cell").alias("ca"),
-        F.col(id_col).alias("id_a"),
-        F.col(vector_col).alias("va"),
-    )
-    b = withc.select(
-        F.col("cell").alias("cb"),
-        F.col(id_col).alias("id_b"),
-        F.col(vector_col).alias("vb"),
-    )
-    na = F.sqrt(dot(F.col("va"), F.col("va")))
-    nb = F.sqrt(dot(F.col("vb"), F.col("vb")))
-    cos = dot(F.col("va"), F.col("vb")) / (na * nb)
-    dropped = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .filter(F.round(cos, _DP) >= threshold)
-        .select(F.col("id_b").alias("did"))
-        .distinct()
-    )
+
+    if strategy == "matmul":
+        def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__id").reset_index(drop=True)
+            ids = pdf["__id"].to_numpy()
+            M = np.array(list(pdf["__vec"]), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            U = M / nrm[:, None]
+            m = len(ids)
+            dropped = np.zeros(m, dtype=bool)
+            step = max(1, 4_000_000 // max(m, 1))
+            cols = np.arange(m)
+            for s in range(0, m, step):
+                e = min(s + step, m)
+                sim = np.round(U[s:e] @ U.T, _DP)  # block rows = droppees
+                # earlier neighbor: any column j < row index with sim≥τ
+                earlier = cols[None, :] < np.arange(s, e)[:, None]
+                dropped[s:e] = ((sim >= threshold) & earlier).any(axis=1)
+            return pd.DataFrame({"did": ids[dropped]})
+
+        id_type = withc.schema[id_col].dataType.simpleString()
+        dropped_df = (
+            withc.select(
+                F.col("cell"),
+                F.col(id_col).alias("__id"),
+                F.col(vector_col).alias("__vec"),
+            )
+            .groupBy("cell")
+            .applyInPandas(prune, schema=f"did {id_type}")
+        )
+    else:
+        # norms once per row BEFORE the pair join (not per pair)
+        slim = withc.select(
+            "cell",
+            F.col(id_col).alias("__id"),
+            F.col(vector_col).alias("__vec"),
+            F.sqrt(dot(F.col(vector_col), F.col(vector_col))).alias("__nrm"),
+        )
+        a = slim.select(
+            F.col("cell").alias("ca"),
+            F.col("__id").alias("id_a"),
+            F.col("__vec").alias("va"),
+            F.col("__nrm").alias("na"),
+        )
+        b = slim.select(
+            F.col("cell").alias("cb"),
+            F.col("__id").alias("id_b"),
+            F.col("__vec").alias("vb"),
+            F.col("__nrm").alias("nb"),
+        )
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        dropped_df = (
+            a.join(
+                b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+            )
+            .filter(F.round(cos, _DP) >= threshold)
+            .select(F.col("id_b").alias("did"))
+            .distinct()
+        )
     return (
-        withc.join(dropped, withc[id_col] == dropped["did"], "left_anti")
+        withc.join(dropped_df, withc[id_col] == dropped_df["did"], "left_anti")
         .select(id_col, "cell", *extra_cols)
         .orderBy(id_col)
     )
