@@ -90,3 +90,29 @@ def test_float_input_cast(spark):
     # float32-stored values, double math
     expect = math.sqrt(sum(float(np.float32(x)) ** 2 for x in [0.1, 0.2, 0.3]))
     assert got == pytest.approx(expect, rel=1e-9)
+
+
+def test_project_expr_matches_numpy(spark):
+    import numpy as np
+
+    from vectra_py_spark.functions.vector import project_expr
+    from vectra_py_spark.operators.similarity import seeded_hyperplanes
+
+    vec = [float(i) / 7.0 for i in range(16)]
+    planes = seeded_hyperplanes(16, 4)
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    [row] = df.select(project_expr(planes, "embedding").alias("p")).collect()
+    want = np.round(np.array(planes) @ np.array(vec), 6)
+    assert row.p == [float(x) for x in want]
+
+
+def test_project_expr_is_shuffle_free(spark):
+    from vectra_py_spark.functions.vector import project_expr
+    from vectra_py_spark.operators.similarity import seeded_hyperplanes
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], ["vec_id", "embedding"])
+    plan = (
+        df.select(project_expr(seeded_hyperplanes(8, 2), "embedding"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

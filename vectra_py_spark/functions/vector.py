@@ -33,6 +33,7 @@ __all__ = [
     "cosine_similarity",
     "normalized_cosine",
     "cosine_to_query",
+    "project_expr",
 ]
 
 
@@ -125,3 +126,23 @@ def cosine_to_query_sql(vector_expr: str, query: Sequence[float]) -> str:
     d = dot_sql(vector_expr, q)
     n = f"sqrt(list_dot_product({vector_expr}::DOUBLE[], {vector_expr}::DOUBLE[]))"
     return f"({d} / ({n} * {q_norm!r}))"
+
+
+def project_expr(
+    planes: "list[list[float]]", vector_col: str = "embedding", dp: int = 6
+) -> Column:
+    """Project a vector onto literal planes: k rounded dot products as
+    an array column — random-projection dimensionality reduction
+    (Johnson–Lindenstrauss) as a pure shuffle-free projection. Planes
+    come from :func:`vectra_py_spark.operators.similarity.seeded_hyperplanes`
+    (or a trained PCA basis at production scale); either way they are
+    plan literals, so Catalyst constant-folds them into codegen.
+    """
+    # + 0.0 collapses IEEE −0.0 to +0.0 (cross-engine hash parity)
+    return F.array(
+        *[
+            F.round(dot(F.col(vector_col), vector_literal(p)), dp)
+            + F.lit(0.0)
+            for p in planes
+        ]
+    )

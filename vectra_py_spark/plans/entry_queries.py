@@ -701,6 +701,68 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_DIMS = 8
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64d → 8d as a pure
+    shuffle-free codegen projection (seeded planes shared with the LSH
+    family). The cheap-ANN / sketching front half of an embedding
+    pipeline."""
+    from vectra_py_spark.functions.vector import project_expr
+
+    planes = sim.seeded_hyperplanes(64, _RP_DIMS)
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", project_expr(planes, "embedding").alias("proj")
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_random_projection() -> str:
+    planes = sim.seeded_hyperplanes(64, _RP_DIMS)
+    comps = ", ".join(
+        "ROUND(list_dot_product(embedding::DOUBLE[], "
+        f"{sim._plane_lit_sql(p)}), 6) + 0.0"
+        for p in planes
+    )
+    return f"""
+        SELECT vec_id, [{comps}] AS proj
+        FROM embeddings ORDER BY vec_id
+    """
+
+
+def q_lm_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quantile corpus cut: keep documents at or below the
+    corpus's 90th-percentile unigram-LM cross-entropy (drop the worst
+    decile). The threshold is a 1-row broadcast aggregate over the
+    scored corpus — composition stays one pipeline, no driver action."""
+    scores = ta.unigram_lm_score(load(spark, sf_dir, "documents"))
+    thr = scores.agg(
+        F.expr("percentile(xent, 0.9)").alias("thr")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("xent") <= F.col("thr"))
+        .select("doc_id", "n_tokens", "xent")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lm_quality_cut() -> str:
+    inner = ta.unigram_lm_score_sql()
+    return f"""
+        WITH scores AS ({inner}),
+        t AS (SELECT quantile_cont(xent, 0.9) AS thr FROM scores)
+        SELECT doc_id, n_tokens, xent
+        FROM scores CROSS JOIN t
+        WHERE xent <= thr
+        ORDER BY doc_id
+    """
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card per source: volume, language spread, exact-dup
     count, and length distribution in one scan."""
@@ -2264,6 +2326,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality": q_lm_quality,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
+    "random_projection": q_random_projection,
+    "lm_quality_cut": q_lm_quality_cut,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2350,6 +2414,8 @@ ORACLES: dict[str, str] = {
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
     "corpus_stats": ta.corpus_stats_sql(),
+    "random_projection": _sql_random_projection(),
+    "lm_quality_cut": _sql_lm_quality_cut(),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
