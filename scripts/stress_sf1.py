@@ -62,6 +62,14 @@ STRESS_QUERIES = [
     "clean_corpus",
     "minhash_probe",
     "label_centroids",
+    # round-2 continuation: cell-bounded semantic dedup, incremental
+    # batch-vs-corpus dedup, LM scorer + quantile cut, stats card, JL
+    "semantic_dedup",
+    "incremental_dedup",
+    "lm_quality",
+    "lm_quality_cut",
+    "corpus_stats",
+    "random_projection",
 ]
 
 
