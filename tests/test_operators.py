@@ -585,3 +585,43 @@ def test_semantic_dedup_strategies_agree(vecs):
         map(tuple, sim.semantic_dedup(vecs, strategy="join", **kw).collect())
     )
     assert a == b and len(a) == 3
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    # "ab" ×3 docs + "abc" ×1 → pair (a,b) weight 4, (b,c) weight 1;
+    # single-char and empty words contribute nothing
+    rows = [(1, "ab ab x"), (2, "ab abc"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.l, r.r): r.n for r in ta.bpe_pair_counts(df, k=10).collect()}
+    assert out[("a", "b")] == 4
+    assert out[("b", "c")] == 1
+    assert ("x", "x") not in out
+
+
+def test_cross_source_dups_pairs(spark):
+    rows = [
+        (1, "shared", "web"),
+        (2, "shared", "books"),
+        (3, "shared", "wiki"),
+        (4, "web only", "web"),
+        (5, "shared", "web"),  # same text+source again: DISTINCT collapses
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r.shared_texts
+           for r in ta.cross_source_dups(df).collect()}
+    assert out == {("books", "web"): 1, ("books", "wiki"): 1,
+                   ("web", "wiki"): 1}
+
+
+def test_length_bucketed_batches_padding(spark):
+    from vectra_py_spark.operators.packing import length_bucketed_batches
+
+    # width 4, batch 2: docs of 2,3 tokens → bucket 1; 5 tokens → bucket 2
+    rows = [(1, "a b"), (2, "a b c"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.bucket, r.batch_id): r
+           for r in length_bucketed_batches(df, 4, 2).collect()}
+    b1 = out[(1, 0)]
+    assert b1.n_docs == 2 and b1.max_tokens == 3 and b1.total_tokens == 5
+    assert b1.pad_frac == pytest.approx(1 - 5 / 6, abs=1e-6)
+    assert out[(2, 0)].pad_frac == 0.0

@@ -25,10 +25,10 @@ same gating as the splitter pipeline.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "length_bucketed_batches", "length_bucketed_batches_sql"]
 
 PACKED_SCHEMA = (
     "grp string, doc_id bigint, n_tokens int, n_used int, "
@@ -86,3 +86,93 @@ def pack_sequences(
         .applyInPandas(pack, schema=PACKED_SCHEMA)
         .orderBy("grp", "seq_id", "offset")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-batch padding efficiency of length-bucketed inference
+    batching: docs group into token-length buckets, each bucket splits
+    into fixed-size batches in id order, and every batch reports how
+    much compute padding-to-max wastes. The standard serving-side
+    answer to "sort by length or burn FLOPs on pad tokens".
+
+    Output: (bucket, batch_id, n_docs, max_tokens, total_tokens,
+    pad_frac) — ``pad_frac = 1 − total/(n_docs·max)``.
+
+    100 TB design: token counts are a narrow projection; the only
+    exchange is the hash shuffle on bucket for the ``row_number``
+    window, and batches aggregate in place (the window and the groupBy
+    share the bucket partitioning, so Catalyst reuses one Exchange).
+    Bucket count is bounded by max_len/width — no skew surprise: a hot
+    bucket is just a longer partition, and the window is O(n) in it.
+    """
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        )
+    )
+    bucket = (
+        ((n_tokens + F.lit(bucket_width - 1)) / bucket_width)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    staged = (
+        df.select(F.col(id_col), n_tokens.alias("n_tokens"), bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+        )
+    )
+    return (
+        staged.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                6,
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+def length_bucketed_batches_sql(
+    bucket_width: int = 64, batch_size: int = 8, table: str = "documents",
+    id_col: str = "doc_id", text_expr: str = "text",
+) -> str:
+    n = (
+        rf"len(list_filter(string_split_regex(lower({text_expr}), '\s+'),"
+        rf" x -> x <> ''))"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT {id_col}, {n} AS n_tokens,
+                   CAST(ceil({n} * 1.0 / {bucket_width}) AS BIGINT) AS bucket
+            FROM {table}
+        ),
+        batched AS (
+            SELECT *,
+                   CAST(floor((ROW_NUMBER() OVER
+                       (PARTITION BY bucket ORDER BY {id_col}) - 1)
+                       * 1.0 / {batch_size}) AS BIGINT) AS batch_id
+            FROM staged
+        )
+        SELECT bucket, batch_id, COUNT(*) AS n_docs,
+               MAX(n_tokens) AS max_tokens,
+               SUM(n_tokens) AS total_tokens,
+               ROUND(1.0 - SUM(n_tokens) * 1.0
+                     / (COUNT(*) * MAX(n_tokens)), 6) AS pad_frac
+        FROM batched
+        GROUP BY bucket, batch_id
+        ORDER BY bucket, batch_id
+    """

@@ -45,6 +45,10 @@ __all__ = [
     "unigram_lm_score_sql",
     "corpus_stats",
     "corpus_stats_sql",
+    "bpe_pair_counts",
+    "bpe_pair_counts_sql",
+    "cross_source_dups",
+    "cross_source_dups_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -677,4 +681,120 @@ def corpus_stats_sql(
         FROM {table}
         GROUP BY {source_col}
         ORDER BY {source_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (one distributed tokenizer-training round)
+# ---------------------------------------------------------------------------
+def bpe_pair_counts(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts — the inner statistic
+    of BPE tokenizer training (Sennrich et al. 2016): the top pair is
+    the next merge. One round over the character alphabet here; after a
+    merge the same query re-runs over re-segmented words.
+
+    100 TB design: the classic BPE trick — count pairs over the
+    DISTINCT-WORD vocabulary weighted by word frequency, never over the
+    corpus stream. The corpus-sized explode collapses into the
+    map-side-combined word count first (vocabulary-sized exchange); the
+    pair explode then touches ~|V|·avg_len rows, and the final pair sum
+    is alphabet²-sized. Top-k is ``TakeOrderedAndProject``.
+    """
+    freq = (
+        df.select(F.explode(words_col(text_col)).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS l,"
+                "             substring(word, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+        "freq",
+    )
+    return (
+        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(
+    k: int = 20, table: str = "documents", text_expr: str = "text"
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH f AS (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest({w}) AS word FROM {table})
+            WHERE word <> '' AND length(word) >= 2
+            GROUP BY word
+        ),
+        p AS (
+            SELECT substring(word, i, 1) AS l,
+                   substring(word, i + 1, 1) AS r,
+                   freq
+            FROM f, LATERAL unnest(range(1, length(word))) AS t(i)
+        )
+        SELECT l, r, SUM(freq) AS n
+        FROM p GROUP BY l, r
+        ORDER BY n DESC, l, r
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate flows
+# ---------------------------------------------------------------------------
+def cross_source_dups(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Which sources copy which: per unordered source pair, the number
+    of distinct texts present in BOTH — the mirror/syndication map that
+    tells a curation pipeline where its duplicate mass comes from.
+
+    100 TB design: texts collapse to (md5, source) DISTINCT first (one
+    map-side-combined exchange on the hash — 16 bytes a row, never
+    text); the self-equi-join on hash then fans out only within each
+    hash's source set (bounded by |sources|, not corpus), and the pair
+    aggregate is |sources|²-sized.
+    """
+    h = (
+        df.select(
+            F.md5(F.col(text_col)).alias("h"),
+            F.col(source_col).alias("source"),
+        )
+        .distinct()
+    )
+    a = h.select(F.col("h"), F.col("source").alias("src_a"))
+    b = h.select(F.col("h").alias("hb"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, (a["h"] == b["hb"]) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_texts"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def cross_source_dups_sql(
+    table: str = "documents", source_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT md5({text_expr}) AS h, {source_col} AS source
+            FROM {table}
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS shared_texts
+        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """

@@ -701,6 +701,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE-training round: corpus-weighted adjacent
+    symbol pair counts over the distinct-word vocabulary."""
+    return ta.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/syndication map: distinct texts shared per source pair."""
+    return ta.cross_source_dups(load(spark, sf_dir, "documents"))
+
+
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batches with per-batch padding waste."""
+    return pk.length_bucketed_batches(load(spark, sf_dir, "documents"))
+
+
 _RP_DIMS = 8
 
 
@@ -2328,6 +2344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
     "lm_quality_cut": q_lm_quality_cut,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "cross_source_dups": q_cross_source_dups,
+    "padding_efficiency": q_padding_efficiency,
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
@@ -2416,6 +2435,9 @@ ORACLES: dict[str, str] = {
     "corpus_stats": ta.corpus_stats_sql(),
     "random_projection": _sql_random_projection(),
     "lm_quality_cut": _sql_lm_quality_cut(),
+    "bpe_pair_counts": ta.bpe_pair_counts_sql(),
+    "cross_source_dups": ta.cross_source_dups_sql(),
+    "padding_efficiency": pk.length_bucketed_batches_sql(),
     "lsh_neardup": sim.lsh_similarity_join_sql(
         threshold=_COSINE_T, bits_per_table=_LSH_BITS,
         n_tables=_LSH_TABLES, seed=_LSH_SEED,
