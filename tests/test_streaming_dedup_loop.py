@@ -1,0 +1,58 @@
+"""Streaming near-dup ingest loop (foreachBatch + fingerprint store):
+cross-batch dedup must flow through the persisted store, not session
+state — a second drop into the source directory must dedup against
+batch 1's survivors after the first run already stopped."""
+
+from __future__ import annotations
+
+import pytest
+
+from vectra_py_spark.streaming.incremental_dedup import (
+    stream_neardup_dedup,
+)
+
+
+def _run_drop(spark, src, store, out, ckpt, rows):
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = stream_neardup_dedup(
+        stream, store_path=store, out_path=out, checkpoint_dir=ckpt, radius=0
+    )
+    q.awaitTermination(120)
+
+
+@pytest.mark.usefixtures("spark")
+def test_cross_batch_dedup_via_store(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _run_drop(
+        spark, src, store, out, ckpt,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # in-batch dup of 1
+            (3, "completely different text"),
+        ],
+    )
+    kept1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept1 == {1, 3}
+
+    # second drop, new streaming run (AvailableNow drained + stopped):
+    # 4 duplicates batch-1 survivor 1 → dropped via the STORE;
+    # 5 is fresh → survives
+    _run_drop(
+        spark, src, store, out, ckpt,
+        [
+            (4, "alpha beta gamma delta"),
+            (5, "brand new words entirely"),
+        ],
+    )
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept2 == {1, 3, 5}
+    # the store now carries every survivor's fingerprint
+    store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert store_ids == {1, 3, 5}

@@ -52,6 +52,7 @@ __all__ = [
     "simhash_neardup",
     "simhash_neardup_sql",
     "incremental_dedup",
+    "incremental_dedup_against_store",
     "incremental_dedup_sql",
 ]
 
@@ -854,16 +855,34 @@ def incremental_dedup(
     (smaller id). Exact duplicates are Hamming 0, so this subsumes the
     exact pass. Survivors return with their fingerprint so the caller
     can append (doc, fp) to the corpus-side fingerprint store and keep
-    the loop incremental.
+    the loop incremental (:mod:`vectra_py_spark.streaming.incremental_dedup`
+    is that loop).
 
     100 TB design: same pigeonhole block-banding equi-join as
     :func:`simhash_neardup` (ids + 8-byte fingerprints ride the
     shuffle, never text). The corpus side needs only its FINGERPRINT
     table — at steady state that is a materialized, block-partitioned
     artifact (cf. :func:`minhash_write_index`), so each increment scans
-    fingerprints, not corpus text. Candidate volume is |batch|-driven,
-    not |corpus|²-driven.
+    fingerprints, not corpus text (:func:`incremental_dedup_against_store`
+    is that entry point). Candidate volume is |batch|-driven, not
+    |corpus|²-driven.
     """
+    store = simhash(corpus, id_col=id_col, text_col=text_col)
+    return incremental_dedup_against_store(
+        store, batch, radius=radius, id_col=id_col, text_col=text_col
+    ).orderBy(id_col)
+
+
+def incremental_dedup_against_store(
+    store: DataFrame,
+    batch: DataFrame,
+    radius: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Like :func:`incremental_dedup` but the corpus side arrives as an
+    already-materialized (id, simhash16) fingerprint store — the shape
+    every batch of the streaming loop uses (no historical text scan)."""
     n_blocks = radius + 1
     if SIMHASH_BITS % n_blocks:
         raise ValueError(
@@ -871,12 +890,10 @@ def incremental_dedup(
         )
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
-    tagged = corpus.select(
-        id_col, text_col, F.lit(0).alias("is_new")
-    ).unionByName(batch.select(id_col, text_col, F.lit(1).alias("is_new")))
-    fp = simhash(tagged, id_col=id_col, text_col=text_col).join(
-        tagged.select(id_col, "is_new"), id_col
-    )
+    batch_fp = simhash(batch, id_col=id_col, text_col=text_col)
+    fp = store.select(
+        F.col(id_col), F.col("simhash16"), F.lit(0).alias("is_new")
+    ).unionByName(batch_fp.withColumn("is_new", F.lit(1)))
     blocks = fp.select(
         id_col,
         "simhash16",
@@ -917,11 +934,9 @@ def incremental_dedup(
         .select(F.col("id_b").alias("did"))
         .distinct()
     )
-    new_fp = fp.filter(F.col("is_new") == 1)
     return (
-        new_fp.join(dropped, new_fp[id_col] == dropped["did"], "left_anti")
+        batch_fp.join(dropped, batch_fp[id_col] == dropped["did"], "left_anti")
         .select(id_col, "simhash16")
-        .orderBy(id_col)
     )
 
 
