@@ -59,3 +59,30 @@ def test_epoch_mix_is_deterministic_and_subset_stable(spark):
     )
     full_first50 = [t for t in a if t[0] in {r[0] for r in sub}]
     assert sorted(full_first50) == sub
+
+
+def test_temperature_mix_rebalances_toward_small_strata(spark):
+    from vectra_py_spark.operators.mixing import temperature_mix
+
+    # 900 en vs 100 zh; α=0.5 → w_en ∝ 30, w_zh ∝ 10 → zh upsamples
+    # (epochs 2.5) and en downsamples (epochs 5/6)
+    rows = [(i, "en") for i in range(900)] + [
+        (i, "zh") for i in range(900, 1000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(df).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    assert 2.3 * 100 <= got["zh"] <= 2.7 * 100       # ≈ 2.5 epochs
+    assert 0.75 * 900 <= got["en"] <= 0.92 * 900     # ≈ 5/6 epochs
+    # total corpus size approximately preserved
+    assert abs(sum(got.values()) - 1000) <= 60
+
+
+def test_temperature_mix_is_deterministic(spark):
+    from vectra_py_spark.operators.mixing import temperature_mix
+
+    rows = [(i, ["en", "zh"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    a = sorted(map(tuple, temperature_mix(df).collect()))
+    b = sorted(map(tuple, temperature_mix(df).collect()))
+    assert a == b

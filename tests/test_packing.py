@@ -70,3 +70,36 @@ def test_deterministic_and_scales_on_fixture(spark):
     used = sum(r.n_used for r in a)
     n_bins = len({(r.grp, r.seq_id) for r in a})
     assert used / (n_bins * 512) > 0.5
+
+
+def test_concat_chunk_spans_reassemble(spark):
+    from vectra_py_spark.operators.packing import concat_chunk
+
+    # doc lengths 3, 4, 2 tokens; L=4 → global stream of 9 tokens cut
+    # at 4/8: doc2 straddles the first cut, doc3 the second
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h i")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = [tuple(r) for r in concat_chunk(df, seq_len=4).collect()]
+    assert out == [
+        (1, 0, 0, 3),            # tokens 0-2 of doc1 in seq 0
+        (2, 0, 0, 1),            # first token of doc2 finishes seq 0
+        (2, 1, 1, 4),            # rest of doc2 in seq 1
+        (3, 1, 0, 1),            # doc3 token 0 finishes seq 1
+        (3, 2, 1, 2),            # doc3 token 1 starts seq 2
+    ]
+    # every sequence holds exactly seq_len tokens except the last
+    per_seq = {}
+    for _, sid, s, e in out:
+        per_seq[sid] = per_seq.get(sid, 0) + (e - s)
+    assert per_seq == {0: 4, 1: 4, 2: 1}
+
+
+def test_concat_chunk_sharded_offsets_match_serial(spark):
+    from vectra_py_spark.operators.packing import concat_chunk
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # shard_size 10 forces many shards; serial result = shard_size ≫ n
+    a = [tuple(r) for r in concat_chunk(df, 16, shard_size=10).collect()]
+    b = [tuple(r) for r in concat_chunk(df, 16, shard_size=10**6).collect()]
+    assert a == b

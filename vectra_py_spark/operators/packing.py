@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "length_bucketed_batches", "length_bucketed_batches_sql"]
+__all__ = ["pack_sequences", "length_bucketed_batches", "length_bucketed_batches_sql", "concat_chunk", "concat_chunk_sql"]
 
 PACKED_SCHEMA = (
     "grp string, doc_id bigint, n_tokens int, n_used int, "
@@ -175,4 +175,118 @@ def length_bucketed_batches_sql(
         FROM batched
         GROUP BY bucket, batch_id
         ORDER BY bucket, batch_id
+    """
+
+
+def concat_chunk(
+    df: DataFrame,
+    seq_len: int = 512,
+    shard_size: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sharding: the corpus concatenated in
+    id order and cut every ``seq_len`` tokens; each output row maps one
+    document's token span into one training sequence —
+    (doc_id, seq_id, start_tok, end_tok) with end exclusive, token
+    offsets document-local. A doc crossing a cut emits one row per
+    sequence it touches.
+
+    100 TB design: the global prefix sum runs as the classic two-phase
+    scan, not one serial window — (1) a window partitioned by
+    ``shard = id DIV shard_size`` computes shard-local running sums in
+    parallel, (2) shard TOTALS (|corpus|/shard_size rows) get their own
+    tiny running-sum window and broadcast back as offsets. The serial
+    stage touches shard counts only. The span explode is a narrow map
+    (``sequence(first_seq, last_seq)`` — bounded by doc length /
+    seq_len).
+    """
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        )
+    )
+    shard = (F.col(id_col) / shard_size).cast("bigint").alias("shard")
+    staged = df.select(
+        F.col(id_col), n_tokens.alias("n"), shard
+    ).filter(F.col("n") > 0)
+
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn(
+        "local_before", F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    )
+    shard_tot = staged.groupBy("shard").agg(F.sum("n").alias("sn"))
+    w_shard = (
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("sn").over(w_shard), F.lit(0)).alias("shard_off"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "shard")
+        .withColumn("before", F.col("shard_off") + F.col("local_before"))
+    )
+    first_seq = F.expr(f"before DIV {seq_len}")
+    last_seq = F.expr(f"(before + n - 1) DIV {seq_len}")
+    spans = cum.select(
+        id_col,
+        "n",
+        "before",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    start = F.greatest(
+        F.col("seq_id") * seq_len - F.col("before"), F.lit(0)
+    )
+    end = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("before"), F.col("n")
+    )
+    return (
+        spans.select(
+            id_col,
+            "seq_id",
+            start.cast("bigint").alias("start_tok"),
+            end.cast("bigint").alias("end_tok"),
+        )
+        .orderBy(id_col, "seq_id")
+    )
+
+
+def concat_chunk_sql(
+    seq_len: int = 512, table: str = "documents",
+    id_col: str = "doc_id", text_expr: str = "text",
+) -> str:
+    n = (
+        rf"len(list_filter(string_split_regex(lower({text_expr}), '\s+'),"
+        rf" x -> x <> ''))"
+    )
+    return f"""
+        WITH staged AS (
+            SELECT {id_col}, {n} AS n FROM {table} WHERE {n} > 0
+        ),
+        cum AS (
+            SELECT {id_col}, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY {id_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS before
+            FROM staged
+        ),
+        spans AS (
+            SELECT {id_col}, n, before, u.seq_id
+            FROM cum,
+                 LATERAL unnest(range(before // {seq_len},
+                                      (before + n - 1) // {seq_len} + 1))
+                     AS u(seq_id)
+        )
+        SELECT {id_col}, CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(GREATEST(seq_id * {seq_len} - before, 0) AS BIGINT)
+                   AS start_tok,
+               CAST(LEAST((seq_id + 1) * {seq_len} - before, n) AS BIGINT)
+                   AS end_tok
+        FROM spans
+        ORDER BY {id_col}, seq_id
     """

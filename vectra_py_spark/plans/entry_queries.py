@@ -701,6 +701,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R-style alpha=0.5 temperature mix: epoch weights derived
+    from per-language corpus counts, materialized deterministically."""
+    return mx.temperature_mix(load(spark, sf_dir, "documents"))
+
+
+def q_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk: corpus cut into 512-token training
+    sequences via a two-phase sharded prefix sum."""
+    return pk.concat_chunk(load(spark, sf_dir, "documents"))
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed BPE-training round: corpus-weighted adjacent
     symbol pair counts over the distinct-word vocabulary."""
@@ -2345,6 +2357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "lm_quality_cut": q_lm_quality_cut,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "temperature_mix": q_temperature_mix,
+    "concat_chunk": q_concat_chunk,
     "cross_source_dups": q_cross_source_dups,
     "padding_efficiency": q_padding_efficiency,
     "lsh_neardup": q_lsh_neardup,
@@ -2436,6 +2450,8 @@ ORACLES: dict[str, str] = {
     "random_projection": _sql_random_projection(),
     "lm_quality_cut": _sql_lm_quality_cut(),
     "bpe_pair_counts": ta.bpe_pair_counts_sql(),
+    "temperature_mix": mx.temperature_mix_sql(),
+    "concat_chunk": pk.concat_chunk_sql(),
     "cross_source_dups": ta.cross_source_dups_sql(),
     "padding_efficiency": pk.length_bucketed_batches_sql(),
     "lsh_neardup": sim.lsh_similarity_join_sql(
