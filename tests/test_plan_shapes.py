@@ -263,3 +263,52 @@ def test_excess_suppliers_semi_join_chain_no_fact_key_shuffle(spark):
     # broadcast-semi
     assert "SortMergeJoin" not in plan, plan
     assert _n_shuffles(plan) <= 2, plan
+
+
+# --------------------------------------------------------------------------
+# Round-2 continuation query shapes
+# --------------------------------------------------------------------------
+def test_semantic_dedup_single_cell_exchange(spark):
+    from vectra_py_spark.plans.entry_queries import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF_ORACLE))
+    # cell assignment is a projection: the prune path costs ONE hash
+    # exchange on cell (plus the anti-join's broadcast of dropped ids)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_lm_quality_model_broadcasts(spark):
+    from vectra_py_spark.plans.entry_queries import q_lm_quality
+
+    plan = _plan(q_lm_quality(spark, SF_ORACLE))
+    # vocab freq + 1-row total both re-enter broadcast: the token
+    # stream is never hash-shuffled on token
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_bpe_pair_counts_vocab_sized_exchanges(spark):
+    from vectra_py_spark.plans.entry_queries import q_bpe_pair_counts
+
+    plan = _plan(q_bpe_pair_counts(spark, SF_ORACLE))
+    # word count + pair count + TakeOrdered: both aggregates partial
+    assert _n_shuffles(plan) == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_concat_chunk_offsets_broadcast_back(spark):
+    from vectra_py_spark.plans.entry_queries import q_concat_chunk
+
+    plan = _plan(q_concat_chunk(spark, SF_ORACLE))
+    # shard offsets come back as a broadcast, not a corpus re-shuffle
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_padding_efficiency_one_bucket_exchange(spark):
+    from vectra_py_spark.plans.entry_queries import q_padding_efficiency
+
+    plan = _plan(q_padding_efficiency(spark, SF_ORACLE))
+    # window + groupBy share ONE bucket hash exchange (no exchange
+    # between the Window and the aggregate); the second is the output
+    # orderBy's range partitioning
+    assert _n_shuffles(plan) == 2, plan
+    assert "Exchange hashpartitioning(bucket" in plan, plan
