@@ -48,3 +48,19 @@ def test_expand_uris_lines_and_filings_json(tmp_path):
     assert _expand_uris(a1) == ["a.md", "b.md"]
     a2 = p.parse_args(["--index", "i", "add", "--uri", "c.md", "--list", str(filings)])
     assert _expand_uris(a2) == ["c.md", "http://x/1"]
+
+
+def test_cli_export_verb(spark, capsys, tmp_path):
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "shards")
+    run(capsys, "--index", idx, "create")
+    for i in range(6):
+        doc = tmp_path / f"d{i}.md"
+        doc.write_text(f"# Doc {i}\n\ncontent body number {i} for export\n")
+        run(capsys, "--index", idx, "add", "--uri", str(doc))
+    manifest = run(
+        capsys, "--index", idx, "export", out, "--shards", "4"
+    )[-1]
+    assert manifest["total_rows"] == 6 and manifest["n_shards"] == 4
+    rows = spark.read.parquet(out).count()
+    assert rows == 6

@@ -625,3 +625,38 @@ def test_length_bucketed_batches_padding(spark):
     assert b1.n_docs == 2 and b1.max_tokens == 3 and b1.total_tokens == 5
     assert b1.pad_frac == pytest.approx(1 - 5 / 6, abs=1e-6)
     assert out[(2, 0)].pad_frac == 0.0
+
+
+def test_semantic_dedup_kmeans_cells_catch_at_least_seeded(spark):
+    """Production path: kmeans-trained cells must detect at least as
+    many true near-dup pairs (cosine >= tau same-cell) as seeded cells
+    — trained centroids fit the data, so dup pairs co-locate."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    tau = 0.4
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_similarity_join(emb, threshold=tau).collect()
+    }
+    assert true_pairs, "fixture must contain near-dup pairs"
+
+    def caught(centroids):
+        cells = {
+            r.vec_id: r.cell
+            for r in emb.select(
+                "vec_id",
+                sim.cell_assignment_expr(centroids).alias("cell"),
+            ).collect()
+        }
+        return sum(1 for a, b in true_pairs if cells[a] == cells[b])
+
+    seeded = caught(sim.seeded_centroids(64, 8, 4321))
+    trained = caught(sim.kmeans_centroids(emb, n_cells=8, seed=4321))
+    assert trained >= seeded
+    # and the pruned survivor count reflects the extra catches
+    n_seeded = sim.semantic_dedup(emb, threshold=tau, dim=64).count()
+    n_trained = sim.semantic_dedup(
+        emb,
+        threshold=tau,
+        centroids=sim.kmeans_centroids(emb, n_cells=8, seed=4321),
+    ).count()
+    assert n_trained <= n_seeded

@@ -55,6 +55,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     opt.add_argument("--target-mb", type=int, default=128)
 
+    exp = sub.add_parser(
+        "export",
+        help="export the document table into hash-balanced training "
+        "shards (deterministic pseudo-shuffle + manifest.json)",
+    )
+    exp.add_argument("out_path")
+    exp.add_argument("--shards", type=int, default=8)
+    exp.add_argument("--salt", default="export:v1")
+
     q = sub.add_parser("query", help="query the index")
     q.add_argument("text")
     q.add_argument("--document-count", type=int, default=10)
@@ -156,6 +165,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         idx.index._invalidate()  # drop the cached pre-compaction scan
         print(json.dumps(report))
+    elif args.verb == "export":
+        from vectra_py_spark.operators.export import export_shards
+
+        manifest = export_shards(
+            idx.documents(),
+            args.out_path,
+            n_shards=args.shards,
+            id_col="document_id",
+            salt=args.salt,
+        )
+        print(json.dumps(manifest))
     elif args.verb == "query":
         if args.format == "stats":
             print(json.dumps(idx.get_catalog_stats()))

@@ -37,7 +37,7 @@ def export_shards(
     salt: str = "export:v1",
 ) -> dict:
     """Write ``df`` into ``n_shards`` hash-balanced shard directories
-    under ``path`` plus a ``manifest.json``; returns the manifest.
+    under ``path`` plus a ``_manifest.json`` (underscore prefix: invisible to Spark/Hadoop dataset readers, like ``_SUCCESS``); returns the manifest.
 
     Same input + same salt ⇒ byte-identical shard membership and
     intra-shard order on every rerun (bump the salt for a fresh
@@ -65,6 +65,6 @@ def export_shards(
         "total_rows": int(sum(r.n for r in rows)),
         "shards": {int(r.shard): int(r.n) for r in sorted(rows)},
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
