@@ -53,3 +53,25 @@ def test_neardup_clusters_survivor_longest_then_smallest_id(spark):
     assert r["cluster_id"] == 1
     assert r["size"] == 3
     assert r["survivor_id"] == 3  # longest text wins
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from vectra_py_spark.operators.cluster import leakage_safe_split
+
+    # 1-2-3 one near-dup chain; 10 and 20 singletons
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base + " iota"),
+        (3, base + " kappa"),
+        (10, "totally different words entirely here now"),
+        (20, "other unrelated content lives in this doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in leakage_safe_split(df, threshold=0.5).collect()}
+    assert len(out) == 5
+    # the whole chain shares one cluster id and thus one split
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].split == out[2].split == out[3].split
+    # singletons are their own clusters
+    assert out[10].cluster_id == 10 and out[20].cluster_id == 20

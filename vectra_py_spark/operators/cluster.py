@@ -42,6 +42,8 @@ __all__ = [
     "connected_components",
     "neardup_clusters",
     "neardup_clusters_sql",
+    "leakage_safe_split",
+    "leakage_safe_split_sql",
 ]
 
 
@@ -171,4 +173,105 @@ def neardup_clusters_sql(
                     AS BIGINT) AS survivor_id
         FROM sized
         GROUP BY comp
+    """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    train_cut: int | None = None,
+    val_cut: int | None = None,
+) -> DataFrame:
+    """Train/val/test split where a near-dup CLUSTER is the atomic
+    unit: every doc hashes on its connected-component representative,
+    so near-duplicates can never straddle train and eval — the
+    dedup-aware fix for the classic eval-leakage failure (a paraphrase
+    of a training doc landing in the test set).
+
+    Output: (doc_id, cluster_id, bucket, split); singletons are their
+    own cluster. Deterministic — same hash-bucket machinery as
+    :func:`~vectra_py_spark.operators.splits.assign_splits`, keyed on
+    ``cluster_id`` instead of ``doc_id``.
+
+    100 TB design: costs exactly the near-dup clustering (banded
+    equi-joins + label propagation over ids) plus one narrow
+    projection; the split itself adds no exchange. In steady state the
+    cluster labels are a materialized byproduct of the dedup pass —
+    reuse them and this IS a projection.
+    """
+    from vectra_py_spark.operators.splits import (
+        DEFAULT_TRAIN_CUT,
+        DEFAULT_VAL_CUT,
+        hash_bucket,
+    )
+
+    tc = DEFAULT_TRAIN_CUT if train_cut is None else train_cut
+    vc = DEFAULT_VAL_CUT if val_cut is None else val_cut
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    comp = connected_components(pairs)
+    labeled = docs.select(id_col).join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id")
+    )
+    b = hash_bucket(F.col("cluster_id"))
+    split = (
+        F.when(F.col("bucket") < tc, "train")
+        .when(F.col("bucket") < vc, "val")
+        .otherwise("test")
+    )
+    return (
+        labeled.withColumn("bucket", b)
+        .withColumn("split", split)
+        .orderBy(id_col)
+    )
+
+
+def leakage_safe_split_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    threshold: float = 0.5,
+    train_cut: int | None = None,
+    val_cut: int | None = None,
+) -> str:
+    from vectra_py_spark.operators.splits import (
+        DEFAULT_TRAIN_CUT,
+        DEFAULT_VAL_CUT,
+        hash_bucket_sql,
+    )
+
+    tc = DEFAULT_TRAIN_CUT if train_cut is None else train_cut
+    vc = DEFAULT_VAL_CUT if val_cut is None else val_cut
+    pairs = minhash_lsh_pairs_sql(table, text_expr, threshold=threshold)
+    b = hash_bucket_sql("cluster_id")
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u AS node, v AS r FROM edges
+            UNION
+            SELECT reach.node, edges.v
+            FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(r)) AS comp
+            FROM reach GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(comp.comp, d.doc_id) AS cluster_id
+            FROM {table} d LEFT JOIN comp ON d.doc_id = comp.node
+        )
+        SELECT doc_id, cluster_id, {b} AS bucket,
+               CASE WHEN {b} < {tc} THEN 'train'
+                    WHEN {b} < {vc} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM labeled
+        ORDER BY doc_id
     """

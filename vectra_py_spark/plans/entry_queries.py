@@ -1128,6 +1128,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split: near-dup clusters are atomic, so paraphrases
+    of a training doc can never land in eval."""
+    return cl.leakage_safe_split(
+        load(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG retrieval shape: exact cosine top-k over the
     embeddings table, then hydrate the 10 winners from ``documents``
@@ -2382,6 +2390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "bloom_decontaminate": q_bloom_decontaminate,
     "neardup_clusters": q_neardup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "asof_enrich": q_asof_enrich,
     "range_join": q_range_join,
     "epoch_mix": q_epoch_mix,
@@ -2490,6 +2499,7 @@ ORACLES: dict[str, str] = {
     "dml_upsert": _sql_dml_upsert(),
     "dml_delete": _sql_dml_delete(),
     "neardup_clusters": cl.neardup_clusters_sql(threshold=_JACCARD_T),
+    "leakage_safe_split": cl.leakage_safe_split_sql(threshold=_JACCARD_T),
     "asof_enrich": _sql_asof_enrich(),
     "range_join": _sql_range_join(),
     "epoch_mix": mx.epoch_mix_sql(_MIX_EPOCHS),
