@@ -660,3 +660,21 @@ def test_semantic_dedup_kmeans_cells_catch_at_least_seeded(spark):
         centroids=sim.kmeans_centroids(emb, n_cells=8, seed=4321),
     ).count()
     assert n_trained <= n_seeded
+
+
+def test_bigram_lm_flags_word_salad(spark):
+    from vectra_py_spark.operators.text_analysis import bigram_lm_score
+
+    # docs 1-8: normal transitions; doc 9 uses the SAME vocabulary in
+    # scrambled order (unigram-normal, bigram-broken word salad)
+    common = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((9, "mat the on dog cat log the sat and on the sat the"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.xent2 for r in bigram_lm_score(df).collect()}
+    assert out[9] == max(out.values())
+    assert out[1] == pytest.approx(out[8])
+    # single-token docs are omitted
+    df2 = spark.createDataFrame([(1, "one"), (2, "two words")], ["doc_id", "text"])
+    got = {r.doc_id for r in bigram_lm_score(df2).collect()}
+    assert got == {2}

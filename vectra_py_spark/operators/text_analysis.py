@@ -49,6 +49,8 @@ __all__ = [
     "bpe_pair_counts_sql",
     "cross_source_dups",
     "cross_source_dups_sql",
+    "bigram_lm_score",
+    "bigram_lm_score_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -797,4 +799,79 @@ def cross_source_dups_sql(
         FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy (conditional next-word quality score)
+# ---------------------------------------------------------------------------
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram LM:
+    ``xent2 = -avg log2( c(w1,w2) / c1(w1) )`` over the doc's adjacent
+    word pairs — the conditional-probability sharpening of
+    :func:`unigram_lm_score` (catches word-salad documents whose
+    unigram distribution looks normal but whose transitions don't).
+    Docs with fewer than 2 tokens are omitted.
+
+    100 TB design: adjacent pairs come straight out of each row's words
+    array (``transform`` over an index sequence — a narrow map, no
+    posexplode + window shuffle); both count tables are Zipf-bounded
+    aggregates that re-enter via broadcast, so the corpus-sized pair
+    stream is never shuffled on its join key. ``c1`` counts w1
+    occurrences IN THE PAIR STREAM (= conditional denominator), not raw
+    word frequency, so probabilities sum to 1 per context by
+    construction.
+    """
+    pair_expr = F.expr(
+        """filter(
+            transform(
+                sequence(1, size(__w) - 1),
+                i -> struct(__w[i - 1] AS w1, __w[i] AS w2)),
+            p -> p.w1 <> '' AND p.w2 <> '')"""
+    )
+    pairs = (
+        df.select(F.col(id_col), words_col(text_col).alias("__w"))
+        .filter(F.size("__w") >= 2)  # ANSI: no OOB index, no empty seq
+        .select(F.col(id_col), F.explode(pair_expr).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log2(F.col("c2") / F.col("c1"))), 6
+            ).alias("xent2"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bigram_lm_score_sql(
+    table: str = "documents", id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH pairs AS (
+            SELECT {id_col}, w[i] AS w1, w[i + 1] AS w2
+            FROM (SELECT {id_col}, {w} AS w FROM {table}),
+                 LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)
+            WHERE w[i] <> '' AND w[i + 1] <> ''
+        ),
+        big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+        uni AS (SELECT w1, sum(c2) AS c1 FROM big GROUP BY w1)
+        SELECT {id_col}, count(*) AS n_bigrams,
+               ROUND(-avg(log2(c2 / c1)), 6) AS xent2
+        FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY {id_col}
+        ORDER BY {id_col}
     """

@@ -807,6 +807,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(corpus, batch, radius=1)
 
 
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (bigram) LM cross-entropy — catches word salad
+    whose unigram profile looks normal."""
+    return ta.bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM cross-entropy: corpus trains the model,
     every doc is scored against it (high xent = quality outlier)."""
@@ -2360,6 +2366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
     "lm_quality": q_lm_quality,
+    "bigram_lm_quality": q_bigram_lm_quality,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2452,6 +2459,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
     "lm_quality": ta.unigram_lm_score_sql(),
+    "bigram_lm_quality": ta.bigram_lm_score_sql(),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
