@@ -678,3 +678,30 @@ def test_bigram_lm_flags_word_salad(spark):
     df2 = spark.createDataFrame([(1, "one"), (2, "two words")], ["doc_id", "text"])
     got = {r.doc_id for r in bigram_lm_score(df2).collect()}
     assert got == {2}
+
+
+def test_dup_shingle_ratio_planted(spark):
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base),                       # fully shared with 2
+        (2, base),
+        (3, "totally different words entirely here now"),
+        (4, base + " but with a fresh unique tail section attached"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.dup_ratio for r in ta.dup_shingle_ratio(df).collect()}
+    assert out[1] == 1.0 and out[2] == 1.0
+    assert out[3] == 0.0
+    assert 0.0 < out[4] < 1.0        # partial mosaic
+
+
+def test_source_token_drift_flags_shifted_source(spark):
+    normal = "the cat sat on the mat and the dog sat on the log"
+    rows = [(i, normal, f"src{i % 2}") for i in range(8)]
+    rows += [(100 + i, "zorp quux blarg fizz wonk", "drifted")
+             for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r.kl_bits for r in ta.source_token_drift(df).collect()}
+    assert out["drifted"] == max(out.values())
+    assert out["drifted"] > out["src0"] and out["drifted"] > out["src1"]
+    assert all(v >= 0 for v in out.values())  # KL non-negativity

@@ -51,6 +51,10 @@ __all__ = [
     "cross_source_dups_sql",
     "bigram_lm_score",
     "bigram_lm_score_sql",
+    "dup_shingle_ratio",
+    "dup_shingle_ratio_sql",
+    "source_token_drift",
+    "source_token_drift_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -874,4 +878,142 @@ def bigram_lm_score_sql(
         FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1)
         GROUP BY {id_col}
         ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-document duplication score (shingle containment vs the corpus)
+# ---------------------------------------------------------------------------
+def dup_shingle_ratio(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplication score: the fraction of the doc's
+    distinct k-grams that appear in at least one OTHER document — the
+    doc-granular contamination dial (1.0 ≈ fully boilerplate/copied;
+    pairwise near-dup joins tell you WHO, this tells you HOW MUCH per
+    doc, including many-source mosaics no single pair explains).
+
+    100 TB design: reuses the dedup family's narrow ``mapInPandas``
+    distinct-shingle stream; the per-shingle doc count is one
+    map-side-combined aggregate (shingle-vocabulary-sized), rejoined to
+    the stream on shingle (the known dedup-join shape — hot shingles
+    are exactly the rows AQE skew-splits), and the per-doc fraction is
+    a second small aggregate.
+    """
+    from vectra_py_spark.operators.dedup import shingle_df
+
+    sh = shingle_df(df, id_col=id_col, text_col=text_col, k=k)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(counts, "shingle")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("n_docs") >= 2).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dup_shingle_ratio_sql(
+    k: int = 3, table: str = "documents", id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    from vectra_py_spark.operators.dedup import _shingles_sql
+
+    sh = _shingles_sql(text_expr, k).format(table=table)
+    return f"""
+        WITH sh AS ({sh}),
+        c AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+        SELECT {id_col}, count(*) AS n_shingles,
+               ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS dup_ratio
+        FROM sh JOIN c USING (shingle)
+        GROUP BY {id_col}
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution drift (KL divergence vs the corpus)
+# ---------------------------------------------------------------------------
+def source_token_drift(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """KL(source ‖ corpus) over token distributions, per source — the
+    domain-drift dial: a source whose language shifted (spam influx,
+    template change, wrong-language crawl) diverges from the corpus
+    mixture before any per-doc filter notices.
+
+    KL is computed over the corpus vocabulary restricted to tokens the
+    source actually emits (all its terms are well-defined: q > 0
+    whenever p > 0 since the source's tokens are in the corpus).
+
+    100 TB design: both distributions come from ONE (source, token)
+    count aggregate (map-side combined; source-vocabulary-sized) — the
+    corpus marginal is a re-aggregation of it, broadcast back with the
+    per-source totals; no second corpus pass, and the token stream
+    never shuffles on token.
+    """
+    toks = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(words_col(text_col)).alias("token"),
+        )
+        .filter((F.length("token") >= min_len) & (F.col("token") != ""))
+    )
+    st_counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    s_tot = st_counts.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    t_counts = st_counts.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    total = t_counts.agg(F.sum("c_t").alias("c_all"))
+    p = F.col("c_st") / F.col("c_s")
+    q = F.col("c_t") / F.col("c_all")
+    return (
+        st_counts.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(t_counts), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_token_drift_sql(
+    table: str = "documents", source_col: str = "source",
+    text_expr: str = "text", min_len: int = 1,
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {source_col} AS source, token
+            FROM (SELECT {source_col}, unnest({w}) AS token FROM {table})
+            WHERE length(token) >= {min_len} AND token <> ''
+        ),
+        st AS (SELECT source, token, count(*) AS c_st
+               FROM toks GROUP BY source, token),
+        s AS (SELECT source, sum(c_st) AS c_s FROM st GROUP BY source),
+        t AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token),
+        a AS (SELECT sum(c_t) AS c_all FROM t)
+        SELECT source, count(*) AS n_terms,
+               ROUND(SUM((c_st / c_s)
+                         * log2((c_st / c_s) / (c_t / c_all))), 6)
+                   AS kl_bits
+        FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN a
+        GROUP BY source
+        ORDER BY source
     """

@@ -807,6 +807,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(corpus, batch, radius=1)
 
 
+def q_dup_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplication dial: fraction of the doc's k-grams that
+    appear in at least one other document."""
+    return ta.dup_shingle_ratio(load(spark, sf_dir, "documents"))
+
+
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source || corpus) over token distributions —
+    domain-drift detection."""
+    return ta.source_token_drift(load(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2367,6 +2379,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "lm_quality": q_lm_quality,
     "bigram_lm_quality": q_bigram_lm_quality,
+    "dup_shingle_ratio": q_dup_shingle_ratio,
+    "source_token_drift": q_source_token_drift,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2460,6 +2474,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
     "lm_quality": ta.unigram_lm_score_sql(),
     "bigram_lm_quality": ta.bigram_lm_score_sql(),
+    "dup_shingle_ratio": ta.dup_shingle_ratio_sql(),
+    "source_token_drift": ta.source_token_drift_sql(),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
