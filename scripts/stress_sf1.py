@@ -70,6 +70,15 @@ STRESS_QUERIES = [
     "lm_quality_cut",
     "corpus_stats",
     "random_projection",
+    "bigram_lm_quality",
+    "dup_shingle_ratio",
+    "source_token_drift",
+    "temperature_mix",
+    "concat_chunk",
+    "padding_efficiency",
+    "bpe_pair_counts",
+    "cross_source_dups",
+    "leakage_safe_split",
 ]
 
 
