@@ -14,6 +14,7 @@ from vectra_py_spark.streaming.events import (
     streaming_windowed_counts,
     windowed_counts,
 )
+from vectra_py_spark.streaming.incremental_dedup import stream_neardup_dedup
 from vectra_py_spark.streaming.ingest import stream_upsert
 from vectra_py_spark.streaming.joins import streaming_interval_join
 
@@ -24,5 +25,6 @@ __all__ = [
     "streaming_windowed_counts",
     "windowed_counts",
     "stream_upsert",
+    "stream_neardup_dedup",
     "streaming_interval_join",
 ]
