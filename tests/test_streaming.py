@@ -240,3 +240,17 @@ def test_streaming_clean_corpus_filters_then_dedups_across_batches(
         assert ids == {"d1", "d6"}
     finally:
         q.stop()
+
+
+def test_sliding_counts_each_event_in_k_windows(spark, events):
+    from vectra_py_spark.streaming.events import sliding_counts
+
+    out = sliding_counts(events).collect()
+    n_events = events.count()
+    # every event lands in exactly window/slide = 4 windows (up to the
+    # stream head, where early events have fewer preceding windows)
+    total = sum(r.n_events for r in out)
+    assert total <= 4 * n_events
+    assert total >= 4 * n_events - 3 * 4  # head truncation bound
+    # window starts are on the 15-min grid
+    assert all(r.window_start_us % (900 * 1_000_000) == 0 for r in out)

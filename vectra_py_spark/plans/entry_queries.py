@@ -856,6 +856,12 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.windowed_counts(load(spark, sf_dir, "events"))
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows advancing every 15 min (each event in 4
+    overlapping windows; map-side partial agg collapses the explode)."""
+    return ev.sliding_counts(load(spark, sf_dir, "events"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(load(spark, sf_dir, "events"))
 
@@ -2393,6 +2399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_neardup": q_lsh_neardup,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_sliding": q_events_sliding,
     "top_users_per_type": q_top_users_per_type,
     "distinct_users": q_distinct_users,
     "value_quantiles": q_value_quantiles,
@@ -2493,6 +2500,7 @@ ORACLES: dict[str, str] = {
     ),
     "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
+    "events_sliding": ev.sliding_counts_sql(),
     "top_users_per_type": ev.top_users_per_type_sql(),
     "distinct_users": _sql_distinct_users(),
     "value_quantiles": _sql_value_quantiles(),

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "event_time_col",
     "windowed_counts",
+    "sliding_counts",
+    "sliding_counts_sql",
     "windowed_counts_sql",
     "sessionize",
     "sessionize_sql",
@@ -268,3 +270,79 @@ def streaming_windowed_counts(
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (batch + oracle)
+# ---------------------------------------------------------------------------
+def sliding_counts(
+    df: DataFrame,
+    window_us: int = MICROS_PER_HOUR,
+    slide_us: int = MICROS_PER_HOUR // 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Events per (sliding window, event_type): window length
+    ``window_us``, advancing every ``slide_us`` — each event lands in
+    ``window/slide`` overlapping windows (the batch twin of
+    ``F.window(ts, w, s)`` with a slide; formulated portably so DuckDB
+    can run it verbatim).
+
+    100 TB design: the explode multiplies rows by window/slide (4 here)
+    BEFORE the aggregate — the standard cost of sliding windows — but
+    the map-side partial agg collapses each partition to its distinct
+    (window, type) pairs, so the exchange carries window-count rows,
+    not event-count·4. ``window_us % slide_us == 0`` keeps window
+    starts on the slide grid (integer arithmetic, no float hop).
+    """
+    if window_us % slide_us:
+        raise ValueError("window_us must be a multiple of slide_us")
+    k = window_us // slide_us
+    t = event_time_col(ts_col, df)
+    anchor = t - (t % slide_us)  # last grid point <= t
+    starts = F.sequence(
+        anchor - (k - 1) * slide_us, anchor, F.lit(slide_us)
+    )
+    return (
+        df.select(
+            F.explode(starts).alias("window_start_us"),
+            "event_type",
+            "value",
+        )
+        .filter(F.col("window_start_us") >= 0)
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def sliding_counts_sql(
+    window_us: int = MICROS_PER_HOUR,
+    slide_us: int = MICROS_PER_HOUR // 4,
+    table: str = "events",
+) -> str:
+    k = window_us // slide_us
+    return f"""
+        WITH e AS (
+            SELECT epoch_us(ts) - (epoch_us(ts) % {slide_us}) AS anchor,
+                   event_type, value
+            FROM {table}
+        ),
+        w AS (
+            SELECT anchor - ({k - 1} - i.i) * {slide_us} AS window_start_us,
+                   event_type, value
+            FROM e, LATERAL unnest(range({k})) AS i(i)
+        )
+        SELECT window_start_us, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_value
+        FROM w
+        WHERE window_start_us >= 0
+        GROUP BY window_start_us, event_type
+        ORDER BY window_start_us, event_type
+    """
