@@ -254,3 +254,48 @@ def test_sliding_counts_each_event_in_k_windows(spark, events):
     assert total >= 4 * n_events - 3 * 4  # head truncation bound
     # window starts are on the 15-min grid
     assert all(r.window_start_us % (900 * 1_000_000) == 0 for r in out)
+
+
+def test_streaming_sliding_counts_matches_batch(spark, events):
+    """The sliding streaming plan must reproduce the batch twin's
+    (window_start, type) -> count map on a drained file source."""
+    import tempfile
+
+    from vectra_py_spark.streaming.events import (
+        sliding_counts,
+        streaming_sliding_counts,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        src = events.select(
+            F.timestamp_micros(ev.event_time_col("ts", events)).alias(
+                "event_time"
+            ),
+            "event_type",
+            "value",
+        )
+        src.write.mode("overwrite").parquet(f"{d}/src")
+        stream = spark.readStream.schema(src.schema).parquet(f"{d}/src")
+        q = (
+            streaming_sliding_counts(stream)
+            .writeStream.format("memory")
+            .queryName("slide_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (int(r.window_start.timestamp() * 1_000_000), r.event_type):
+                r.n_events
+            for r in spark.sql("select * from slide_counts").collect()
+        }
+        want = {
+            (r.window_start_us, r.event_type): r.n_events
+            for r in sliding_counts(events).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -40,6 +40,7 @@ __all__ = [
     "top_users_per_type",
     "top_users_per_type_sql",
     "streaming_windowed_counts",
+    "streaming_sliding_counts",
 ]
 
 MICROS_PER_HOUR = 3_600_000_000
@@ -258,6 +259,33 @@ def streaming_windowed_counts(
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """The streaming twin of :func:`sliding_counts` — the same
+    ``F.window`` call with a slide duration; state is bounded by
+    watermark horizon × windows-per-event × key cardinality."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
