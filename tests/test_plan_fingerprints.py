@@ -18,7 +18,24 @@ BASELINE = json.loads(
 )
 
 
+# plan shapes depend on these confs; other tests may tweak them (and
+# restore imperfectly), so pin the generation-time values for the sweep
+_PINNED = {
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "vectra_py_spark.similarity.broadcastBytes": str(256 * 1024 * 1024),
+}
+
+
 def test_no_query_grew_exchanges(spark):
+    saved = {}
+    for k, v in _PINNED.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
     regressions = []
     for name, fn in sorted(QUERIES.items()):
         base = BASELINE.get(name)
@@ -33,6 +50,11 @@ def test_no_query_grew_exchanges(spark):
             regressions.append((name, "lost TakeOrderedAndProject", ""))
         if base["pushed_filters"] and not got["pushed_filters"]:
             regressions.append((name, "lost PushedFilters", ""))
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
     assert not regressions, regressions
 
 

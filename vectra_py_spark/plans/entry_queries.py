@@ -856,6 +856,82 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.windowed_counts(load(spark, sf_dir, "events"))
 
 
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly screen: flag days whose count
+    exceeds mean + 2·stddev of the trailing 7 days (z-score over a
+    ROWS window on pre-aggregated dailies — the monitoring query every
+    ingest pipeline runs).
+
+    100 TB design: the daily aggregate is the only corpus-sized
+    exchange; the trailing-stats window runs over |days| rows
+    partitioned by nothing but sized by the calendar. stddev_samp is
+    spelled via sum/sum-of-squares so both engines compute the same
+    Welford-free closed form at 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    t = _t_us("ts", ev)
+    day = ((t - (t % _US_PER_DAY)) / _US_PER_DAY).cast("bigint")
+    daily = (
+        ev.select(day.alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    mean = F.avg("n").over(w)
+    # closed-form sample stddev over the same frame (engine-identical)
+    sq = F.avg((F.col("n") * F.col("n")).cast("double")).over(w)
+    cnt = F.count("n").over(w)
+    var = (sq - mean * mean) * cnt / (cnt - 1)
+    out = (
+        daily.withColumn("trail_mean", F.round(mean, 6))
+        .withColumn("trail_n", cnt)
+        .withColumn(
+            "z",
+            F.round(
+                (F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12))),
+                6,
+            ),
+        )
+    )
+    return (
+        out.filter(F.col("trail_n") >= 3)
+        .select(
+            "day",
+            "n",
+            "trail_mean",
+            "z",
+            (F.col("z") > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def _sql_volume_anomalies() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT epoch_us(ts) // {_US_PER_DAY} AS day, count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT day, n,
+                   AVG(n) OVER w AS m,
+                   AVG(CAST(n * n AS DOUBLE)) OVER w AS sq,
+                   COUNT(n) OVER w AS cnt
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT day, n, ROUND(m, 6) AS trail_mean,
+               ROUND((n - m) / sqrt(GREATEST((sq - m * m) * cnt
+                                             / (cnt - 1), 1e-12)), 6) AS z,
+               (ROUND((n - m) / sqrt(GREATEST((sq - m * m) * cnt
+                                              / (cnt - 1), 1e-12)), 6) > 2.0)
+                   AS is_anomaly
+        FROM t
+        WHERE cnt >= 3
+        ORDER BY day
+    """
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h windows advancing every 15 min (each event in 4
     overlapping windows; map-side partial agg collapses the explode)."""
@@ -2400,6 +2476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
+    "volume_anomalies": q_volume_anomalies,
     "top_users_per_type": q_top_users_per_type,
     "distinct_users": q_distinct_users,
     "value_quantiles": q_value_quantiles,
@@ -2501,6 +2578,7 @@ ORACLES: dict[str, str] = {
     "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
     "events_sliding": ev.sliding_counts_sql(),
+    "volume_anomalies": _sql_volume_anomalies(),
     "top_users_per_type": ev.top_users_per_type_sql(),
     "distinct_users": _sql_distinct_users(),
     "value_quantiles": _sql_value_quantiles(),
