@@ -1,14 +1,29 @@
-"""Local mini-oracle mirroring the driver's correctness compare:
-run the Spark plan and the DuckDB SQL on the same parquet dir, sort
-columns by name, and compare order-insensitive normalized row multisets.
+"""Local mini-oracle mirroring the driver's correctness compare.
+
+Driver parity notes (learned from CORRECTNESS_r02):
+- The driver materializes BOTH sides as pandas frames (Spark via
+  ``toPandas()``-equivalent collect, DuckDB via ``.df()``), sorts the
+  columns by name, row-sorts with ``DataFrame.sort_values`` over all
+  columns, then hashes the *string form of each cell as pandas typed it*.
+- There is NO int->float coercion: DuckDB ``SUM(BIGINT)`` returns
+  HUGEINT, which pandas materializes as float64, so its cells stringify
+  as ``"4568.0"`` while Spark's BIGINT stringifies as ``"4568"`` — a
+  hash mismatch even though the values are numerically identical.
+  (Fix the SQL with ``CAST(... AS BIGINT)``, not the harness.)
+- Array-typed result columns make ``sort_values`` raise
+  ``TypeError: unhashable type`` — the driver records an ``err`` row.
+  This harness re-raises the same way so array outputs fail loudly
+  locally instead of being silently stringified.
+
+Keep this STRICTER-or-equal to the driver, never looser.
 """
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region",
@@ -33,48 +48,56 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # absorb float-representation noise beyond comparison precision
-        return round(v, 9)
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
-    return v
+def canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by every column — exactly the
+    driver's canonicalization. Raises TypeError on unhashable (array)
+    cells, like the driver does."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return pdf
 
 
-def rows_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(str(_norm_cell(r[i])) for i in order) for r in rows
-    )
+def frame_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Stringify each cell exactly as pandas typed it — no numeric
+    normalization, so dtype drift (int64 vs float64) is VISIBLE."""
+    return [
+        tuple(str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 def compare(spark, sf_dir: str, spark_df, sql: str):
-    """Return (ok, detail) comparing the Spark result to the DuckDB oracle."""
-    sdf = spark_df
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    """Return (ok, detail) comparing the Spark result to the DuckDB oracle
+    under driver-equivalent canonicalization."""
+    spdf = spark_df.toPandas()
 
     con = duckdb_conn(sf_dir)
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    con.close()
+    try:
+        dpdf = con.execute(sql).df()
+    finally:
+        con.close()
 
-    if sorted(scols) != sorted(dcols):
-        return False, f"schema mismatch: spark={sorted(scols)} duckdb={sorted(dcols)}"
-    if len(srows) != len(drows):
-        return False, f"rowcount mismatch: spark={len(srows)} duckdb={len(drows)}"
-    sm = rows_multiset(scols, srows)
-    dm = rows_multiset(dcols, drows)
-    if sm != dm:
-        diff_s = [r for r in sm if r not in dm][:5]
-        diff_d = [r for r in dm if r not in sm][:5]
-        return False, f"value mismatch:\n spark-only={diff_s}\n duck-only={diff_d}"
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(spdf.columns)} "
+            f"duckdb={sorted(dpdf.columns)}"
+        )
+    if len(spdf) != len(dpdf):
+        return False, f"rowcount mismatch: spark={len(spdf)} duckdb={len(dpdf)}"
+
+    # Any TypeError here (unhashable array cells) must propagate — the
+    # driver records it as an err row, so the local sweep must fail too.
+    srows = frame_rows(canon_frame(spdf))
+    drows = frame_rows(canon_frame(dpdf))
+
+    if srows != drows:
+        diff = [
+            (s, d) for s, d in zip(srows, drows) if s != d
+        ][:5]
+        extra = ""
+        if diff:
+            extra = "\n".join(f" spark={s}\n  duck={d}" for s, d in diff)
+        return False, f"value mismatch (first diffs):\n{extra}"
     return True, f"ok ({len(srows)} rows)"

@@ -169,7 +169,7 @@ def length_bucketed_batches_sql(
         )
         SELECT bucket, batch_id, COUNT(*) AS n_docs,
                MAX(n_tokens) AS max_tokens,
-               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(1.0 - SUM(n_tokens) * 1.0
                      / (COUNT(*) * MAX(n_tokens)), 6) AS pad_frac
         FROM batched

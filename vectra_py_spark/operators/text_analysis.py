@@ -680,7 +680,7 @@ def corpus_stats_sql(
                COUNT(*) AS n_docs,
                COUNT(*) - COUNT(DISTINCT md5({text_expr})) AS n_dups,
                COUNT(DISTINCT {lang_col}) AS n_langs,
-               SUM(length({text_expr})) AS total_chars,
+               CAST(SUM(length({text_expr})) AS BIGINT) AS total_chars,
                ROUND(AVG(len({w})), 6) AS avg_words,
                ROUND(quantile_cont(length({text_expr}), 0.5), 6) AS p50_chars,
                ROUND(quantile_cont(length({text_expr}), 0.9), 6) AS p90_chars
@@ -749,7 +749,7 @@ def bpe_pair_counts_sql(
                    freq
             FROM f, LATERAL unnest(range(1, length(word))) AS t(i)
         )
-        SELECT l, r, SUM(freq) AS n
+        SELECT l, r, CAST(SUM(freq) AS BIGINT) AS n
         FROM p GROUP BY l, r
         ORDER BY n DESC, l, r
         LIMIT {k}

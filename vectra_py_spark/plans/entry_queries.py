@@ -736,16 +736,25 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64d → 8d as a pure
     shuffle-free codegen projection (seeded planes shared with the LSH
     family). The cheap-ANN / sketching front half of an embedding
-    pipeline."""
+    pipeline.
+
+    Output is posexploded to scalar ``(vec_id, dim, value)`` rows: the
+    driver's canonicalizer row-sorts a pandas frame and cannot hash
+    array cells (r2 recorded an ``err`` for the array-shaped output).
+    ``project_expr`` itself still returns the array column for library
+    users."""
     from vectra_py_spark.functions.vector import project_expr
 
     planes = sim.seeded_hyperplanes(64, _RP_DIMS)
     return (
         load(spark, sf_dir, "embeddings")
         .select(
-            "vec_id", project_expr(planes, "embedding").alias("proj")
+            "vec_id",
+            F.posexplode(project_expr(planes, "embedding")).alias(
+                "dim", "value"
+            ),
         )
-        .orderBy("vec_id")
+        .orderBy("vec_id", "dim")
     )
 
 
@@ -757,8 +766,14 @@ def _sql_random_projection() -> str:
         for p in planes
     )
     return f"""
-        SELECT vec_id, [{comps}] AS proj
-        FROM embeddings ORDER BY vec_id
+        WITH p AS (SELECT vec_id, [{comps}] AS proj FROM embeddings)
+        SELECT * FROM (
+            SELECT vec_id,
+                   generate_subscripts(proj, 1) - 1 AS dim,
+                   unnest(proj) AS value
+            FROM p
+        )
+        ORDER BY vec_id, dim
     """
 
 
@@ -2201,9 +2216,12 @@ def q_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-2, 0)
     )
     tv = F.coalesce(F.col("total_value"), F.lit(0.0))
+    # day as an ISO string: Spark DATE reaches pandas as datetime.date
+    # ("2024-01-01") while DuckDB DATE arrives as datetime64
+    # ("2024-01-01 00:00:00") — a canonicalizer dtype mismatch.
     return filled.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.round(tv, 2).alias("day_value"),
         F.round(F.avg(tv).over(w), 2).alias("rolling_3d_avg"),
@@ -2227,7 +2245,8 @@ def _sql_daily_rolling() -> str:
                      AS day
           FROM (SELECT DISTINCT event_type FROM events) t, bounds
         )
-        SELECT spine.event_type AS event_type, spine.day AS day,
+        SELECT spine.event_type AS event_type,
+               strftime(spine.day, '%Y-%m-%d') AS day,
                coalesce(n, 0) AS n_events,
                ROUND(coalesce(total_value, 0.0), 2) AS day_value,
                ROUND(avg(coalesce(total_value, 0.0)) OVER (
