@@ -316,9 +316,12 @@ class TestSizeAwareAutoSelection:
             vecs, "matmul", "embedding", "matmul", "hof") == "matmul"
 
     def test_auto_over_budget_avoids_driver_collect(self, spark, vecs, monkeypatch):
-        """With the budget forced under the data size, the auto plans for
-        BOTH operators must build without ever collecting a vector set:
-        only the 1-row size-probe aggregation may pass through collect."""
+        """With the budget forced under the data size, the auto plans
+        must never collect a vector set: cosine_similarity_join refuses
+        outright (quadratic past broadcast scale), lsh_similarity_join
+        falls through to its banded join path; only the 1-row size-probe
+        aggregation may pass through collect."""
+        import pytest
         from pyspark.sql import DataFrame
 
         probe_rows = []
@@ -335,29 +338,45 @@ class TestSizeAwareAutoSelection:
         try:
             self._with_budget(spark, 1)
             monkeypatch.setattr(DataFrame, "collect", guarded)
-            plan_a = sim.cosine_similarity_join(vecs, threshold=0.9)
+            with pytest.raises(ValueError, match="lsh_similarity_join"):
+                sim.cosine_similarity_join(vecs, threshold=0.9)
             plan_b = sim.lsh_similarity_join(vecs, threshold=0.9, dim=4)
             monkeypatch.undo()
-            pairs_a = {(r.id_a, r.id_b) for r in plan_a.collect()}
             pairs_b = {(r.id_a, r.id_b) for r in plan_b.collect()}
         finally:
             monkeypatch.undo()
             self._reset(spark)
-        assert pairs_a == {(1, 2)}
         assert pairs_b == {(1, 2)}
 
-    def test_auto_matches_forced_paths(self, spark, vecs):
-        """auto under a tiny budget (hof/join) == auto under a huge
-        budget (matmul/broadcast) == the planted truth."""
+    def test_auto_never_plans_quadratic_join(self, spark, vecs):
+        """The default (auto) path past the broadcast budget must raise,
+        not quietly plan an N^2 cross/theta join — the 100 TB
+        scale-killer. Explicit strategy='hof' remains the opt-in."""
+        import pytest
+
         try:
-            results = []
-            for budget in (1, 1 << 30):
-                self._with_budget(spark, budget)
-                results.append(sorted(map(
-                    tuple,
-                    sim.cosine_similarity_join(vecs, threshold=0.9).collect(),
-                )))
-            assert results[0] == results[1] != []
+            self._with_budget(spark, 1)
+            with pytest.raises(ValueError, match="strategy='hof'"):
+                sim.cosine_similarity_join(vecs, threshold=0.9)
+        finally:
+            self._reset(spark)
+
+    def test_auto_matches_forced_paths(self, spark, vecs):
+        """explicit hof (the oracle-identical distributed path) == auto
+        under a huge budget (matmul) == the planted truth."""
+        try:
+            self._with_budget(spark, 1 << 30)
+            auto_small = sorted(map(
+                tuple,
+                sim.cosine_similarity_join(vecs, threshold=0.9).collect(),
+            ))
+            forced_hof = sorted(map(
+                tuple,
+                sim.cosine_similarity_join(
+                    vecs, threshold=0.9, strategy="hof"
+                ).collect(),
+            ))
+            assert auto_small == forced_hof != []
         finally:
             self._reset(spark)
 
@@ -705,3 +724,18 @@ def test_source_token_drift_flags_shifted_source(spark):
     assert out["drifted"] == max(out.values())
     assert out["drifted"] > out["src0"] and out["drifted"] > out["src1"]
     assert all(v >= 0 for v in out.values())  # KL non-negativity
+
+
+def test_simhash_sql_twins_share_divisibility_guard():
+    """The SQL generators must reject the same radii the DataFrame
+    paths reject — otherwise radius=2 silently bands 15 of 16 bits in
+    the oracle while the DataFrame side raises (inconsistent twins)."""
+    import pytest
+
+    from vectra_py_spark.operators import dedup as dd
+
+    for bad_radius in (2, 4):  # radius+1 must divide 16
+        with pytest.raises(ValueError, match="divide"):
+            dd.simhash_neardup_sql(radius=bad_radius)
+        with pytest.raises(ValueError, match="divide"):
+            dd.incremental_dedup_sql("doc_id > 100", radius=bad_radius)

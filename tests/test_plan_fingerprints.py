@@ -29,6 +29,10 @@ _PINNED = {
 
 
 def test_no_query_grew_exchanges(spark):
+    # Earlier tests may leave cached relations behind; a cached input
+    # substitutes InMemoryRelation into the plan and changes the
+    # exchange count, making the sweep order-dependent. Drop them.
+    spark.catalog.clearCache()
     saved = {}
     for k, v in _PINNED.items():
         try:
@@ -37,24 +41,30 @@ def test_no_query_grew_exchanges(spark):
             saved[k] = None
         spark.conf.set(k, v)
     regressions = []
-    for name, fn in sorted(QUERIES.items()):
-        base = BASELINE.get(name)
-        if not base or "error" in base:
-            continue
-        got = fingerprint(
-            fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        )
-        if got["exchanges"] > base["exchanges"]:
-            regressions.append((name, base["exchanges"], got["exchanges"]))
-        if base["top_k"] and not got["top_k"]:
-            regressions.append((name, "lost TakeOrderedAndProject", ""))
-        if base["pushed_filters"] and not got["pushed_filters"]:
-            regressions.append((name, "lost PushedFilters", ""))
-    for k, v in saved.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            base = BASELINE.get(name)
+            if not base or "error" in base:
+                continue
+            got = fingerprint(
+                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+            if got["exchanges"] > base["exchanges"]:
+                regressions.append(
+                    (name, base["exchanges"], got["exchanges"])
+                )
+            if base["top_k"] and not got["top_k"]:
+                regressions.append((name, "lost TakeOrderedAndProject", ""))
+            if base["pushed_filters"] and not got["pushed_filters"]:
+                regressions.append((name, "lost PushedFilters", ""))
+    finally:
+        # always restore — a raised query must not leak pinned confs
+        # into later tests sharing the session
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert not regressions, regressions
 
 

@@ -56,3 +56,42 @@ def test_cross_batch_dedup_via_store(spark, tmp_path):
     # the store now carries every survivor's fingerprint
     store_ids = {r.doc_id for r in spark.read.parquet(store).collect()}
     assert store_ids == {1, 3, 5}
+
+
+@pytest.mark.usefixtures("spark")
+def test_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch whose writes already landed (crash before the
+    checkpoint commit) must not duplicate sink rows, and must not let
+    the batch match its OWN store fingerprints and drop its survivors.
+    Simulated by re-running batch 0 against the same sinks with a fresh
+    checkpoint — an exact replay."""
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # in-batch dup of 1
+        (3, "completely different text"),
+    ]
+    _run_drop(spark, src, store, out, str(tmp_path / "ckpt1"), [])
+    # first full run
+    spark.createDataFrame([], "doc_id bigint, text string")  # no-op
+    _run_drop(spark, src, store, out, str(tmp_path / "ckpt2"), rows)
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 3]
+
+    # replay: same source files, fresh checkpoint → batch 0 again
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = stream_neardup_dedup(
+        stream,
+        store_path=store,
+        out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        radius=0,
+    )
+    q.awaitTermination(120)
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 3], "replay duplicated or dropped sink rows"
+    store_ids = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    assert store_ids == [1, 3]

@@ -776,8 +776,16 @@ def simhash_neardup(
 def simhash_neardup_sql(
     radius: int = 3, table: str = "documents", text_expr: str = "text"
 ) -> str:
-    """DuckDB twin of :func:`simhash_neardup` (same banding, same verify)."""
+    """DuckDB twin of :func:`simhash_neardup` (same banding, same verify).
+
+    Same divisibility guard as the DataFrame path — without it a
+    non-dividing radius would silently band only a prefix of the bits
+    here while the DataFrame twin raises (inconsistent twins)."""
     n_blocks = radius + 1
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError(
+            f"radius+1 ({n_blocks}) must divide SIMHASH_BITS ({SIMHASH_BITS})"
+        )
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
     return f"""
@@ -948,8 +956,15 @@ def incremental_dedup_sql(
     text_expr: str = "text",
 ) -> str:
     """DuckDB twin of :func:`incremental_dedup` where corpus/batch are
-    the rows of ``table`` failing/passing ``new_pred``."""
+    the rows of ``table`` failing/passing ``new_pred``.
+
+    Same divisibility guard as the DataFrame path — the twins must
+    agree on which radii are representable."""
     n_blocks = radius + 1
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError(
+            f"radius+1 ({n_blocks}) must divide SIMHASH_BITS ({SIMHASH_BITS})"
+        )
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
     return f"""

@@ -28,7 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "length_bucketed_batches", "length_bucketed_batches_sql", "concat_chunk", "concat_chunk_sql"]
+__all__ = [
+    "pack_sequences",
+    "packing_invariants",
+    "packing_invariants_sql",
+    "length_bucketed_batches",
+    "length_bucketed_batches_sql",
+    "concat_chunk",
+    "concat_chunk_sql",
+]
 
 PACKED_SCHEMA = (
     "grp string, doc_id bigint, n_tokens int, n_used int, "
@@ -42,6 +50,7 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    sort: bool = True,
 ) -> DataFrame:
     """(group, doc_id, n_tokens, n_used, seq_id, offset) — one row per
     document; ``seq_id`` is the packed sequence within the group and
@@ -50,6 +59,11 @@ def pack_sequences(
     Deterministic: FFD order is (n_used DESC, doc_id ASC) per group;
     bins are scanned in creation order, so reruns produce identical
     assignments regardless of physical partitioning.
+
+    ``sort=False`` skips the final presentation sort (a global range
+    exchange) — downstream aggregations like
+    :func:`packing_invariants` re-cluster on ``grp`` anyway, and the
+    ``applyInPandas`` shuffle already colocates each group.
     """
     counted = df.select(
         F.col(group_col).cast("string").alias("grp"),
@@ -81,11 +95,83 @@ def pack_sequences(
         pdf["offset"] = offsets
         return pdf[["grp", "doc_id", "n_tokens", "n_used", "seq_id", "offset"]]
 
-    return (
-        counted.groupBy("grp")
-        .applyInPandas(pack, schema=PACKED_SCHEMA)
-        .orderBy("grp", "seq_id", "offset")
+    packed = counted.groupBy("grp").applyInPandas(pack, schema=PACKED_SCHEMA)
+    if sort:
+        packed = packed.orderBy("grp", "seq_id", "offset")
+    return packed
+
+
+def packing_invariants(packed: DataFrame, budget: int = 512) -> DataFrame:
+    """Per-group invariant summary of a :func:`pack_sequences` result —
+    the SQL-checkable shadow of the non-SQL FFD assignment.
+
+    FFD's bin choice cannot be expressed relationally, but these CAN,
+    and a correct packing must satisfy all of them:
+
+    - ``n_docs`` / ``total_used``: every document is placed exactly
+      once and token mass is conserved (``Σ min(n_tokens, budget)``) —
+      both exactly predictable from the input corpus alone.
+    - ``budget_ok``: no sequence exceeds the token budget.
+    - ``offsets_ok``: within each sequence, documents tile densely from
+      offset 0 with no gaps or overlaps (offset == previous end).
+    - ``seqs_ok``: sequence ids are dense 0..n_seqs-1 per group.
+
+    The driver compares this frame to a pure-SQL oracle that predicts
+    the counts and asserts the three booleans true — a wrong FFD (lost
+    doc, over-full bin, overlapping offsets, skipped seq id) flips a
+    cell and hash-mismatches.
+    """
+    w = Window.partitionBy("grp", "seq_id").orderBy("offset", "doc_id")
+    prev_end = F.lag(F.col("offset") + F.col("n_used"), 1, 0).over(w)
+    per_seq = (
+        packed.withColumn(
+            "dense", (F.col("offset") == prev_end).cast("int")
+        )
+        .groupBy("grp", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_seq"),
+            F.sum("n_used").alias("fill"),
+            F.min("dense").alias("dense_ok"),
+        )
     )
+    return (
+        per_seq.groupBy("grp")
+        .agg(
+            F.sum("n_docs_seq").cast("bigint").alias("n_docs"),
+            F.sum("fill").cast("bigint").alias("total_used"),
+            (F.max("fill") <= budget).alias("budget_ok"),
+            (F.min("dense_ok") == 1).alias("offsets_ok"),
+            (
+                (F.min("seq_id") == 0)
+                & (F.max("seq_id") == F.count(F.lit(1)) - 1)
+            ).alias("seqs_ok"),
+        )
+        .orderBy("grp")
+    )
+
+
+def packing_invariants_sql(
+    budget: int = 512,
+    table: str = "documents",
+    group_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`packing_invariants`: predicts the
+    conservation counts straight from the corpus (mirroring
+    :func:`pack_sequences`' whitespace tokenization) and pins the
+    structural booleans to true."""
+    n = rf"len(string_split_regex({text_expr}, '\s+'))"
+    return f"""
+        SELECT CAST({group_col} AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST({n}, {budget})) AS BIGINT) AS total_used,
+               true AS budget_ok,
+               true AS offsets_ok,
+               true AS seqs_ok
+        FROM {table}
+        GROUP BY 1
+        ORDER BY 1
+    """
 
 
 def length_bucketed_batches(

@@ -71,6 +71,15 @@ __all__ = [
 _DP = 6
 
 
+def _round_half_away(a: "np.ndarray", dp: int = _DP) -> "np.ndarray":
+    """Round half away from zero — Spark ``F.round`` / DuckDB ``ROUND``
+    semantics. ``np.round`` is half-to-even, so a cosine landing exactly
+    on a 6-dp half tie could cross the threshold on one engine/strategy
+    and not the other, breaking the advertised strategy equivalence."""
+    f = 10.0 ** dp
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def _lcg_doubles(n: int, seed: int) -> list[float]:
     x = seed & 0xFFFFFFFFFFFFFFFF
     out = []
@@ -205,7 +214,7 @@ def cosine_topk_batch(
             M = np.array(list(pdf[vector_col]), dtype=np.float64)
             mn = np.linalg.norm(M, axis=1)
             mn[mn == 0.0] = 1.0
-            sim = np.round((M / mn[:, None]) @ Qmat.T, _DP)  # n×Q
+            sim = _round_half_away((M / mn[:, None]) @ Qmat.T)  # n×Q
             take = min(k, len(ids))
             out_q, out_id, out_s = [], [], []
             for qi in range(Qmat.shape[0]):
@@ -229,7 +238,12 @@ def cosine_topk_batch(
     # per-query wall; identical rows). At cluster scale k·Q·P still fits
     # one task by construction (it is the serving response payload).
     def finish(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # mapInPandas may yield zero batches (empty corpus) — guard
+        # BEFORE concat, which raises on an empty list
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if not len(pdf):
             yield pdf
             return
@@ -291,10 +305,28 @@ def cosine_similarity_join(
     broadcast; the oracle-identical, fully distributed path. Exact
     all-pairs is inherently quadratic past broadcast scale — prefer
     :func:`lsh_similarity_join` there.
+
+    ``auto`` REFUSES to degrade to the quadratic ``hof`` plan: past the
+    broadcast budget an exact all-pairs join is a cartesian scale-killer
+    (at 100 TB the default path must never silently plan N² work), so it
+    raises with guidance instead. Opt in explicitly with
+    ``strategy="hof"`` if the quadratic cost is genuinely intended
+    (e.g. as an oracle baseline on a small slice).
     """
-    strategy = resolve_similarity_strategy(
+    resolved = resolve_similarity_strategy(
         df, strategy, vector_col, small="matmul", large="hof"
     )
+    if strategy == "auto" and resolved == "hof":
+        raise ValueError(
+            "cosine_similarity_join(strategy='auto'): the id+vector set "
+            "exceeds the driver broadcast budget "
+            f"({BROADCAST_BYTES_CONF}), and exact all-pairs beyond that "
+            "scale is quadratic. Use lsh_similarity_join (approximate, "
+            "banded, scale-safe) or semantic_dedup, raise the budget "
+            "conf if the driver can hold the vectors, or pass "
+            "strategy='hof' to explicitly accept the N^2 join."
+        )
+    strategy = resolved
     if strategy == "hof":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
@@ -327,7 +359,7 @@ def cosine_similarity_join(
             # sub-block to bound the similarity matrix in memory
             step = max(1, 4_000_000 // max(len(b_ids), 1))
             for s in range(0, len(a_ids), step):
-                sim_blk = np.round(a_unit[s : s + step] @ b_unit.T, _DP)
+                sim_blk = _round_half_away(a_unit[s : s + step] @ b_unit.T)
                 ii, jj = np.where(sim_blk >= threshold)
                 ia, jb = a_ids[s + ii], b_ids[jj]
                 keep = ia < jb
@@ -494,8 +526,8 @@ def lsh_similarity_join(
         for pdf in batches:
             ia = np.searchsorted(s_ids, pdf["id_a"].to_numpy(dtype=np.int64))
             ib = np.searchsorted(s_ids, pdf["id_b"].to_numpy(dtype=np.int64))
-            cos = np.round(
-                np.einsum("ij,ij->i", s_unit[ia], s_unit[ib]), _DP
+            cos = _round_half_away(
+                np.einsum("ij,ij->i", s_unit[ia], s_unit[ib])
             )
             keep = cos >= threshold
             yield pd.DataFrame(
@@ -1051,7 +1083,7 @@ def semantic_dedup(
             cols = np.arange(m)
             for s in range(0, m, step):
                 e = min(s + step, m)
-                sim = np.round(U[s:e] @ U.T, _DP)  # block rows = droppees
+                sim = _round_half_away(U[s:e] @ U.T)  # block rows = droppees
                 # earlier neighbor: any column j < row index with sim≥τ
                 earlier = cols[None, :] < np.arange(s, e)[:, None]
                 dropped[s:e] = ((sim >= threshold) & earlier).any(axis=1)

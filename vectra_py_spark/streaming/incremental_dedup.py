@@ -36,7 +36,7 @@ from vectra_py_spark.operators.dedup import incremental_dedup_against_store
 
 __all__ = ["stream_neardup_dedup"]
 
-_STORE_SCHEMA = "doc_id BIGINT, simhash16 BIGINT"
+_STORE_SCHEMA = "doc_id BIGINT, simhash16 BIGINT, _batch_id BIGINT"
 
 
 def _read_store(spark, store_path: str) -> DataFrame:
@@ -56,22 +56,38 @@ def stream_neardup_dedup(
     text_col: str = "text",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Start the dedup-ingest loop: surviving docs append to
-    ``out_path``; their fingerprints append to ``store_path``.
+    """Start the dedup-ingest loop: surviving docs land under
+    ``out_path``; their fingerprints land under ``store_path`` — both
+    partitioned by ``_batch_id`` and written with dynamic partition
+    OVERWRITE, which is what makes replay idempotent on plain parquet.
 
-    The store holds (doc_id, simhash16) only. Batches replay
-    exactly-once via the checkpoint; a replayed batch re-appends its
-    survivors' fingerprints, which is harmless (dup fingerprints only
-    add candidates that verify to the same drop decisions).
+    Exactly-once reasoning (two non-atomic writes + a checkpoint
+    commit, any of which can be interrupted): a replayed batch
+    (a) overwrites only its own ``_batch_id`` partitions, so the sink
+    never accumulates duplicate rows from a crash between the writes or
+    before the checkpoint commit, and (b) excludes its own partition
+    from the store read, so a half-committed earlier attempt cannot
+    make the batch match its own fingerprints and silently drop every
+    survivor. Swap the two writers for Delta (txn appVersion) to get
+    the same guarantee with real table atomicity.
     """
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        store = _read_store(spark, store_path)
+        # exclude THIS batch's partition: on replay the store may hold
+        # fingerprints from an interrupted earlier attempt of the same
+        # batch, and matching against them would drop all survivors
+        store = _read_store(spark, store_path).filter(
+            F.col("_batch_id") != F.lit(batch_id)
+        )
         # corpus side needs (id, fp) only: feed the banding join with a
         # fingerprint-shaped frame; text is only needed for NEW docs
         survivors = incremental_dedup_against_store(
-            store, batch_df, radius=radius, id_col=id_col, text_col=text_col
+            store.select(id_col, "simhash16"),
+            batch_df,
+            radius=radius,
+            id_col=id_col,
+            text_col=text_col,
         ).cache()
         try:
             (
@@ -79,10 +95,20 @@ def stream_neardup_dedup(
                     survivors.select(F.col(id_col).alias("__sid")),
                     batch_df[id_col] == F.col("__sid"),
                     "left_semi",
-                ).write.mode("append").parquet(out_path)
+                )
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
             )
-            survivors.select(id_col, "simhash16").write.mode("append").parquet(
-                store_path
+            (
+                survivors.select(id_col, "simhash16")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_path)
             )
         finally:
             survivors.unpersist()
