@@ -86,18 +86,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-                "bench_warm": warm_serving(spark, sf_dir),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "bench_warm": warm_serving(spark, sf_dir),
+    }
+    line = json.dumps(payload)
+    # Truncation-proofing: a tail-limited stdout capture once cut this
+    # line mid-stream (BENCH_r02 parsed:null). Emit the line FIRST and
+    # flushed, and ALSO persist it to a file so the full result survives
+    # any pipe/capture limit.
+    print(line, flush=True)
+    try:
+        (REPO / "BENCH_LATEST.json").write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
     spark.stop()
 
 

@@ -86,3 +86,59 @@ def test_temperature_mix_is_deterministic(spark):
     a = sorted(map(tuple, temperature_mix(df).collect()))
     b = sorted(map(tuple, temperature_mix(df).collect()))
     assert a == b
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs written in the target domain's vocabulary must outscore
+    docs from a disjoint vocabulary — the defining DSIR property."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.mixing import dsir_importance
+
+    rows = (
+        # target domain: physics-ish vocabulary
+        [(i, "quantum field energy state " * 5, "tgt") for i in range(8)]
+        # raw bulk: cooking vocabulary
+        + [(100 + i, "butter flour sugar oven bake " * 5, "raw") for i in range(8)]
+        # candidate A: target-like; candidate B: bulk-like
+        + [(200, "quantum field energy state quantum field energy state", "cand"),
+           (201, "butter flour sugar oven bake butter flour sugar", "cand")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r.doc_id: r.dsir_score
+        for r in dsir_importance(df, F.col("source") == "tgt").collect()
+    }
+    # relative ordering is the DSIR invariant (absolute sign depends on
+    # smoothing mass at toy scale): target-like clearly above bulk-like
+    assert out[200] > out[201] + 1.0
+    # deterministic across reruns
+    out2 = {
+        r.doc_id: r.dsir_score
+        for r in dsir_importance(df, F.col("source") == "tgt").collect()
+    }
+    assert out == out2
+
+
+def test_curriculum_order_positions(spark):
+    """Positions are a dense permutation 0..N-1, bins are ordered
+    easy-first, and the layout is rerun-deterministic."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.mixing import curriculum_order
+
+    rows = [(i, "w " * (i + 1)) for i in range(40)]  # length grows with id
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curriculum_order(df, difficulty=F.length("text"), n_bins=4).collect()
+    pos = sorted(r.pos for r in out)
+    assert pos == list(range(40))
+    # bin is monotone along the position order
+    by_pos = sorted(out, key=lambda r: r.pos)
+    bins = [r.bin for r in by_pos]
+    assert bins == sorted(bins)
+    # easy (short) docs land in bin 0, hard in the last bin
+    assert by_pos[0].doc_id < 10 and by_pos[-1].doc_id >= 30
+    again = curriculum_order(
+        df, difficulty=F.length("text"), n_bins=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

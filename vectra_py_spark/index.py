@@ -391,7 +391,15 @@ class SparkVectorIndex:
         self._invalidate()
 
     def commit(self) -> None:
-        """D4/S4: apply staged mutations in one partition-scoped MERGE."""
+        """D4/S4: apply staged mutations in one partition-scoped MERGE.
+
+        Concurrency caveat: plain parquet has no transaction log, so
+        this MERGE assumes a SINGLE writer per index (readers are fine —
+        untouched bucket files are never rewritten). Two concurrent
+        commits can interleave bucket overwrites and lose one side's
+        rows. For multi-writer deployments put the same bucket layout on
+        Delta/Iceberg and route this merge through its MERGE INTO.
+        """
         if not self._pending and not self._pending_deletes:
             return
         staged = None

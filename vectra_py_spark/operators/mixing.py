@@ -26,12 +26,22 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_py_spark.operators.splits import N_BUCKETS, hash_bucket, hash_bucket_sql
 
-__all__ = ["epoch_mix", "epoch_mix_sql", "temperature_mix", "temperature_mix_sql"]
+__all__ = [
+    "epoch_mix",
+    "epoch_mix_sql",
+    "temperature_mix",
+    "temperature_mix_sql",
+    "dsir_importance",
+    "dsir_importance_sql",
+    "DSIR_BUCKETS",
+    "curriculum_order",
+    "curriculum_order_sql",
+]
 
 _SALT = ":mix"
 _TEMP_SALT = ":tmix"
@@ -209,4 +219,245 @@ def temperature_mix_sql(
             FROM {table} d JOIN dim USING ({strat_col})
         ) s,
         LATERAL unnest(range(0, n_copies)) AS u(copy_idx)
+    """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 65536  # 4 md5 hex nibbles
+_DSIR_LAMBDA = 0.5    # add-lambda smoothing on both feature models
+
+
+def _bigram_feature(words: F.Column) -> F.Column:
+    """Hashed word-bigram features: first 4 md5 hex chars of
+    ``"w_i w_{i+1}"`` as an int in [0, 65536) — the engine-portable
+    sibling of DSIR's hashed n-gram featurizer. Guarded for <2 words
+    (Spark ``sequence(1, 0)`` DESCENDS, so the range must be gated)."""
+    pair = (
+        "transform(sequence(1, size({w}) - 1), "
+        "i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
+    )
+    return F.when(
+        F.size(words) >= 2,
+        F.expr(pair.format(w="__dsir_w")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document importance weight for Data Selection via Importance
+    Resampling (Xie et al. 2023): score raw documents by how much more
+    likely they are under a hashed-bigram model of a TARGET domain than
+    under the raw-corpus model.
+
+    ``dsir_score(d) = avg_{f in d} [ log p_tgt(f) - log p_raw(f) ]``
+    with add-λ smoothing over 65536 hashed-bigram buckets; sampling
+    proportionally to the (exponentiated) score reweights the raw
+    corpus toward the target domain. The target model here is fit on
+    the rows matching ``target_pred`` — in production, on the held-out
+    domain sample (Wikipedia, curated code, …).
+
+    100 TB design: ONE corpus scan explodes (doc_id, feature) pairs —
+    narrow ints, text never leaves the scan; both feature models come
+    from a single conditional aggregation on that stream (count +
+    count-if-target per feature: one vocabulary-sized shuffle); model
+    totals are a 1-row broadcast; the scored stream re-joins the model
+    by broadcast, and the per-doc average is the second (doc-keyed)
+    shuffle. Same two-exchange shape as the CCNet LM scorer.
+    """
+    feats = (
+        df.select(
+            F.col(id_col),
+            target_pred.cast("int").alias("is_t"),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("__dsir_w"),
+        )
+        .select(
+            id_col,
+            "is_t",
+            F.explode(_bigram_feature(F.col("__dsir_w"))).alias("bigram"),
+        )
+        .select(
+            id_col,
+            "is_t",
+            (
+                F.conv(F.substring(F.md5(F.col("bigram")), 1, 4), 16, 10)
+                .cast("long")
+            ).alias("f"),
+        )
+    )
+    model = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("rn"), F.sum("is_t").alias("tn")
+    )
+    totals = model.agg(
+        F.sum("rn").alias("R"), F.sum("tn").alias("T")
+    )
+    lam, b = _DSIR_LAMBDA, DSIR_BUCKETS
+    logratio = F.log((F.col("tn") + lam) / (F.col("T") + lam * b)) - F.log(
+        (F.col("rn") + lam) / (F.col("R") + lam * b)
+    )
+    return (
+        feats.join(F.broadcast(model), "f")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg(logratio), 6).alias("dsir_score"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dsir_importance_sql(
+    target_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` — same md5-nibble feature
+    hash, same smoothing, same avg-of-log-ratios."""
+    nib = [
+        f"(instr('0123456789abcdef', substr(md5(bg), {j + 1}, 1)) - 1)"
+        for j in range(4)
+    ]
+    fexpr = f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+    lam, b = _DSIR_LAMBDA, DSIR_BUCKETS
+    return f"""
+        WITH src AS (
+            SELECT {id_col},
+                   CASE WHEN {target_pred} THEN 1 ELSE 0 END AS is_t,
+                   string_split_regex(lower({text_expr}), '\\s+') AS w
+            FROM {table}
+        ),
+        feats AS (
+            SELECT {id_col}, is_t, {fexpr} AS f
+            FROM (
+                SELECT {id_col}, is_t,
+                       unnest(list_transform(
+                           range(1, len(w)),
+                           i -> w[i] || ' ' || w[i + 1])) AS bg
+                FROM src WHERE len(w) >= 2
+            )
+        ),
+        m AS (
+            SELECT f, count(*) AS rn, SUM(is_t) AS tn
+            FROM feats GROUP BY f
+        ),
+        tot AS (SELECT SUM(rn) AS R, SUM(tn) AS T FROM m)
+        SELECT {id_col},
+               CAST(count(*) AS BIGINT) AS n_feats,
+               ROUND(AVG(
+                   ln((tn + {lam}) / (T + {lam} * {b}))
+                 - ln((rn + {lam}) / (R + {lam} * {b}))), 6) AS dsir_score
+        FROM feats JOIN m USING (f) CROSS JOIN tot
+        GROUP BY {id_col}
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (deterministic global training order)
+# ---------------------------------------------------------------------------
+def curriculum_order(
+    df: DataFrame,
+    difficulty: F.Column,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a deterministic GLOBAL training position:
+    easy bins first (curriculum learning), hash-shuffled within each
+    bin (so each difficulty stage is still i.i.d.-looking), reproducible
+    row-for-row across reruns and cluster layouts.
+
+    ``difficulty`` is any numeric Column (cross-entropy, length, 1 -
+    quality score …); bins are equal-width over its observed range.
+
+    100 TB design — the naive plan is a GLOBAL ``row_number`` window,
+    which funnels the corpus through ONE partition and dies at scale.
+    Instead, classic two-phase ranking: (1) per-bin counts → cumulative
+    offsets, a ``n_bins``-row broadcast; (2) ``row_number`` within each
+    bin partition + its bin's offset. The only corpus-wide exchange is
+    the bin-keyed window shuffle; skew across difficulty bins is
+    bounded by bin width (split hot bins by raising ``n_bins``).
+    """
+    bounds_row = df.select(
+        F.min(difficulty).alias("lo"), F.max(difficulty).alias("hi")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds_row))
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("hi") == F.col("lo"), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (difficulty - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ).cast("int"),
+                )
+            ),
+        )
+        .withColumn("shuffle_key", F.md5(F.col(id_col).cast("string")))
+        .drop("lo", "hi")
+    )
+    offsets = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bin").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bin", "offset")
+    )
+    w = Window.partitionBy("bin").orderBy("shuffle_key", id_col)
+    return (
+        binned.join(F.broadcast(offsets), "bin")
+        .withColumn(
+            "pos", (F.row_number().over(w) - 1 + F.col("offset")).cast("bigint")
+        )
+        .select(id_col, "bin", "pos")
+        .orderBy("pos")
+    )
+
+
+def curriculum_order_sql(
+    difficulty_expr: str,
+    n_bins: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`curriculum_order`. The oracle can afford
+    the single global ROW_NUMBER the Spark side deliberately avoids."""
+    d = difficulty_expr
+    return f"""
+        WITH b AS (SELECT min({d}) AS lo, max({d}) AS hi FROM {table}),
+        binned AS (
+            SELECT {id_col},
+                   CASE WHEN hi = lo THEN 0
+                        ELSE LEAST({n_bins} - 1,
+                            CAST(floor(({d} - lo) / ((hi - lo) / {n_bins}))
+                                 AS INT))
+                   END AS bin,
+                   md5(CAST({id_col} AS VARCHAR)) AS shuffle_key
+            FROM {table} CROSS JOIN b
+        )
+        SELECT {id_col}, bin,
+               CAST(ROW_NUMBER() OVER
+                   (ORDER BY bin, shuffle_key, {id_col}) - 1 AS BIGINT)
+                   AS pos
+        FROM binned
+        ORDER BY pos
     """

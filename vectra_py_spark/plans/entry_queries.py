@@ -708,6 +708,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_TARGET = "source = 'src0'"
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum: global training positions, short
+    (easy) documents first, hash-shuffled within each length decile —
+    two-phase rank, no global window."""
+    return mx.curriculum_order(
+        load(spark, sf_dir, "documents"), difficulty=F.length("text")
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling scores: hashed-bigram log-likelihood
+    ratio of a target-domain model (here: the src0 slice) vs the raw
+    corpus, per document. The data-selection front end of a targeted
+    pretraining mix."""
+    return mx.dsir_importance(
+        load(spark, sf_dir, "documents"), target_pred=F.expr(_DSIR_TARGET)
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-R-style alpha=0.5 temperature mix: epoch weights derived
     from per-language corpus counts, materialized deterministically."""
@@ -2494,6 +2516,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "lm_quality_cut": q_lm_quality_cut,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "dsir_weights": q_dsir_weights,
+    "curriculum_order": q_curriculum_order,
     "temperature_mix": q_temperature_mix,
     "concat_chunk": q_concat_chunk,
     "cross_source_dups": q_cross_source_dups,
@@ -2565,6 +2589,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # first round, and drop a tier-(c) name if that pushes past 50.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
+    # (new this round — first driver look)
+    "dsir_weights",
+    "curriculum_order",
     # (a) red/err in r2, fixed this round
     "corpus_stats",
     "random_projection",
@@ -2616,8 +2643,6 @@ _CHECK_FIRST: list[str] = [
     "asof_enrich",
     "range_join",
     "salted_agg",
-    "epoch_mix",
-    "token_budget_batches",
 ]
 
 QUERIES = {
@@ -2667,6 +2692,8 @@ ORACLES: dict[str, str] = {
     "random_projection": _sql_random_projection(),
     "lm_quality_cut": _sql_lm_quality_cut(),
     "bpe_pair_counts": ta.bpe_pair_counts_sql(),
+    "dsir_weights": mx.dsir_importance_sql(_DSIR_TARGET),
+    "curriculum_order": mx.curriculum_order_sql("length(text)"),
     "temperature_mix": mx.temperature_mix_sql(),
     "concat_chunk": pk.concat_chunk_sql(),
     "cross_source_dups": ta.cross_source_dups_sql(),
