@@ -739,3 +739,72 @@ def test_simhash_sql_twins_share_divisibility_guard():
             dd.simhash_neardup_sql(radius=bad_radius)
         with pytest.raises(ValueError, match="divide"):
             dd.incremental_dedup_sql("doc_id > 100", radius=bad_radius)
+
+
+def test_duplicate_ngram_spans_planted(spark):
+    # doc 1 and 2 share an 8-token run embedded in distinct contexts;
+    # doc 3 is unique; doc 4 is too short to emit any window
+    run = "one two three four five six seven eight"
+    rows = [
+        (1, "prefix words here " + run + " and a unique tail for one"),
+        (2, "other opening text " + run + " closing differently here two"),
+        (3, "completely unrelated content with no shared spans at all "
+            "padding padding more padding tokens"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in ta.duplicate_ngram_spans(df, window=8).collect()
+    }
+    assert 4 not in out  # below window size -> no windows
+    assert out[3].dup_windows == 0 and out[3].max_dup_span_tokens == 0
+    # exactly one shared 8-token window between docs 1 and 2
+    assert out[1].dup_windows == 1 and out[2].dup_windows == 1
+    assert out[1].max_dup_span_tokens == 8
+    assert 0 < out[1].dup_ratio < 1
+
+
+def test_duplicate_ngram_spans_run_length(spark):
+    # identical docs: every window duplicated, span covers the full doc
+    text = "a b c d e f g h i j k l"  # 12 tokens, window 4 -> 9 windows
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    out = ta.duplicate_ngram_spans(df, window=4).collect()
+    for r in out:
+        assert r.n_windows == 9
+        assert r.dup_windows == 9
+        assert r.dup_ratio == 1.0
+        assert r.max_dup_span_tokens == 9 + 4 - 1  # == 12, whole doc
+
+
+def test_nb_quality_score_separates_seed(spark):
+    seedish = (
+        "the project is a story about the people and the places that "
+        "have been seen because there was much to learn from all of it"
+    )
+    junky = "zzz qqq kjh 000 111 !!! ### zzz qqq kjh 000 111"
+    rows = [(i, seedish) for i in range(1, 7)] + [
+        (i, junky) for i in range(7, 10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ta.nb_quality_score(df).collect()}
+    assert len(out) == 9
+    # seed-side docs score strictly higher than junk docs
+    assert min(out[i].nb_logodds for i in range(1, 7)) > max(
+        out[i].nb_logodds for i in range(7, 10)
+    )
+    assert out[1].seed_label == 1 and out[8].seed_label == 0
+    assert out[1].nb_logodds == pytest.approx(out[2].nb_logodds)
+
+
+def test_nb_quality_model_reenters_broadcast(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    plan = (
+        ta.nb_quality_score(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # token model + 1-row priors re-enter via broadcast; the corpus
+    # token stream is never shuffled on token
+    assert plan.count("BroadcastExchange") >= 2, plan

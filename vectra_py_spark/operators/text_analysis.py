@@ -55,6 +55,10 @@ __all__ = [
     "dup_shingle_ratio_sql",
     "source_token_drift",
     "source_token_drift_sql",
+    "duplicate_ngram_spans",
+    "duplicate_ngram_spans_sql",
+    "nb_quality_score",
+    "nb_quality_score_sql",
 ]
 
 # PII patterns restricted to the Java∩RE2 regex subset so Spark and
@@ -1016,4 +1020,236 @@ def source_token_drift_sql(
         FROM st JOIN s USING (source) JOIN t USING (token) CROSS JOIN a
         GROUP BY source
         ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# Positional duplicate n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+def duplicate_ngram_spans(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication localizer — the hash-window
+    formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): hash every ``window``-token sliding
+    window, count occurrences corpus-wide, and report per document the
+    duplicated-window fraction AND the longest contiguous duplicated
+    span. Unlike :func:`dup_shingle_ratio` (distinct shingles — HOW
+    MUCH is boilerplate) this keeps positions, so it answers WHERE: the
+    longest span is what a substring-cut pass would actually remove.
+
+    Documents shorter than ``window`` tokens emit no windows and are
+    omitted (same in the twin).
+
+    100 TB design: the window stream is narrow (id, pos, 32-hex hash) —
+    one row per token occurrence, linear in corpus size (the scalable
+    alternative to the paper's monolithic suffix array). The occurrence
+    count is one map-side-combined aggregate (distinct-window-sized
+    after partial agg); the rejoin shuffles on hash (hot hashes ARE the
+    duplicates — exactly the rows AQE skew-splits); the span
+    run-length uses the gaps-and-islands trick under a per-doc window,
+    partitioned by doc_id so no single-partition funnel.
+    """
+    base = df.select(F.col(id_col), words_col(text_col).alias("w"))
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
+    # with an explicit empty array instead of greatest().
+    idx = F.when(
+        F.size("w") >= window,
+        F.sequence(F.lit(1), F.size("w") - (window - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, window))),
+            )
+        ).alias("pos", "h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    j = wins.join(counts, "h").select(
+        F.col(id_col), F.col("pos"), (F.col("n") >= 2).alias("is_dup")
+    )
+    per = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("is_dup").cast("int")).alias("dup_windows"),
+        F.round(
+            F.sum(F.col("is_dup").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+    from pyspark.sql import Window as W
+
+    dup = j.filter("is_dup").withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy(id_col).orderBy("pos")),
+    )
+    spans = (
+        dup.groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg((F.max("run") + F.lit(window - 1)).alias("max_span"))
+    )
+    return (
+        per.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "dup_windows",
+            "dup_ratio",
+            F.coalesce(F.col("max_span"), F.lit(0))
+            .cast("long")
+            .alias("max_dup_span_tokens"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duplicate_ngram_spans_sql(
+    window: int = 8, table: str = "documents", id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    w = _words_sql(text_expr)
+    return f"""
+        WITH wins AS (
+            SELECT {id_col}, i AS pos,
+                   md5(array_to_string(w[i:i+{window - 1}], ' ')) AS h
+            FROM (SELECT {id_col}, {w} AS w FROM {table}),
+                 LATERAL unnest(
+                     range(1, greatest(len(w) - {window - 1}, 0) + 1)
+                 ) AS t(i)
+        ),
+        c AS (SELECT h, count(*) AS n FROM wins GROUP BY h),
+        j AS (SELECT {id_col}, pos, (n >= 2) AS is_dup
+              FROM wins JOIN c USING (h)),
+        per AS (
+            SELECT {id_col}, count(*) AS n_windows,
+                   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_windows,
+                   ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS dup_ratio
+            FROM j GROUP BY {id_col}
+        ),
+        runs AS (
+            SELECT {id_col},
+                   pos - row_number() OVER (
+                       PARTITION BY {id_col} ORDER BY pos) AS grp
+            FROM j WHERE is_dup
+        ),
+        spans AS (
+            SELECT {id_col}, max(run) + {window - 1} AS max_span
+            FROM (SELECT {id_col}, grp, count(*) AS run
+                  FROM runs GROUP BY {id_col}, grp)
+            GROUP BY {id_col}
+        )
+        SELECT per.{id_col}, n_windows, dup_windows, dup_ratio,
+               CAST(COALESCE(max_span, 0) AS BIGINT) AS max_dup_span_tokens
+        FROM per LEFT JOIN spans USING ({id_col})
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Seeded Naive-Bayes quality classifier (train + score, one pipeline)
+# ---------------------------------------------------------------------------
+def nb_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_quality: float = 0.5,
+    min_len: int = 1,
+) -> DataFrame:
+    """Train a Naive-Bayes token classifier against a heuristic seed and
+    score every document — the counting-model cousin of the
+    linear quality classifiers of GPT-3 / CCNet (seed set vs crawl,
+    score = how seed-like a document's tokens are). The seed label is
+    :func:`quality_score_col` ``>= seed_quality`` so the whole pipeline
+    is deterministic and oracle-able; swap the label for a curated seed
+    set in production.
+
+    Per-token log-odds with Laplace +1 smoothing:
+    ``log2((pos_n+1)/(pos_total+V)) - log2((neg_n+1)/(neg_total+V))``;
+    a document scores the MEAN log-odds of its tokens (length-
+    normalized, so long docs aren't favored). Docs with no qualifying
+    tokens are omitted (same in the twin).
+
+    100 TB design: training is ONE map-side-combined conditional
+    aggregate over the token stream (vocabulary-sized output); the
+    priors are a 1-row re-aggregation of the model; both re-enter via
+    broadcast, so corpus-sized data never shuffles on token, and the
+    per-doc score is one (doc_id)-keyed aggregate.
+    """
+    lab = df.select(
+        F.col(id_col),
+        (quality_score_col(text_col) >= F.lit(seed_quality))
+        .cast("int")
+        .alias("y"),
+        words_col(text_col).alias("w"),
+    )
+    toks = lab.select(
+        F.col(id_col), "y", F.explode("w").alias("token")
+    ).filter((F.length("token") >= min_len) & (F.col("token") != ""))
+    model = toks.groupBy("token").agg(
+        F.sum("y").alias("pos_n"), F.count(F.lit(1)).alias("n")
+    )
+    priors = model.agg(
+        F.sum("pos_n").alias("pos_total"),
+        F.sum(F.col("n") - F.col("pos_n")).alias("neg_total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    logodds = F.log2(
+        (F.col("pos_n") + 1) / (F.col("pos_total") + F.col("v"))
+    ) - F.log2(
+        (F.col("n") - F.col("pos_n") + 1)
+        / (F.col("neg_total") + F.col("v"))
+    )
+    return (
+        toks.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(priors))
+        .groupBy(id_col)
+        .agg(
+            F.max("y").alias("seed_label"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logodds), 6).alias("nb_logodds"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def nb_quality_score_sql(
+    table: str = "documents", id_col: str = "doc_id",
+    text_expr: str = "text", seed_quality: float = 0.5, min_len: int = 1,
+) -> str:
+    w = _words_sql(text_expr)
+    q = quality_score_sql_expr(text_expr)
+    return f"""
+        WITH lab AS (
+            SELECT {id_col},
+                   CASE WHEN {q} >= {seed_quality} THEN 1 ELSE 0 END AS y,
+                   {w} AS w
+            FROM {table}
+        ),
+        toks AS (
+            SELECT {id_col}, y, token
+            FROM (SELECT {id_col}, y, unnest(w) AS token FROM lab)
+            WHERE length(token) >= {min_len} AND token <> ''
+        ),
+        m AS (SELECT token, CAST(SUM(y) AS BIGINT) AS pos_n,
+                     count(*) AS n
+              FROM toks GROUP BY token),
+        t AS (SELECT CAST(SUM(pos_n) AS BIGINT) AS pos_total,
+                     CAST(SUM(n - pos_n) AS BIGINT) AS neg_total,
+                     count(*) AS v
+              FROM m)
+        SELECT {id_col}, CAST(max(y) AS INT) AS seed_label,
+               count(*) AS n_tokens,
+               ROUND(avg(log2((pos_n + 1) * 1.0 / (pos_total + v))
+                         - log2((n - pos_n + 1) * 1.0 / (neg_total + v))),
+                     6) AS nb_logodds
+        FROM toks JOIN m USING (token) CROSS JOIN t
+        GROUP BY {id_col}
+        ORDER BY {id_col}
     """

@@ -863,6 +863,21 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.source_token_drift(load(spark, sf_dir, "documents"))
 
 
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication localizer (Lee et al. 2022 hash-window
+    formulation): per-doc duplicated-window fraction + longest
+    contiguous duplicated span."""
+    return ta.duplicate_ngram_spans(load(spark, sf_dir, "documents"))
+
+
+def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Naive-Bayes quality classifier: train token log-odds
+    against the heuristic quality seed, score every doc (mean token
+    log-odds) — the GPT-3/CCNet quality-filter shape, fully
+    deterministic."""
+    return ta.nb_quality_score(load(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2511,6 +2526,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_quality": q_bigram_lm_quality,
     "dup_shingle_ratio": q_dup_shingle_ratio,
     "source_token_drift": q_source_token_drift,
+    "duplicate_ngram_spans": q_duplicate_ngram_spans,
+    "nb_quality_score": q_nb_quality_score,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2592,6 +2609,8 @@ _CHECK_FIRST: list[str] = [
     # (new this round — first driver look)
     "dsir_weights",
     "curriculum_order",
+    "duplicate_ngram_spans",
+    "nb_quality_score",
     # (a) red/err in r2, fixed this round
     "corpus_stats",
     "random_projection",
@@ -2641,8 +2660,6 @@ _CHECK_FIRST: list[str] = [
     "train_split",
     "stratified_sample",
     "asof_enrich",
-    "range_join",
-    "salted_agg",
 ]
 
 QUERIES = {
@@ -2685,6 +2702,8 @@ ORACLES: dict[str, str] = {
     "bigram_lm_quality": ta.bigram_lm_score_sql(),
     "dup_shingle_ratio": ta.dup_shingle_ratio_sql(),
     "source_token_drift": ta.source_token_drift_sql(),
+    "duplicate_ngram_spans": ta.duplicate_ngram_spans_sql(),
+    "nb_quality_score": ta.nb_quality_score_sql(),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),

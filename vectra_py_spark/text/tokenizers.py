@@ -24,6 +24,7 @@ results so cost scales with DISTINCT words per worker, not total.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from functools import lru_cache
 from typing import Protocol
@@ -36,7 +37,16 @@ __all__ = [
     "get_tokenizer",
     "bytes_to_unicode",
     "train_bpe_merges",
+    "load_merges_file",
 ]
+
+#: Env var pointing at a released BPE merges file (GPT-2 ``merges.txt``
+#: format). When set, :func:`get_tokenizer` drives the byte-level BPE
+#: with the real released merge table, so chunk boundaries / n_tokens
+#: match a production deployment exactly. (The released file itself is
+#: not vendored here — this container has no network — but the loader
+#: accepts it verbatim, header and all.)
+MERGES_FILE_ENV = "VECTRA_BPE_MERGES"
 
 
 class Tokenizer(Protocol):
@@ -251,6 +261,36 @@ VENDORED_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def load_merges_file(path: str) -> list[tuple[str, str]]:
+    """Parse a released BPE merges file (the GPT-2 ``merges.txt``
+    format: optional ``#version`` header, then one space-separated
+    symbol pair per line, rank = line order). Blank lines and comment
+    headers are skipped; a malformed line raises with its line number
+    so a truncated download fails loudly rather than mis-ranking every
+    later merge."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            line = raw.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    if not merges:
+        raise ValueError(f"{path}: no merge rules found")
+    return merges
+
+
+@lru_cache(maxsize=4)
+def _merges_from_file_cached(path: str, mtime_ns: int) -> tuple[tuple[str, str], ...]:
+    # mtime participates in the key so an edited file is re-read.
+    return tuple(load_merges_file(path))
+
+
 class ByteLevelBPETokenizer:
     """Real byte-level BPE (T5 parity path): GPT-2's exact encode/decode
     mechanics over a pluggable merge table.
@@ -264,7 +304,7 @@ class ByteLevelBPETokenizer:
     """
 
     def __init__(self, merges: list[tuple[str, str]] | None = None) -> None:
-        merges = VENDORED_MERGES if merges is None else merges
+        merges = VENDORED_MERGES if merges is None else list(merges)
         self._ranks = {pair: r for r, pair in enumerate(merges)}
         b2u = bytes_to_unicode()
         self._u2b = {v: k for k, v in b2u.items()}
@@ -274,6 +314,15 @@ class ByteLevelBPETokenizer:
         self._tok_of = vocab
         self._id_of = {tok: i for i, tok in enumerate(vocab)}
         self._cache: dict[str, list[int]] = {}
+
+    @classmethod
+    def from_merges_file(cls, path: str) -> "ByteLevelBPETokenizer":
+        """Build from a released merges file (GPT-2 ``merges.txt``
+        format). Parsed tables are process-cached so per-executor lazy
+        construction inside pandas UDFs re-reads the file at most once
+        per worker, not once per batch."""
+        merges = _merges_from_file_cached(path, os.stat(path).st_mtime_ns)
+        return cls(list(merges))
 
     def _bpe(self, symbols: tuple[str, ...]) -> list[str]:
         word = list(symbols)
@@ -342,11 +391,17 @@ class TiktokenTokenizer:
 
 
 def get_tokenizer(model: str | None = None) -> Tokenizer:
-    """Best available tokenizer: tiktoken if installed, else the vendored
-    byte-level BPE (identical behavior across driver/executors)."""
+    """Best available tokenizer, in fidelity order: tiktoken if
+    installed (reference T5 exactly), else a released merges file named
+    by ``$VECTRA_BPE_MERGES`` (real deployment boundaries), else the
+    vendored trained table (identical behavior across
+    driver/executors)."""
     if model:
         try:
             return TiktokenTokenizer(model)
         except ImportError:
             pass
+    merges_path = os.environ.get(MERGES_FILE_ENV)
+    if merges_path:
+        return ByteLevelBPETokenizer.from_merges_file(merges_path)
     return ByteLevelBPETokenizer()
