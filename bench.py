@@ -41,7 +41,12 @@ def warm_serving(spark, sf_dir: str) -> dict:
       matmul (`cosine_topk_batch`) — the design answer, amortizing the
       fixed plan cost across the batch.
     """
-    emb = load(spark, sf_dir, "embeddings").cache()
+    # Serving cache layout: ~50k rows per partition (≈25 MB BLAS blocks
+    # at dim 64) — cosine_topk_batch runs at the input's partitioning,
+    # so the cache layout IS the matmul parallelism knob.
+    raw = load(spark, sf_dir, "embeddings")
+    n_rows = raw.count()
+    emb = raw.repartition(max(1, min(32, n_rows // 50_000 + 1))).cache()
     cached_rows = emb.count()  # materialize the cache
 
     # -- adhoc: N distinct single-query plans over the cached table
