@@ -808,3 +808,85 @@ def test_nb_quality_model_reenters_broadcast(spark):
     # token model + 1-row priors re-enter via broadcast; the corpus
     # token stream is never shuffled on token
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_lloyd_kmeans_assignment_invariants(spark):
+    from vectra_py_spark.operators.cluster import lloyd_kmeans
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = lloyd_kmeans(df, k=4, iters=2).collect()
+    n = df.count()
+    assert len(out) == n  # every vector assigned exactly once
+    assert {r.cluster for r in out} <= set(range(4))
+
+
+def test_lloyd_kmeans_iter1_is_nearest_seed(spark):
+    from vectra_py_spark.operators.cluster import lloyd_kmeans
+
+    # iters=1 = assign to nearest of the k smallest-id vectors; the
+    # seed rows themselves must land in their own cluster (distance 0)
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {
+        r.vec_id: r.cluster
+        for r in lloyd_kmeans(df, k=4, iters=1).collect()
+    }
+    seeds = sorted(out)[:4]
+    assert [out[s] for s in seeds] == [0, 1, 2, 3]
+
+
+def test_lloyd_kmeans_assignment_is_shuffle_free(spark):
+    from vectra_py_spark.operators.cluster import _assign_expr
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = {0: [0.0] * 64, 1: [1.0] * 64}
+    plan = (
+        df.withColumn("cluster", _assign_expr(cents, "embedding"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_tokenize_ids_oov_bucket(spark):
+    from vectra_py_spark.operators.text_analysis import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a rare")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(df, vocab_size=2)  # keeps a(4), b(2)
+    rows = tokenize_to_ids(df, vocab, 2).collect()
+    ids = {(r.doc_id, r.pos): r.token_id for r in rows}
+    assert ids[(1, 0)] == 0 and ids[(1, 3)] == 1
+    assert ids[(1, 5)] == 2 and ids[(2, 1)] == 2  # OOV -> vocab_size
+
+
+def test_tokenize_ids_vocab_rank_ties_by_word(spark):
+    from vectra_py_spark.operators.text_analysis import build_vocab
+
+    df = spark.createDataFrame([(1, "b a b a")], ["doc_id", "text"])
+    v = {
+        r.word: r.token_id
+        for r in build_vocab(df, vocab_size=2).collect()
+    }
+    assert v == {"a": 0, "b": 1}  # equal counts -> lexicographic
+
+
+def test_tfidf_top_terms_shape(spark):
+    from vectra_py_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "apple apple shared"),
+            (2, "s2", "banana shared shared"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = tfidf_top_terms(df, top_n=2).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.word] = r.tfidf
+    # group-exclusive terms score ln(2); the everywhere-term scores 0
+    assert by_src["s1"]["apple"] > 0 and by_src["s2"]["banana"] > 0
+    assert by_src["s1"]["shared"] == 0.0

@@ -44,6 +44,8 @@ __all__ = [
     "neardup_clusters_sql",
     "leakage_safe_split",
     "leakage_safe_split_sql",
+    "lloyd_kmeans",
+    "lloyd_kmeans_sql",
 ]
 
 
@@ -274,4 +276,165 @@ def leakage_safe_split_sql(
                     ELSE 'test' END AS split
         FROM labeled
         ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means (oracle-able counterpart to the MLlib path)
+# ---------------------------------------------------------------------------
+def _assign_expr(centroids: dict[int, list[float]], vector_col: str):
+    """Nearest-centroid id as a pure projection: ``array_min`` over
+    ``struct(d², cid)`` = argmin distance, ties → smaller cluster —
+    whole-stage-codegen only, nothing leaves the row (same shape as
+    ``similarity.cell_assignment_expr``)."""
+    from vectra_py_spark.functions.vector import to_double_array, vector_literal
+
+    v = to_double_array(vector_col)
+    cands = []
+    for cid in sorted(centroids):
+        c = vector_literal(centroids[cid])
+        d2 = F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cands)).getField("cid").cast("int")
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means assignments: (id, cluster) after a
+    FIXED number of iterations from a FIXED init (the vectors of the k
+    smallest ids, cluster = rank of id; ``iters`` assignments with a
+    centroid update between consecutive ones). Unlike
+    :func:`vectra_py_spark.operators.similarity.kmeans_centroids`
+    (MLlib: parallel init + float accumulation, not reproducible in
+    SQL), every step here is order-free and SQL-expressible, so the
+    whole iteration — not just the final assignment — is oracle-checked.
+
+    Per iteration: assignment is a SHUFFLE-FREE projection (centroids
+    ride as constant-folded literals, argmin via ``array_min`` over
+    ``struct(d², cid)``); the centroid update is ONE posexplode →
+    groupBy(cluster, pos) shuffle whose map-side partials reduce to
+    ≤ k·dim rows, collected to the driver as k·dim doubles — the same
+    collect-broadcast-per-iteration loop MLlib's Lloyd runs at any
+    cluster size. Empty clusters drop out (both engines).
+
+    Cross-engine determinism: float32 inputs are cast to
+    DECIMAL(28,10) before the centroid mean (exact, order-free sum —
+    same trick as ``similarity.group_centroids``), and the mean is
+    rounded to ``dp`` so both engines iterate from bit-identical
+    centroids. Distance sums are double (fold vs unordered SUM may
+    differ in the last ulp; an assignment flips only on a genuine
+    near-tie — see the near-tie caveat on ``ivf_topk``).
+    """
+    dec = "decimal(28,10)"
+    seeds = (
+        df.select(id_col, vector_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = {
+        cid: [float(x) for x in row[vector_col]]
+        for cid, row in enumerate(seeds)
+    }
+    assigned = df.withColumn("cluster", _assign_expr(centroids, vector_col))
+    for _ in range(iters - 1):
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode(vector_col).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast(dec)).cast("double")
+                    / F.count(F.lit(1)),
+                    dp,
+                ).alias("c")
+            )
+            .collect()
+        )
+        nxt: dict[int, dict[int, float]] = {}
+        for r in rows:
+            nxt.setdefault(r["cluster"], {})[r["pos"]] = r["c"]
+        centroids = {
+            cid: [dims[p] for p in sorted(dims)]
+            for cid, dims in sorted(nxt.items())
+        }
+        assigned = df.withColumn(
+            "cluster", _assign_expr(centroids, vector_col)
+        )
+    return assigned.select(id_col, "cluster").orderBy(id_col)
+
+
+def lloyd_kmeans_sql(
+    k: int = 8,
+    iters: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`lloyd_kmeans`: the full iteration as a CTE
+    chain (flat (id, pos, x) explode; per-iteration assign = window
+    argmin over summed squared diffs, update = exact DECIMAL mean
+    rounded to ``dp``). Generated per iteration count."""
+    ctes = [
+        f"""e AS (
+            SELECT {id_col},
+                   unnest(generate_series(0, len({vector_col}) - 1)) AS pos,
+                   unnest({vector_col}::DOUBLE[]) AS x
+            FROM {table}
+        )""",
+        f"""ids AS (
+            SELECT {id_col}, row_number() OVER (ORDER BY {id_col}) - 1 AS cluster
+            FROM (SELECT {id_col} FROM {table} ORDER BY {id_col} LIMIT {k})
+        )""",
+        f"""c0 AS (
+            SELECT ids.cluster, e.pos, e.x AS c
+            FROM ids JOIN e USING ({id_col})
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+            SELECT {id_col}, cluster FROM (
+                SELECT {id_col}, cluster,
+                       row_number() OVER (
+                           PARTITION BY {id_col} ORDER BY d, cluster
+                       ) AS rn
+                FROM (
+                    SELECT e.{id_col}, c.cluster,
+                           SUM((e.x - c.c) * (e.x - c.c)) AS d
+                    FROM e JOIN {prev} c ON e.pos = c.pos
+                    GROUP BY e.{id_col}, c.cluster
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""c{i} AS (
+                SELECT a.cluster, e.pos,
+                       ROUND(CAST(SUM(CAST(e.x AS DECIMAL(28,10))) AS DOUBLE)
+                             / COUNT(*), {dp}) AS c
+                FROM a{i} a JOIN e USING ({id_col})
+                GROUP BY a.cluster, e.pos
+            )"""
+            )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT {id_col}, CAST(cluster AS INT) AS cluster
+        FROM a{iters}
+        ORDER BY {id_col}
     """

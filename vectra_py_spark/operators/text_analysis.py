@@ -16,7 +16,7 @@ Cross-engine parity notes (validated empirically):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_py_spark.session import spread
@@ -1252,4 +1252,197 @@ def nb_quality_score_sql(
         FROM toks JOIN m USING (token) CROSS JOIN t
         GROUP BY {id_col}
         ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary + tokenize-to-ids (word-level id encoding at scale)
+# ---------------------------------------------------------------------------
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Frequency-ranked word vocabulary: (word, token_id) with id =
+    rank by (count DESC, word ASC), 0-based, truncated to
+    ``vocab_size``. The deterministic tie order makes the mapping
+    reproducible across engines and runs.
+
+    100 TB design: one explode + groupBy(word) with map-side partial
+    counts (the shuffle carries one partial per distinct word per
+    partition, not token occurrences); the global rank then runs over
+    ≤ |vocab| surviving rows. Natural-language vocabularies are
+    Zipfian — a few million distinct words even at corpus scale — so
+    the ranked result is broadcast-sized by construction.
+    """
+    counts = (
+        df.select(F.explode(words_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .filter(F.col("token_id") < vocab_size)
+        .select("word", F.col("token_id").cast("long").alias("token_id"))
+    )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-level id encoding: every document becomes flattened
+    (id, pos, token_id) rows — position-explode the text, broadcast-join
+    the vocabulary, out-of-vocabulary words map to id ``vocab_size``
+    (the reserved OOV bucket). Long output keeps the result shuffle-free
+    to write and trivially re-assembled downstream
+    (``collect_list sorted by pos``, or fed straight to
+    ``packing.concat_chunk``).
+
+    100 TB design: the vocab join is a broadcast (Zipfian vocabularies
+    are small — see :func:`build_vocab`); the explode + join is a single
+    narrow stage per input split, no shuffle at all.
+    """
+    toks = df.select(
+        id_col, F.posexplode(words_col(text_col)).alias("pos", "word")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(vocab_size))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+
+
+def tokenize_to_ids_sql(
+    doc_pred: str = "TRUE",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    vocab_size: int = 256,
+) -> str:
+    """DuckDB twin of :func:`build_vocab` + :func:`tokenize_to_ids`
+    (vocab ranked over the FULL table; output restricted to
+    ``doc_pred`` rows)."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   unnest(generate_series(0, len(ws) - 1)) AS pos,
+                   unnest(ws) AS word
+            FROM (SELECT {id_col}, {ws} AS ws FROM {table})
+        ),
+        vocab AS (
+            SELECT word, row_number() OVER (ORDER BY n DESC, word) - 1 AS token_id
+            FROM (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
+        )
+        SELECT w.{id_col}, w.pos,
+               COALESCE(v.token_id, {vocab_size}) AS token_id
+        FROM w LEFT JOIN (
+            SELECT * FROM vocab WHERE token_id < {vocab_size}
+        ) v USING (word)
+        WHERE {doc_pred}
+        ORDER BY {id_col}, pos
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (corpus characterization)
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 5,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-``group_col`` most characteristic terms by tf-idf, treating
+    each group as one mega-document: tf = term occurrences in the
+    group, idf = ln(n_groups / n_groups_containing_term). Output
+    (group, word, tfidf): top ``top_n`` per group by
+    (rounded tfidf DESC, word ASC) — ranking on the ROUNDED score keeps
+    the order identical across engines.
+
+    100 TB design: one explode + groupBy(group, word) with map-side
+    combine; document frequency and the group count derive from that
+    aggregate (≤ |groups|·|vocab| rows), re-entering via a 1-row
+    broadcast — no second pass over the corpus. Final top-n is a window
+    over the aggregated (small) relation.
+    """
+    tf = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(words_col(text_col)).alias("word"),
+        )
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_groups = tf.agg(
+        F.countDistinct("grp").alias("n_groups")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_groups") / F.col("df_w")),
+                dp,
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(
+            F.col("grp").alias(group_col), "word", "tfidf"
+        )
+        .orderBy(group_col, "word")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_expr: str = "text",
+    top_n: int = 5,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH w AS (
+            SELECT {group_col} AS grp, unnest({ws}) AS word FROM {table}
+        ),
+        tf AS (SELECT grp, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        dfreq AS (SELECT word, COUNT(*) AS df_w FROM tf GROUP BY 1),
+        ng AS (SELECT COUNT(DISTINCT grp) AS n_groups FROM tf),
+        scored AS (
+            SELECT tf.grp, tf.word,
+                   ROUND(tf.tf * ln(ng.n_groups * 1.0 / dfreq.df_w), {dp})
+                       AS tfidf
+            FROM tf JOIN dfreq USING (word) CROSS JOIN ng
+        )
+        SELECT grp AS {group_col}, word, tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY tfidf DESC, word
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {top_n}
+        ORDER BY {group_col}, word
     """

@@ -878,6 +878,36 @@ def q_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.nb_quality_score(load(spark, sf_dir, "documents"))
 
 
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level id encoding: corpus-frequency-ranked vocab (top 256 +
+    OOV bucket) broadcast-joined onto position-exploded text; output
+    restricted to doc_id % 7 = 0 documents to bound the check size
+    (the vocab still ranks over the FULL corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = ta.build_vocab(docs, vocab_size=_VOCAB_V)
+    return ta.tokenize_to_ids(
+        docs.filter(F.col("doc_id") % 7 == 0), vocab, _VOCAB_V
+    )
+
+
+_VOCAB_V = 256
+
+
+def q_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table (k=8,
+    2 assignments with one centroid update between them) — the full
+    iteration is oracle-checked, unlike the MLlib path."""
+    return cl.lloyd_kmeans(
+        load(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms by tf-idf (each source as one
+    mega-document; rank on the rounded score for cross-engine order)."""
+    return ta.tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2528,6 +2558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_drift": q_source_token_drift,
     "duplicate_ngram_spans": q_duplicate_ngram_spans,
     "nb_quality_score": q_nb_quality_score,
+    "tokenize_ids": q_tokenize_ids,
+    "lloyd_kmeans": q_lloyd_kmeans,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2611,6 +2644,9 @@ _CHECK_FIRST: list[str] = [
     "curriculum_order",
     "duplicate_ngram_spans",
     "nb_quality_score",
+    "tokenize_ids",
+    "lloyd_kmeans",
+    "tfidf_top_terms",
     # (a) red/err in r2, fixed this round
     "corpus_stats",
     "random_projection",
@@ -2657,9 +2693,6 @@ _CHECK_FIRST: list[str] = [
     "batch_topk",
     "neardup_clusters",
     "decontaminate",
-    "train_split",
-    "stratified_sample",
-    "asof_enrich",
 ]
 
 QUERIES = {
@@ -2704,6 +2737,9 @@ ORACLES: dict[str, str] = {
     "source_token_drift": ta.source_token_drift_sql(),
     "duplicate_ngram_spans": ta.duplicate_ngram_spans_sql(),
     "nb_quality_score": ta.nb_quality_score_sql(),
+    "tokenize_ids": ta.tokenize_to_ids_sql(doc_pred="doc_id % 7 = 0"),
+    "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
+    "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
