@@ -355,10 +355,16 @@ def bloom_decontaminate(
     stats-broadcast shape as BM25/SQ8): no Python in the corpus path.
     """
     spark = corpus.sparkSession
+    # Persisted: the bitmap build materializes the eval shingle set
+    # eagerly, and the exact-verify join needs the SAME set again —
+    # without the persist the whole eval suite is re-shingled and
+    # re-distincted when the returned DataFrame executes (at production
+    # eval sizes that second pass costs as much as the first).
     eval_sh = (
         shingle_df(eval_docs, id_col, text_col, k)
         .select("shingle")
         .distinct()
+        .persist()
     )
     pos_rows = (
         eval_sh.selectExpr(
