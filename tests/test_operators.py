@@ -890,3 +890,30 @@ def test_tfidf_top_terms_shape(spark):
     # group-exclusive terms score ln(2); the everywhere-term scores 0
     assert by_src["s1"]["apple"] > 0 and by_src["s2"]["banana"] > 0
     assert by_src["s1"]["shared"] == 0.0
+
+
+def test_pmi_collocations_finds_planted_phrase(spark):
+    from vectra_py_spark.operators.text_analysis import pmi_collocations
+
+    rows = [(i, "foo bar baz qux") for i in range(5)]
+    rows += [(100 + i, " ".join(["alpha"] * 6)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, min_count=5, top_n=10).collect()
+    pairs = {(r.w1, r.w2): r.pmi for r in out}
+    # the planted exclusive bigrams outrank the self-pair of the
+    # repeated filler word (whose unigram mass kills its PMI)
+    assert ("foo", "bar") in pairs
+    assert pairs[("foo", "bar")] > pairs[("alpha", "alpha")]
+
+
+def test_seq_len_histogram_coverage_monotone(spark):
+    from vectra_py_spark.operators.text_analysis import seq_len_histogram
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = seq_len_histogram(df).collect()
+    assert out == sorted(out, key=lambda r: r.max_len)
+    cov = [r.token_coverage for r in out]
+    assert cov == sorted(cov) and abs(cov[-1] - 1.0) < 1e-9
+    assert abs(out[-1].doc_coverage - 1.0) < 1e-9
+    # buckets are powers of two
+    assert all(r.max_len & (r.max_len - 1) == 0 for r in out)

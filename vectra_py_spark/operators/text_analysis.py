@@ -1446,3 +1446,223 @@ def tfidf_top_terms_sql(
         WHERE rn <= {top_n}
         ORDER BY {group_col}, word
     """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus phrase mining)
+# ---------------------------------------------------------------------------
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+    dp: int = 6,
+) -> DataFrame:
+    """Top adjacent-word collocations by pointwise mutual information:
+    ``pmi = ln( (c_ab/N_b) / ((c_a/N_u)·(c_b/N_u)) )`` with bigram and
+    unigram counts over the whole corpus, ``min_count`` pruning the
+    long tail of one-off pairs (PMI's classic degenerate maximum).
+    Output (w1, w2, c_ab, pmi): top ``top_n`` by (rounded pmi DESC,
+    w1, w2) — phrase mining for tokenizer/vocab decisions ("new york"
+    should be one token) and boilerplate discovery.
+
+    100 TB design: adjacent pairs come straight out of each row's
+    words array (narrow map, no posexplode+window); the bigram and
+    unigram aggregates are Zipf-bounded; totals re-enter as a 1-row
+    broadcast. Nothing corpus-sized is ever shuffled on a string key —
+    the pair stream partial-aggregates map-side.
+    """
+    pair_expr = F.expr(
+        """filter(
+            transform(
+                sequence(1, size(__w) - 1),
+                i -> struct(__w[i - 1] AS w1, __w[i] AS w2)),
+            p -> p.w1 <> '' AND p.w2 <> '')"""
+    )
+    pairs = (
+        df.select(words_col(text_col).alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(words_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = big.agg(F.sum("c_ab").alias("n_b")).crossJoin(
+        uni.agg(F.sum("c").alias("n_u"))
+    )
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w1")
+                        .withColumnRenamed("c", "c_a")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w2")
+                        .withColumnRenamed("c", "c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_b"))
+                    / ((F.col("c_a") / F.col("n_u"))
+                       * (F.col("c_b") / F.col("n_u")))
+                ),
+                dp,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("w1", "w2", "c_ab", "pmi")
+        .orderBy("w1", "w2")
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH warr AS (SELECT {ws} AS w FROM {table}),
+        pairs AS (
+            SELECT w[i] AS w1, w[i + 1] AS w2
+            FROM warr, unnest(generate_series(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2 AND w[i] <> '' AND w[i + 1] <> ''
+        ),
+        big AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+        uni AS (
+            SELECT word, COUNT(*) AS c FROM (
+                SELECT unnest(w) AS word FROM warr
+            ) WHERE word <> '' GROUP BY 1
+        ),
+        totals AS (
+            SELECT (SELECT SUM(c_ab) FROM big) AS n_b,
+                   (SELECT SUM(c) FROM uni) AS n_u
+        ),
+        scored AS (
+            SELECT big.w1, big.w2, big.c_ab,
+                   ROUND(ln((big.c_ab * 1.0 / t.n_b)
+                            / ((ua.c * 1.0 / t.n_u)
+                               * (ub.c * 1.0 / t.n_u))), {dp}) AS pmi
+            FROM big
+            JOIN uni ua ON big.w1 = ua.word
+            JOIN uni ub ON big.w2 = ub.word
+            CROSS JOIN totals t
+            WHERE big.c_ab >= {min_count}
+        )
+        SELECT w1, w2, c_ab, pmi
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY pmi DESC, w1, w2
+            ) AS rn FROM scored
+        )
+        WHERE rn <= {top_n}
+        ORDER BY w1, w2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length planning histogram (max_seq_len selection)
+# ---------------------------------------------------------------------------
+def seq_len_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Token-length histogram over power-of-two buckets with cumulative
+    coverage: for each bucket (smallest power of two ≥ the doc's token
+    count), the doc count, token mass, and the CUMULATIVE fraction of
+    documents and tokens covered by sequences up to that length — the
+    table you read to pick ``max_seq_len`` (e.g. "1024 covers 97% of
+    tokens; the rest is truncation loss").
+
+    100 TB design: one narrow scan computes each doc's token count and
+    bucket (no explode — ``size(words)``); the groupBy carries ≤
+    log2(max_len) buckets; cumulative sums run as a window over that
+    bucket-sized relation, not the corpus.
+    """
+    n = F.size(F.filter(words_col(text_col), lambda w: w != ""))
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n, F.lit(1))))
+    ).cast("long")
+    per = (
+        df.select(bucket.alias("max_len"), n.alias("n_tok"))
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("max_len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_toks")
+    )
+    return (
+        per.withColumn("cum_docs", F.sum("n_docs").over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "max_len",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("cum_docs") / F.col("t_docs"), dp).alias(
+                "doc_coverage"
+            ),
+            F.round(F.col("cum_tokens") / F.col("t_toks"), dp).alias(
+                "token_coverage"
+            ),
+        )
+        .orderBy("max_len")
+    )
+
+
+def seq_len_histogram_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`seq_len_histogram`."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH per_doc AS (
+            SELECT CAST(power(2, ceil(log2(GREATEST(n, 1)))) AS BIGINT)
+                       AS max_len,
+                   n AS n_tok
+            FROM (
+                SELECT len(list_filter({ws}, x -> x <> '')) AS n
+                FROM {table}
+            )
+        ),
+        per AS (
+            SELECT max_len, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+            FROM per_doc GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(n_docs) AS t_docs, SUM(n_tokens) AS t_toks FROM per
+        )
+        SELECT max_len, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(SUM(n_docs) OVER (ORDER BY max_len) * 1.0 / t.t_docs,
+                     {dp}) AS doc_coverage,
+               ROUND(SUM(n_tokens) OVER (ORDER BY max_len) * 1.0 / t.t_toks,
+                     {dp}) AS token_coverage
+        FROM per CROSS JOIN tot t
+        ORDER BY max_len
+    """

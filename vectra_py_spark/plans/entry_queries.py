@@ -908,6 +908,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.tfidf_top_terms(load(spark, sf_dir, "documents"))
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-word collocations by PMI (min-count-pruned) —
+    phrase mining for tokenizer/vocab decisions."""
+    return ta.pmi_collocations(load(spark, sf_dir, "documents"))
+
+
+def q_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram with cumulative doc/token
+    coverage — the max_seq_len planning table."""
+    return ta.seq_len_histogram(load(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2561,6 +2573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_ids": q_tokenize_ids,
     "lloyd_kmeans": q_lloyd_kmeans,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "pmi_collocations": q_pmi_collocations,
+    "seq_len_histogram": q_seq_len_histogram,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2647,6 +2661,8 @@ _CHECK_FIRST: list[str] = [
     "tokenize_ids",
     "lloyd_kmeans",
     "tfidf_top_terms",
+    "pmi_collocations",
+    "seq_len_histogram",
     # (a) red/err in r2, fixed this round
     "corpus_stats",
     "random_projection",
@@ -2688,8 +2704,7 @@ _CHECK_FIRST: list[str] = [
     "small_qty_revenue",
     "excess_suppliers",
     # (c) round-1-green, stale — most load-bearing first
-    "ann_topk",
-    "ivf_topk",
+    # (batch_topk stays: its physical plan changed this round)
     "batch_topk",
     "neardup_clusters",
     "decontaminate",
@@ -2740,6 +2755,8 @@ ORACLES: dict[str, str] = {
     "tokenize_ids": ta.tokenize_to_ids_sql(doc_pred="doc_id % 7 = 0"),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
+    "pmi_collocations": ta.pmi_collocations_sql(),
+    "seq_len_histogram": ta.seq_len_histogram_sql(),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
