@@ -79,6 +79,18 @@ STRESS_QUERIES = [
     "bpe_pair_counts",
     "cross_source_dups",
     "leakage_safe_split",
+    # round-3: dedup-aware sampling/encoding/clustering additions
+    "dsir_weights",
+    "curriculum_order",
+    "duplicate_ngram_spans",
+    "nb_quality_score",
+    "tokenize_ids",
+    "lloyd_kmeans",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "seq_len_histogram",
+    "winnow_fingerprints",
+    "winnow_matches",
 ]
 
 

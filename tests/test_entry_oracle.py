@@ -44,3 +44,17 @@ def test_oracle_sf_driver_gate(spark, name):
         return
     ok, detail = compare(spark, SF_ORACLE, qs[name](spark, SF_ORACLE), oracles[name])
     assert ok, f"{name}: {detail}"
+
+
+def test_driver_check_window_is_exactly_priority_50():
+    """The correctness driver oracles the FIRST 50 registry entries;
+    _CHECK_FIRST is that evidence policy. Guard: it stays exactly 50
+    names, all registered, all oracle-able (a rows-only query would
+    waste a window slot), and the registry leads with it verbatim."""
+    from vectra_py_spark.plans.entry_queries import _CHECK_FIRST
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(_CHECK_FIRST) == 50
+    assert list(qs)[:50] == _CHECK_FIRST
+    missing = [n for n in _CHECK_FIRST if n not in oracles]
+    assert not missing, f"window slots without oracles: {missing}"

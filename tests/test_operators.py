@@ -917,3 +917,56 @@ def test_seq_len_histogram_coverage_monotone(spark):
     assert abs(out[-1].doc_coverage - 1.0) < 1e-9
     # buckets are powers of two
     assert all(r.max_len & (r.max_len - 1) == 0 for r in out)
+
+
+def test_winnow_no_miss_guarantee(spark):
+    """Any shared token run of >= w+k-1 tokens must surface at least
+    one shared fingerprint (the winnowing paper's core guarantee)."""
+    from vectra_py_spark.operators.dedup import winnow_matches
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} unrelated tail words here now"),
+            (3, "totally different content with no common runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_matches(df, k=4, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_density_and_short_docs(spark):
+    from vectra_py_spark.operators.dedup import winnow_fingerprints
+
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "tiny doc here"), (3, "ab")],
+        ["doc_id", "text"],
+    )
+    rows = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # selection is a strict subsample of the 197-gram stream, but at
+    # least 1 per w-window worth of grams
+    assert 197 // 4 <= len(by_doc[1]) < 197
+    # doc 2 has 3 tokens -> 0 grams at k=4: no fingerprints; doc 3 same
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_winnow_fingerprints_positions_valid(spark):
+    from vectra_py_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 5}" for i in range(30)))], ["doc_id", "text"]
+    )
+    rows = winnow_fingerprints(df, k=3, w=5).collect()
+    assert all(0 <= r.pos <= 30 - 3 for r in rows)
+    # distinct selections only
+    assert len(rows) == len({(r.doc_id, r.pos, r.h) for r in rows})

@@ -51,6 +51,10 @@ __all__ = [
     "simhash_sql",
     "simhash_neardup",
     "simhash_neardup_sql",
+    "winnow_fingerprints",
+    "winnow_fingerprints_sql",
+    "winnow_matches",
+    "winnow_matches_sql",
     "incremental_dedup",
     "incremental_dedup_against_store",
     "incremental_dedup_sql",
@@ -995,4 +999,166 @@ def incremental_dedup_sql(
         FROM fp LEFT JOIN dropped ON {id_col} = did
         WHERE is_new = 1 AND did IS NULL
         ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# algorithm): position-aware SELECTIVE fingerprinting with a density
+# guarantee, the overlap-detection complement to MinHash (which answers
+# whole-document similarity, not "these two docs share a passage").
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowed fingerprint set per document: hash every k-token gram,
+    slide a window of ``w`` consecutive hashes, keep the minimum of
+    each window (ties → leftmost), distinct the selections. Guarantees:
+    any shared run of ≥ w+k-1 tokens yields ≥1 shared fingerprint
+    (no-miss), while storing only ~2/(w+1) of the gram stream —
+    tunable recall/size, unlike unselective hash-window schemes.
+    Documents with fewer than ``w`` grams keep their global minimum,
+    so no non-empty document goes unfingerprinted.
+
+    100 TB design: the gram stream is narrow (id, pos, 32-hex) and
+    never shuffled — the sliding min runs under a window PARTITIONED BY
+    document (one hash exchange on id, the same key every per-doc op
+    shares), and the output is a ~2/(w+1) subsample of the stream.
+    Fingerprints are the MATERIALIZED artifact at scale: write them
+    partitioned by hash prefix and incremental overlap probes never
+    rescan text (same store pattern as the MinHash index).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= k, F.sequence(F.lit(1), F.size("w") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, k)))
+            )
+        ).alias("pos", "h"),
+    )
+    per_doc = W.partitionBy(id_col)
+    sliding = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("n", F.count(F.lit(1)).over(per_doc))
+        .withColumn("s", F.min(F.struct("h", "pos")).over(sliding))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - w, F.lit(0)))
+        .select(
+            F.col(id_col),
+            F.col("s.pos").cast("long").alias("pos"),
+            F.col("s.h").alias("h"),
+        )
+        .distinct()
+        .orderBy(id_col, "pos")
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = 4,
+    w: int = 4,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (struct window-min =
+    Spark's ``min(struct(h, pos))``: lexicographic, ties → leftmost)."""
+    ws = rf"string_split_regex(lower({text_expr}), '\s+')"
+    return f"""
+        WITH grams AS (
+            SELECT {id_col}, i - 1 AS pos,
+                   md5(array_to_string(w[i:i+{k - 1}], ' ')) AS h
+            FROM (SELECT {id_col}, {ws} AS w FROM {table}),
+                 LATERAL unnest(
+                     range(1, greatest(len(w) - {k - 1}, 0) + 1)
+                 ) AS t(i)
+        ),
+        sel AS (
+            SELECT {id_col}, s.p AS pos, s.h AS h
+            FROM (
+                SELECT {id_col}, pos,
+                       count(*) OVER (PARTITION BY {id_col}) AS n,
+                       min(struct_pack(h := h, p := pos)) OVER (
+                           PARTITION BY {id_col} ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+                       ) AS s
+                FROM grams
+            )
+            WHERE pos <= greatest(n - {w}, 0)
+        )
+        SELECT DISTINCT {id_col}, CAST(pos AS BIGINT) AS pos, h
+        FROM sel
+        ORDER BY {id_col}, pos
+    """
+
+
+def winnow_matches(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
+    (id_a, id_b, n_shared) — passage-overlap candidates with the
+    winnowing no-miss guarantee (any shared run of ≥ w+k-1 tokens
+    surfaces), at fingerprint-stream (not gram-stream) join cost.
+
+    100 TB design: the join key is the selected hash — the same
+    banding-equi-join shape as MinHash LSH, carrying ids only. Hot
+    fingerprints ARE shared boilerplate; AQE skew-split handles them,
+    and a production pass drops hashes above a document-frequency cap
+    first (boilerplate is dedup's job, not overlap detection's).
+    """
+    fp = winnow_fingerprints(df, k, w, id_col, text_col).select(
+        id_col, "h"
+    ).distinct()
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnow_matches_sql(
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_matches`."""
+    inner = winnow_fingerprints_sql(k, w, table, id_col, text_expr)
+    return f"""
+        WITH fsel AS ({inner}),
+        fp AS (SELECT DISTINCT {id_col}, h FROM fsel)
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+        ORDER BY id_a, id_b
     """

@@ -920,6 +920,18 @@ def q_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.seq_len_histogram(load(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: per-doc selected (pos, hash) fingerprints with
+    the 2/(w+1) density + no-miss guarantees."""
+    return dd.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-overlap candidate pairs sharing >= 2 winnowed
+    fingerprints (positional complement to whole-doc MinHash)."""
+    return dd.winnow_matches(load(spark, sf_dir, "documents"), min_shared=2)
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2575,6 +2587,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "pmi_collocations": q_pmi_collocations,
     "seq_len_histogram": q_seq_len_histogram,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_matches": q_winnow_matches,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2663,6 +2677,8 @@ _CHECK_FIRST: list[str] = [
     "tfidf_top_terms",
     "pmi_collocations",
     "seq_len_histogram",
+    "winnow_fingerprints",
+    "winnow_matches",
     # (a) red/err in r2, fixed this round
     "corpus_stats",
     "random_projection",
@@ -2706,8 +2722,6 @@ _CHECK_FIRST: list[str] = [
     # (c) round-1-green, stale — most load-bearing first
     # (batch_topk stays: its physical plan changed this round)
     "batch_topk",
-    "neardup_clusters",
-    "decontaminate",
 ]
 
 QUERIES = {
@@ -2757,6 +2771,8 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
     "seq_len_histogram": ta.seq_len_histogram_sql(),
+    "winnow_fingerprints": dd.winnow_fingerprints_sql(),
+    "winnow_matches": dd.winnow_matches_sql(min_shared=2),
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
