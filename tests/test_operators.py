@@ -970,3 +970,31 @@ def test_winnow_fingerprints_positions_valid(spark):
     assert all(0 <= r.pos <= 30 - 3 for r in rows)
     # distinct selections only
     assert len(rows) == len({(r.doc_id, r.pos, r.h) for r in rows})
+
+
+def test_cosine_topk_batch_boundary_tie_keeps_smaller_id(spark):
+    """A rounded-score tie exactly at the k boundary must keep the
+    smaller id (the oracle's ORDER BY score DESC, id ASC) even when the
+    tie sits inside one partition's partial top-k."""
+    rows = [
+        (10, [1.0, 0.0]),
+        (3, [1.0, 0.0]),     # exact tie with id 10
+        (7, [0.99, 0.14]),   # also high, distinct score
+        (50, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    out = sim.cosine_topk_batch(df, [[1.0, 0.0]], k=2).collect()
+    assert [r.vec_id for r in out] == [3, 10]
+
+
+def test_lloyd_kmeans_rejects_nonpositive_iters(spark):
+    from vectra_py_spark.operators.cluster import (
+        lloyd_kmeans,
+        lloyd_kmeans_sql,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="iters"):
+        lloyd_kmeans(df, k=1, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        lloyd_kmeans_sql(k=1, iters=0)

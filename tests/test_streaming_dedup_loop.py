@@ -95,3 +95,32 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert kept2 == [1, 3], "replay duplicated or dropped sink rows"
     store_ids = sorted(r.doc_id for r in spark.read.parquet(store).collect())
     assert store_ids == [1, 3]
+
+
+def test_legacy_store_without_batch_id_still_dedupes(spark, tmp_path):
+    """Fingerprints written by a pre-partitioning release have no
+    _batch_id column (reads back NULL); the current-batch exclusion
+    must be null-safe or the whole historical store silently drops out
+    of the corpus side and every historical dup gets re-admitted."""
+    from vectra_py_spark.operators.dedup import simhash
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # legacy-format store: flat parquet, no _batch_id partition dirs
+    legacy = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    simhash(legacy).select("doc_id", "simhash16").write.parquet(store)
+
+    _run_drop(
+        spark, src, store, out, ckpt,
+        [
+            (4, "alpha beta gamma delta"),   # dup of the LEGACY doc
+            (5, "brand new words entirely"),
+        ],
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {5}

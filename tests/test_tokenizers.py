@@ -133,3 +133,20 @@ def test_get_tokenizer_honors_merges_env(tmp_path, monkeypatch):
         len(t._tok_of) == 256 + 7
     )
     assert len(t._tok_of) == 256 + 7
+
+
+def test_load_merges_file_keeps_hash_symbol_merges(tmp_path):
+    """Released merges tables contain legitimate pairs whose left symbol
+    starts with '#' ('# #', '## #', ...); only a FIRST-LINE #version
+    header may be skipped — a generic comment rule would silently drop
+    those merges and shift every later rank."""
+    p = tmp_path / "merges.txt"
+    p.write_text(
+        "#version: 0.2\n# #\n## #\nĠ t\n", encoding="utf-8"
+    )
+    merges = load_merges_file(str(p))
+    assert merges == [("#", "#"), ("##", "#"), ("Ġ", "t")]
+    # a '#'-ish line later in the file is data, not a comment
+    tok = ByteLevelBPETokenizer(merges)
+    ids = tok.encode("##")
+    assert [tok._tok_of[i] for i in ids] == ["##"]

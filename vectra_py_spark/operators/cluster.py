@@ -335,6 +335,8 @@ def lloyd_kmeans(
     differ in the last ulp; an assignment flips only on a genuine
     near-tie — see the near-tie caveat on ``ivf_topk``).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     dec = "decimal(28,10)"
     seeds = (
         df.select(id_col, vector_col)
@@ -387,6 +389,8 @@ def lloyd_kmeans_sql(
     chain (flat (id, pos, x) explode; per-iteration assign = window
     argmin over summed squared diffs, update = exact DECIMAL mean
     rounded to ``dp``). Generated per iteration count."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     ctes = [
         f"""e AS (
             SELECT {id_col},

@@ -229,18 +229,22 @@ DSIR_BUCKETS = 65536  # 4 md5 hex nibbles
 _DSIR_LAMBDA = 0.5    # add-lambda smoothing on both feature models
 
 
-def _bigram_feature(words: F.Column) -> F.Column:
+def _bigram_feature(words_col_name: str) -> F.Column:
     """Hashed word-bigram features: first 4 md5 hex chars of
     ``"w_i w_{i+1}"`` as an int in [0, 65536) — the engine-portable
     sibling of DSIR's hashed n-gram featurizer. Guarded for <2 words
-    (Spark ``sequence(1, 0)`` DESCENDS, so the range must be gated)."""
+    (Spark ``sequence(1, 0)`` DESCENDS, so the range must be gated).
+    Takes the words COLUMN NAME (the expression is built with
+    ``F.expr``, which resolves by name — a Column parameter would
+    silently bind only the size guard)."""
+    w = words_col_name
     pair = (
-        "transform(sequence(1, size({w}) - 1), "
-        "i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
+        f"transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
     )
     return F.when(
-        F.size(words) >= 2,
-        F.expr(pair.format(w="__dsir_w")),
+        F.size(F.col(w)) >= 2,
+        F.expr(pair),
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -262,13 +266,15 @@ def dsir_importance(
     the rows matching ``target_pred`` — in production, on the held-out
     domain sample (Wikipedia, curated code, …).
 
-    100 TB design: ONE corpus scan explodes (doc_id, feature) pairs —
-    narrow ints, text never leaves the scan; both feature models come
-    from a single conditional aggregation on that stream (count +
-    count-if-target per feature: one vocabulary-sized shuffle); model
-    totals are a 1-row broadcast; the scored stream re-joins the model
-    by broadcast, and the per-doc average is the second (doc-keyed)
-    shuffle. Same two-exchange shape as the CCNet LM scorer.
+    100 TB design: TWO corpus scans — one fits the model (both feature
+    models from a single conditional aggregation: count +
+    count-if-target per feature, one vocabulary-sized shuffle), one
+    scores (the feature stream re-joins the model by broadcast; the
+    per-doc average is the doc-keyed shuffle). The model table is
+    PERSISTED (≤ 65536 rows by construction) so its three consumers —
+    the totals aggregate, the broadcast build, and nothing else — do
+    not each re-run the fitting scan; without it the plan re-executes
+    the corpus explode three times. Same shape as the CCNet LM scorer.
     """
     feats = (
         df.select(
@@ -279,7 +285,7 @@ def dsir_importance(
         .select(
             id_col,
             "is_t",
-            F.explode(_bigram_feature(F.col("__dsir_w"))).alias("bigram"),
+            F.explode(_bigram_feature("__dsir_w")).alias("bigram"),
         )
         .select(
             id_col,
@@ -292,7 +298,7 @@ def dsir_importance(
     )
     model = feats.groupBy("f").agg(
         F.count(F.lit(1)).alias("rn"), F.sum("is_t").alias("tn")
-    )
+    ).persist()  # ≤ DSIR_BUCKETS rows; fit scan runs once, not 3×
     totals = model.agg(
         F.sum("rn").alias("R"), F.sum("tn").alias("T")
     )

@@ -228,10 +228,18 @@ def cosine_topk_batch(
             out_q, out_id, out_s = [], [], []
             for qi in range(Qmat.shape[0]):
                 col = sim[:, qi]
-                top = np.argpartition(-col, take - 1)[:take]
+                # exact (score DESC, id ASC) partial top-k: a plain
+                # argpartition on the ROUNDED score breaks boundary
+                # ties arbitrarily, which can drop the smaller-id row
+                # the global contract (and the oracle) requires before
+                # the finisher sees it. Select every row tied with the
+                # take-th score, then order the candidate set exactly.
+                kth = np.partition(col, len(col) - take)[len(col) - take]
+                cand = np.flatnonzero(col >= kth)
+                cand = cand[np.lexsort((ids[cand], -col[cand]))][:take]
                 out_q.extend([qi] * take)
-                out_id.extend(ids[top])
-                out_s.extend(col[top])
+                out_id.extend(ids[cand])
+                out_s.extend(col[cand])
             yield pd.DataFrame(
                 {"query_id": out_q, id_col: out_id, "score": out_s}
             )

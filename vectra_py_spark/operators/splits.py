@@ -359,7 +359,11 @@ def bloom_decontaminate(
     # eagerly, and the exact-verify join needs the SAME set again —
     # without the persist the whole eval suite is re-shingled and
     # re-distincted when the returned DataFrame executes (at production
-    # eval sizes that second pass costs as much as the first).
+    # eval sizes that second pass costs as much as the first). The
+    # cache is pinned for the app lifetime (no safe unpersist point —
+    # the returned plan consumes it lazily); that is the desired
+    # steady state when screening a stream of corpora against one eval
+    # suite, and Spark's LRU eviction reclaims it under pressure.
     eval_sh = (
         shingle_df(eval_docs, id_col, text_col, k)
         .select("shingle")

@@ -594,7 +594,11 @@ def unigram_lm_score(
         df.select(F.col(id_col), F.explode(words_col(text_col)).alias("token"))
         .filter((F.length("token") >= min_len) & (F.col("token") != ""))
     )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # vocab-sized; totals + broadcast reuse the fit scan
+    )
     total = freq.agg(F.sum("n").alias("total"))
     return (
         toks.join(F.broadcast(freq), "token")
@@ -847,7 +851,11 @@ def bigram_lm_score(
         .select(F.col(id_col), F.explode(pair_expr).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .persist()  # Zipf-bounded; c1 + broadcast reuse the pair scan
+    )
     uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return (
         pairs.join(F.broadcast(big), ["w1", "w2"])
@@ -1115,7 +1123,10 @@ def duplicate_ngram_spans_sql(
     w = _words_sql(text_expr)
     return f"""
         WITH wins AS (
-            SELECT {id_col}, i AS pos,
+            -- i - 1: 0-based, matching Spark's posexplode (pos only
+            -- feeds the run-length grouping today, but the twins must
+            -- not disagree on the representation)
+            SELECT {id_col}, i - 1 AS pos,
                    md5(array_to_string(w[i:i+{window - 1}], ' ')) AS h
             FROM (SELECT {id_col}, {w} AS w FROM {table}),
                  LATERAL unnest(
@@ -1194,7 +1205,7 @@ def nb_quality_score(
     ).filter((F.length("token") >= min_len) & (F.col("token") != ""))
     model = toks.groupBy("token").agg(
         F.sum("y").alias("pos_n"), F.count(F.lit(1)).alias("n")
-    )
+    ).persist()  # vocab-sized; priors + broadcast reuse the fit scan
     priors = model.agg(
         F.sum("pos_n").alias("pos_total"),
         F.sum(F.col("n") - F.col("pos_n")).alias("neg_total"),
@@ -1384,6 +1395,10 @@ def tfidf_top_terms(
         )
         .groupBy("grp", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # |groups|·|vocab|-bounded; persisted because FOUR consumers
+        # (dfreq, the group count, both sides of the score join) would
+        # otherwise each re-run the corpus explode
+        .persist()
     )
     n_groups = tf.agg(
         F.countDistinct("grp").alias("n_groups")
@@ -1485,12 +1500,20 @@ def pmi_collocations(
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # both count tables are Zipf/vocab-bounded; persisted because the
+    # totals row and the score join would otherwise re-run the corpus
+    # explodes they derive from
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist()
+    )
     uni = (
         df.select(F.explode(words_col(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     totals = big.agg(F.sum("c_ab").alias("n_b")).crossJoin(
         uni.agg(F.sum("c").alias("n_u"))

@@ -76,9 +76,14 @@ def stream_neardup_dedup(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # exclude THIS batch's partition: on replay the store may hold
         # fingerprints from an interrupted earlier attempt of the same
-        # batch, and matching against them would drop all survivors
+        # batch, and matching against them would drop all survivors.
+        # Null-safe: rows written by a pre-partitioning release read
+        # back with _batch_id = NULL, and a plain != would silently
+        # drop the entire historical store (NULL comparison is never
+        # true) — legacy fingerprints must stay in the corpus side.
         store = _read_store(spark, store_path).filter(
-            F.col("_batch_id") != F.lit(batch_id)
+            F.col("_batch_id").isNull()
+            | (F.col("_batch_id") != F.lit(batch_id))
         )
         # corpus side needs (id, fp) only: feed the banding join with a
         # fingerprint-shaped frame; text is only needed for NEW docs

@@ -264,15 +264,21 @@ VENDORED_MERGES: list[tuple[str, str]] = [
 def load_merges_file(path: str) -> list[tuple[str, str]]:
     """Parse a released BPE merges file (the GPT-2 ``merges.txt``
     format: optional ``#version`` header, then one space-separated
-    symbol pair per line, rank = line order). Blank lines and comment
-    headers are skipped; a malformed line raises with its line number
-    so a truncated download fails loudly rather than mis-ranking every
-    later merge."""
+    symbol pair per line, rank = line order). ONLY a first-line
+    ``#version`` header and blank lines are skipped — released tables
+    contain legitimate merges whose left symbol starts with ``#``
+    (``# #``, ``## #``, …), so a generic comment rule would silently
+    drop them and shift every later rank (HF's tokenizers parser skips
+    only the version header too). A malformed line raises with its
+    line number so a truncated download fails loudly rather than
+    mis-ranking every later merge."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as fh:
         for lineno, raw in enumerate(fh, start=1):
             line = raw.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line:
+                continue
+            if lineno == 1 and line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
