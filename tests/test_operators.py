@@ -998,3 +998,16 @@ def test_lloyd_kmeans_rejects_nonpositive_iters(spark):
         lloyd_kmeans(df, k=1, iters=0)
     with pytest.raises(ValueError, match="iters"):
         lloyd_kmeans_sql(k=1, iters=0)
+
+
+def test_winnow_matches_max_df_drops_boilerplate(spark):
+    from vectra_py_spark.operators.dedup import winnow_matches
+
+    boiler = "subscribe to our newsletter for more updates today"
+    rows = [(i, f"unique{i} words{i} here{i} now{i} {boiler}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # every pair shares only the boilerplate run
+    uncapped = winnow_matches(df, k=4, w=4, min_shared=1).count()
+    capped = winnow_matches(df, k=4, w=4, min_shared=1, max_df=3).count()
+    assert uncapped == 15  # 6 choose 2 — boilerplate cross product
+    assert capped == 0     # df=6 hashes dropped before the join

@@ -124,3 +124,51 @@ def test_legacy_store_without_batch_id_still_dedupes(spark, tmp_path):
     )
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {5}
+
+
+def test_stream_kmeans_carries_centroid_state_across_runs(spark, tmp_path):
+    """Mini-batch k-means: the second drained run must assign against
+    centroids accumulated from the first (store-carried state), and a
+    vector equal to first-run data must land in that data's cluster."""
+    from vectra_py_spark.streaming.kmeans import stream_kmeans
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id bigint, embedding array<double>"
+        ).parquet(src)
+        q = stream_kmeans(
+            stream, store_path=store, out_path=out,
+            checkpoint_dir=ckpt, k=2,
+        )
+        q.awaitTermination(120)
+
+    # two tight groups; seeds = ids 1, 2 (one from each group)
+    drop([
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+        (4, [0.1, 0.9]),
+    ])
+    a1 = {r.vec_id: r.cluster for r in spark.read.parquet(out).collect()}
+    assert a1[1] == a1[3] and a1[2] == a1[4] and a1[1] != a1[2]
+
+    # second run: assignment uses STORE state (running means), not seeds
+    drop([
+        (10, [0.95, 0.05]),   # group of 1/3
+        (11, [0.05, 0.95]),   # group of 2/4
+    ])
+    a2 = {r.vec_id: r.cluster for r in spark.read.parquet(out).collect()}
+    assert a2[10] == a1[1] and a2[11] == a1[2]
+    # store carries per-(cluster, dim) running sums for both batches
+    st = spark.read.parquet(store)
+    assert {r._batch_id for r in st.select("_batch_id").distinct().collect()} >= {0}
+    tot = st.groupBy().sum("n").collect()[0][0]
+    assert tot == 6 * 2  # 6 vectors x 2 dims

@@ -1109,6 +1109,7 @@ def winnow_matches(
     min_shared: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
     (id_a, id_b, n_shared) — passage-overlap candidates with the
@@ -1117,13 +1118,23 @@ def winnow_matches(
 
     100 TB design: the join key is the selected hash — the same
     banding-equi-join shape as MinHash LSH, carrying ids only. Hot
-    fingerprints ARE shared boilerplate; AQE skew-split handles them,
-    and a production pass drops hashes above a document-frequency cap
-    first (boilerplate is dedup's job, not overlap detection's).
+    fingerprints ARE shared boilerplate; ``max_df`` drops hashes
+    appearing in more than that many documents BEFORE the self-join
+    (boilerplate is dedup's job, not overlap detection's) — a hash in
+    D docs emits D·(D−1)/2 pairs, so the cap bounds the join's
+    output-quadratic term; AQE skew-split handles what remains.
     """
     fp = winnow_fingerprints(df, k, w, id_col, text_col).select(
         id_col, "h"
     ).distinct()
+    if max_df is not None:
+        hot = (
+            fp.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("h")
+        )
+        fp = fp.join(F.broadcast(hot), "h", "left_anti")
     a = fp.alias("a")
     b = fp.alias("b")
     return (

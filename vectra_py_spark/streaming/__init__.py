@@ -15,6 +15,7 @@ from vectra_py_spark.streaming.events import (
     windowed_counts,
 )
 from vectra_py_spark.streaming.incremental_dedup import stream_neardup_dedup
+from vectra_py_spark.streaming.kmeans import stream_kmeans
 from vectra_py_spark.streaming.ingest import stream_upsert
 from vectra_py_spark.streaming.joins import streaming_interval_join
 
@@ -26,5 +27,6 @@ __all__ = [
     "windowed_counts",
     "stream_upsert",
     "stream_neardup_dedup",
+    "stream_kmeans",
     "streaming_interval_join",
 ]
