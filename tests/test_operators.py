@@ -1011,3 +1011,42 @@ def test_winnow_matches_max_df_drops_boilerplate(spark):
     capped = winnow_matches(df, k=4, w=4, min_shared=1, max_df=3).count()
     assert uncapped == 15  # 6 choose 2 — boilerplate cross product
     assert capped == 0     # df=6 hashes dropped before the join
+
+
+def test_winnow_probe_prunes_partitions_and_matches(spark, tmp_path):
+    from vectra_py_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_of_text,
+        winnow_probe,
+        winnow_write_index,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, "totally different content with no common runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "widx")
+    winnow_write_index(df, path)
+
+    probe = winnow_probe(spark, path, f"{shared} brand new tail here")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "bucket" in m.group(1)  # probe opens only its buckets
+    hits = {r.doc_id: r.n_shared for r in probe.collect()}
+    assert 1 in hits and 2 not in hits  # no-miss on the shared run
+
+    # driver-side winnowing is byte-identical to the distributed one
+    text1 = f"one two three {shared} four five six"
+    dist = {
+        (r.pos, r.h)
+        for r in winnow_fingerprints(
+            df.filter("doc_id = 1")
+        ).collect()
+    }
+    assert set(winnow_of_text(text1)) == dist

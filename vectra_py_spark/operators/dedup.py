@@ -55,6 +55,9 @@ __all__ = [
     "winnow_fingerprints_sql",
     "winnow_matches",
     "winnow_matches_sql",
+    "winnow_of_text",
+    "winnow_write_index",
+    "winnow_probe",
     "incremental_dedup",
     "incremental_dedup_against_store",
     "incremental_dedup_sql",
@@ -1173,3 +1176,115 @@ def winnow_matches_sql(
         HAVING count(*) >= {min_shared}
         ORDER BY id_a, id_b
     """
+
+
+WINNOW_INDEX_BUCKETS = 64
+
+
+def winnow_of_text(text: str, k: int = 4, w: int = 4) -> list[tuple[int, str]]:
+    """Driver-side winnowing of ONE text — byte-identical to
+    :func:`winnow_fingerprints` (same ``\\s+`` split, lowercase,
+    space-joined k-gram md5, leftmost-min window selection) so a probe
+    fingerprint set matches the distributed constructor exactly."""
+    import hashlib
+    import re
+
+    words = re.split(r"\s+", text.lower())
+    grams = [
+        hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
+        for i in range(max(len(words) - k + 1, 0))
+    ]
+    n = len(grams)
+    if n == 0:
+        return []
+    sel: set[tuple[int, str]] = set()
+    for start in range(max(n - w, 0) + 1):
+        window = grams[start : start + w]
+        h = min(window)
+        sel.add((start + window.index(h), h))
+    return sorted(sel)
+
+
+def winnow_write_index(
+    df: DataFrame,
+    path: str,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = WINNOW_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus's winnowed fingerprints as a
+    partition-pruned overlap index: ``partitionBy(bucket)`` with
+    ``bucket = xxhash64(h) mod n_buckets``.
+
+    The batch :func:`winnow_matches` answers "which existing docs share
+    passages with each other" corpus×corpus; this index answers the
+    INCREMENTAL question — "does this NEW document share a passage with
+    anything ingested" — by opening only the directories the probe's
+    own fingerprints hash into (same pruning story as
+    ``minhash_write_index``, with winnowing's no-miss guarantee for
+    runs ≥ w+k−1 tokens). Clustered one-task-per-directory at write
+    (small-files discipline).
+    """
+    fp = winnow_fingerprints(df, k, w, id_col, text_col).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("h")), F.lit(n_buckets)).cast("int"),
+    )
+    (
+        fp.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def winnow_probe(
+    spark,
+    path: str,
+    text: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    n_buckets: int = WINNOW_INDEX_BUCKETS,
+) -> DataFrame:
+    """Probe the materialized overlap index with ONE new text: indexed
+    docs sharing ≥ ``min_shared`` winnowed fingerprints with it —
+    (doc_id, n_shared), ordered by id.
+
+    The probe's fingerprints are computed driver-side
+    (:func:`winnow_of_text`); their bucket coordinates become literal
+    partition predicates, so the scan opens ≤ |probe fingerprints|
+    directories out of ``n_buckets`` (PartitionFilters asserted in
+    tests) — corpus-size-independent probe cost. Bucket ids come from a
+    1-row Spark job (xxhash64 is JVM-side; bounded collect, one row per
+    probe fingerprint — filter-sized like the Bloom bitmap).
+    """
+    hashes = sorted({h for _, h in winnow_of_text(text, k, w)})
+    if not hashes:
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, n_shared bigint"
+        )
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(h,) for h in hashes], "h string")
+        .select(
+            F.pmod(F.xxhash64(F.col("h")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = spark.read.parquet(path).filter(
+        F.col("bucket").isin(buckets) & F.col("h").isin(hashes)
+    )
+    return (
+        idx.select(id_col, "h")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(id_col)
+    )

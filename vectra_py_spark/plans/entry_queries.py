@@ -932,6 +932,23 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnow_matches(load(spark, sf_dir, "documents"), min_shared=2)
 
 
+def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental passage-overlap lookup: materialize the winnowing
+    index (partitionBy bucket), probe with fixture doc 0's text — the
+    probe opens only the directories its own fingerprints hash into
+    (PartitionFilters asserted in tests); includes the self-match."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/vectra_winnow_idx/{sf_tag}"
+    dd.winnow_write_index(docs, path)
+    text = (
+        docs.filter(F.col("doc_id") == _PROBE_DOC).select("text").head()[0]
+    )
+    return dd.winnow_probe(spark, path, text, min_shared=2)
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2589,6 +2606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_len_histogram": q_seq_len_histogram,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
+    "winnow_probe": q_winnow_probe,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2773,6 +2791,14 @@ ORACLES: dict[str, str] = {
     "seq_len_histogram": ta.seq_len_histogram_sql(),
     "winnow_fingerprints": dd.winnow_fingerprints_sql(),
     "winnow_matches": dd.winnow_matches_sql(min_shared=2),
+    "winnow_probe": f"""
+        WITH fsel AS ({dd.winnow_fingerprints_sql()}),
+        probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
+        fp AS (SELECT DISTINCT doc_id, h FROM fsel)
+        SELECT doc_id, count(*) AS n_shared
+        FROM fp JOIN probe USING (h)
+        GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id
+    """,
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
