@@ -1050,3 +1050,30 @@ def test_winnow_probe_prunes_partitions_and_matches(spark, tmp_path):
         ).collect()
     }
     assert set(winnow_of_text(text1)) == dist
+
+
+def test_winnow_contamination_localizes_span(spark):
+    from vectra_py_spark.operators.dedup import winnow_contamination
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"p1 p2 p3 p4 p5 {shared} s1 s2 s3"),
+            (2, "nothing in common with any benchmark at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{shared} completely different framing")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.corpus_id, r.eval_id): r
+        for r in winnow_contamination(corpus, ev, min_shared=1).collect()
+    }
+    assert set(out) == {(1, 100)}
+    r = out[(1, 100)]
+    # the shared run starts at token 5 of doc 1 -> matched fingerprint
+    # positions sit inside [5, 5 + len(shared_tokens) - k]
+    assert 5 <= r.first_pos <= r.last_pos <= 5 + 8 - 4
+    assert r.n_shared >= 1

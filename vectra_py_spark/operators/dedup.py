@@ -58,6 +58,8 @@ __all__ = [
     "winnow_of_text",
     "winnow_write_index",
     "winnow_probe",
+    "winnow_contamination",
+    "winnow_contamination_sql",
     "incremental_dedup",
     "incremental_dedup_against_store",
     "incremental_dedup_sql",
@@ -1288,3 +1290,83 @@ def winnow_probe(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy(id_col)
     )
+
+
+def winnow_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-set contamination report WITH span localization: for every
+    (corpus doc, eval doc) pair sharing ≥ ``min_shared`` winnowed
+    fingerprints, the shared count and WHERE the overlap sits in the
+    corpus doc — (corpus_id, eval_id, n_shared, first_pos, last_pos).
+    The decontamination complement to :func:`winnow_matches`: n-gram
+    decontamination (``splits.decontaminate``) says THAT a doc
+    overlaps the eval set; this says WITH WHICH eval doc and across
+    which token region, which is what a surgical span-cut (rather than
+    a whole-doc drop) needs. Winnowing's no-miss guarantee: any shared
+    run of ≥ w+k−1 tokens surfaces.
+
+    100 TB design: both sides reduce to their ~2/(w+1)-selected
+    fingerprint streams before the join (ids + positions only, text
+    never shuffles); the eval side is benchmark-sized — the join
+    broadcasts it. One (corpus_id, eval_id)-keyed aggregate after a
+    broadcast join: a single corpus-sized shuffle of matched rows only.
+    """
+    cfp = winnow_fingerprints(corpus, k, w, id_col, text_col).select(
+        F.col(id_col).alias("corpus_id"), "pos", "h"
+    )
+    efp = (
+        winnow_fingerprints(eval_docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("eval_id"), "h")
+        .distinct()
+    )
+    return (
+        cfp.join(F.broadcast(efp), "h")
+        .groupBy("corpus_id", "eval_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("corpus_id", "eval_id")
+    )
+
+
+def winnow_contamination_sql(
+    eval_pred: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_contamination` — ``eval_pred``
+    selects the eval rows of ``table``; the corpus is its complement."""
+    inner = winnow_fingerprints_sql(k, w, table, id_col, text_expr)
+    return f"""
+        WITH fsel AS ({inner}),
+        cfp AS (
+            SELECT {id_col} AS corpus_id, pos, h
+            FROM fsel WHERE NOT ({eval_pred})
+        ),
+        efp AS (
+            SELECT DISTINCT {id_col} AS eval_id, h
+            FROM fsel WHERE {eval_pred}
+        )
+        SELECT corpus_id, eval_id,
+               COUNT(DISTINCT h) AS n_shared,
+               MIN(pos) AS first_pos,
+               MAX(pos) AS last_pos
+        FROM cfp JOIN efp USING (h)
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT h) >= {min_shared}
+        ORDER BY corpus_id, eval_id
+    """

@@ -949,6 +949,17 @@ def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnow_probe(spark, path, text, min_shared=2)
 
 
+def q_winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set contamination with span localization: (corpus doc,
+    eval doc) pairs sharing >= 2 winnowed fingerprints, plus the token
+    region of the overlap in the corpus doc (eval = doc_id % 37)."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 37 == 0
+    return dd.winnow_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), min_shared=2
+    )
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2607,6 +2618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_matches": q_winnow_matches,
     "winnow_probe": q_winnow_probe,
+    "winnow_contamination": q_winnow_contamination,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2791,6 +2803,9 @@ ORACLES: dict[str, str] = {
     "seq_len_histogram": ta.seq_len_histogram_sql(),
     "winnow_fingerprints": dd.winnow_fingerprints_sql(),
     "winnow_matches": dd.winnow_matches_sql(min_shared=2),
+    "winnow_contamination": dd.winnow_contamination_sql(
+        "doc_id % 37 = 0", min_shared=2
+    ),
     "winnow_probe": f"""
         WITH fsel AS ({dd.winnow_fingerprints_sql()}),
         probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
