@@ -91,6 +91,8 @@ STRESS_QUERIES = [
     "seq_len_histogram",
     "winnow_fingerprints",
     "winnow_matches",
+    "winnow_probe",
+    "winnow_contamination",
 ]
 
 

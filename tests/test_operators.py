@@ -1077,3 +1077,35 @@ def test_winnow_contamination_localizes_span(spark):
     # positions sit inside [5, 5 + len(shared_tokens) - k]
     assert 5 <= r.first_pos <= r.last_pos <= 5 + 8 - 4
     assert r.n_shared >= 1
+
+
+def test_winnow_every_window_is_covered(spark):
+    """The winnowing density/coverage guarantee, checked exhaustively:
+    for EVERY run of w consecutive grams, at least one selected
+    fingerprint falls inside it (this is what makes the no-miss
+    property compositional — any shared w+k-1-token run contains a full
+    window, hence a shared selection)."""
+    from vectra_py_spark.operators.dedup import winnow_of_text
+
+    import hashlib
+    import random
+
+    rng = random.Random(1234)
+    k, w = 4, 5
+    for trial in range(25):
+        n_words = rng.randint(w + k - 1, 60)
+        vocab_size = rng.choice([3, 8, 40])
+        words = [f"t{rng.randrange(vocab_size)}" for _ in range(n_words)]
+        text = " ".join(words)
+        sel_pos = {p for p, _ in winnow_of_text(text, k=k, w=w)}
+        n_grams = n_words - k + 1
+        for start in range(n_grams - w + 1):
+            assert any(
+                start <= p < start + w for p in sel_pos
+            ), (trial, start, sorted(sel_pos))
+        # selections are genuine grams of the text
+        grams = {
+            hashlib.md5(" ".join(words[i:i + k]).encode()).hexdigest()
+            for i in range(n_grams)
+        }
+        assert {h for _, h in winnow_of_text(text, k=k, w=w)} <= grams
