@@ -64,3 +64,28 @@ def test_sketch_merge_is_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_cms_heavy_hitters_brackets_exact_counts(spark):
+    from vectra_py_spark.operators.sketches import cms_heavy_hitters
+
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    n = toks.count()
+    exact = {
+        r.t: r.cnt
+        for r in toks.groupBy("t").agg(F.count("*").alias("cnt")).collect()
+    }
+    est = cms_heavy_hitters(toks, "t", k=10, sample_frac=0.2)
+    assert len(est) == 10
+    for tok, c in est:
+        # CMS never underestimates; overestimates by <= eps*N whp
+        assert exact[tok] <= c <= exact[tok] + 1e-4 * n + 1
+    # the estimated top-10 matches the exact top-10 token set on this
+    # Zipfian fixture (heavy hitters are far above the error floor)
+    exact_top = sorted(exact, key=lambda t: (-exact[t], t))[:10]
+    assert {t for t, _ in est} == set(exact_top)

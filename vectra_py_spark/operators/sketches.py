@@ -33,7 +33,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_distinct", "approx_quantiles"]
+__all__ = ["approx_distinct", "approx_quantiles", "cms_heavy_hitters"]
 
 
 def approx_distinct(
@@ -63,3 +63,56 @@ def approx_quantiles(
         for p in probs
     ]
     return df.groupBy(*keys).agg(*agg)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+    sample_frac: float = 0.05,
+) -> list[tuple[str, int]]:
+    """Approximate heavy hitters via Count-Min Sketch — the third
+    mergeable sketch (with HLL++ and Greenwald-Khanna above), for the
+    exact `frequent_tokens` query's scale path.
+
+    Build: ``count_min_sketch(col, eps, confidence, seed)`` — JVM-side,
+    one map-side partial sketch per partition, order-insensitive merge;
+    the shuffle carries ~``e/eps × ln(1/(1-confidence))`` counters
+    regardless of data size. Candidates: the distinct values of a
+    ``sample_frac`` sample (a true heavy hitter appears in a fraction-f
+    sample with probability → 1; the classic sample-then-verify split).
+    Each candidate's count is then read from the sketch driver-side —
+    CMS never underestimates and overestimates by ≤ eps·N with
+    probability ``confidence``, so the top-k by estimated count is a
+    superset-quality ranking verified by the tolerance test.
+
+    Returns the top ``k`` (value, estimated_count), count-desc then
+    value-asc. Deterministic for a fixed seed (sketch hashing and the
+    sample are both seeded).
+    """
+    spark = df.sparkSession
+    sketch_bytes = bytes(
+        df.agg(
+            F.expr(
+                f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+            ).alias("s")
+        ).head()["s"]
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sketch_bytes)
+    )
+    candidates = [
+        r[0]
+        for r in df.select(col)
+        .sample(fraction=sample_frac, seed=seed)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .collect()
+    ]
+    scored = [(v, int(cms.estimateCount(v))) for v in candidates]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
