@@ -1109,3 +1109,15 @@ def test_winnow_every_window_is_covered(spark):
             for i in range(n_grams)
         }
         assert {h for _, h in winnow_of_text(text, k=k, w=w)} <= grams
+
+
+def test_soft_dedup_weights_sum_to_distinct_texts(docs):
+    from vectra_py_spark.operators.dedup import soft_dedup_weights
+
+    rows = soft_dedup_weights(docs).collect()
+    assert len(rows) == 5
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_copies == 2 and by_id[4].n_copies == 2  # exact pair
+    assert by_id[3].n_copies == 1 and by_id[3].weight == 1.0
+    # expected copies per epoch == number of distinct texts
+    assert abs(sum(r.weight for r in rows) - 4.0) < 1e-6

@@ -60,6 +60,8 @@ __all__ = [
     "winnow_probe",
     "winnow_contamination",
     "winnow_contamination_sql",
+    "soft_dedup_weights",
+    "soft_dedup_weights_sql",
     "incremental_dedup",
     "incremental_dedup_against_store",
     "incremental_dedup_sql",
@@ -1369,4 +1371,64 @@ def winnow_contamination_sql(
         GROUP BY 1, 2
         HAVING COUNT(DISTINCT h) >= {min_shared}
         ORDER BY corpus_id, eval_id
+    """
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Soft dedup: per-document sampling weight ``1 / n_copies``
+    instead of dropping duplicates — repeated content contributes one
+    expected copy per epoch in aggregate, preserving the corpus
+    distribution where hard dedup would reshape it (the
+    duplication-aware sampling move from the data-scaling literature;
+    composes with ``splits.quality_weighted_sample``'s hash-threshold
+    materialization).
+
+    Output: (id, n_copies, weight). One hash aggregate + a broadcast
+    re-join of the (hash, count) table — the count table is
+    distinct-text-sized; at 100 TB swap the broadcast for a shuffle
+    join on text_hash (same plan AQE picks automatically past the
+    threshold). For NEAR-dup-aware weights, feed cluster sizes from
+    :func:`~vectra_py_spark.operators.cluster.neardup_clusters`
+    through the same 1/size formula.
+    """
+    hashed = df.select(
+        id_col, F.md5(F.col(text_col)).alias("text_hash")
+    )
+    counts = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        hashed.join(counts, "text_hash")
+        .select(
+            id_col,
+            "n_copies",
+            F.round(F.lit(1.0) / F.col("n_copies"), dp).alias("weight"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def soft_dedup_weights_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`soft_dedup_weights`."""
+    return f"""
+        WITH h AS (
+            SELECT {id_col}, md5({text_expr}) AS text_hash FROM {table}
+        ),
+        c AS (
+            SELECT text_hash, COUNT(*) AS n_copies FROM h GROUP BY 1
+        )
+        SELECT {id_col}, n_copies,
+               ROUND(1.0 / n_copies, {dp}) AS weight
+        FROM h JOIN c USING (text_hash)
+        ORDER BY {id_col}
     """

@@ -949,6 +949,12 @@ def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnow_probe(spark, path, text, min_shared=2)
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling weights: weight = 1/n_copies per doc
+    (soft dedup — repeated content contributes one expected copy)."""
+    return dd.soft_dedup_weights(load(spark, sf_dir, "documents"))
+
+
 def q_winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-set contamination with span localization: (corpus doc,
     eval doc) pairs sharing >= 2 winnowed fingerprints, plus the token
@@ -2619,6 +2625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_matches": q_winnow_matches,
     "winnow_probe": q_winnow_probe,
     "winnow_contamination": q_winnow_contamination,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2806,6 +2813,7 @@ ORACLES: dict[str, str] = {
     "winnow_contamination": dd.winnow_contamination_sql(
         "doc_id % 37 = 0", min_shared=2
     ),
+    "soft_dedup_weights": dd.soft_dedup_weights_sql(),
     "winnow_probe": f"""
         WITH fsel AS ({dd.winnow_fingerprints_sql()}),
         probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
