@@ -75,3 +75,20 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert out[1].split == out[2].split == out[3].split
     # singletons are their own clusters
     assert out[10].cluster_id == 10 and out[20].cluster_id == 20
+
+
+def test_neardup_weights_cluster_atomic(spark):
+    from vectra_py_spark.operators.cluster import neardup_weights
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "completely unrelated text about spark shuffles and catalyst"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in neardup_weights(df).collect()}
+    assert out[1].cluster_id == out[2].cluster_id
+    assert out[1].cluster_size == 2 and out[1].weight == 0.5
+    assert out[3].cluster_size == 1 and out[3].weight == 1.0
+    # expected members per epoch == number of clusters
+    assert abs(sum(r.weight for r in out.values()) - 2.0) < 1e-6

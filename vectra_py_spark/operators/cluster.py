@@ -46,6 +46,8 @@ __all__ = [
     "leakage_safe_split_sql",
     "lloyd_kmeans",
     "lloyd_kmeans_sql",
+    "neardup_weights",
+    "neardup_weights_sql",
 ]
 
 
@@ -441,4 +443,88 @@ def lloyd_kmeans_sql(
         SELECT {id_col}, CAST(cluster AS INT) AS cluster
         FROM a{iters}
         ORDER BY {id_col}
+    """
+
+
+def neardup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    dp: int = 6,
+) -> DataFrame:
+    """Near-dup-aware soft-dedup weights: weight = 1/|cluster| with the
+    connected near-dup component as the unit — the cluster-level
+    generalization of ``dedup.soft_dedup_weights`` (which only sees
+    EXACT copies). A paraphrase family of 5 contributes one expected
+    member per epoch; singletons keep weight 1.
+
+    Output: (id, cluster_id, cluster_size, weight). Costs exactly the
+    near-dup clustering plus one count aggregate and a broadcast-back —
+    and at steady state reuses materialized cluster labels, the same
+    argument as :func:`leakage_safe_split`.
+    """
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    comp = connected_components(pairs)
+    labeled = docs.select(id_col).join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), dp).alias(
+                "weight"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def neardup_weights_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    threshold: float = 0.5,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`neardup_weights` (recursive-closure
+    components, like the other cluster twins — oracle-scale only)."""
+    pairs = minhash_lsh_pairs_sql(table, text_expr, threshold=threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs}),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u AS node, v AS r FROM edges
+            UNION
+            SELECT reach.node, edges.v
+            FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (
+            SELECT node, LEAST(node, MIN(r)) AS comp
+            FROM reach GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(comp.comp, d.doc_id) AS cluster_id
+            FROM {table} d LEFT JOIN comp ON d.doc_id = comp.node
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM labeled GROUP BY 1
+        )
+        SELECT doc_id, cluster_id, cluster_size,
+               ROUND(1.0 / cluster_size, {dp}) AS weight
+        FROM labeled JOIN sizes USING (cluster_id)
+        ORDER BY doc_id
     """

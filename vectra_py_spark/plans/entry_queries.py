@@ -949,6 +949,12 @@ def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.winnow_probe(spark, path, text, min_shared=2)
 
 
+def q_neardup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level soft-dedup weights: weight = 1/|near-dup cluster|
+    (paraphrase families contribute one expected member per epoch)."""
+    return cl.neardup_weights(load(spark, sf_dir, "documents"))
+
+
 def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-aware sampling weights: weight = 1/n_copies per doc
     (soft dedup — repeated content contributes one expected copy)."""
@@ -2626,6 +2632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_probe": q_winnow_probe,
     "winnow_contamination": q_winnow_contamination,
     "soft_dedup_weights": q_soft_dedup_weights,
+    "neardup_weights": q_neardup_weights,
     "incremental_dedup": q_incremental_dedup,
     "corpus_stats": q_corpus_stats,
     "random_projection": q_random_projection,
@@ -2814,6 +2821,7 @@ ORACLES: dict[str, str] = {
         "doc_id % 37 = 0", min_shared=2
     ),
     "soft_dedup_weights": dd.soft_dedup_weights_sql(),
+    "neardup_weights": cl.neardup_weights_sql(),
     "winnow_probe": f"""
         WITH fsel AS ({dd.winnow_fingerprints_sql()}),
         probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
