@@ -960,6 +960,38 @@ def test_winnow_density_and_short_docs(spark):
     assert 2 not in by_doc and 3 not in by_doc
 
 
+def test_winnow_probe_unicode_whitespace_parity(spark):
+    """Driver-side winnow_of_text must tokenize byte-identically to the
+    distributed fingerprinter. Java's \\s is ASCII-only, so U+00A0 (and
+    other Unicode whitespace) must NOT split on the Python side either
+    — a divergence here makes probes silently miss genuine overlaps."""
+    from vectra_py_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_of_text,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    dist = {(r.pos, r.h) for r in winnow_fingerprints(df, k=4, w=4).collect()}
+    local = set(winnow_of_text(text, k=4, w=4))
+    assert dist == local and dist
+
+
+def test_minhash_probe_unicode_whitespace_parity(spark):
+    """Same ASCII-\\s parity for the MinHash probe path: the Python
+    signature of one text must equal the distributed signature row."""
+    from vectra_py_spark.operators.dedup import (
+        minhash_of_text,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = minhash_signatures(df, num_hashes=16).collect()[0]
+    sig = [row[f"h{i}"] for i in range(16)]
+    assert sig == minhash_of_text(text, num_hashes=16)
+
+
 def test_winnow_fingerprints_positions_valid(spark):
     from vectra_py_spark.operators.dedup import winnow_fingerprints
 

@@ -460,9 +460,12 @@ def neardup_weights(
     member per epoch; singletons keep weight 1.
 
     Output: (id, cluster_id, cluster_size, weight). Costs exactly the
-    near-dup clustering plus one count aggregate and a broadcast-back —
-    and at steady state reuses materialized cluster labels, the same
-    argument as :func:`leakage_safe_split`.
+    near-dup clustering plus one count aggregate and a join-back — and
+    at steady state reuses materialized cluster labels, the same
+    argument as :func:`leakage_safe_split`. The sizes side is NOT
+    broadcast-hinted: most docs are singleton clusters, so it is
+    ~corpus-sized — AQE picks the join strategy (same reasoning as
+    ``dedup.soft_dedup_weights``).
     """
     pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
     comp = connected_components(pairs)
@@ -475,7 +478,7 @@ def neardup_weights(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        labeled.join(F.broadcast(sizes), "cluster_id")
+        labeled.join(sizes, "cluster_id")
         .select(
             id_col,
             "cluster_id",

@@ -133,7 +133,7 @@ def shingle_df(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"\s+", re.ASCII)  # ASCII \s: parity with Java/RE2 twins
         for pdf in batches:
             ids_out: list = []
             sh_out: list = []
@@ -170,7 +170,7 @@ def shingle_df_with_sizes(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"\s+", re.ASCII)  # ASCII \s: parity with Java/RE2 twins
         for pdf in batches:
             ids_out: list = []
             sh_out: list = []
@@ -270,7 +270,10 @@ def minhash_of_text(
     import hashlib
     import re
 
-    w = re.split(r"\s+", str(text).lower())
+    # flags=re.ASCII: Java's \s (the distributed side) and RE2's \s
+    # (the DuckDB twin) are ASCII-only; Python's default \s would also
+    # split on U+00A0 etc. and silently diverge from stored signatures.
+    w = re.split(r"\s+", str(text).lower(), flags=re.ASCII)
     shingles = {" ".join(w[j : j + k]) for j in range(len(w) - k + 1)}
     if not shingles:
         return None
@@ -311,7 +314,7 @@ def minhash_signatures(
     prefixes = [f"{h}:".encode() for h in range(num_hashes)]
 
     def gen(batches):
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"\s+", re.ASCII)  # ASCII \s: parity with Java/RE2 twins
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             cols: dict[str, list] = {"doc_id": []}
@@ -684,7 +687,7 @@ def simhash(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"\s+", re.ASCII)  # ASCII \s: parity with Java/RE2 twins
         word_votes: dict[str, list[int]] = {}
         for pdf in batches:
             ids_out: list = []
@@ -1028,8 +1031,9 @@ def winnow_fingerprints(
     any shared run of ≥ w+k-1 tokens yields ≥1 shared fingerprint
     (no-miss), while storing only ~2/(w+1) of the gram stream —
     tunable recall/size, unlike unselective hash-window schemes.
-    Documents with fewer than ``w`` grams keep their global minimum,
-    so no non-empty document goes unfingerprinted.
+    Documents with at least one gram (≥ k tokens) but fewer than ``w``
+    grams keep their global minimum; documents shorter than ``k``
+    tokens produce zero grams and therefore zero fingerprints.
 
     100 TB design: the gram stream is narrow (id, pos, 32-hex) and
     never shuffled — the sliding min runs under a window PARTITIONED BY
@@ -1193,7 +1197,10 @@ def winnow_of_text(text: str, k: int = 4, w: int = 4) -> list[tuple[int, str]]:
     import hashlib
     import re
 
-    words = re.split(r"\s+", text.lower())
+    # flags=re.ASCII matches Java's ASCII-only \s used by the
+    # distributed fingerprinter (and RE2 in the DuckDB twin) — Unicode
+    # whitespace must NOT split here or probe fingerprints diverge.
+    words = re.split(r"\s+", text.lower(), flags=re.ASCII)
     grams = [
         hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()
         for i in range(max(len(words) - k + 1, 0))

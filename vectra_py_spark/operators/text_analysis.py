@@ -499,7 +499,7 @@ def ngram_diversity(
     from vectra_py_spark.session import spread as _spread
 
     def gen(batches):
-        ws = re.compile(r"\s+")
+        ws = re.compile(r"\s+", re.ASCII)  # ASCII \s: parity with Java/RE2 twins
         for pdf in batches:
             src_out: list = []
             sh_out: list = []

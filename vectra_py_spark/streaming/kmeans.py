@@ -45,10 +45,20 @@ _KM_STORE_SCHEMA = (
 
 
 def _read_km_store(spark, store_path: str) -> DataFrame:
+    """Read the running-sum store; an ABSENT store (first batch) yields
+    an empty frame, but any other read failure (FS hiccup, permissions,
+    corruption) propagates and fails the batch — silently re-seeding
+    centroids against a store that exists-but-didn't-read would corrupt
+    the running clustering with no error."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(_KM_STORE_SCHEMA).parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], _KM_STORE_SCHEMA)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], _KM_STORE_SCHEMA)
+        raise
 
 
 def _centroids_from_state(rows, dp: int) -> dict[int, list[float]]:
