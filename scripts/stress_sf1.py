@@ -93,6 +93,18 @@ STRESS_QUERIES = [
     "winnow_matches",
     "winnow_probe",
     "winnow_contamination",
+    # round-4: curation filters, mixing planner, PQ ANN
+    "gopher_quality",
+    "c4_line_stats",
+    "line_dedup",
+    "length_trim",
+    "unimax_mix",
+    "domain_mix",
+    "oov_rate",
+    "pq_topk",
+    "nfc_normalize",
+    "ivfpq_topk",
+    "curation_funnel",
 ]
 
 

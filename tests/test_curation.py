@@ -1,0 +1,320 @@
+"""Semantics of the curation/mixing/PQ operators on planted data.
+
+The fixture corpus is single-line punctuation-free text, so the
+line-oriented rules (C4, CCNet line dedup, Gopher bullet/ellipsis
+ratios) are exercised here with multi-line planted documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators import curation as cu
+from vectra_py_spark.operators import mixing as mx
+from vectra_py_spark.operators import quantize as qz
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+def _good_doc() -> str:
+    # 60 words, mean length in [3, 10], stopwords present, no symbols
+    words = ["the", "and", "that", "have"] + [f"word{i}" for i in range(56)]
+    return " ".join(words)
+
+
+def test_gopher_passes_clean_doc(spark):
+    df = spark.createDataFrame([(1, _good_doc())], ["doc_id", "text"])
+    r = cu.gopher_quality(df).collect()[0]
+    assert r.n_words == 60
+    assert r.pass_words and r.pass_mean_word_len and r.pass_symbols
+    assert r.pass_alpha and r.pass_bullets and r.pass_ellipsis
+    assert r.pass_stopwords and r.pass_gopher
+
+
+@pytest.mark.parametrize(
+    "text,failed_flag",
+    [
+        ("the and short doc", "pass_words"),  # < 50 words
+        (
+            " ".join(["the", "and"] + ["supercalifragilistic"] * 58),
+            "pass_mean_word_len",
+        ),  # mean word length > 10
+        (
+            " ".join(["the", "and"] + ["#"] * 10 + ["word"] * 48),
+            "pass_symbols",
+        ),  # symbol ratio > 0.1
+        (
+            " ".join(["the", "and"] + ["12345"] * 20 + ["word"] * 38),
+            "pass_alpha",
+        ),  # < 80% words contain a letter
+        (
+            "\n".join(["- bullet line the and"] * 50),
+            "pass_bullets",
+        ),  # > 90% bullet lines
+        (
+            "\n".join(["the and trailing line..."] * 50),
+            "pass_ellipsis",
+        ),  # > 30% ellipsis-ended lines
+        (" ".join(["word"] * 60), "pass_stopwords"),  # no stopwords
+    ],
+)
+def test_gopher_rules_fail_individually(spark, text, failed_flag):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = cu.gopher_quality(df).collect()[0]
+    assert not r[failed_flag], f"{failed_flag} should fail"
+    assert not r.pass_gopher
+
+
+# ---------------------------------------------------------------------------
+# C4 line rules
+# ---------------------------------------------------------------------------
+def test_c4_line_rules(spark):
+    text = "\n".join(
+        [
+            "This is a proper sentence with enough words.",  # kept
+            "Another good long sentence ends with a question?",  # kept
+            'A third quoted sentence keeps the quote here."',  # kept
+            "no terminal punctuation so this line goes away",  # dropped
+            "Too short.",  # dropped (< 5 words)
+            "Enable javascript to view this fancy page.",  # dropped
+            "",  # empty — not counted
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = cu.c4_line_stats(df).collect()[0]
+    assert r.n_lines == 6
+    assert r.n_kept == 3
+    assert r.keep_doc and not r.doc_flagged
+
+
+def test_c4_doc_flags(spark):
+    rows = [
+        (1, "Lorem Ipsum dolor sit amet is placeholder filler text."),
+        (2, "This config block { is code } not prose sentences."),
+        (3, "Only two good sentences live here today friends.\n"
+            "That is not enough kept lines for the page."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cu.c4_line_stats(df).collect()}
+    assert out[1].doc_flagged and not out[1].keep_doc
+    assert out[2].doc_flagged and not out[2].keep_doc
+    # not flagged, but fewer than 3 kept lines
+    assert not out[3].doc_flagged and not out[3].keep_doc
+    assert out[3].n_kept == 2
+
+
+# ---------------------------------------------------------------------------
+# CCNet line-level boilerplate
+# ---------------------------------------------------------------------------
+def test_line_dedup_flags_shared_footer(spark):
+    footer = "Copyright Example Corp all rights reserved"
+    rows = [
+        (1, f"unique one body line\n{footer}"),
+        (2, f"different body content here\n{footer}"),
+        (3, f"third body text entirely\n{footer.upper()}"),  # case-insensitive
+        (4, "a loner document with no shared lines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cu.line_dedup_stats(df).collect()}
+    for d in (1, 2, 3):
+        assert out[d].n_lines == 2 and out[d].n_boiler == 1
+        assert out[d].kept_ratio == 0.5
+    assert out[4].n_boiler == 0 and out[4].kept_ratio == 1.0
+
+
+def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
+    # the same line repeated INSIDE one doc is not boilerplate
+    df = spark.createDataFrame(
+        [(1, "repeat me\nrepeat me\nrepeat me"), (2, "something else")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in cu.line_dedup_stats(df).collect()}
+    assert out[1].n_lines == 1  # distinct lines per doc
+    assert out[1].n_boiler == 0
+
+
+# ---------------------------------------------------------------------------
+# Length percentile trim
+# ---------------------------------------------------------------------------
+def test_length_trim_band(spark):
+    rows = [(i, "s", i) for i in range(1, 22)]  # n=21, pr = (rank-1)/20
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    kept = {r.doc_id for r in cu.length_trim(df).collect()}
+    # pr(1)=0.0 < 0.05 dropped; pr(2)=0.05 kept; pr(20)=0.95 kept;
+    # pr(21)=1.0 dropped
+    assert kept == set(range(2, 21))
+
+
+def test_length_trim_is_per_source(spark):
+    rows = [(i, "a", i) for i in range(1, 22)] + [(100 + i, "b", i) for i in range(1, 22)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = cu.length_trim(df).collect()
+    assert {r.doc_id for r in out if r.source == "a"} == set(range(2, 21))
+    assert {r.doc_id for r in out if r.source == "b"} == {100 + i for i in range(2, 21)}
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling
+# ---------------------------------------------------------------------------
+def test_unimax_waterfill_hand_computed(spark):
+    # tokens: a=10, b=100, c=1000; total=1110; budget=0.5*1110=555
+    # caps (4 epochs): 40, 400, 4000. Sorted asc: a, b, c.
+    # level@a = 555/3 = 185 > 40 -> a capped at 40
+    # level@b = (555-40)/2 = 257.5 <= 400 -> waterline 257.5
+    # alloc: a=40, b=257.5, c=257.5
+    rows = (
+        [(i, "a", " ".join(["w"] * 10)) for i in range(1)]
+        + [(10 + i, "b", " ".join(["w"] * 100)) for i in range(1)]
+        + [(20 + i, "c", " ".join(["w"] * 1000)) for i in range(1)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in mx.unimax_mix(df).collect()}
+    assert out["a"].alloc_tokens == 40.0 and out["a"].epochs == 4.0
+    assert out["b"].alloc_tokens == 257.5 and out["b"].epochs == 2.575
+    assert out["c"].alloc_tokens == 257.5 and out["c"].epochs == 0.2575
+    # budget conserved
+    assert sum(r.alloc_tokens for r in out.values()) == 555.0
+
+
+def test_unimax_budget_exceeds_capacity(spark):
+    # budget > total capacity: every source capped, budget unmet
+    df = spark.createDataFrame(
+        [(1, "a", "w w"), (2, "b", "w w w")], ["doc_id", "source", "text"]
+    )
+    out = {r.source: r for r in mx.unimax_mix(df, budget_frac=10.0, max_epochs=2.0).collect()}
+    assert out["a"].alloc_tokens == out["a"].capacity == 4.0
+    assert out["b"].alloc_tokens == out["b"].capacity == 6.0
+
+
+def test_domain_mix_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "en", "x y z"), (2, "a", "de", "x y"), (3, "b", "en", "x")],
+        ["doc_id", "source", "lang", "text"],
+    )
+    out = mx.domain_mix_report(df).collect()
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-9
+    by = {(r.source, r.lang): r for r in out}
+    assert by[("a", "en")].n_tokens == 3
+    assert by[("a", "en")].token_share == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+def test_pq_encode_recovers_planted_centroids(spark):
+    cb = qz.pq_codebook(dim=16, m=2, ks=4, seed=11)
+    # vector assembled exactly from centroid 2 of sub 0 + centroid 1 of sub 1
+    v = [c / qz.PQ_SCALE for c in cb[0][2]] + [c / qz.PQ_SCALE for c in cb[1][1]]
+    df = spark.createDataFrame([(1, v)], ["vec_id", "embedding"])
+    codes = qz.pq_encode(df, cb).collect()[0].codes
+    assert list(codes) == [2, 1]
+
+
+def test_pq_topk_nearest_first_and_tie_break(spark):
+    cb = qz.pq_codebook(dim=16, m=2, ks=4, seed=11)
+    target = [c / qz.PQ_SCALE for c in cb[0][0]] + [
+        c / qz.PQ_SCALE for c in cb[1][0]
+    ]
+    far = [-x for x in target]
+    rows = [(1, target), (2, target), (3, far)]  # 1 and 2 tie exactly
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = qz.pq_topk(df, target, k=3, codebook=cb).collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]  # tie -> lower id first
+    assert out[0].adc == out[1].adc == 0  # exact centroid hit, ADC 0
+    assert out[2].adc > 0
+
+
+def test_pq_codebook_deterministic():
+    assert qz.pq_codebook(seed=5) == qz.pq_codebook(seed=5)
+    assert qz.pq_codebook(seed=5) != qz.pq_codebook(seed=6)
+    with pytest.raises(ValueError):
+        qz.pq_codebook(dim=10, m=3)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+def test_oov_rate_counts(spark):
+    from vectra_py_spark.operators import text_analysis as ta
+
+    # vocab_size=2 keeps the two most frequent words ('x' 4x, 'y' 3x)
+    df = spark.createDataFrame(
+        [(1, "a", "x x y rare1"), (2, "a", "x y"), (3, "b", "x y rare2")],
+        ["doc_id", "source", "text"],
+    )
+    vocab = ta.build_vocab(df, vocab_size=2)
+    out = {r.source: r for r in ta.oov_rate(df, vocab, 2).collect()}
+    assert out["a"].n_tokens == 6 and out["a"].n_oov == 1
+    assert out["b"].n_tokens == 3 and out["b"].n_oov == 1
+    assert out["a"].oov_rate == pytest.approx(1 / 6, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization
+# ---------------------------------------------------------------------------
+def test_nfc_normalize_composes_and_scrubs(spark):
+    import hashlib
+
+    decomposed = "caf" + "é"  # e + combining acute
+    composed = "café"
+    rows = [
+        (1, decomposed),
+        (2, composed),
+        (3, "ctl\x00char  and   runs"),
+        (4, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cu.nfc_normalize(df).collect()}
+    # NFC folds both spellings to the same hash
+    assert out[1].norm_hash == out[2].norm_hash
+    assert out[1].changed and not out[2].changed
+    assert out[1].n_chars_norm == 4
+    # control char stripped, space runs collapsed
+    expect = "ctlchar and runs"
+    assert out[3].norm_hash == hashlib.md5(expect.encode()).hexdigest()
+    assert out[3].changed
+    assert not out[4].changed
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite
+# ---------------------------------------------------------------------------
+def test_ivfpq_probes_and_ranks(spark):
+    cb = qz.pq_codebook()  # dim 64, m 8, ks 16
+    target = [c / qz.PQ_SCALE for s in range(8) for c in cb[s][0]]
+    far = [-x for x in target]
+    df = spark.createDataFrame(
+        [(1, target), (7, target), (3, far)], ["vec_id", "embedding"]
+    )
+    out = qz.ivfpq_topk(df, target, k=3, codebook=cb).collect()
+    ids = [r.vec_id for r in out]
+    # the query's own cell is always probed: both copies surface, exact
+    # codebook hit -> ADC 0, tie broken by id
+    assert ids[:2] == [1, 7]
+    assert out[0].adc == out[1].adc == 0
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel
+# ---------------------------------------------------------------------------
+def test_curation_funnel_stage_counts(spark):
+    good = _good_doc()
+    neardup = good.replace("word10", "word99").replace("word20", "word88")
+    rows = [
+        (1, good),
+        (2, good),            # exact dup of 1 -> dropped at s2
+        (3, neardup),         # near-dup of 1 -> dropped at s3
+        (4, "too short"),     # fails gopher -> dropped at s1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.stage: r for r in cu.curation_funnel(df).collect()}
+    assert out["s0_input"].n_docs == 4
+    assert out["s1_quality"].n_docs == 3
+    assert out["s2_exact"].n_docs == 2
+    assert out["s3_neardup"].n_docs == 1
+    # tokens decrease monotonically through the funnel
+    toks = [out[s].n_tokens for s in ("s0_input", "s1_quality", "s2_exact", "s3_neardup")]
+    assert toks == sorted(toks, reverse=True)
+    assert out["s3_neardup"].n_tokens == 60

@@ -1,0 +1,674 @@
+"""Corpus-curation filters from the published pretraining-data
+pipelines: Gopher quality rules, C4 line filtering, CCNet-style
+line-level boilerplate dedup, and per-source length-percentile
+trimming.
+
+North-star extensions (no reference analog — the reference ingests
+documents as-is, ``/root/reference/src/vectra_py/local_document_index.py``);
+these are the standard cleaning stages a 100 TB pretraining corpus runs
+BEFORE chunking/embedding, re-expressed Spark-first:
+
+- :func:`gopher_quality` — the Rae et al. 2021 (Gopher) document-level
+  heuristics: word-count bounds, mean-word-length bounds, symbol-word
+  ratio, alpha-word fraction, bullet/ellipsis line ratios, minimum
+  stop-word hits. One narrow projection per document — every rule is a
+  higher-order-function over the split word/line arrays, whole-stage
+  codegen, NO shuffle and NO Python.
+- :func:`c4_line_stats` — the Raffel et al. 2020 (C4/T5) line rules:
+  keep lines ending in terminal punctuation with ≥ ``min_words`` words
+  and no "javascript"; flag documents containing "lorem ipsum" or
+  ``{``. Same narrow HOF shape.
+- :func:`line_dedup_stats` — CCNet-style (Wenzek et al. 2020)
+  line-level boilerplate: a normalized line occurring in ≥ ``min_docs``
+  DISTINCT documents is boilerplate (headers, footers, nav). Lines
+  explode → per-doc distinct → line-hash document frequency → join
+  back. Every stage is keyed on the line hash (never raw text — the
+  shuffle carries (doc_id, 32-hex) rows), map-side combined.
+- :func:`length_trim` — drop per-source length outliers outside the
+  [lo, hi] percent-rank band. Rank-based (``percent_rank``), not
+  approximate quantiles, so the cut is exact, deterministic, and
+  engine-portable; one hash exchange on the source key.
+
+Every operator carries a DuckDB-SQL twin built from the SAME constants
+for the driver's oracle gate.
+
+100 TB notes: gopher/c4 add zero shuffles to an ingest pipeline (pure
+projections — they fuse into the scan stage). line_dedup's document
+frequency is Zipfian (boilerplate lines are few and hot, body lines
+unique): the groupBy's map-side partial aggregation absorbs the hot
+keys, and the join back is an equi-join on the hash AQE can
+skew-split. length_trim's window runs per source — source counts are
+corpus-table-sized metadata, and the per-source sort is the same
+exchange a per-source report already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators.text_analysis import _words_sql, words_col
+
+__all__ = [
+    "gopher_quality",
+    "gopher_quality_sql",
+    "c4_line_stats",
+    "c4_line_stats_sql",
+    "line_dedup_stats",
+    "line_dedup_stats_sql",
+    "length_trim",
+    "length_trim_sql",
+    "nfc_normalize",
+    "nfc_normalize_sql",
+    "curation_funnel",
+    "curation_funnel_sql",
+]
+
+# Gopher (Rae et al. 2021, Table A1) document-quality bounds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_STOPWORDS = 2
+# Gopher's stop-word list ("must contain ≥2 of ...").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+LINE_DEDUP_MIN_DOCS = 2
+
+LENGTH_TRIM_LO = 0.05
+LENGTH_TRIM_HI = 0.95
+
+
+def _lines_col(text_col: str) -> Column:
+    """Non-empty trimmed lines of the document."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda ln: ln != F.lit(""),
+    )
+
+
+def _lines_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(list_transform(string_split({text_expr}, chr(10)),"
+        f" l -> trim(l)), l -> l <> '')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules
+# ---------------------------------------------------------------------------
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dp: int = 6
+) -> DataFrame:
+    """Per-document Gopher heuristics + pass flags.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    bullet_ratio, ellipsis_ratio, n_stopwords, 7 pass_* booleans,
+    pass_gopher). All ratios ROUND(dp); divisions guard n=0.
+
+    Plan: ONE narrow projection — words/lines split once via HOFs, all
+    rules evaluated in the same whole-stage-codegen stage as the scan.
+    No shuffle, no UDF, survives any scale the scan survives.
+    """
+    words = words_col(text_col)
+    lines = _lines_col(text_col)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+
+    d = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(lines).alias("n_lines"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("word_chars"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("#|\\.\\.\\."))
+        ).alias("n_symbol_words"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(
+            F.filter(
+                lines, lambda ln: ln.startswith("-") | ln.startswith("•")
+            )
+        ).alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).alias(
+            "n_ellipsis_lines"
+        ),
+        F.size(F.filter(words, lambda w: F.array_contains(sw, w))).alias(
+            "n_stopwords"
+        ),
+    )
+
+    nw = F.col("n_words").cast("double")
+    nl = F.greatest(F.col("n_lines"), F.lit(1)).cast("double")
+    mean_wl = F.round(F.col("word_chars") / F.greatest(nw, F.lit(1.0)), dp)
+    sym = F.round(F.col("n_symbol_words") / F.greatest(nw, F.lit(1.0)), dp)
+    alpha = F.round(F.col("n_alpha_words") / F.greatest(nw, F.lit(1.0)), dp)
+    bullet = F.round(F.col("n_bullet_lines") / nl, dp)
+    ellip = F.round(F.col("n_ellipsis_lines") / nl, dp)
+
+    out = d.select(
+        id_col,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        bullet.alias("bullet_ratio"),
+        ellip.alias("ellipsis_ratio"),
+        F.col("n_stopwords"),
+    )
+    p_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    p_mwl = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    p_sym = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    p_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    p_bullet = F.col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO
+    p_ellip = F.col("ellipsis_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO
+    p_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return out.select(
+        "*",
+        p_words.alias("pass_words"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_sym.alias("pass_symbols"),
+        p_alpha.alias("pass_alpha"),
+        p_bullet.alias("pass_bullets"),
+        p_ellip.alias("pass_ellipsis"),
+        p_stop.alias("pass_stopwords"),
+        (
+            p_words & p_mwl & p_sym & p_alpha & p_bullet & p_ellip & p_stop
+        ).alias("pass_gopher"),
+    )
+
+
+def gopher_quality_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality` (same constants, same
+    rounded arithmetic)."""
+    ws = _words_sql(text_expr)
+    ls = _lines_sql(text_expr)
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT {id_col},
+                   len(ws) AS n_words,
+                   len(ls) AS n_lines,
+                   COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                       AS word_chars,
+                   len(list_filter(ws, w -> regexp_matches(w, '#|\\.\\.\\.')))
+                       AS n_symbol_words,
+                   len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                       AS n_alpha_words,
+                   len(list_filter(ls, l -> l LIKE '-%' OR l LIKE chr(8226) || '%'))
+                       AS n_bullet_lines,
+                   len(list_filter(ls, l -> l LIKE '%...')) AS n_ellipsis_lines,
+                   len(list_filter(ws, w -> w IN ({sw}))) AS n_stopwords
+            FROM (SELECT {id_col}, {ws} AS ws, {ls} AS ls FROM {table})
+        ),
+        m AS (
+            SELECT {id_col}, n_words, n_stopwords,
+                   ROUND(word_chars * 1.0 / greatest(n_words, 1), {dp}) AS mean_word_len,
+                   ROUND(n_symbol_words * 1.0 / greatest(n_words, 1), {dp}) AS symbol_ratio,
+                   ROUND(n_alpha_words * 1.0 / greatest(n_words, 1), {dp}) AS alpha_frac,
+                   ROUND(n_bullet_lines * 1.0 / greatest(n_lines, 1), {dp}) AS bullet_ratio,
+                   ROUND(n_ellipsis_lines * 1.0 / greatest(n_lines, 1), {dp}) AS ellipsis_ratio
+            FROM base
+        )
+        SELECT {id_col}, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               bullet_ratio, ellipsis_ratio, n_stopwords,
+               (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+                   AS pass_words,
+               (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS pass_mean_word_len,
+               (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS pass_symbols,
+               (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha,
+               (bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}) AS pass_bullets,
+               (ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}) AS pass_ellipsis,
+               (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS pass_stopwords,
+               (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+                AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+                AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+                AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS pass_gopher
+        FROM m
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# C4 line filtering
+# ---------------------------------------------------------------------------
+def c4_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = C4_MIN_LINE_WORDS,
+    min_kept: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 line rules per document: a line is KEPT iff it ends in a
+    terminal punctuation mark (``. ! ? "``), has ≥ ``min_words`` words,
+    and does not contain "javascript" (case-insensitive). A document is
+    FLAGGED (dropped wholesale in C4) if it contains "lorem ipsum" or a
+    ``{``; it is kept only if not flagged and ≥ ``min_kept`` lines
+    survive.
+
+    Output: (id, n_lines, n_kept, kept_chars, doc_flagged, keep_doc).
+    Same zero-shuffle narrow-projection plan as :func:`gopher_quality`.
+    """
+    lines = _lines_col(text_col)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.split(ln, r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    flagged = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.aggregate(
+            F.transform(kept, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("kept_chars"),
+        flagged.alias("doc_flagged"),
+        (~flagged & (F.size(kept) >= min_kept)).alias("keep_doc"),
+    )
+
+
+def c4_line_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_words: int = C4_MIN_LINE_WORDS,
+    min_kept: int = C4_MIN_KEPT_LINES,
+) -> str:
+    """DuckDB twin of :func:`c4_line_stats`."""
+    ls = _lines_sql(text_expr)
+    return f"""
+        WITH base AS (
+            SELECT {id_col},
+                   ls,
+                   list_filter(ls, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND len(string_split_regex(l, '\\s+')) >= {min_words}
+                       AND NOT contains(lower(l), 'javascript')) AS kept,
+                   (contains(lower({text_expr}), 'lorem ipsum')
+                    OR contains({text_expr}, '{{')) AS doc_flagged
+            FROM (SELECT {id_col}, {text_expr}, {ls} AS ls FROM {table})
+        )
+        SELECT {id_col},
+               len(ls) AS n_lines,
+               len(kept) AS n_kept,
+               CAST(COALESCE(list_sum(list_transform(kept, l -> length(l))), 0)
+                    AS BIGINT) AS kept_chars,
+               doc_flagged,
+               (NOT doc_flagged AND len(kept) >= {min_kept}) AS keep_doc
+        FROM base
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style line-level boilerplate dedup
+# ---------------------------------------------------------------------------
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+    dp: int = 6,
+) -> DataFrame:
+    """Line-level boilerplate statistics: a normalized (lowercased,
+    trimmed) line occurring in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate. Output per document: (id, n_lines, n_boiler,
+    kept_ratio) over the document's DISTINCT lines.
+
+    Plan: explode lines → md5 → per-doc distinct → document frequency
+    per hash (map-side combined — boilerplate keys are hot but partial
+    agg collapses them per partition) → join back on hash → per-doc
+    rollup. The shuffled payload is (id, 32-hex) rows; raw line text
+    never leaves the first stage. At 100 TB the df-counts relation is
+    vocabulary-sized (distinct lines), and the final join is an
+    equi-join AQE can skew-split.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(_lines_col(text_col)).alias("line"),
+        )
+        .select(id_col, F.md5(F.lower(F.col("line"))).alias("lh"))
+        .distinct()
+    )
+    freq = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        lines.join(freq, "lh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("n_docs") >= min_docs).cast("long")
+            ).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_boiler",
+            F.round(
+                1.0 - F.col("n_boiler") / F.col("n_lines").cast("double"), dp
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+def line_dedup_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    min_docs: int = LINE_DEDUP_MIN_DOCS,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`line_dedup_stats`."""
+    ls = _lines_sql(text_expr)
+    return f"""
+        WITH lines AS (
+            SELECT DISTINCT {id_col}, md5(lower(l)) AS lh
+            FROM (SELECT {id_col}, unnest({ls}) AS l FROM {table})
+        ),
+        freq AS (
+            SELECT lh, COUNT(*) AS n_docs FROM lines GROUP BY lh
+        )
+        SELECT l.{id_col},
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN f.n_docs >= {min_docs} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               ROUND(1.0 - SUM(CASE WHEN f.n_docs >= {min_docs} THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), {dp}) AS kept_ratio
+        FROM lines l JOIN freq f USING (lh)
+        GROUP BY l.{id_col}
+        ORDER BY l.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-source length-percentile trim
+# ---------------------------------------------------------------------------
+def length_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    lo: float = LENGTH_TRIM_LO,
+    hi: float = LENGTH_TRIM_HI,
+    dp: int = 6,
+) -> DataFrame:
+    """Keep documents whose length falls inside the per-source
+    [``lo``, ``hi``] percent-rank band — the standard outlier trim
+    before length-sensitive stages (packing, embedding batching).
+
+    Rank-based, not approximate: ``percent_rank = (rank−1)/(n−1)`` is
+    exact, gives ties identical ranks, and computes bit-identically on
+    both engines (one double division) — so the band edges never
+    disagree. One hash exchange on the source key; the per-source sort
+    is the window's, bounded by the largest source.
+    """
+    w = Window.partitionBy(source_col).orderBy(len_col)
+    return (
+        df.select(id_col, source_col, len_col)
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= lo) & (F.col("pr") <= hi))
+        .select(
+            id_col,
+            source_col,
+            len_col,
+            (F.round(F.col("pr"), dp) + F.lit(0.0)).alias("pr"),
+        )
+    )
+
+
+def length_trim_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    lo: float = LENGTH_TRIM_LO,
+    hi: float = LENGTH_TRIM_HI,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`length_trim`."""
+    return f"""
+        SELECT {id_col}, {source_col}, {len_col},
+               ROUND(pr, {dp}) + 0.0 AS pr
+        FROM (
+            SELECT {id_col}, {source_col}, {len_col},
+                   percent_rank() OVER (PARTITION BY {source_col}
+                                        ORDER BY {len_col}) AS pr
+            FROM {table}
+        )
+        WHERE pr >= {lo} AND pr <= {hi}
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization + control scrub
+# ---------------------------------------------------------------------------
+_CTRL_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc_normalize(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization before any hashing/dedup stage:
+    Unicode NFC composition, C0/DEL control-character strip (keeping
+    ``\\t``/``\\n``/``\\r``), and space-run collapse. Running dedup on
+    un-normalized text silently splits duplicates that differ only in
+    composition form (é as U+00E9 vs e+U+0301) or stray control bytes.
+
+    Output: (id, norm_hash, n_chars_norm, changed) — the md5 of the
+    normalized text (what a dedup stage would key on), not the text
+    itself, so nothing wide is shuffled or collected.
+
+    Plan: one narrow Arrow-batched pass (``unicodedata.normalize`` has
+    no Catalyst equivalent), embarrassingly parallel, no shuffle. The
+    DuckDB twin uses its native ``nfc_normalize`` — both implement
+    Unicode NFC, so the hashes agree.
+    """
+    import hashlib
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    ctrl = re.compile(_CTRL_PATTERN)
+    spaces = re.compile(" +")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs, ns, ch = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                norm = spaces.sub(
+                    " ", ctrl.sub("", unicodedata.normalize("NFC", str(t)))
+                )
+                ids.append(i)
+                hs.append(hashlib.md5(norm.encode()).hexdigest())
+                ns.append(len(norm))
+                ch.append(norm != t)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "norm_hash": hs,
+                    "n_chars_norm": ns,
+                    "changed": ch,
+                }
+            )
+
+    from vectra_py_spark.session import spread
+
+    return (
+        spread(df.select(id_col, text_col))
+        .mapInPandas(
+            gen,
+            schema=(
+                f"id {id_type}, norm_hash string, n_chars_norm int,"
+                " changed boolean"
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def nfc_normalize_sql(
+    table: str = "documents", id_col: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`nfc_normalize` (native ``nfc_normalize`` +
+    the same RE2-compatible control/space patterns)."""
+    norm = (
+        f"regexp_replace(regexp_replace(nfc_normalize({text_expr}),"
+        f" '{_CTRL_PATTERN}', '', 'g'), ' +', ' ', 'g')"
+    )
+    return f"""
+        SELECT {id_col},
+               md5({norm}) AS norm_hash,
+               CAST(length({norm}) AS INT) AS n_chars_norm,
+               ({norm} <> {text_expr}) AS changed
+        FROM {table}
+        ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel
+# ---------------------------------------------------------------------------
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed cleaning pipeline as one funnel report — the number
+    every curation run is judged by: documents and tokens surviving
+    each stage.
+
+    Stages: ``s0_input`` → ``s1_quality`` (Gopher pass) → ``s2_exact``
+    (exact dedup, min-id survivor per text hash) → ``s3_neardup``
+    (MinHash-LSH near-dup, drop the larger id of each pair ≥
+    ``threshold``).
+
+    Output: (stage, n_docs, n_tokens), one row per stage.
+
+    100 TB design: the funnel composes operators that are each
+    scale-safe (zero-shuffle quality projection, hash-keyed exact
+    dedup, banded LSH) — the composition adds only the per-stage
+    1-row aggregates. Production materializes each stage's survivor
+    ids; here the stages chain lazily for the oracle check.
+    """
+    from vectra_py_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = df.select(id_col, text_col)
+
+    def stage_agg(sdf: DataFrame, name: str) -> DataFrame:
+        return sdf.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(words_col(text_col))), F.lit(0)
+            ).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    quality_ids = (
+        gopher_quality(docs, id_col=id_col, text_col=text_col)
+        .filter(F.col("pass_gopher"))
+        .select(id_col)
+    )
+    s1 = docs.join(quality_ids, id_col, "left_semi")
+    keep = Window.partitionBy(F.md5(F.col(text_col)))
+    s2 = (
+        s1.withColumn("keep_id", F.min(id_col).over(keep))
+        .filter(F.col(id_col) == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    dup_ids = (
+        minhash_lsh_pairs(
+            s2, id_col=id_col, text_col=text_col, threshold=threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    s3 = s2.join(dup_ids, id_col, "left_anti")
+    return (
+        stage_agg(docs, "s0_input")
+        .unionAll(stage_agg(s1, "s1_quality"))
+        .unionAll(stage_agg(s2, "s2_exact"))
+        .unionAll(stage_agg(s3, "s3_neardup"))
+    )
+
+
+def curation_funnel_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`curation_funnel` (gopher + minhash twins
+    embedded as CTEs over the same stage relations)."""
+    from vectra_py_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    ws = _words_sql(text_expr)
+    g = gopher_quality_sql(table=table, id_col=id_col, text_expr=text_expr)
+    pairs = minhash_lsh_pairs_sql(table="s2", text_expr=text_expr,
+                                  threshold=threshold)
+
+    def agg(rel: str, name: str) -> str:
+        return (
+            f"SELECT '{name}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(SUM(len({ws})), 0) AS BIGINT) AS n_tokens"
+            f" FROM {rel}"
+        )
+
+    return f"""
+        WITH g AS ({g}),
+        s1 AS (
+            SELECT d.{id_col}, d.{text_expr}
+            FROM {table} d JOIN g USING ({id_col})
+            WHERE g.pass_gopher
+        ),
+        s2 AS (
+            SELECT {id_col}, {text_expr} FROM (
+                SELECT {id_col}, {text_expr},
+                       MIN({id_col}) OVER (PARTITION BY md5({text_expr}))
+                           AS keep_id
+                FROM s1
+            ) WHERE {id_col} = keep_id
+        ),
+        pairs AS ({pairs}),
+        s3 AS (
+            SELECT * FROM s2
+            WHERE {id_col} NOT IN (SELECT id_b FROM pairs)
+        )
+        {agg(table, 's0_input')}
+        UNION ALL {agg('s1', 's1_quality')}
+        UNION ALL {agg('s2', 's2_exact')}
+        UNION ALL {agg('s3', 's3_neardup')}
+        ORDER BY stage
+    """

@@ -467,3 +467,227 @@ def curriculum_order_sql(
         FROM binned
         ORDER BY pos
     """
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (water-filling with per-source epoch caps)
+# ---------------------------------------------------------------------------
+def unimax_mix(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """UniMax allocation (Chung et al. 2023): spread a token budget as
+    UNIFORMLY as possible over sources, capping each source at
+    ``max_epochs`` repetitions of its corpus — the principled
+    alternative to temperature sampling that never over-repeats small
+    sources. Budget = ``budget_frac`` × total corpus tokens.
+
+    Water-filling has a closed form over sources sorted by capacity
+    ascending (capacity_i = max_epochs · tokens_i): walking up the
+    sorted list, the first source whose capacity reaches the candidate
+    level ``(B − Σ smaller caps) / #remaining`` sets the waterline; all
+    smaller sources are cut at capacity, all larger ones get the
+    waterline. That is three window functions over the per-source
+    aggregate — NO iteration, no driver loop.
+
+    Output: (source, n_tokens, capacity, alloc_tokens, epochs) — alloc
+    in expected tokens per training run, epochs = alloc/tokens.
+
+    100 TB design: one explode-free word-count aggregate over the
+    corpus (map-side combined, shuffle carries one partial per source
+    per partition); everything after runs on the ≤|sources| row result.
+    Identical double arithmetic on both engines (same sort order, same
+    sequential prefix sums) keeps the oracle exact.
+    """
+    from vectra_py_spark.operators.text_analysis import words_col
+
+    toks = df.groupBy(source_col).agg(
+        F.sum(F.size(words_col(text_col))).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("capacity", source_col)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        toks.withColumn(
+            "capacity", F.col("n_tokens") * F.lit(float(max_epochs))
+        )
+        .withColumn(
+            "budget",
+            F.sum("n_tokens").over(w_all).cast("double")
+            * F.lit(float(budget_frac)),
+        )
+        .withColumn("idx", F.row_number().over(w_ord))
+        .withColumn("n_src", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "cum_prev", F.coalesce(F.sum("capacity").over(w_prev), F.lit(0.0))
+        )
+        .withColumn(
+            "cand",
+            (F.col("budget") - F.col("cum_prev"))
+            / (F.col("n_src") - F.col("idx") + 1).cast("double"),
+        )
+        .withColumn(
+            "i0",
+            F.min(
+                F.when(F.col("capacity") >= F.col("cand"), F.col("idx"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "waterline",
+            F.max(
+                F.when(F.col("idx") == F.col("i0"), F.col("cand"))
+            ).over(w_all),
+        )
+        .withColumn(
+            "alloc",
+            F.when(
+                F.col("i0").isNull() | (F.col("idx") < F.col("i0")),
+                F.col("capacity"),
+            ).otherwise(F.col("waterline")),
+        )
+    )
+    return staged.select(
+        source_col,
+        "n_tokens",
+        (F.round(F.col("capacity"), dp) + F.lit(0.0)).alias("capacity"),
+        (F.round(F.col("alloc"), dp) + F.lit(0.0)).alias("alloc_tokens"),
+        (
+            F.round(
+                F.col("alloc")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                dp,
+            )
+            + F.lit(0.0)
+        ).alias("epochs"),
+    )
+
+
+def unimax_mix_sql(
+    budget_frac: float = 0.5,
+    max_epochs: float = 4.0,
+    table: str = "documents",
+    source_col: str = "source",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`unimax_mix` (same sort order, same
+    sequential prefix-sum arithmetic)."""
+    from vectra_py_spark.operators.text_analysis import _words_sql
+
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH toks AS (
+            SELECT {source_col},
+                   CAST(SUM(len({ws})) AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY {source_col}
+        ),
+        staged AS (
+            SELECT {source_col}, n_tokens,
+                   n_tokens * {float(max_epochs)} AS capacity,
+                   (SUM(n_tokens) OVER ()) * 1.0 * {float(budget_frac)}
+                       AS budget,
+                   ROW_NUMBER() OVER (ORDER BY n_tokens * {float(max_epochs)},
+                                      {source_col}) AS idx,
+                   COUNT(*) OVER () AS n_src,
+                   COALESCE(SUM(n_tokens * {float(max_epochs)}) OVER (
+                       ORDER BY n_tokens * {float(max_epochs)}, {source_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0) AS cum_prev
+            FROM toks
+        ),
+        lvl AS (
+            SELECT *,
+                   (budget - cum_prev) / (n_src - idx + 1) AS cand
+            FROM staged
+        ),
+        marked AS (
+            SELECT *,
+                   MIN(CASE WHEN capacity >= cand THEN idx END) OVER () AS i0
+            FROM lvl
+        ),
+        lined AS (
+            SELECT *,
+                   MAX(CASE WHEN idx = i0 THEN cand END) OVER () AS waterline
+            FROM marked
+        )
+        SELECT {source_col}, n_tokens,
+               ROUND(capacity, {dp}) + 0.0 AS capacity,
+               ROUND(CASE WHEN i0 IS NULL OR idx < i0
+                          THEN capacity ELSE waterline END, {dp}) + 0.0
+                   AS alloc_tokens,
+               ROUND(CASE WHEN i0 IS NULL OR idx < i0
+                          THEN capacity ELSE waterline END
+                     / greatest(n_tokens, 1), {dp}) + 0.0 AS epochs
+        FROM lined
+        ORDER BY {source_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Domain mix report (source × lang token shares)
+# ---------------------------------------------------------------------------
+def domain_mix_report(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Corpus composition by (source, lang): documents, tokens, and the
+    stratum's share of all corpus tokens — the input every mixing
+    decision (temperature, UniMax, quotas) starts from.
+
+    One explode-free aggregate (map-side combined); the share divides
+    by a window total over the ≤|source×lang| row result.
+    """
+    from vectra_py_spark.operators.text_analysis import words_col
+
+    agg = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_col(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        source_col,
+        lang_col,
+        "n_docs",
+        "n_tokens",
+        (
+            F.round(
+                F.col("n_tokens")
+                / F.sum("n_tokens").over(total).cast("double"),
+                dp,
+            )
+            + F.lit(0.0)
+        ).alias("token_share"),
+    )
+
+
+def domain_mix_report_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`domain_mix_report`."""
+    from vectra_py_spark.operators.text_analysis import _words_sql
+
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH agg AS (
+            SELECT {source_col}, {lang_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({ws})) AS BIGINT) AS n_tokens
+            FROM {table} GROUP BY {source_col}, {lang_col}
+        )
+        SELECT {source_col}, {lang_col}, n_docs, n_tokens,
+               ROUND(n_tokens / (SUM(n_tokens) OVER ()) * 1.0, {dp}) + 0.0
+                   AS token_share
+        FROM agg
+        ORDER BY {source_col}, {lang_col}
+    """

@@ -204,3 +204,363 @@ def sq8_topk_sql(
         ORDER BY score DESC, {id_col}
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codes + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+PQ_SCALE = 1_000_000  # fixed-point scale: 6 dp, the repo-wide rounding unit
+
+
+def pq_codebook(
+    dim: int = 64, m: int = 8, ks: int = 16, seed: int = 9973
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebook as FIXED-POINT integers:
+    ``codebook[sub][code][j]`` is the j-th component of centroid
+    ``code`` in subspace ``sub``, scaled by :data:`PQ_SCALE`.
+
+    Integer codebooks make every distance an exact int64 on BOTH
+    engines — no float summation-order or rounding-mode hazards
+    anywhere in encode or scoring. Centroids are seeded-LCG unit
+    vectors per subspace (the :func:`~vectra_py_spark.operators.
+    similarity.seeded_centroids` stand-in argument: production swaps in
+    k-means-trained centroids, the plan shape is identical).
+    """
+    from vectra_py_spark.operators.similarity import seeded_centroids
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        cents = seeded_centroids(dsub, ks, seed=seed + 7919 * s)
+        out.append(
+            [[int(round(x * PQ_SCALE)) for x in c] for c in cents]
+        )
+    return out
+
+
+def _scale_to_int(a):
+    """Half-away-from-zero fixed-point scaling (matches DuckDB/Spark
+    ROUND; np.rint would be half-to-even)."""
+    import numpy as np
+
+    x = a * float(PQ_SCALE)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-range codes: per subspace,
+    the L2-nearest codebook centroid (ties → lowest code id). Output
+    (id, codes array<int>).
+
+    This is the MATERIALIZED artifact at scale: m bytes per vector
+    versus 4·dim for float32 — 32× smaller at dim=64/m=8 — so the ANN
+    scan reads codes only and the raw vectors stay cold. Encoding is a
+    narrow Arrow-batched pass (vectorized numpy distance over exact
+    int64 fixed-point values), embarrassingly parallel, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebook)
+    ks = len(codebook[0])
+    dsub = len(codebook[0][0])
+    cb = np.asarray(codebook, dtype="int64")  # (m, ks, dsub)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _scale_to_int(
+                np.asarray(list(pdf[vector_col]), dtype="float64")
+            ).reshape(len(pdf), m, dsub)
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for s in range(m):
+                # (n, ks) exact int64 distances; argmin takes the FIRST
+                # minimum — the lowest code id, same as the SQL twin's
+                # ORDER BY d, code tie-break.
+                d = ((X[:, None, s, :] - cb[None, s, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "codes": list(codes)}
+            )
+
+    return spread(df.select(id_col, vector_col)).mapInPandas(
+        gen, schema=f"id {id_type}, codes array<int>"
+    ).withColumnRenamed("id", id_col)
+
+
+def pq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    codebook: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: score = Σ_sub LUT[sub][code] where
+    the 128-entry lookup table holds exact int64 distances from the
+    query's subvectors to every codebook centroid. Smaller ADC =
+    closer. Output (id, adc) — ties break on id.
+
+    Plan: encode (narrow Arrow pass over the vector column — or, at
+    steady state, a scan of the materialized 32×-smaller codes table)
+    → per-row ADC as a pure Catalyst expression (m ``element_at`` hits
+    on literal arrays, whole-stage codegen) → ``TakeOrderedAndProject``.
+    The LUT is m·ks ints built driver-side from the query alone —
+    nothing is collected from the data.
+    """
+    cb = codebook or pq_codebook()
+    m = len(cb)
+    ks = len(cb[0])
+    dsub = len(cb[0][0])
+    q = [float(x) for x in query]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
+    lut = [
+        [
+            sum(
+                (qi[s * dsub + j] - cb[s][c][j]) ** 2 for j in range(dsub)
+            )
+            for c in range(ks)
+        ]
+        for s in range(m)
+    ]
+
+    encoded = pq_encode(df, cb, id_col=id_col, vector_col=vector_col)
+    luts = [F.array(*[F.lit(v) for v in lut[s]]) for s in range(m)]
+    adc = luts[0][F.col("codes")[0]]
+    for s in range(1, m):
+        adc = adc + luts[s][F.col("codes")[s]]
+    return (
+        encoded.select(id_col, adc.cast("long").alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_sql(
+    query: Sequence[float],
+    k: int = 10,
+    codebook: list[list[list[int]]] | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: the same integer codebook as a
+    VALUES relation, encode = ROW_NUMBER-argmin over exact int64
+    distances (ORDER BY d, code = numpy argmin's first-minimum), LUT
+    from the same query constants, ADC = SUM of LUT hits."""
+    cb = codebook or pq_codebook()
+    m = len(cb)
+    ks = len(cb[0])
+    dsub = len(cb[0][0])
+    dim = m * dsub
+    q = [float(x) for x in query]
+    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
+    cb_rows = ", ".join(
+        f"({s}, {c}, {j}, {cb[s][c][j]})"
+        for s in range(m)
+        for c in range(ks)
+        for j in range(dsub)
+    )
+    lut_rows = ", ".join(
+        f"({s}, {c}, "
+        + str(
+            sum((qi[s * dsub + j] - cb[s][c][j]) ** 2 for j in range(dsub))
+        )
+        + ")"
+        for s in range(m)
+        for c in range(ks)
+    )
+    return f"""
+        WITH cb(sub, code, pos, cv) AS (VALUES {cb_rows}),
+        lut(sub, code, qd) AS (VALUES {lut_rows}),
+        ve AS (
+            SELECT {id_col},
+                   CAST((i - 1) // {dsub} AS INT) AS sub,
+                   CAST((i - 1) % {dsub} AS INT) AS pos,
+                   CAST(ROUND(CAST({vector_expr}[i] AS DOUBLE)
+                              * {PQ_SCALE}.0) AS BIGINT) AS xv
+            FROM {table}, range(1, {dim + 1}) t(i)
+        ),
+        dists AS (
+            SELECT {id_col}, sub, code,
+                   SUM((xv - cv) * (xv - cv)) AS d
+            FROM ve JOIN cb USING (sub, pos)
+            GROUP BY {id_col}, sub, code
+        ),
+        codes AS (
+            SELECT {id_col}, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}, sub
+                                      ORDER BY d, code) AS rn
+            FROM dists
+        )
+        SELECT c.{id_col}, CAST(SUM(l.qd) AS BIGINT) AS adc
+        FROM codes c JOIN lut l USING (sub, code)
+        WHERE c.rn = 1
+        GROUP BY c.{id_col}
+        ORDER BY adc, c.{id_col}
+        LIMIT {k}
+    """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 4321,
+    codebook: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN: probe the ``nprobe`` max-inner-product
+    cells (same centroids/ties as :func:`~vectra_py_spark.operators.
+    similarity.ivf_topk`), then rank the survivors by exact-int64 PQ
+    asymmetric distance. The two standard ANN compressions stacked the
+    way FAISS's IVFPQ stacks them: the cell prunes the SCAN, the codes
+    shrink the BYTES.
+
+    100 TB design: at ingest the table is written partitioned by cell
+    with the m-byte codes column materialized; a query then reads
+    ``nprobe/n_cells`` of the partitions (partition pruning — see
+    ``ivf_write_index``) × 32-fold fewer bytes (codes, not vectors),
+    and the in-query path here is the same plan minus the stored
+    artifacts: a zero-shuffle cell projection, a narrow Arrow encode,
+    and one ``TakeOrderedAndProject``.
+    """
+    from vectra_py_spark.operators.similarity import (
+        _seq_dot,
+        cell_assignment_expr,
+        seeded_centroids,
+    )
+
+    dim = len(query)
+    cents = seeded_centroids(dim, n_cells, seed)
+    probe = [
+        cid
+        for _, cid in sorted(
+            (-_seq_dot(query, c), cid) for cid, c in enumerate(cents)
+        )[:nprobe]
+    ]
+    cand = (
+        df.withColumn("cell", cell_assignment_expr(cents, vector_col))
+        .filter(F.col("cell").isin(probe))
+        .drop("cell")
+    )
+    return pq_topk(
+        cand, query, k=k, codebook=codebook, id_col=id_col,
+        vector_col=vector_col,
+    )
+
+
+def ivfpq_topk_sql(
+    query: Sequence[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 4321,
+    codebook: list[list[list[int]]] | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the ivf_topk cell CTE (same
+    centroids, probes, tie rule) feeding the pq_topk code/LUT CTEs."""
+    from vectra_py_spark.operators.similarity import (
+        _plane_lit_sql,
+        _seq_dot,
+        seeded_centroids,
+    )
+
+    cb = codebook or pq_codebook()
+    m = len(cb)
+    ks = len(cb[0])
+    dsub = len(cb[0][0])
+    dim = m * dsub
+    cents = seeded_centroids(len(query), n_cells, seed)
+    probe = ", ".join(
+        str(cid)
+        for _, cid in sorted(
+            (-_seq_dot(query, c), cid) for cid, c in enumerate(cents)
+        )[:nprobe]
+    )
+    q = [float(x) for x in query]
+    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
+    v = f"{vector_expr}::DOUBLE[]"
+    dot_union = "\n            UNION ALL\n".join(
+        f"            SELECT {id_col} AS vid, {cid} AS cid, "
+        f"list_dot_product({v}, {_plane_lit_sql(c)}) AS d FROM {table}"
+        for cid, c in enumerate(cents)
+    )
+    cb_rows = ", ".join(
+        f"({s}, {c}, {j}, {cb[s][c][j]})"
+        for s in range(m)
+        for c in range(ks)
+        for j in range(dsub)
+    )
+    lut_rows = ", ".join(
+        f"({s}, {c}, "
+        + str(
+            sum((qi[s * dsub + j] - cb[s][c][j]) ** 2 for j in range(dsub))
+        )
+        + ")"
+        for s in range(m)
+        for c in range(ks)
+    )
+    return f"""
+        WITH dots AS (
+{dot_union}
+        ),
+        cells AS (
+            SELECT DISTINCT vid,
+                   first_value(cid) OVER
+                       (PARTITION BY vid ORDER BY d DESC, cid ASC) AS cell
+            FROM dots
+        ),
+        survivors AS (
+            SELECT t.* FROM {table} t
+            JOIN cells ON t.{id_col} = cells.vid
+                      AND cells.cell IN ({probe})
+        ),
+        cb(sub, code, pos, cv) AS (VALUES {cb_rows}),
+        lut(sub, code, qd) AS (VALUES {lut_rows}),
+        ve AS (
+            SELECT {id_col},
+                   CAST((i - 1) // {dsub} AS INT) AS sub,
+                   CAST((i - 1) % {dsub} AS INT) AS pos,
+                   CAST(ROUND(CAST({vector_expr}[i] AS DOUBLE)
+                              * {PQ_SCALE}.0) AS BIGINT) AS xv
+            FROM survivors, range(1, {dim + 1}) t(i)
+        ),
+        dists AS (
+            SELECT {id_col}, sub, code,
+                   SUM((xv - cv) * (xv - cv)) AS d
+            FROM ve JOIN cb USING (sub, pos)
+            GROUP BY {id_col}, sub, code
+        ),
+        codes AS (
+            SELECT {id_col}, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}, sub
+                                      ORDER BY d, code) AS rn
+            FROM dists
+        )
+        SELECT c.{id_col}, CAST(SUM(l.qd) AS BIGINT) AS adc
+        FROM codes c JOIN lut l USING (sub, code)
+        WHERE c.rn = 1
+        GROUP BY c.{id_col}
+        ORDER BY adc, c.{id_col}
+        LIMIT {k}
+    """

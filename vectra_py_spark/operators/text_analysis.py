@@ -1689,3 +1689,83 @@ def seq_len_histogram_sql(
         FROM per CROSS JOIN tot t
         ORDER BY max_len
     """
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    vocab_size: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate per ``group_col``: the fraction of token
+    occurrences a ``vocab_size``-word vocabulary cannot cover — the
+    go/no-go metric when sizing a vocabulary or admitting a new source
+    whose token distribution the tokenizer never saw.
+
+    Output: (group, n_tokens, n_oov, oov_rate).
+
+    100 TB design: same shape as :func:`tokenize_to_ids` — one explode
+    + broadcast vocab join (Zipfian vocabularies stay broadcast-sized),
+    then a per-group aggregate whose shuffle carries one partial per
+    group per partition.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words_col(text_col)).alias("word"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.col("token_id").isNull().cast("long")
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            (
+                F.round(
+                    F.col("n_oov") / F.col("n_tokens").cast("double"), dp
+                )
+                + F.lit(0.0)
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def oov_rate_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_expr: str = "text",
+    vocab_size: int = 256,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`build_vocab` + :func:`oov_rate`."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH w AS (
+            SELECT {group_col} AS grp, unnest({ws}) AS word FROM {table}
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word,
+                       row_number() OVER (ORDER BY COUNT(*) DESC, word) - 1
+                           AS token_id
+                FROM w GROUP BY word
+            ) WHERE token_id < {vocab_size}
+        )
+        SELECT grp AS {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                     / (COUNT(*) * 1.0), {dp}) + 0.0 AS oov_rate
+        FROM w LEFT JOIN vocab v USING (word)
+        GROUP BY grp
+        ORDER BY grp
+    """

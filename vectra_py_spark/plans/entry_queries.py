@@ -32,6 +32,7 @@ from vectra_py_spark.embeddings import embed_chunks
 from vectra_py_spark.operators import asof as aj
 from vectra_py_spark.operators import cluster as cl
 from vectra_py_spark.operators import dedup as dd
+from vectra_py_spark.operators import curation as cu
 from vectra_py_spark.operators import mixing as mx
 from vectra_py_spark.operators import multimodal as mm
 from vectra_py_spark.operators import packing as pk
@@ -2584,6 +2585,84 @@ def _sql_dml_delete() -> str:
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Round-4 curation / mixing / PQ queries
+# ---------------------------------------------------------------------------
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) document-quality rules: all seven
+    heuristics + pass flags in one zero-shuffle projection."""
+    return cu.gopher_quality(load(spark, sf_dir, "documents"))
+
+
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (Raffel et al. 2020) line-filtering stats per document:
+    kept-line counts/chars plus the lorem-ipsum/brace document flag."""
+    return cu.c4_line_stats(load(spark, sf_dir, "documents"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate stats: per-doc distinct
+    lines, boilerplate lines (in >= 2 docs), kept ratio."""
+    return cu.line_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length outlier trim: keep docs inside the
+    [0.05, 0.95] percent-rank band of n_chars."""
+    return cu.length_trim(load(spark, sf_dir, "documents"))
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation: water-filling a 50%-of-corpus token
+    budget over sources with a 4-epoch per-source cap."""
+    return mx.unimax_mix(load(spark, sf_dir, "documents"))
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (source, lang): docs, tokens, and each
+    stratum's share of corpus tokens."""
+    return mx.domain_mix_report(load(spark, sf_dir, "documents"))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate under the corpus-ranked
+    256-word vocabulary (same vocab as tokenize_ids)."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = ta.build_vocab(docs, vocab_size=_VOCAB_V)
+    return ta.oov_rate(docs, vocab, _VOCAB_V)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8x16 integer codebook, exact-int64
+    asymmetric-distance top-10 (completes the LSH/IVF/SQ8/PQ family)."""
+    return qz.pq_topk(
+        load(spark, sf_dir, "embeddings"), seeded_query_vector(64, seed=7),
+        k=10,
+    )
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + space-collapse normalization:
+    per-doc normalized-text hash (the dedup key), narrow Arrow pass."""
+    return cu.nfc_normalize(load(spark, sf_dir, "documents"))
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN: cell-pruned scan (nprobe=2 of 8) ranked by
+    exact-int64 PQ asymmetric distance — FAISS's IVFPQ, Spark-first."""
+    return qz.ivfpq_topk(
+        load(spark, sf_dir, "embeddings"), seeded_query_vector(64, seed=7),
+        k=10,
+    )
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: input -> Gopher quality -> exact
+    dedup -> MinHash near-dup; (stage, n_docs, n_tokens) per stage."""
+    return cu.curation_funnel(load(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
@@ -2694,6 +2773,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dml_insert": q_dml_insert,
     "dml_upsert": q_dml_upsert,
     "dml_delete": q_dml_delete,
+    "gopher_quality": q_gopher_quality,
+    "c4_line_stats": q_c4_line_stats,
+    "line_dedup": q_line_dedup,
+    "length_trim": q_length_trim,
+    "unimax_mix": q_unimax_mix,
+    "domain_mix": q_domain_mix,
+    "oov_rate": q_oov_rate,
+    "pq_topk": q_pq_topk,
+    "nfc_normalize": q_nfc_normalize,
+    "ivfpq_topk": q_ivfpq_topk,
+    "curation_funnel": q_curation_funnel,
     **RELATIONAL_QUERIES,
 }
 
@@ -2702,70 +2792,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-3 priority: (a) the 5 rows red/err in
-# CORRECTNESS_r02 (now fixed — must show green), (b) the 33 queries that
-# have never received a driver oracle row in any round, (c) the most
-# load-bearing of the round-1-green-but-stale set. Stable r2-green
-# queries sort last — their evidence is fresh. When adding a NEW query,
-# insert its name here (front of the list) so it gets checked on its
-# first round, and drop a tier-(c) name if that pushes past 50.
+# fresh driver row go first. Round-4 priority: the 8 new queries, then
+# (a) the 4 registered late in r3 (never checked), (b) the r1-green-but
+# -stale set, (c) the oldest r2-green rows — the shingle/simhash family
+# first because its tokenizer changed this round. Everything checked in
+# r3 has fresh evidence and sorts out of the window. When adding a NEW
+# query, insert its name here (front of the list) so it gets checked on
+# its first round, and drop a tier-(c) name if that pushes past 50.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
     # (new this round — first driver look)
-    "dsir_weights",
-    "curriculum_order",
-    "duplicate_ngram_spans",
-    "nb_quality_score",
-    "tokenize_ids",
-    "lloyd_kmeans",
-    "tfidf_top_terms",
-    "pmi_collocations",
-    "seq_len_histogram",
-    "winnow_fingerprints",
-    "winnow_matches",
-    # (a) red/err in r2, fixed this round
-    "corpus_stats",
-    "random_projection",
-    "bpe_pair_counts",
-    "padding_efficiency",
-    "packed_sequences",
-    # (b) never driver-checked in any round
-    "frame_sample",
-    "quantized_topk",
-    "label_centroids",
-    "quality_weighted_sample",
-    "bloom_decontaminate",
-    "leakage_safe_split",
-    "rollup_revenue",
-    "churned_rich",
-    "nation_volume",
-    "market_share",
-    "returned_customers",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "event_funnel",
-    "cohort_retention",
-    "event_type_pivot",
-    "viewers_not_purchasers",
-    "daily_rolling",
-    "late_ship_priority",
-    "big_spenders",
-    "dml_insert",
-    "dml_upsert",
-    "dml_delete",
-    "min_cost_supplier",
-    "forecast_revenue",
-    "product_profit",
-    "important_stock",
-    "shipmode_priority",
-    "customer_distribution",
-    "top_supplier",
-    "supplier_part_counts",
-    "small_qty_revenue",
-    "excess_suppliers",
-    # (c) round-1-green, stale — most load-bearing first
-    # (batch_topk stays: its physical plan changed this round)
-    "batch_topk",
+    "gopher_quality",
+    "c4_line_stats",
+    "line_dedup",
+    "length_trim",
+    "unimax_mix",
+    "domain_mix",
+    "oov_rate",
+    "pq_topk",
+    "nfc_normalize",
+    "ivfpq_topk",
+    "curation_funnel",
+    # (a) registered in r3 after the window filled — never checked
+    "winnow_probe",
+    "winnow_contamination",
+    "soft_dedup_weights",
+    "neardup_weights",
+    # (b) r1-green but stale since (oldest evidence first)
+    "distinct_users",
+    "value_quantiles",
+    "revenue_by_region",
+    "multimodal_bytes",
+    "token_budget_batches",
+    "ann_topk",
+    "ivf_topk",
+    "train_split",
+    "stratified_sample",
+    "decontaminate",
+    "neardup_clusters",
+    "asof_enrich",
+    "range_join",
+    "epoch_mix",
+    "salted_agg",
+    "shipping_priority",
+    "promo_revenue",
+    "semantic_search",
+    # (c) r2-green, stale — shingle/simhash family first (their
+    # tokenizer gained re.ASCII this round; behavior-neutral on the
+    # ASCII fixtures, but fresh driver rows should say so)
+    "exact_dedup",
+    "ngram_jaccard_neardup",
+    "minhash_lsh_neardup",
+    "minhash_probe",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "ngram_diversity",
+    "lsh_neardup",
+    "incremental_dedup",
+    "dup_shingle_ratio",
+    "cross_source_dups",
+    # (c) r2-green, stale — core retrieval surface
+    "vector_topk",
+    "vector_topk_filtered",
+    "document_ranking",
+    "filter_or_in_gt",
+    "filter_nin",
+    "point_lookup",
 ]
 
 QUERIES = {
@@ -2811,6 +2903,17 @@ ORACLES: dict[str, str] = {
     "duplicate_ngram_spans": ta.duplicate_ngram_spans_sql(),
     "nb_quality_score": ta.nb_quality_score_sql(),
     "tokenize_ids": ta.tokenize_to_ids_sql(doc_pred="doc_id % 7 = 0"),
+    "gopher_quality": cu.gopher_quality_sql(),
+    "c4_line_stats": cu.c4_line_stats_sql(),
+    "line_dedup": cu.line_dedup_stats_sql(),
+    "length_trim": cu.length_trim_sql(),
+    "unimax_mix": mx.unimax_mix_sql(),
+    "domain_mix": mx.domain_mix_report_sql(),
+    "oov_rate": ta.oov_rate_sql(),
+    "pq_topk": qz.pq_topk_sql(seeded_query_vector(64, seed=7)),
+    "nfc_normalize": cu.nfc_normalize_sql(),
+    "ivfpq_topk": qz.ivfpq_topk_sql(seeded_query_vector(64, seed=7)),
+    "curation_funnel": cu.curation_funnel_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
