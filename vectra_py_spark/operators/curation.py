@@ -428,7 +428,12 @@ def length_trim(
     exact, gives ties identical ranks, and computes bit-identically on
     both engines (one double division) — so the band edges never
     disagree. One hash exchange on the source key; the per-source sort
-    is the window's, bounded by the largest source.
+    is the window's, bounded by the largest source. At 100 TB, when
+    exact ranks aren't required, compute per-source cutoffs ONCE with
+    ``df.stat.approxQuantile`` (or ``approx_percentile`` grouped by
+    source) and broadcast them — the trim then degrades to a pure
+    filter projection with zero sorts; this exact-rank variant stays
+    the oracle twin.
     """
     w = Window.partitionBy(source_col).orderBy(len_col)
     return (
