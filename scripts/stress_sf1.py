@@ -105,6 +105,9 @@ STRESS_QUERIES = [
     "nfc_normalize",
     "ivfpq_topk",
     "curation_funnel",
+    "label_outliers",
+    "word_entropy",
+    "dup_rate_by_source",
 ]
 
 

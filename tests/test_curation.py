@@ -318,3 +318,85 @@ def test_curation_funnel_stage_counts(spark):
     toks = [out[s].n_tokens for s in ("s0_input", "s1_quality", "s2_exact", "s3_neardup")]
     assert toks == sorted(toks, reverse=True)
     assert out["s3_neardup"].n_tokens == 60
+
+
+# ---------------------------------------------------------------------------
+# Embedding label QA / entropy / dup-rate
+# ---------------------------------------------------------------------------
+def test_label_outliers_flags_planted_mislabel(spark):
+    from vectra_py_spark.operators.similarity import label_outliers
+
+    # label 0 clusters near +x; vec 99 is labeled 0 but points at -x
+    rows = [(i, [1.0, 0.1 * (i % 3), 0.0, 0.0], 0) for i in range(6)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], 0))
+    rows += [(200 + i, [0.0, 1.0, 0.0, 0.0], 1) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = label_outliers(df, per_label=2)
+    got = {(r.label, r.vec_id): r.cos_to_centroid for r in out.collect()}
+    # the planted mislabel is label 0's worst outlier
+    worst = min((v, k) for k, v in got.items() if k[0] == 0)
+    assert worst[1] == (0, 99)
+    assert worst[0] < 0  # anti-aligned with its centroid
+    # per_label cap respected
+    assert sum(1 for k in got if k[0] == 0) == 2
+
+
+def test_word_entropy_hand_computed(spark):
+    import math
+
+    from vectra_py_spark.operators.text_analysis import word_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in word_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].norm_entropy == 0.0
+    assert out[2].entropy == 1.0 and out[2].norm_entropy == 1.0
+    h3 = math.log2(3) - (2 * math.log2(2)) / 3
+    assert out[3].entropy == pytest.approx(h3, abs=1e-6)
+    assert out[3].n_words == 3 and out[3].n_types == 2
+
+
+def test_dup_rate_by_source(spark):
+    from vectra_py_spark.operators.dedup import dup_rate_by_source
+
+    rows = [
+        (1, "a", "same text"),
+        (2, "a", "same text"),
+        (3, "a", "other text"),
+        (4, "b", "unique here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in dup_rate_by_source(df).collect()}
+    assert out["a"].n_docs == 3 and out["a"].n_distinct == 2
+    assert out["a"].dup_rate == pytest.approx(1 / 3, abs=1e-6)
+    assert out["b"].dup_rate == 0.0
+
+
+def test_gopher_quality_runs_unchanged_on_a_stream(spark, tmp_path):
+    """The curation filters are pure projections, so the SAME operator
+    works on a readStream frame with zero changes — batch/stream
+    unification, asserted by comparing against the batch result."""
+    rows = [(1, _good_doc()), (2, "too short"), (3, " ".join(["word"] * 60))]
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path / "gq_src")
+    src.write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    q = (
+        cu.gopher_quality(stream)
+        .writeStream.format("memory")
+        .queryName("gq_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_words, r.pass_gopher)
+        for r in spark.sql("SELECT * FROM gq_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_words, r.pass_gopher)
+        for r in cu.gopher_quality(src).collect()
+    }
+    assert got == want and len(got) == 3

@@ -65,6 +65,8 @@ __all__ = [
     "incremental_dedup",
     "incremental_dedup_against_store",
     "incremental_dedup_sql",
+    "dup_rate_by_source",
+    "dup_rate_by_source_sql",
 ]
 
 DEFAULT_SHINGLE_K = 3
@@ -1438,4 +1440,60 @@ def soft_dedup_weights_sql(
                ROUND(1.0 / n_copies, {dp}) AS weight
         FROM h JOIN c USING (text_hash)
         ORDER BY {id_col}
+    """
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Exact-duplicate pressure per source — the triage number that
+    decides where dedup effort goes: (source, n_docs, n_distinct,
+    dup_rate) with dup_rate = 1 − distinct/total.
+
+    One groupBy over (source, md5(text)) partials — the shuffle carries
+    hashes, not text; map-side combine collapses the hot duplicate
+    hashes per partition.
+    """
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_distinct",
+            (
+                F.round(
+                    1.0
+                    - F.col("n_distinct") / F.col("n_docs").cast("double"),
+                    dp,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def dup_rate_by_source_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dup_rate_by_source`."""
+    return f"""
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5({text_expr})) AS BIGINT)
+                   AS n_distinct,
+               ROUND(1.0 - COUNT(DISTINCT md5({text_expr}))
+                     / (COUNT(*) * 1.0), {dp}) + 0.0 AS dup_rate
+        FROM {table}
+        GROUP BY {source_col}
+        ORDER BY {source_col}
     """

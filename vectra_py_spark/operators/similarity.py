@@ -29,7 +29,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_py_spark.functions.vector import (
@@ -66,6 +66,8 @@ __all__ = [
     "cell_assignment_expr",
     "semantic_dedup",
     "semantic_dedup_sql",
+    "label_outliers",
+    "label_outliers_sql",
 ]
 
 _DP = 6
@@ -1196,4 +1198,134 @@ def semantic_dedup_sql(
         FROM v LEFT JOIN dropped ON {id_col} = did
         WHERE did IS NULL
         ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space label QA: per-label centroid outliers
+# ---------------------------------------------------------------------------
+def label_outliers(
+    df: DataFrame,
+    per_label: int = 5,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dp: int = _DP,
+) -> DataFrame:
+    """Label-quality screen: the ``per_label`` vectors LEAST similar to
+    their own label's centroid — the standard first pass for mislabeled
+    or out-of-distribution training examples (confident-learning
+    lite). Output: (label, vec_id, cos_to_centroid), bottom-``per_label``
+    per label by (cosine asc, id asc).
+
+    Determinism across engines: the centroid reuses
+    :func:`group_centroids`' DECIMAL-exact mean; the vector·centroid
+    dot and both norms sum per-dim DOUBLE products through
+    DECIMAL(28,10) — order-free exact sums, so the cosine is
+    bit-identical on both engines before its final ROUND.
+
+    100 TB design: the centroid table is |labels|·dim rows →
+    broadcast; scoring is one explode + groupBy(id) with map-side
+    combine (the shuffle carries 3 decimal partials per vector, not
+    the vector); the final top-per-label window runs per label.
+    """
+    dec = "decimal(28,10)"
+    cents = group_centroids(
+        df, group_col=group_col, vector_col=vector_col, dp=dp
+    ).select(group_col, "pos", "centroid")
+    parts = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.posexplode(vector_col).alias("pos", "xf"),
+    ).select(
+        group_col,
+        id_col,
+        "pos",
+        # float32 → DOUBLE before any product: FLOAT×FLOAT precision
+        # differs between engines; DOUBLE×DOUBLE is bit-identical.
+        F.col("xf").cast("double").alias("x"),
+    ).join(F.broadcast(cents), [group_col, "pos"])
+    scored = (
+        parts.groupBy(group_col, id_col)
+        .agg(
+            F.sum((F.col("x") * F.col("centroid")).cast(dec)).alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("nx"),
+            F.sum((F.col("centroid") * F.col("centroid")).cast(dec)).alias(
+                "nc"
+            ),
+        )
+        .select(
+            group_col,
+            id_col,
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nx").cast("double"))
+                    * F.sqrt(F.col("nc").cast("double"))
+                ),
+                dp,
+            ).alias("cos_to_centroid"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("cos_to_centroid"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_label)
+        .select(group_col, id_col, "cos_to_centroid")
+        .orderBy(group_col, id_col)
+    )
+
+
+def label_outliers_sql(
+    per_label: int = 5,
+    table: str = "embeddings",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dp: int = _DP,
+) -> str:
+    """DuckDB twin of :func:`label_outliers` (same DECIMAL-exact sums,
+    same tie rule)."""
+    cents = group_centroids_sql(
+        table=table, group_col=group_col, vector_col=vector_col, dp=dp
+    )
+    return f"""
+        WITH cents AS ({cents}),
+        parts AS (
+            SELECT v.{group_col}, v.{id_col}, v.pos,
+                   CAST(v.x AS DOUBLE) AS x, c.centroid
+            FROM (
+                SELECT {group_col}, {id_col},
+                       unnest(generate_series(0, len({vector_col}) - 1))
+                           AS pos,
+                       unnest({vector_col}) AS x
+                FROM {table}
+            ) v JOIN cents c USING ({group_col}, pos)
+        ),
+        scored AS (
+            SELECT {group_col}, {id_col},
+                   ROUND(
+                       CAST(SUM(CAST(x * centroid AS DECIMAL(28,10)))
+                            AS DOUBLE)
+                       / (sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,10)))
+                                    AS DOUBLE))
+                          * sqrt(CAST(SUM(CAST(centroid * centroid
+                                              AS DECIMAL(28,10)))
+                                      AS DOUBLE))),
+                       {dp}) AS cos_to_centroid
+            FROM parts
+            GROUP BY {group_col}, {id_col}
+        )
+        SELECT {group_col}, {id_col}, cos_to_centroid
+        FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                      ORDER BY cos_to_centroid ASC,
+                                               {id_col} ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {per_label}
+        ORDER BY {group_col}, {id_col}
     """

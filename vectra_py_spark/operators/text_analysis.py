@@ -1769,3 +1769,99 @@ def oov_rate_sql(
         GROUP BY grp
         ORDER BY grp
     """
+
+
+def word_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution plus the
+    normalized (0–1) variant — the information-theoretic quality
+    signal: spam/keyword-stuffed/templated documents have LOW entropy
+    for their length, natural prose sits near the top.
+
+    ``H = log2(n) − (Σ c·log2(c)) / n`` over per-word counts ``c``;
+    ``norm_entropy = H / log2(n_types)`` (1.0 when every type is
+    uniform; defined 0 for single-type docs). Output: (id, n_words,
+    n_types, entropy, norm_entropy), both entropies ROUND(dp) + 0.0.
+
+    Cross-engine: the Σ c·log2(c) term sums doubles, so each term is
+    cast to DECIMAL(28,10) first — order-free exact summation, the
+    same discipline as :func:`~vectra_py_spark.operators.similarity.
+    group_centroids` (log2 itself agrees on the small-integer counts
+    this ever sees, as with the LM-quality scorers).
+
+    100 TB design: explode → groupBy(id, word) → groupBy(id), both
+    map-side combined; the shuffles carry (id, word-hash, count)
+    partials, never text.
+    """
+    dec = "decimal(28,10)"
+    counts = (
+        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            (F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+            .cast(dec)
+        ).alias("clogc"),
+    )
+    h = F.log2(F.col("n_words").cast("double")) - F.col("clogc").cast(
+        "double"
+    ) / F.col("n_words").cast("double")
+    return per_doc.select(
+        id_col,
+        "n_words",
+        "n_types",
+        (F.round(h, dp) + F.lit(0.0)).alias("entropy"),
+        (
+            F.round(
+                F.when(F.col("n_types") > 1, h / F.log2(F.col("n_types").cast("double")))
+                .otherwise(F.lit(0.0)),
+                dp,
+            )
+            + F.lit(0.0)
+        ).alias("norm_entropy"),
+    )
+
+
+def word_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`word_entropy` (same DECIMAL-exact
+    summation, same n_types guard)."""
+    ws = _words_sql(text_expr)
+    return f"""
+        WITH counts AS (
+            SELECT {id_col}, w, COUNT(*) AS c
+            FROM (SELECT {id_col}, unnest({ws}) AS w FROM {table})
+            GROUP BY {id_col}, w
+        ),
+        per_doc AS (
+            SELECT {id_col},
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                            AS DECIMAL(28,10))) AS clogc
+            FROM counts GROUP BY {id_col}
+        )
+        SELECT {id_col}, n_words, n_types,
+               ROUND(log2(CAST(n_words AS DOUBLE))
+                     - CAST(clogc AS DOUBLE) / n_words, {dp}) + 0.0
+                   AS entropy,
+               ROUND(CASE WHEN n_types > 1
+                          THEN (log2(CAST(n_words AS DOUBLE))
+                                - CAST(clogc AS DOUBLE) / n_words)
+                               / log2(CAST(n_types AS DOUBLE))
+                          ELSE 0.0 END, {dp}) + 0.0 AS norm_entropy
+        FROM per_doc
+        ORDER BY {id_col}
+    """

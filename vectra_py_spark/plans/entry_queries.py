@@ -2663,6 +2663,23 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.curation_funnel(load(spark, sf_dir, "documents"))
 
 
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label QA: the 5 vectors least similar to their
+    own label centroid (DECIMAL-exact cosine, ties on id)."""
+    return sim.label_outliers(load(spark, sf_dir, "embeddings"))
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon word entropy + normalized variant — the
+    information-theoretic low-quality/templated-text signal."""
+    return ta.word_entropy(load(spark, sf_dir, "documents"))
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pressure per source (1 - distinct/total)."""
+    return dd.dup_rate_by_source(load(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
@@ -2784,6 +2801,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalize": q_nfc_normalize,
     "ivfpq_topk": q_ivfpq_topk,
     "curation_funnel": q_curation_funnel,
+    "label_outliers": q_label_outliers,
+    "word_entropy": q_word_entropy,
+    "dup_rate_by_source": q_dup_rate_by_source,
     **RELATIONAL_QUERIES,
 }
 
@@ -2813,6 +2833,9 @@ _CHECK_FIRST: list[str] = [
     "nfc_normalize",
     "ivfpq_topk",
     "curation_funnel",
+    "label_outliers",
+    "word_entropy",
+    "dup_rate_by_source",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2855,9 +2878,6 @@ _CHECK_FIRST: list[str] = [
     "vector_topk",
     "vector_topk_filtered",
     "document_ranking",
-    "filter_or_in_gt",
-    "filter_nin",
-    "point_lookup",
 ]
 
 QUERIES = {
@@ -2914,6 +2934,9 @@ ORACLES: dict[str, str] = {
     "nfc_normalize": cu.nfc_normalize_sql(),
     "ivfpq_topk": qz.ivfpq_topk_sql(seeded_query_vector(64, seed=7)),
     "curation_funnel": cu.curation_funnel_sql(),
+    "label_outliers": sim.label_outliers_sql(),
+    "word_entropy": ta.word_entropy_sql(),
+    "dup_rate_by_source": dd.dup_rate_by_source_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
