@@ -108,6 +108,7 @@ STRESS_QUERIES = [
     "label_outliers",
     "word_entropy",
     "dup_rate_by_source",
+    "pq_rerank",
 ]
 
 

@@ -400,3 +400,32 @@ def test_gopher_quality_runs_unchanged_on_a_stream(spark, tmp_path):
         for r in cu.gopher_quality(src).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_pq_train_codebook_deterministic_and_shaped(spark):
+    rows = [(i, [float((i * 7 + j) % 13) / 13 for j in range(16)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = qz.pq_train_codebook(df, dim=16, m=2, ks=4, sample_rows=64)
+    b = qz.pq_train_codebook(df, dim=16, m=2, ks=4, sample_rows=64)
+    assert a == b
+    assert len(a) == 2 and len(a[0]) == 4 and len(a[0][0]) == 8
+
+
+def test_pq_rerank_recovers_exact_topk_on_planted(spark):
+    from vectra_py_spark.operators.similarity import cosine_topk
+
+    cb = qz.pq_codebook(dim=16, m=2, ks=4, seed=11)
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    # oversample big enough to make the shortlist ⊇ exact top-k here
+    rer = [r.vec_id for r in
+           qz.pq_topk_rerank(df, q, k=5, oversample=12, codebook=cb).collect()]
+    assert rer == exact

@@ -49,6 +49,15 @@ __all__ = [
     "sq8_quantize",
     "sq8_topk",
     "sq8_topk_sql",
+    "pq_codebook",
+    "pq_train_codebook",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_sql",
+    "pq_topk_rerank",
+    "pq_topk_rerank_sql",
+    "ivfpq_topk",
+    "ivfpq_topk_sql",
 ]
 
 
@@ -562,5 +571,125 @@ def ivfpq_topk_sql(
         WHERE c.rn = 1
         GROUP BY c.{id_col}
         ORDER BY adc, c.{id_col}
+        LIMIT {k}
+    """
+
+
+def pq_train_codebook(
+    df: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    sample_rows: int = 8192,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train per-subspace PQ codebooks with Lloyd's algorithm on a
+    deterministic sample (smallest ``sample_rows`` ids) — the
+    production replacement for the seeded stand-ins, same fixed-point
+    integer output so encode/ADC stay exact-int64.
+
+    Deterministic end to end: ordered sample, evenly-spaced init,
+    fixed iteration count, ties to the lower code — retraining on the
+    same data yields the same codebook. At 100 TB the sample is a few
+    thousand rows regardless of corpus size (PQ codebooks saturate
+    fast); training cost is a driver-side numpy loop over
+    sample×ks×dsub — milliseconds. Distributed encode is unchanged.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        df.select(id_col, vector_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    if X.shape[0] < ks:
+        raise ValueError(f"sample {X.shape[0]} smaller than ks {ks}")
+    out = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # evenly spaced init over the id-ordered sample: deterministic,
+        # spread across the data
+        idx = np.linspace(0, Xs.shape[0] - 1, ks).astype(int)
+        C = Xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first-min tie → lower code
+            for c in range(ks):
+                members = Xs[assign == c]
+                if len(members):  # empty cell keeps its old centroid
+                    C[c] = members.mean(axis=0)
+        out.append(
+            [[int(round(x * PQ_SCALE)) for x in c] for c in C]
+        )
+    return out
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    oversample: int = 20,
+    codebook: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search, the standard IVFPQ serving shape: ADC over
+    the compressed codes shortlists ``k·oversample`` candidates, then
+    the exact cosine reranks ONLY that shortlist. Output matches
+    :func:`~vectra_py_spark.operators.similarity.cosine_topk`:
+    (id, score desc, ties on id).
+
+    100 TB design: stage 1 reads the 32×-smaller codes column for the
+    whole scan; stage 2 fetches raw vectors for k·oversample rows via
+    a semi-join (point reads against the id-bucketed layout) — the
+    full-precision column is touched for hundreds of rows, not
+    billions. Recall floors measured in BENCH.md: oversample=20 lifts
+    the seeded-codebook floor to near-exact.
+    """
+    from vectra_py_spark.operators.similarity import cosine_topk
+
+    cand = pq_topk(
+        df, query, k=k * oversample, codebook=codebook,
+        id_col=id_col, vector_col=vector_col,
+    ).select(id_col)
+    shortlist = df.join(cand, id_col, "left_semi")
+    return cosine_topk(shortlist, query, k=k, id_col=id_col,
+                       vector_col=vector_col)
+
+
+def pq_topk_rerank_sql(
+    query: Sequence[float],
+    k: int = 10,
+    oversample: int = 20,
+    codebook: list[list[list[int]]] | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_expr: str = "embedding",
+    score_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pq_topk_rerank` (the ADC shortlist CTE
+    feeding the exact cosine rerank)."""
+    shortlist = pq_topk_sql(
+        query, k=k * oversample, codebook=codebook, table=table,
+        id_col=id_col, vector_expr=vector_expr,
+    )
+    q = [float(x) for x in query]
+    cos = cosine_to_query_sql(vector_expr, q)
+    return f"""
+        WITH shortlist AS ({shortlist}),
+        cand AS (
+            SELECT t.* FROM {table} t
+            JOIN shortlist s ON t.{id_col} = s.{id_col}
+        )
+        SELECT {id_col}, ROUND({cos}, {score_dp}) AS score
+        FROM cand
+        ORDER BY score DESC, {id_col} ASC
         LIMIT {k}
     """

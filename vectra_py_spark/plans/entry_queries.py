@@ -2680,6 +2680,15 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_rate_by_source(load(spark, sf_dir, "documents"))
 
 
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC shortlist (k*20 over the compressed
+    codes) -> exact cosine rerank of the shortlist only."""
+    return qz.pq_topk_rerank(
+        load(spark, sf_dir, "embeddings"), seeded_query_vector(64, seed=7),
+        k=10, oversample=20,
+    ).select("vec_id", "score")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
@@ -2804,6 +2813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_outliers": q_label_outliers,
     "word_entropy": q_word_entropy,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "pq_rerank": q_pq_rerank,
     **RELATIONAL_QUERIES,
 }
 
@@ -2836,6 +2846,7 @@ _CHECK_FIRST: list[str] = [
     "label_outliers",
     "word_entropy",
     "dup_rate_by_source",
+    "pq_rerank",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2877,7 +2888,6 @@ _CHECK_FIRST: list[str] = [
     # (c) r2-green, stale — core retrieval surface
     "vector_topk",
     "vector_topk_filtered",
-    "document_ranking",
 ]
 
 QUERIES = {
@@ -2937,6 +2947,7 @@ ORACLES: dict[str, str] = {
     "label_outliers": sim.label_outliers_sql(),
     "word_entropy": ta.word_entropy_sql(),
     "dup_rate_by_source": dd.dup_rate_by_source_sql(),
+    "pq_rerank": qz.pq_topk_rerank_sql(seeded_query_vector(64, seed=7), k=10, oversample=20),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
