@@ -109,6 +109,7 @@ STRESS_QUERIES = [
     "word_entropy",
     "dup_rate_by_source",
     "pq_rerank",
+    "corpus_diff",
 ]
 
 

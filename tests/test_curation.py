@@ -429,3 +429,22 @@ def test_pq_rerank_recovers_exact_topk_on_planted(spark):
     rer = [r.vec_id for r in
            qz.pq_topk_rerank(df, q, k=5, oversample=12, codebook=cb).collect()]
     assert rer == exact
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "one"), (2, "a", "two"), (3, "b", "three")],
+        ["doc_id", "source", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "one"), (2, "a", "TWO CHANGED"), (4, "b", "four")],
+        ["doc_id", "source", "text"],
+    )
+    out = {(r.source, r.status): r.n_docs
+           for r in cu.corpus_diff(old, new).collect()}
+    assert out == {
+        ("a", "unchanged"): 1,
+        ("a", "changed"): 1,
+        ("b", "removed"): 1,
+        ("b", "added"): 1,
+    }

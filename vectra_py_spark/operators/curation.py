@@ -62,6 +62,8 @@ __all__ = [
     "nfc_normalize_sql",
     "curation_funnel",
     "curation_funnel_sql",
+    "corpus_diff",
+    "corpus_diff_sql",
 ]
 
 # Gopher (Rae et al. 2021, Table A1) document-quality bounds.
@@ -676,4 +678,86 @@ def curation_funnel_sql(
         UNION ALL {agg('s2', 's2_exact')}
         UNION ALL {agg('s3', 's3_neardup')}
         ORDER BY stage
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (incremental crawl management)
+# ---------------------------------------------------------------------------
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots: per (source, status) document counts
+    with status ∈ added / removed / changed / unchanged — the report an
+    incremental-crawl pipeline runs before deciding what to re-clean,
+    re-embed, and re-index (only `added` + `changed` flow downstream).
+
+    Comparison is by content hash, so moved/re-fetched but identical
+    documents stay `unchanged`. Plan: each side reduces to
+    (id, source, md5) FIRST — the full-outer join ships 3 narrow
+    columns, never text — then one hash-keyed join and a counts
+    aggregate. At 100 TB both sides are id-bucketed snapshots, so the
+    join co-locates without a shuffle (see ``sources/bucketed.py``).
+    """
+    o = old_df.select(
+        F.col(id_col),
+        F.col(source_col).alias("src_old"),
+        F.md5(F.col(text_col)).alias("h_old"),
+    )
+    n = new_df.select(
+        F.col(id_col),
+        F.col(source_col).alias("src_new"),
+        F.md5(F.col(text_col)).alias("h_new"),
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("src_new"), F.col("src_old")).alias(source_col),
+            status.alias("status"),
+        )
+        .groupBy(source_col, "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(source_col, "status")
+    )
+
+
+def corpus_diff_sql(
+    old_rel: str,
+    new_rel: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`corpus_diff`. ``old_rel`` / ``new_rel``
+    are relations (table names or parenthesized subqueries)."""
+    return f"""
+        WITH o AS (
+            SELECT {id_col}, {source_col} AS src_old,
+                   md5({text_expr}) AS h_old
+            FROM {old_rel}
+        ),
+        n AS (
+            SELECT {id_col}, {source_col} AS src_new,
+                   md5({text_expr}) AS h_new
+            FROM {new_rel}
+        )
+        SELECT COALESCE(src_new, src_old) AS {source_col},
+               CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old = h_new THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM o FULL OUTER JOIN n USING ({id_col})
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """

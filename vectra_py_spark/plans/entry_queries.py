@@ -2689,6 +2689,36 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "score")
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff against a deterministic simulated next crawl:
+    doc_id%7==0 removed, doc_id%11==0 re-fetched with changed text,
+    doc_id%13==0 re-listed under new ids (added). Output: per
+    (source, status) counts."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    kept = docs.filter(did % 7 != 0).select(
+        "doc_id",
+        "source",
+        F.when(did % 11 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(did % 13 == 0).select(
+        (did + 1000000).alias("doc_id"), "source", "text"
+    )
+    return cu.corpus_diff(docs, kept.unionByName(added))
+
+
+_CORPUS_DIFF_NEW_REL = """(
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, source, text
+    FROM documents WHERE doc_id % 13 = 0
+)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
@@ -2814,6 +2844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_entropy": q_word_entropy,
     "dup_rate_by_source": q_dup_rate_by_source,
     "pq_rerank": q_pq_rerank,
+    "corpus_diff": q_corpus_diff,
     **RELATIONAL_QUERIES,
 }
 
@@ -2847,6 +2878,7 @@ _CHECK_FIRST: list[str] = [
     "word_entropy",
     "dup_rate_by_source",
     "pq_rerank",
+    "corpus_diff",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2887,7 +2919,6 @@ _CHECK_FIRST: list[str] = [
     "cross_source_dups",
     # (c) r2-green, stale — core retrieval surface
     "vector_topk",
-    "vector_topk_filtered",
 ]
 
 QUERIES = {
@@ -2948,6 +2979,7 @@ ORACLES: dict[str, str] = {
     "word_entropy": ta.word_entropy_sql(),
     "dup_rate_by_source": dd.dup_rate_by_source_sql(),
     "pq_rerank": qz.pq_topk_rerank_sql(seeded_query_vector(64, seed=7), k=10, oversample=20),
+    "corpus_diff": cu.corpus_diff_sql("documents", _CORPUS_DIFF_NEW_REL),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
