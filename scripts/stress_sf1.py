@@ -110,6 +110,7 @@ STRESS_QUERIES = [
     "dup_rate_by_source",
     "pq_rerank",
     "corpus_diff",
+    "content_checksum",
 ]
 
 

@@ -448,3 +448,22 @@ def test_corpus_diff_statuses(spark):
         ("b", "removed"): 1,
         ("b", "added"): 1,
     }
+
+
+def test_content_checksum_order_independent_and_sensitive(spark):
+    rows = [(1, "a", "one"), (2, "a", "two"), (3, "b", "three")]
+    df1 = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    df2 = spark.createDataFrame(rows[::-1], ["doc_id", "source", "text"])
+    c1 = {r.source: (r.n_rows, r.checksum)
+          for r in cu.content_checksum(df1).collect()}
+    c2 = {r.source: (r.n_rows, r.checksum)
+          for r in cu.content_checksum(df2).collect()}
+    assert c1 == c2  # row order never matters
+    # a single changed character changes the source's checksum
+    df3 = spark.createDataFrame(
+        [(1, "a", "one!"), (2, "a", "two"), (3, "b", "three")],
+        ["doc_id", "source", "text"],
+    )
+    c3 = {r.source: (r.n_rows, r.checksum)
+          for r in cu.content_checksum(df3).collect()}
+    assert c3["a"] != c1["a"] and c3["b"] == c1["b"]

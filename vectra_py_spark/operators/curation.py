@@ -64,6 +64,8 @@ __all__ = [
     "curation_funnel_sql",
     "corpus_diff",
     "corpus_diff_sql",
+    "content_checksum",
+    "content_checksum_sql",
 ]
 
 # Gopher (Rae et al. 2021, Table A1) document-quality bounds.
@@ -760,4 +762,72 @@ def corpus_diff_sql(
         FROM o FULL OUTER JOIN n USING ({id_col})
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Order-independent content checksum (replication / migration validation)
+# ---------------------------------------------------------------------------
+def content_checksum(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source order-independent content checksum: SUM over rows of
+    the first 8 hex chars of ``md5(id|source|text)`` as a 32-bit int.
+    Two copies of a corpus agree iff (n_rows, checksum) agree per
+    source — the cheap validation a migration, replication, or engine
+    swap runs on both sides (this repo's own Spark↔DuckDB gate is the
+    same idea row-by-row; this is the one-number version).
+
+    SUM of 32-bit values is order-free and overflows int64 only past
+    ~10^9 rows per source — switch the accumulator to DECIMAL(38,0) at
+    that scale (same op, wider lane). One aggregate, map-side combined;
+    the shuffle carries one (source, partial) pair per partition.
+    """
+    row_str = F.concat_ws(
+        "|",
+        F.col(id_col).cast("string"),
+        F.col(source_col),
+        F.col(text_col),
+    )
+    h32 = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h32).alias("checksum"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def content_checksum_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`content_checksum` (no ``conv`` in DuckDB —
+    nibble arithmetic over the same 8 hex chars, as in
+    ``splits.hash_bucket_sql``)."""
+    h = (
+        f"md5(CAST({id_col} AS VARCHAR) || '|' || {source_col} || '|' "
+        f"|| {text_expr})"
+    )
+    nib = [
+        f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+        for j in range(8)
+    ]
+    terms = " + ".join(
+        f"{n} * {16 ** (7 - j)}" for j, n in enumerate(nib)
+    )
+    return f"""
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({terms}) AS BIGINT) AS checksum
+        FROM {table}
+        GROUP BY {source_col}
+        ORDER BY {source_col}
     """

@@ -2719,6 +2719,12 @@ _CORPUS_DIFF_NEW_REL = """(
 )"""
 
 
+def q_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source order-independent content checksum — the one-number
+    replication/migration validation (n_rows + 32-bit-hash sum)."""
+    return cu.content_checksum(load(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
@@ -2845,6 +2851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "pq_rerank": q_pq_rerank,
     "corpus_diff": q_corpus_diff,
+    "content_checksum": q_content_checksum,
     **RELATIONAL_QUERIES,
 }
 
@@ -2879,6 +2886,8 @@ _CHECK_FIRST: list[str] = [
     "dup_rate_by_source",
     "pq_rerank",
     "corpus_diff",
+    "content_checksum",
+    "local_supplier_volume",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2916,9 +2925,6 @@ _CHECK_FIRST: list[str] = [
     "lsh_neardup",
     "incremental_dedup",
     "dup_shingle_ratio",
-    "cross_source_dups",
-    # (c) r2-green, stale — core retrieval surface
-    "vector_topk",
 ]
 
 QUERIES = {
@@ -2980,6 +2986,7 @@ ORACLES: dict[str, str] = {
     "dup_rate_by_source": dd.dup_rate_by_source_sql(),
     "pq_rerank": qz.pq_topk_rerank_sql(seeded_query_vector(64, seed=7), k=10, oversample=20),
     "corpus_diff": cu.corpus_diff_sql("documents", _CORPUS_DIFF_NEW_REL),
+    "content_checksum": cu.content_checksum_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),

@@ -1,5 +1,7 @@
-"""Relational query shapes completing the TPC-H-style sweep (Q2, Q6, Q9,
-Q11, Q12, Q13, Q15, Q16, Q17, Q20 adapted to the fixture star schema).
+"""Relational query shapes completing the TPC-H-style sweep (Q2, Q5, Q6,
+Q9, Q11, Q12, Q13, Q15, Q16, Q17, Q20 adapted to the fixture star
+schema; the remaining shapes live in plans/entry_queries.py — all 22
+TPC-H query shapes are covered between the two modules).
 
 The reference engine has no relational algebra at all (SURVEY.md §1.1 —
 its only "query" is filter → cosine top-k, ``local_index.py:125-150``);
@@ -595,7 +597,84 @@ def _sql_excess_suppliers() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Q5 shape — region-local supplier revenue (customer nation == supplier nation)
+# ---------------------------------------------------------------------------
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation within one region, counting
+    only lineitems where the ordering customer and the supplier share a
+    nation ("local" volume). Completes the 22-shape TPC-H sweep.
+
+    100 TB design: nation⋈region collapses to a ≤25-row nation set that
+    broadcasts into BOTH dims; the region-filtered supplier dim
+    broadcasts into the date-pruned fact scan (o_orderdate predicate
+    pushes through the orders join); orders⋈customer and fact⋈orders
+    are the two big joins — AQE sizes them, and the locality predicate
+    (c_nationkey = s_nationkey) is applied as a join residual, never a
+    separate shuffle. The final groupBy carries ≤ nations rows.
+    """
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    sup = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+
+    rnations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    rsup = sup.join(
+        F.broadcast(rnations), sup.s_nationkey == rnations.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    co = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1999-01-01"))
+    ).join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(rsup), li.l_suppkey == rsup.s_suppkey)
+        .join(co, li.l_orderkey == co.o_orderkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount")))
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def _sql_local_supplier_volume() -> str:
+    return """
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                              (CAST(1 AS DECIMAL(18,2)) -
+                               CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "local_supplier_volume": q_local_supplier_volume,
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
     "product_profit": q_product_profit,
@@ -609,6 +688,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
+    "local_supplier_volume": _sql_local_supplier_volume(),
     "min_cost_supplier": _sql_min_cost_supplier(),
     "forecast_revenue": _sql_forecast_revenue(),
     "product_profit": _sql_product_profit(),
