@@ -111,6 +111,7 @@ STRESS_QUERIES = [
     "pq_rerank",
     "corpus_diff",
     "content_checksum",
+    "bm25_probe",
 ]
 
 

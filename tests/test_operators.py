@@ -440,6 +440,39 @@ def test_bm25_ranks_relevant_docs_first(spark):
     assert out[2][1] == out[3][1] == 0.0   # no-term docs score zero
 
 
+def test_bm25_probe_prunes_partitions_and_matches_full_scan(spark, tmp_path):
+    from vectra_py_spark.operators import ranking as rk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),
+            (2, "spark table column row filter"),
+            (3, "table column row filter group"),
+            (4, "shuffle exchange partition skew shuffle"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bm25_idx")
+    rk.bm25_write_index(df, path)
+
+    probe = rk.bm25_probe(spark, path, ["spark", "shuffle"], k=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "bucket" in m.group(1)  # probe opens only its buckets
+
+    got = [(r.doc_id, r.bm25) for r in probe.collect()]
+    # docs with >= 1 query term, ranked identically to the full scan
+    want = [
+        (r.doc_id, r.bm25)
+        for r in rk.bm25_topk(df, ["spark", "shuffle"], k=3).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+
+
 def test_minhash_index_probe_finds_planted_dups(docs, tmp_path):
     path = str(tmp_path / "mh_idx")
     dd.minhash_write_index(docs, path)

@@ -37,8 +37,12 @@ __all__ = [
     "bm25_scores_sql",
     "bm25_topk",
     "bm25_topk_sql",
+    "bm25_write_index",
+    "bm25_probe",
+    "bm25_probe_sql",
     "BM25_K1",
     "BM25_B",
+    "BM25_INDEX_BUCKETS",
 ]
 
 BM25_K1 = 1.2
@@ -113,6 +117,181 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+BM25_INDEX_BUCKETS = 64
+
+
+def bm25_write_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus as a partition-pruned BM25 inverted
+    index: postings ``(term, doc_id, tf, dl)`` under
+    ``partitionBy(bucket)`` with ``bucket = xxhash64(term) mod
+    n_buckets``, plus a 1-row corpus-stats side file ``(n_docs,
+    avgdl)`` under ``<path>/_stats`` (the underscore prefix hides it
+    from the postings read).
+
+    The full-scan :func:`bm25_topk` re-derives corpus stats and term
+    frequencies per query — right for ad-hoc analytics, wrong for a
+    serving path. This index makes lookup cost proportional to the
+    probed terms' postings, independent of corpus size: the probe's
+    bucket ids become literal partition predicates (same pruning story
+    as ``dedup.minhash_write_index`` / ``winnow_write_index``) and the
+    residual ``term IN (...)`` pushes down to row groups inside the
+    opened directories. Clustered one-task-per-directory at write
+    (small-files discipline). At 100 TB the index is maintained
+    incrementally at ingest (append new docs' postings; stats as a
+    running (Σdl, n) pair) — this build is the bootstrap.
+    """
+    toks = df.select(
+        F.col(id_col), words_col(text_col).alias("words")
+    ).select(
+        id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
+    )
+    postings = (
+        toks.groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    (
+        df.select(F.size(words_col(text_col)).alias("dl"))
+        .agg(
+            (F.count(F.lit(1)) * F.lit(1.0)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/_stats")
+    )
+
+
+def bm25_probe(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_INDEX_BUCKETS,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Top-k BM25 lookup against the materialized inverted index —
+    the serving twin of :func:`bm25_topk`.
+
+    Scores match the full scan for every document containing ≥ 1 query
+    term (per-term arithmetic mirrored operation-for-operation; the
+    ``idf·tf`` contributions are summed exactly in DECIMAL(28,12) so
+    the unordered aggregate cannot drift across engines); documents
+    containing none score 0 there and are absent here, so the top-k
+    sets agree whenever the k-th full-scan score is positive
+    (equivalence-tested). Per-term ``df`` re-derives exactly from the
+    probed postings (one row per (term, doc) pair by construction).
+
+    Plan shape: pruned postings scan → tiny df/stats broadcasts →
+    one (doc_id) aggregate over matched postings only →
+    ``TakeOrderedAndProject``. Probe cost is corpus-size-independent.
+    """
+    terms = list(dict.fromkeys(terms))
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    post = spark.read.parquet(path).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    dfreq = post.groupBy("term").agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, contrib.cast("decimal(28,12)").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("s"))
+        .select(
+            id_col,
+            F.round(F.col("s").cast("double"), score_dp).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_probe_sql(
+    terms: Sequence[str],
+    k: int = 10,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bm25_probe`: the same postings → df →
+    exact-DECIMAL contribution sum pipeline, derived from the raw
+    table (the oracle has no materialized index — equality proves the
+    index content is faithful)."""
+    w = _words_sql(text_expr)
+    terms = list(dict.fromkeys(terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, words, len(words) AS dl
+          FROM (SELECT {id_col}, {w} AS words FROM {table})
+        ), stats AS (
+          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM d
+        ), post AS (
+          SELECT {id_col}, dl, term, count(*) AS tf
+          FROM (SELECT {id_col}, dl, unnest(words) AS term FROM d) u
+          WHERE term IN ({in_list})
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) * 1.0 AS df FROM post GROUP BY 1
+        )
+        SELECT {id_col},
+               ROUND(CAST(SUM(c) AS DOUBLE), {score_dp}) AS bm25
+        FROM (
+          SELECT {id_col},
+                 CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * {k1p1!r})
+                      / (tf + {BM25_K1!r}
+                         * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))
+                      AS DECIMAL(28,12)) AS c
+          FROM post JOIN dfreq USING (term), stats
+        )
+        GROUP BY {id_col}
+        ORDER BY bm25 DESC, {id_col}
+        LIMIT {k}
+    """
 
 
 def bm25_scores_sql(

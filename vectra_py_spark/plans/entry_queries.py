@@ -2719,6 +2719,21 @@ _CORPUS_DIFF_NEW_REL = """(
 )"""
 
 
+def q_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path keyword lookup: materialize the BM25 inverted index
+    (``partitionBy(bucket)`` postings + 1-row stats side file), then
+    probe it with the standard query terms. Timing includes the build;
+    the probe itself opens only the probed terms' bucket directories
+    (PartitionFilters asserted in tests) — corpus-size-independent."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/vectra_bm25_idx/{sf_tag}"
+    rk.bm25_write_index(docs, path)
+    return rk.bm25_probe(spark, path, _BM25_TERMS, k=10)
+
+
 def q_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source order-independent content checksum — the one-number
     replication/migration validation (n_rows + 32-bit-hash sum)."""
@@ -2852,6 +2867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_rerank": q_pq_rerank,
     "corpus_diff": q_corpus_diff,
     "content_checksum": q_content_checksum,
+    "bm25_probe": q_bm25_probe,
     **RELATIONAL_QUERIES,
 }
 
@@ -2888,6 +2904,7 @@ _CHECK_FIRST: list[str] = [
     "corpus_diff",
     "content_checksum",
     "local_supplier_volume",
+    "bm25_probe",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2924,7 +2941,6 @@ _CHECK_FIRST: list[str] = [
     "ngram_diversity",
     "lsh_neardup",
     "incremental_dedup",
-    "dup_shingle_ratio",
 ]
 
 QUERIES = {
@@ -2987,6 +3003,7 @@ ORACLES: dict[str, str] = {
     "pq_rerank": qz.pq_topk_rerank_sql(seeded_query_vector(64, seed=7), k=10, oversample=20),
     "corpus_diff": cu.corpus_diff_sql("documents", _CORPUS_DIFF_NEW_REL),
     "content_checksum": cu.content_checksum_sql(),
+    "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),

@@ -1,5 +1,6 @@
 """Ingest sources and table layout: local files, web pages,
-HTML→markdown conversion, bucketed tables (:mod:`.bucketed`), and
+HTML→markdown conversion, JSONL/CSV corpus dumps
+(:mod:`.textcorpus`), bucketed tables (:mod:`.bucketed`), and
 small-file compaction (:mod:`.maintenance`)."""
 
 from vectra_py_spark.sources.bucketed import read_table, write_bucketed
@@ -10,6 +11,12 @@ from vectra_py_spark.sources.fetchers import (
     html_to_markdown,
 )
 from vectra_py_spark.sources.maintenance import compact_parquet
+from vectra_py_spark.sources.textcorpus import (
+    corrupt_splitout,
+    read_csv_documents,
+    read_jsonl_documents,
+    write_jsonl,
+)
 
 __all__ = [
     "FileFetcher",
@@ -19,4 +26,8 @@ __all__ = [
     "read_table",
     "write_bucketed",
     "compact_parquet",
+    "read_jsonl_documents",
+    "read_csv_documents",
+    "corrupt_splitout",
+    "write_jsonl",
 ]
