@@ -473,6 +473,40 @@ def test_bm25_probe_prunes_partitions_and_matches_full_scan(spark, tmp_path):
         assert abs(a - b) < 1e-6
 
 
+def test_bm25_append_equals_fresh_build(spark, tmp_path):
+    from vectra_py_spark.operators import ranking as rk
+
+    rows = [
+        (1, "spark shuffle spark join"),
+        (2, "spark table column row filter"),
+        (3, "table column row filter group"),
+        (4, "shuffle exchange partition skew shuffle"),
+    ]
+    cols = ["doc_id", "text"]
+    first, second = rows[:2], rows[2:]
+
+    inc_path = str(tmp_path / "inc_idx")
+    rk.bm25_write_index(spark.createDataFrame(first, cols), inc_path)
+    rk.bm25_append_index(spark.createDataFrame(second, cols), inc_path)
+
+    full_path = str(tmp_path / "full_idx")
+    rk.bm25_write_index(spark.createDataFrame(rows, cols), full_path)
+
+    # folded stats are bit-identical to the from-scratch build
+    si = spark.read.parquet(f"{inc_path}/_stats").head()
+    sf_ = spark.read.parquet(f"{full_path}/_stats").head()
+    assert (si.n_docs, si.avgdl, si.sum_dl) == (
+        sf_.n_docs, sf_.avgdl, sf_.sum_dl,
+    )
+    # probe scores never drift between incremental and bootstrap paths
+    terms = ["spark", "shuffle"]
+    got = [(r.doc_id, r.bm25)
+           for r in rk.bm25_probe(spark, inc_path, terms, k=4).collect()]
+    want = [(r.doc_id, r.bm25)
+            for r in rk.bm25_probe(spark, full_path, terms, k=4).collect()]
+    assert got == want
+
+
 def test_minhash_index_probe_finds_planted_dups(docs, tmp_path):
     path = str(tmp_path / "mh_idx")
     dd.minhash_write_index(docs, path)

@@ -38,6 +38,7 @@ __all__ = [
     "bm25_topk",
     "bm25_topk_sql",
     "bm25_write_index",
+    "bm25_append_index",
     "bm25_probe",
     "bm25_probe_sql",
     "BM25_K1",
@@ -172,6 +173,70 @@ def bm25_write_index(
         .agg(
             (F.count(F.lit(1)) * F.lit(1.0)).alias("n_docs"),
             F.avg("dl").alias("avgdl"),
+            # exact integer token total: the maintenance accumulator
+            # bm25_append_index folds new batches into (avgdl above is
+            # DERIVED sum_dl/n_docs — integer sums in double are exact
+            # below 2^53, so build-vs-append stats are bit-identical)
+            F.sum("dl").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/_stats")
+    )
+
+
+def bm25_append_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Incremental index maintenance: append a new batch's postings and
+    fold its token totals into the stats side file — the at-scale
+    ingest path the build bootstrap hands over to (index cost per
+    batch is O(batch), the corpus is never rescanned).
+
+    New postings land as additional files inside the existing bucket
+    directories (append, not overwrite — new doc ids are disjoint from
+    indexed ones under the same single-writer discipline as the vector
+    index MERGE, so no merge pass is needed). Stats fold exactly:
+    ``sum_dl``/``n_docs`` are integer-valued accumulators (exact in
+    double below 2^53), so ``avgdl`` after N appends is bit-identical
+    to a from-scratch build — probe scores never drift between the
+    incremental and bootstrap paths (equality-tested).
+    """
+    spark = df_new.sparkSession
+    toks = df_new.select(
+        F.col(id_col), words_col(text_col).alias("words")
+    ).select(
+        id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
+    )
+    postings = (
+        toks.groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    old = spark.read.parquet(f"{path}/_stats").head()
+    (
+        postings.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    batch = (
+        df_new.select(F.size(words_col(text_col)).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .head()
+    )
+    n_docs = old["n_docs"] + float(batch["n"])
+    sum_dl = int(old["sum_dl"]) + int(batch["s"])
+    (
+        spark.createDataFrame(
+            [(n_docs, sum_dl / n_docs, sum_dl)],
+            "n_docs double, avgdl double, sum_dl bigint",
         )
         .write.mode("overwrite")
         .parquet(f"{path}/_stats")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "two_phase_agg_count"]
+__all__ = ["salted_join", "two_phase_agg_count", "skew_report", "skew_report_sql"]
 
 
 def salted_join(
@@ -67,3 +67,59 @@ def two_phase_agg_count(
         .groupBy(key)
         .agg(F.sum("_partial").alias("n"))
     )
+
+
+def skew_report(
+    df: DataFrame, key: str, top_n: int = 10, dp: int = 6
+) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic for a prospective join/agg
+    key: the ``top_n`` heaviest keys with their row counts, share of
+    the table, and hotness relative to the mean key (``x_mean`` IS the
+    skew factor — the task-size blowup an unsalted shuffle on this key
+    suffers, and the ``n_salts`` a salted plan must spread it over).
+
+    The thing to run BEFORE shipping a 100 TB ``groupBy``/``join``:
+    one (key) partial-agg'd count, a 1-row total/distinct re-aggregate
+    broadcast back, ``TakeOrderedAndProject`` for the top slice —
+    nothing driver-side, output is ``top_n`` rows. A key with
+    ``x_mean ≈ 1`` needs nothing; ``x_mean`` in the tens → AQE skew
+    split handles it; hundreds+ → :func:`salted_join` /
+    :func:`two_phase_agg_count` territory.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_keys"),
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            F.col(key),
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), dp).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_keys") / F.col("_total"), dp
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), key)
+        .limit(top_n)
+    )
+
+
+def skew_report_sql(
+    key: str, table: str, top_n: int = 10, dp: int = 6
+) -> str:
+    """DuckDB twin of :func:`skew_report`."""
+    return f"""
+        WITH counts AS (
+          SELECT {key}, COUNT(*) AS n_rows FROM {table} GROUP BY {key}
+        ), stats AS (
+          SELECT SUM(n_rows) AS _total, COUNT(*) AS _keys FROM counts
+        )
+        SELECT {key}, CAST(n_rows AS BIGINT) AS n_rows,
+               ROUND(n_rows / _total, {dp}) AS share,
+               ROUND(n_rows * _keys / _total, {dp}) AS x_mean
+        FROM counts, stats
+        ORDER BY n_rows DESC, {key}
+        LIMIT {top_n}
+    """

@@ -2409,6 +2409,14 @@ def _sql_salted_agg() -> str:
     return "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic on the events join key: the
+    10 heaviest user_ids with share and x_mean (= the skew factor an
+    unsalted shuffle suffers). The 'measure before you salt' half of
+    the skew toolkit; `salted_agg` is the mitigation it points at."""
+    return sk.skew_report(load(spark, sf_dir, "events"), "user_id")
+
+
 _MIX_EPOCHS = {"en": 0.5, "zh": 2.5, "de": 1.25}
 
 
@@ -2868,6 +2876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "content_checksum": q_content_checksum,
     "bm25_probe": q_bm25_probe,
+    "skew_report": q_skew_report,
     **RELATIONAL_QUERIES,
 }
 
@@ -2905,6 +2914,7 @@ _CHECK_FIRST: list[str] = [
     "content_checksum",
     "local_supplier_volume",
     "bm25_probe",
+    "skew_report",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2940,7 +2950,6 @@ _CHECK_FIRST: list[str] = [
     "simhash_neardup",
     "ngram_diversity",
     "lsh_neardup",
-    "incremental_dedup",
 ]
 
 QUERIES = {
@@ -3004,6 +3013,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff": cu.corpus_diff_sql("documents", _CORPUS_DIFF_NEW_REL),
     "content_checksum": cu.content_checksum_sql(),
     "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
+    "skew_report": sk.skew_report_sql("user_id", "events"),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
