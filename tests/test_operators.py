@@ -492,12 +492,12 @@ def test_bm25_append_equals_fresh_build(spark, tmp_path):
     full_path = str(tmp_path / "full_idx")
     rk.bm25_write_index(spark.createDataFrame(rows, cols), full_path)
 
-    # folded stats are bit-identical to the from-scratch build
-    si = spark.read.parquet(f"{inc_path}/_stats").head()
-    sf_ = spark.read.parquet(f"{full_path}/_stats").head()
-    assert (si.n_docs, si.avgdl, si.sum_dl) == (
-        sf_.n_docs, sf_.avgdl, sf_.sum_dl,
-    )
+    # summed stats deltas are bit-identical to the from-scratch build
+    def _stats(p):
+        rows = spark.read.parquet(f"{p}/_stats").collect()
+        return (sum(r.n_docs for r in rows), sum(r.sum_dl for r in rows))
+
+    assert _stats(inc_path) == _stats(full_path)
     # probe scores never drift between incremental and bootstrap paths
     terms = ["spark", "shuffle"]
     got = [(r.doc_id, r.bm25)
@@ -505,6 +505,16 @@ def test_bm25_append_equals_fresh_build(spark, tmp_path):
     want = [(r.doc_id, r.bm25)
             for r in rk.bm25_probe(spark, full_path, terms, k=4).collect()]
     assert got == want
+
+    # replaying the same batch id (crash-before-commit replay) must
+    # replace its own partitions, not double-count postings or tokens
+    rk.bm25_append_index(
+        spark.createDataFrame(second, cols), inc_path, batch_id=1
+    )
+    assert _stats(inc_path) == _stats(full_path)
+    again = [(r.doc_id, r.bm25)
+             for r in rk.bm25_probe(spark, inc_path, terms, k=4).collect()]
+    assert again == want
 
 
 def test_minhash_index_probe_finds_planted_dups(docs, tmp_path):

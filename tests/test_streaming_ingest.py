@@ -91,3 +91,46 @@ def test_stream_upsert_drains_drop_dir_incrementally(spark):
     # top-k still works over the streamed index
     top = idx.query_items([1.0, 0.0], top_k=1).collect()
     assert top[0]["id"] == "a"
+
+
+def test_stream_bm25_index_matches_batch_build(spark, tmp_path):
+    """Two drained streaming drops build the same servable index as a
+    one-shot batch build over the union; draining again with no new
+    data changes nothing."""
+    from vectra_py_spark.operators import ranking as rk
+    from vectra_py_spark.streaming.bm25_ingest import stream_bm25_index
+
+    rows1 = [(1, "spark shuffle spark join"),
+             (2, "spark table column row filter")]
+    rows2 = [(3, "table column row filter group"),
+             (4, "shuffle exchange partition skew shuffle")]
+    cols = "doc_id bigint, text string"
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drop_and_drain(rows):
+        if rows:
+            spark.createDataFrame(rows, cols).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(cols).parquet(src)
+        q = stream_bm25_index(stream, idx, ckpt)
+        q.awaitTermination(120)
+
+    _drop_and_drain(rows1)
+    _drop_and_drain(rows2)
+
+    full = str(tmp_path / "full_idx")
+    rk.bm25_write_index(
+        spark.createDataFrame(rows1 + rows2, cols), full
+    )
+    terms = ["spark", "shuffle"]
+    got = [(r.doc_id, r.bm25)
+           for r in rk.bm25_probe(spark, idx, terms, k=4).collect()]
+    want = [(r.doc_id, r.bm25)
+            for r in rk.bm25_probe(spark, full, terms, k=4).collect()]
+    assert got == want
+
+    _drop_and_drain([])  # empty drain: no state change
+    again = [(r.doc_id, r.bm25)
+             for r in rk.bm25_probe(spark, idx, terms, k=4).collect()]
+    assert again == want

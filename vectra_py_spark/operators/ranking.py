@@ -132,10 +132,11 @@ def bm25_write_index(
 ) -> None:
     """Materialize the corpus as a partition-pruned BM25 inverted
     index: postings ``(term, doc_id, tf, dl)`` under
-    ``partitionBy(bucket)`` with ``bucket = xxhash64(term) mod
-    n_buckets``, plus a 1-row corpus-stats side file ``(n_docs,
-    avgdl)`` under ``<path>/_stats`` (the underscore prefix hides it
-    from the postings read).
+    ``partitionBy(bucket, _batch_id)`` with ``bucket =
+    xxhash64(term) mod n_buckets``, plus per-batch corpus-stats delta
+    rows ``(n_docs, sum_dl)`` under ``<path>/_stats`` (the underscore
+    prefix hides the side store from the postings read; the probe sums
+    the deltas — exact integer accumulators).
 
     The full-scan :func:`bm25_topk` re-derives corpus stats and term
     frequencies per query — right for ad-hoc analytics, wrong for a
@@ -146,15 +147,28 @@ def bm25_write_index(
     residual ``term IN (...)`` pushes down to row groups inside the
     opened directories. Clustered one-task-per-directory at write
     (small-files discipline). At 100 TB the index is maintained
-    incrementally at ingest (append new docs' postings; stats as a
-    running (Σdl, n) pair) — this build is the bootstrap.
+    incrementally at ingest — :func:`bm25_append_index` per batch,
+    ``streaming/bm25_ingest.py`` continuously; this build is the
+    bootstrap (batch 0). Compact postings partitions on a schedule
+    with ``sources/maintenance.py`` once many small batches accrue.
     """
     toks = df.select(
         F.col(id_col), words_col(text_col).alias("words")
     ).select(
         id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
     )
-    postings = (
+    _write_bm25_batch(df, path, 0, id_col, text_col, n_buckets, bootstrap=True)
+
+
+def _bm25_postings(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    toks = df.select(
+        F.col(id_col), words_col(text_col).alias("words")
+    ).select(
+        id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
+    )
+    return (
         toks.groupBy("term", id_col, "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn(
@@ -162,26 +176,43 @@ def bm25_write_index(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
         )
     )
-    (
-        postings.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
+
+
+def _write_bm25_batch(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    bootstrap: bool,
+) -> None:
+    """One batch into the index: postings under
+    ``partitionBy(bucket, _batch_id)``, a (n_docs, sum_dl) stats-delta
+    row under ``partitionBy(_batch_id)``. Bootstrap clears everything;
+    appends use dynamic partition overwrite, so replaying a batch id
+    replaces exactly its own partitions — idempotent under the
+    crash-before-checkpoint-commit replay Structured Streaming does."""
+    postings = _bm25_postings(df, id_col, text_col, n_buckets).withColumn(
+        "_batch_id", F.lit(batch_id)
     )
-    (
+    w = postings.repartition("bucket").write.mode("overwrite")
+    if not bootstrap:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("bucket", "_batch_id").parquet(path)
+
+    delta = (
         df.select(F.size(words_col(text_col)).alias("dl"))
         .agg(
-            (F.count(F.lit(1)) * F.lit(1.0)).alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            # exact integer token total: the maintenance accumulator
-            # bm25_append_index folds new batches into (avgdl above is
-            # DERIVED sum_dl/n_docs — integer sums in double are exact
-            # below 2^53, so build-vs-append stats are bit-identical)
-            F.sum("dl").alias("sum_dl"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/_stats")
+        .withColumn("_batch_id", F.lit(batch_id))
     )
+    ws = delta.write.mode("overwrite")
+    if not bootstrap:
+        ws = ws.option("partitionOverwriteMode", "dynamic")
+    ws.partitionBy("_batch_id").parquet(f"{path}/_stats")
 
 
 def bm25_append_index(
@@ -190,56 +221,39 @@ def bm25_append_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = BM25_INDEX_BUCKETS,
+    batch_id: int | None = None,
 ) -> None:
-    """Incremental index maintenance: append a new batch's postings and
-    fold its token totals into the stats side file — the at-scale
-    ingest path the build bootstrap hands over to (index cost per
-    batch is O(batch), the corpus is never rescanned).
+    """Incremental index maintenance: add one batch's postings and
+    stats delta — the at-scale ingest path the build bootstrap hands
+    over to (cost is O(batch); the corpus is never rescanned).
 
-    New postings land as additional files inside the existing bucket
-    directories (append, not overwrite — new doc ids are disjoint from
-    indexed ones under the same single-writer discipline as the vector
-    index MERGE, so no merge pass is needed). Stats fold exactly:
-    ``sum_dl``/``n_docs`` are integer-valued accumulators (exact in
-    double below 2^53), so ``avgdl`` after N appends is bit-identical
-    to a from-scratch build — probe scores never drift between the
-    incremental and bootstrap paths (equality-tested).
+    New postings land in their own ``(bucket, _batch_id)`` partitions
+    (new doc ids are disjoint from indexed ones under the same
+    single-writer discipline as the vector index MERGE, so no merge
+    pass is needed); corpus stats are per-batch ``(n_docs, sum_dl)``
+    delta rows the probe sums — integer accumulators, exact in double
+    below 2^53, so ``avgdl`` after N appends is bit-identical to a
+    from-scratch build and probe scores never drift between the
+    incremental and bootstrap paths (equality-tested). Writes use
+    dynamic partition overwrite keyed on the batch id: replaying a
+    batch (streaming crash replay, job retry) replaces its own
+    partitions instead of double-counting (idempotency-tested).
+    ``batch_id=None`` self-assigns max existing + 1 (one tiny stats
+    read); streaming maintenance passes the micro-batch epoch id —
+    see ``streaming/bm25_ingest.py``.
     """
     spark = df_new.sparkSession
-    toks = df_new.select(
-        F.col(id_col), words_col(text_col).alias("words")
-    ).select(
-        id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
-    )
-    postings = (
-        toks.groupBy("term", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    if batch_id is None:
+        batch_id = (
+            int(
+                spark.read.parquet(f"{path}/_stats")
+                .agg(F.max("_batch_id"))
+                .head()[0]
+            )
+            + 1
         )
-    )
-    old = spark.read.parquet(f"{path}/_stats").head()
-    (
-        postings.repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    batch = (
-        df_new.select(F.size(words_col(text_col)).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .head()
-    )
-    n_docs = old["n_docs"] + float(batch["n"])
-    sum_dl = int(old["sum_dl"]) + int(batch["s"])
-    (
-        spark.createDataFrame(
-            [(n_docs, sum_dl / n_docs, sum_dl)],
-            "n_docs double, avgdl double, sum_dl bigint",
-        )
-        .write.mode("overwrite")
-        .parquet(f"{path}/_stats")
+    _write_bm25_batch(
+        df_new, path, batch_id, id_col, text_col, n_buckets, bootstrap=False
     )
 
 
@@ -264,9 +278,12 @@ def bm25_probe(
     (equivalence-tested). Per-term ``df`` re-derives exactly from the
     probed postings (one row per (term, doc) pair by construction).
 
-    Plan shape: pruned postings scan → tiny df/stats broadcasts →
-    one (doc_id) aggregate over matched postings only →
-    ``TakeOrderedAndProject``. Probe cost is corpus-size-independent.
+    Plan shape: pruned postings scan → tiny df/stats broadcasts (the
+    stats read sums the per-batch delta rows — one row per ingested
+    batch; exact integer sums, so ``avgdl`` is identical however many
+    appends produced the index) → one (doc_id) aggregate over matched
+    postings only → ``TakeOrderedAndProject``. Probe cost is
+    corpus-size-independent.
     """
     terms = list(dict.fromkeys(terms))
     buckets = sorted(
@@ -280,7 +297,14 @@ def bm25_probe(
         .distinct()
         .collect()
     )
-    stats = spark.read.parquet(f"{path}/_stats")
+    stats = (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
+        .select(
+            (F.col("_n") * F.lit(1.0)).alias("n_docs"),
+            (F.col("_s") / F.col("_n")).alias("avgdl"),
+        )
+    )
     post = spark.read.parquet(path).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )

@@ -8,6 +8,7 @@ state).
 """
 
 from vectra_py_spark.streaming.asof import streaming_asof_enrich
+from vectra_py_spark.streaming.bm25_ingest import stream_bm25_index
 from vectra_py_spark.streaming.events import (
     event_time_col,
     sessionize,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_windowed_counts",
     "windowed_counts",
     "stream_upsert",
+    "stream_bm25_index",
     "stream_neardup_dedup",
     "stream_kmeans",
     "streaming_interval_join",
