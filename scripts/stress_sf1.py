@@ -112,6 +112,7 @@ STRESS_QUERIES = [
     "corpus_diff",
     "content_checksum",
     "bm25_probe",
+    "embedding_coverage",
 ]
 
 

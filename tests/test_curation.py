@@ -467,3 +467,16 @@ def test_content_checksum_order_independent_and_sensitive(spark):
     c3 = {r.source: (r.n_rows, r.checksum)
           for r in cu.content_checksum(df3).collect()}
     assert c3["a"] != c1["a"] and c3["b"] == c1["b"]
+
+
+def test_embedding_coverage_counts_missing(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        ["doc_id", "source"],
+    )
+    emb = spark.createDataFrame([(1,), (3,), (4,)], ["vec_id"])
+    got = {
+        r.source: (r.n_docs, r.n_embedded, r.coverage)
+        for r in cu.embedding_coverage(docs, emb).collect()
+    }
+    assert got == {"a": (2, 1, 0.5), "b": (3, 2, round(2 / 3, 6))}

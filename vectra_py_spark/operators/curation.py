@@ -66,6 +66,8 @@ __all__ = [
     "corpus_diff_sql",
     "content_checksum",
     "content_checksum_sql",
+    "embedding_coverage",
+    "embedding_coverage_sql",
 ]
 
 # Gopher (Rae et al. 2021, Table A1) document-quality bounds.
@@ -801,6 +803,68 @@ def content_checksum(
         )
         .orderBy(source_col)
     )
+
+
+def embedding_coverage(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    source_col: str = "source",
+    dp: int = 6,
+) -> DataFrame:
+    """Referential-integrity audit between the corpus and its embedding
+    table: per source, how many documents have an embedding row and
+    the coverage fraction. The pre-flight check before any
+    embedding-dependent stage (ANN dedup, semantic split, clustering)
+    — silent coverage gaps there turn into silently-skipped documents.
+
+    100 TB design: one equi-join on the id (both sides big → AQE picks
+    the shuffle strategy; embedding PAYLOADS are never read — the
+    join side is pruned to the id column, so bytes shuffled are
+    8/row), then a partial-agg'd per-source rollup. Ids are unique on
+    both sides, so the left join preserves document count exactly.
+    """
+    emb_ids = embeddings.select(F.col(vec_id_col).alias("_vid"))
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(emb_ids, F.col(id_col) == F.col("_vid"), "left")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_vid").alias("n_embedded"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_embedded",
+            F.round(F.col("n_embedded") / F.col("n_docs"), dp).alias(
+                "coverage"
+            ),
+        )
+        .orderBy(source_col)
+    )
+
+
+def embedding_coverage_sql(
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    source_col: str = "source",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_coverage`."""
+    return f"""
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT({vec_id_col}) AS BIGINT) AS n_embedded,
+               ROUND(COUNT({vec_id_col}) / COUNT(*), {dp}) AS coverage
+        FROM {docs_table}
+        LEFT JOIN {emb_table} ON {id_col} = {vec_id_col}
+        GROUP BY {source_col}
+        ORDER BY {source_col}
+    """
 
 
 def content_checksum_sql(

@@ -2409,6 +2409,15 @@ def _sql_salted_agg() -> str:
     return "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
 
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per-source fraction of documents
+    that have an embedding row — the pre-flight check before any
+    embedding-dependent stage (ANN dedup, semantic split)."""
+    return cu.embedding_coverage(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight shuffle-skew diagnostic on the events join key: the
     10 heaviest user_ids with share and x_mean (= the skew factor an
@@ -2877,6 +2886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_checksum": q_content_checksum,
     "bm25_probe": q_bm25_probe,
     "skew_report": q_skew_report,
+    "embedding_coverage": q_embedding_coverage,
     **RELATIONAL_QUERIES,
 }
 
@@ -2915,6 +2925,7 @@ _CHECK_FIRST: list[str] = [
     "local_supplier_volume",
     "bm25_probe",
     "skew_report",
+    "embedding_coverage",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2949,7 +2960,6 @@ _CHECK_FIRST: list[str] = [
     "simhash_fingerprint",
     "simhash_neardup",
     "ngram_diversity",
-    "lsh_neardup",
 ]
 
 QUERIES = {
@@ -3014,6 +3024,7 @@ ORACLES: dict[str, str] = {
     "content_checksum": cu.content_checksum_sql(),
     "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
     "skew_report": sk.skew_report_sql("user_id", "events"),
+    "embedding_coverage": cu.embedding_coverage_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
