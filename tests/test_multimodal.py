@@ -89,3 +89,65 @@ def test_resize_media_sets_dims_and_composes(media):
 def test_resize_unknown_resizer_raises(media):
     with pytest.raises(NotImplementedError):
         mm.resize_media(media, 4, 4, resizer="bicubic")
+
+
+def test_wav_decode_and_features_are_honest():
+    import numpy as np
+
+    clip = mm.synth_wav(freq=440.0, seconds=0.5, sr=8000, amp=0.5)
+    x, sr = mm.decode_wav(clip)
+    assert sr == 8000 and len(x) == 4000
+    f = mm._wav_features(clip)
+    assert len(f) == mm.FEATURE_DIM
+    dur, log_sr, rms, peak, zcr, centroid = f[:6]
+    assert abs(dur - np.log1p(0.5)) < 1e-6
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01   # sine RMS = amp/sqrt(2)
+    assert abs(peak - 0.5) < 0.01
+    assert abs(centroid - 440.0 / 4000.0) < 0.02  # energy sits at 440 Hz
+    # band energies localize: a 2 kHz tone lights a different band
+    f2 = mm._wav_features(mm.synth_wav(freq=2000.0, seconds=0.5, sr=8000))
+    b1, b2 = np.argmax(f[6:]), np.argmax(f2[6:])
+    assert b1 != b2
+
+
+def test_ppm_decode_resize_features_roundtrip():
+    import numpy as np
+
+    img_bytes = mm.synth_ppm(32, 16)
+    img = mm.decode_ppm(img_bytes)
+    assert img.shape == (16, 32, 3)
+    assert img[0, 0, 0] == 0 and img[0, 31, 0] == 255  # R gradient
+
+    # real nearest-neighbor resize re-encodes valid P6
+    small = mm._ppm_resize(img_bytes, 8, 4)
+    simg = mm.decode_ppm(small)
+    assert simg.shape == (4, 8, 3)
+    # every resized pixel is an actual source pixel
+    assert set(np.unique(simg)) <= set(np.unique(img))
+
+    f = mm._ppm_features(img_bytes)
+    assert len(f) == mm.FEATURE_DIM
+    assert abs(f[2] - 2.0) < 1e-9          # aspect = 32/16
+    assert abs(f[5] - 128 / 255) < 1e-6    # constant blue plane
+
+
+def test_real_decoders_through_dataframe_api(spark):
+    rows = [
+        ("a", "audio", mm.synth_wav(freq=440.0), None),
+        ("b", "audio", mm.synth_wav(freq=1800.0), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r.features
+           for r in mm.extract_features(df, decoder="wav").collect()}
+    assert len(out) == 2 and len(out["a"]) == mm.FEATURE_DIM
+    assert out["a"] != out["b"]  # different tones → different spectra
+
+    imgs = spark.createDataFrame(
+        [("i", "image", mm.synth_ppm(32, 16), None)], mm.MEDIA_SCHEMA
+    )
+    resized = mm.resize_media(imgs, 8, 4, resizer="ppm")
+    row = resized.collect()[0]
+    assert row.meta["out_w"] == "8" and row.meta["out_h"] == "4"
+    assert mm.decode_ppm(bytes(row.data)).shape == (4, 8, 3)
+    feats = mm.extract_features(resized, decoder="ppm").collect()[0]
+    assert len(feats.features) == mm.FEATURE_DIM
