@@ -113,6 +113,7 @@ STRESS_QUERIES = [
     "content_checksum",
     "bm25_probe",
     "embedding_coverage",
+    "tokenizer_fertility",
 ]
 
 

@@ -1230,3 +1230,19 @@ def test_soft_dedup_weights_sum_to_distinct_texts(docs):
     assert by_id[3].n_copies == 1 and by_id[3].weight == 1.0
     # expected copies per epoch == number of distinct texts
     assert abs(sum(r.weight for r in rows) - 4.0) < 1e-6
+
+
+def test_tokenizer_fertility_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "a"),          # 2 words, simple tokens
+            (2, "x=1;y=2;", "b"),             # punct-dense: hot fertility
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in ta.tokenizer_fertility(df).collect()}
+    assert got["a"].n_docs == 1 and got["b"].n_docs == 1
+    # punct-dense source needs more pretokens per word than plain prose
+    assert got["b"].tokens_per_word > got["a"].tokens_per_word
+    # prose packs more chars into each pretoken than symbol soup
+    assert got["a"].chars_per_token > got["b"].chars_per_token

@@ -25,6 +25,8 @@ __all__ = [
     "words_col",
     "analyze_text",
     "analyze_text_sql",
+    "tokenizer_fertility",
+    "tokenizer_fertility_sql",
     "language_id",
     "language_id_sql",
     "fingerprint",
@@ -160,6 +162,80 @@ def quality_score_sql_expr(text_expr: str = "text") -> str:
         f" + 0.3 * least(len(list_filter({w}, x -> x IN ({stops})))"
         f" * 10.0 / greatest(len({w}), 1), 1.0), 6)"
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-source tokenizer fertility card: BPE-style pretokens per
+    word, characters per pretoken, and pretokens per document — the
+    numbers a token budget and serving-cost plan are priced from
+    (fertility varies sharply by domain: code-ish and non-English
+    sources run hot, and a fertility shift after a crawl refresh is a
+    tokenizer-mismatch smell).
+
+    One narrow scan (pretokenization is the same codegen'd regex the
+    per-doc analyzer uses — no explode, no Python) into a
+    partial-agg'd per-source rollup; ratios derive from exact integer
+    sums, so the result is partitioning-invariant.
+    """
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.col(source_col),
+        F.length(t).alias("c"),
+        F.size(words_col(text_col)).alias("w"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(PRETOKEN_SQL_PATTERN), 0)
+        ).alias("b"),
+    )
+    return (
+        per_doc.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("sc"),
+            F.sum("w").alias("sw"),
+            F.sum("b").alias("sb"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("sb") / F.col("sw"), dp).alias("tokens_per_word"),
+            F.round(F.col("sc") / F.col("sb"), dp).alias("chars_per_token"),
+            F.round(F.col("sb") / F.col("n_docs"), dp).alias("tokens_per_doc"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def tokenizer_fertility_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    source_col: str = "source",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`."""
+    w = _words_sql(text_expr)
+    return f"""
+        WITH per_doc AS (
+          SELECT {source_col},
+                 length({text_expr}) AS c,
+                 len({w}) AS word_n,
+                 len(regexp_extract_all({text_expr},
+                     '{PRETOKEN_SQL_PATTERN}')) AS b
+          FROM {table}
+        )
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(b) / SUM(word_n), {dp}) AS tokens_per_word,
+               ROUND(SUM(c) / SUM(b), {dp}) AS chars_per_token,
+               ROUND(SUM(b) / COUNT(*), {dp}) AS tokens_per_doc
+        FROM per_doc
+        GROUP BY {source_col}
+        ORDER BY {source_col}
+    """
 
 
 def analyze_text_sql(table: str = "documents", text_expr: str = "text") -> str:

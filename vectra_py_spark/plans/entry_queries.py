@@ -2409,6 +2409,12 @@ def _sql_salted_agg() -> str:
     return "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (pretokens/word, chars/pretoken,
+    pretokens/doc) — what a token budget is priced from."""
+    return ta.tokenizer_fertility(load(spark, sf_dir, "documents"))
+
+
 def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: per-source fraction of documents
     that have an embedding row — the pre-flight check before any
@@ -2887,6 +2893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_probe": q_bm25_probe,
     "skew_report": q_skew_report,
     "embedding_coverage": q_embedding_coverage,
+    "tokenizer_fertility": q_tokenizer_fertility,
     **RELATIONAL_QUERIES,
 }
 
@@ -2926,6 +2933,7 @@ _CHECK_FIRST: list[str] = [
     "bm25_probe",
     "skew_report",
     "embedding_coverage",
+    "tokenizer_fertility",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2959,7 +2967,6 @@ _CHECK_FIRST: list[str] = [
     "minhash_probe",
     "simhash_fingerprint",
     "simhash_neardup",
-    "ngram_diversity",
 ]
 
 QUERIES = {
@@ -3025,6 +3032,7 @@ ORACLES: dict[str, str] = {
     "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
     "skew_report": sk.skew_report_sql("user_id", "events"),
     "embedding_coverage": cu.embedding_coverage_sql(),
+    "tokenizer_fertility": ta.tokenizer_fertility_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
