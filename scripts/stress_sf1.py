@@ -114,6 +114,7 @@ STRESS_QUERIES = [
     "bm25_probe",
     "embedding_coverage",
     "tokenizer_fertility",
+    "span_cut",
 ]
 
 

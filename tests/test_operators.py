@@ -1246,3 +1246,32 @@ def test_tokenizer_fertility_rollup(spark):
     assert got["b"].tokens_per_word > got["a"].tokens_per_word
     # prose packs more chars into each pretoken than symbol soup
     assert got["a"].chars_per_token > got["b"].chars_per_token
+
+
+def test_winnow_span_cut_removes_planted_passage(spark):
+    eval_passage = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"lead one two three four five {eval_passage} "
+                "tail six seven eight nine ten"),
+            (2, "completely unrelated text with  odd   spacing preserved"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, f"intro words {eval_passage} outro words")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           dd.winnow_span_cut(corpus, evals).collect()}
+
+    # contaminated doc: every eval-passage token is gone
+    cut_words = set(out[1].text.split(" "))
+    assert cut_words.isdisjoint(set(eval_passage.split()))
+    # the cut is bounded: passage (8 tokens) + <= w-1 pad each side of
+    # each fused run edge, plus gram tail — never the whole document
+    assert 8 <= out[1].n_cut <= 8 + 2 * (3 + 3)
+    assert "lead" in out[1].text  # leading context survives
+    # untouched doc passes through byte-identical, n_cut = 0
+    assert out[2].text == "completely unrelated text with  odd   spacing preserved"
+    assert out[2].n_cut == 0

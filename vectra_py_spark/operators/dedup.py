@@ -59,6 +59,8 @@ __all__ = [
     "winnow_write_index",
     "winnow_probe",
     "winnow_contamination",
+    "winnow_span_cut",
+    "winnow_span_cut_sql",
     "winnow_contamination_sql",
     "soft_dedup_weights",
     "soft_dedup_weights_sql",
@@ -1380,6 +1382,175 @@ def winnow_contamination_sql(
         GROUP BY 1, 2
         HAVING COUNT(DISTINCT h) >= {min_shared}
         ORDER BY corpus_id, eval_id
+    """
+
+
+def winnow_span_cut(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical decontamination: REMOVE eval-overlapping passages from
+    corpus documents instead of dropping whole documents — the cut
+    step :func:`winnow_contamination` localizes spans for. Output:
+    ``(id, text, n_cut)`` for every corpus doc; untouched docs pass
+    through byte-identical with ``n_cut = 0``.
+
+    Cut policy: a matched fingerprint at gram position p covers tokens
+    [p, p+k−1]; winnowing selects only ~2/(w+1) grams but guarantees a
+    selected gram in every w-window of a shared run, so each match is
+    padded by w−1 grams on both sides — adjacent matches of one run
+    fuse, and at most w−1 extra tokens are cut per run edge (the
+    conservative direction for decontamination). Rewritten documents
+    come back as the kept token stream space-joined (the same
+    tokenizer normalization every winnow comparison uses).
+
+    100 TB design: detection is the winnow broadcast join (ids +
+    positions only — benchmark-sized eval side); the span set per
+    contaminated doc broadcasts into the rebuild, and ONLY
+    contaminated docs (typically a vanishing fraction) explode to
+    tokens — one ordered-reassembly exchange over their tokens, while
+    the clean remainder of the corpus is a pass-through projection
+    that never shuffles.
+    """
+    pad = w - 1
+    cfp = winnow_fingerprints(corpus, k, w, id_col, text_col).select(
+        F.col(id_col).alias("_cid"), "pos", "h"
+    )
+    efp = (
+        winnow_fingerprints(eval_docs, k, w, id_col, text_col)
+        .select("h")
+        .distinct()
+    )
+    spans = (
+        cfp.join(F.broadcast(efp), "h")
+        .select(
+            "_cid",
+            F.greatest(F.col("pos") - pad, F.lit(0)).alias("lo"),
+            (F.col("pos") + (k - 1) + pad).alias("hi"),
+        )
+        .distinct()
+    )
+    hit_ids = spans.select("_cid").distinct()
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    hit = corpus.join(
+        F.broadcast(hit_ids), F.col(id_col) == F.col("_cid"), "leftsemi"
+    )
+    toks = hit.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    )
+    kept = toks.alias("t").join(
+        F.broadcast(spans).alias("s"),
+        (F.col(f"t.{id_col}") == F.col("s._cid"))
+        & (F.col("t.pos") >= F.col("s.lo"))
+        & (F.col("t.pos") <= F.col("s.hi")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    cut_docs = (
+        hit.select(F.col(id_col), F.size(words).alias("_orig"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            (F.col("_orig") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_cut"),
+        )
+    )
+    clean = corpus.join(
+        F.broadcast(hit_ids), F.col(id_col) == F.col("_cid"), "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit(0).cast("long").alias("n_cut"),
+    )
+    return clean.unionByName(cut_docs).orderBy(id_col)
+
+
+def winnow_span_cut_sql(
+    eval_pred: str,
+    k: int = 4,
+    w: int = 4,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`winnow_span_cut` — ``eval_pred`` selects
+    the eval rows of ``table``; the corpus is its complement."""
+    pad = w - 1
+    inner = winnow_fingerprints_sql(k, w, table, id_col, text_expr)
+    ws = rf"string_split_regex(lower({text_expr}), '\s+')"
+    return f"""
+        WITH fsel AS ({inner}),
+        cfp AS (
+            SELECT {id_col} AS cid, pos, h
+            FROM fsel WHERE NOT ({eval_pred})
+        ),
+        efp AS (
+            SELECT DISTINCT h FROM fsel WHERE {eval_pred}
+        ),
+        spans AS (
+            SELECT DISTINCT cid,
+                   GREATEST(pos - {pad}, 0) AS lo,
+                   pos + {k - 1 + pad} AS hi
+            FROM cfp JOIN efp USING (h)
+        ),
+        hit_ids AS (SELECT DISTINCT cid FROM spans),
+        toks AS (
+            SELECT {id_col} AS cid, i - 1 AS pos, wl[i] AS word
+            FROM (
+                SELECT {id_col}, {ws} AS wl FROM {table}
+                WHERE NOT ({eval_pred})
+                  AND {id_col} IN (SELECT cid FROM hit_ids)
+            ),
+            LATERAL unnest(range(1, len(wl) + 1)) AS t(i)
+        ),
+        kept AS (
+            SELECT t.cid, t.pos, t.word FROM toks t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.cid = t.cid AND t.pos BETWEEN s.lo AND s.hi
+            )
+        ),
+        rebuilt AS (
+            SELECT cid, string_agg(word, ' ' ORDER BY pos) AS txt,
+                   COUNT(*) AS kept_n
+            FROM kept GROUP BY cid
+        ),
+        cut_docs AS (
+            SELECT o.cid AS {id_col},
+                   COALESCE(r.txt, '') AS {text_expr},
+                   CAST(o.orig_n - COALESCE(r.kept_n, 0) AS BIGINT)
+                       AS n_cut
+            FROM (
+                SELECT {id_col} AS cid, len({ws}) AS orig_n
+                FROM {table}
+                WHERE NOT ({eval_pred})
+                  AND {id_col} IN (SELECT cid FROM hit_ids)
+            ) o
+            LEFT JOIN rebuilt r USING (cid)
+        )
+        SELECT {id_col}, {text_expr}, CAST(0 AS BIGINT) AS n_cut
+        FROM {table}
+        WHERE NOT ({eval_pred})
+          AND {id_col} NOT IN (SELECT cid FROM hit_ids)
+        UNION ALL
+        SELECT * FROM cut_docs
+        ORDER BY {id_col}
     """
 
 

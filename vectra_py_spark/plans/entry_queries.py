@@ -973,6 +973,19 @@ def q_winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: eval-overlapping passages REMOVED from
+    corpus docs (eval = doc_id % 37) rather than dropping whole
+    documents; cleaned text fingerprinted so the oracle compares every
+    doc's rewrite without shipping full texts."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 37 == 0
+    out = dd.winnow_span_cut(docs.filter(~is_eval), docs.filter(is_eval))
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_fp"), "n_cut"
+    )
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (bigram) LM cross-entropy — catches word salad
     whose unigram profile looks normal."""
@@ -2894,6 +2907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "embedding_coverage": q_embedding_coverage,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "span_cut": q_span_cut,
     **RELATIONAL_QUERIES,
 }
 
@@ -2934,6 +2948,7 @@ _CHECK_FIRST: list[str] = [
     "skew_report",
     "embedding_coverage",
     "tokenizer_fertility",
+    "span_cut",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2966,7 +2981,6 @@ _CHECK_FIRST: list[str] = [
     "minhash_lsh_neardup",
     "minhash_probe",
     "simhash_fingerprint",
-    "simhash_neardup",
 ]
 
 QUERIES = {
@@ -3042,6 +3056,10 @@ ORACLES: dict[str, str] = {
     "winnow_contamination": dd.winnow_contamination_sql(
         "doc_id % 37 = 0", min_shared=2
     ),
+    "span_cut": f"""
+        SELECT doc_id, md5(text) AS clean_fp, n_cut
+        FROM ({dd.winnow_span_cut_sql("doc_id % 37 = 0")})
+    """,
     "soft_dedup_weights": dd.soft_dedup_weights_sql(),
     "neardup_weights": cl.neardup_weights_sql(),
     "winnow_probe": f"""
