@@ -115,6 +115,7 @@ STRESS_QUERIES = [
     "embedding_coverage",
     "tokenizer_fertility",
     "span_cut",
+    "encoding_report",
 ]
 
 

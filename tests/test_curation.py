@@ -480,3 +480,47 @@ def test_embedding_coverage_counts_missing(spark):
         for r in cu.embedding_coverage(docs, emb).collect()
     }
     assert got == {"a": (2, 1, 0.5), "b": (3, 2, round(2 / 3, 6))}
+
+
+def test_encoding_report_flags_planted_artifacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "perfectly clean prose here", "a"),
+            (2, "broken quote â€™ and accent Ã© artifacts", "a"),
+            (3, "lost char � and ctrl \x07 byte", "b"),
+            (4, "also clean", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in cu.encoding_report(df).collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_flagged == 1
+    assert got["a"].mojibake_hits == 2          # â€™ + Ã©
+    assert got["a"].pct_flagged == 0.5
+    assert got["b"].replacement_hits == 1
+    assert got["b"].control_hits == 1
+    assert got["b"].n_flagged == 1
+
+
+def test_encoding_report_cross_engine_parity_on_planted(spark, tmp_path):
+    """The regex classes must count identically under Java regex
+    (Spark) and RE2 (DuckDB) — the fixture corpus is clean, so the
+    driver oracle alone would only ever compare zeros."""
+    import duckdb
+
+    rows = [
+        (1, "broken â€™ quote â€œ and Ã© Ã¼ accents", "web"),
+        (2, "lost � � chars and \x07\x1f ctrl", "web"),
+        (3, "clean text", "book"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    path = str(tmp_path / "enc.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = [
+        (r.source, r.n_docs, r.n_flagged, r.pct_flagged,
+         r.mojibake_hits, r.control_hits, r.replacement_hits)
+        for r in cu.encoding_report(df).collect()
+    ]
+    sql = cu.encoding_report_sql(table=f"read_parquet('{path}/*.parquet')")
+    want = [tuple(t) for t in duckdb.connect().execute(sql).fetchall()]
+    assert got == want

@@ -68,6 +68,8 @@ __all__ = [
     "content_checksum_sql",
     "embedding_coverage",
     "embedding_coverage_sql",
+    "encoding_report",
+    "encoding_report_sql",
 ]
 
 # Gopher (Rae et al. 2021, Table A1) document-quality bounds.
@@ -803,6 +805,103 @@ def content_checksum(
         )
         .orderBy(source_col)
     )
+
+
+# Classic UTF-8-decoded-as-cp1252 smoking guns: â€¦ (curly quotes,
+# dashes, ellipsis) and Ã + Latin-1 tail (é→Ã©, ü→Ã¼, …). Identical
+# regex semantics in Java (Spark) and RE2 (DuckDB) for these BMP
+# classes — parity-tested.
+MOJIBAKE_PATTERN = r"â€.|Ã[\x{80}-\x{ff}]"
+# C0 control characters except \t \n \r — binary junk / PDF-extraction
+# residue inside "text".
+CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-source encoding-health report: documents carrying mojibake
+    (UTF-8 double-decode artifacts), U+FFFD replacement characters, or
+    stray C0 control bytes — the upstream-pipeline smells (wrong
+    charset sniff, lossy transcode, binary spillover) that per-doc
+    quality scores don't isolate because the damaged docs still read
+    as mostly-normal text. A source whose ``pct_flagged`` jumps after
+    a crawl refresh broke its decoding, not its content.
+
+    One narrow scan (three codegen'd regex/replace counters, no
+    explode) + a per-source partial aggregate — same cost envelope as
+    ``dup_rate_by_source``.
+    """
+    t = F.col(text_col)
+    moji = F.size(F.regexp_extract_all(t, F.lit(MOJIBAKE_PATTERN), 0))
+    ctrl = F.size(F.regexp_extract_all(t, F.lit(CTRL_PATTERN), 0))
+    repl = F.length(t) - F.length(
+        F.replace(t, F.lit(REPLACEMENT_CHAR), F.lit(""))
+    )
+    per_doc = df.select(
+        F.col(source_col),
+        moji.alias("m"),
+        ctrl.alias("c"),
+        repl.alias("r"),
+    )
+    flagged = (F.col("m") + F.col("c") + F.col("r")) > 0
+    return (
+        per_doc.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("int")).alias("n_flagged"),
+            F.sum("m").alias("mojibake_hits"),
+            F.sum("c").alias("control_hits"),
+            F.sum("r").alias("replacement_hits"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_docs"), dp).alias(
+                "pct_flagged"
+            ),
+            "mojibake_hits",
+            "control_hits",
+            "replacement_hits",
+        )
+        .orderBy(source_col)
+    )
+
+
+def encoding_report_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    source_col: str = "source",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`encoding_report`."""
+    t = text_expr
+    moji = f"len(regexp_extract_all({t}, '{MOJIBAKE_PATTERN}'))"
+    ctrl = f"len(regexp_extract_all({t}, '{CTRL_PATTERN}'))"
+    repl = f"(length({t}) - length(replace({t}, chr(65533), '')))"
+    return f"""
+        WITH per_doc AS (
+          SELECT {source_col}, {moji} AS m, {ctrl} AS c, {repl} AS r
+          FROM {table}
+        )
+        SELECT {source_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN m + c + r > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               ROUND(SUM(CASE WHEN m + c + r > 0 THEN 1 ELSE 0 END)
+                     / COUNT(*), {dp}) AS pct_flagged,
+               CAST(SUM(m) AS BIGINT) AS mojibake_hits,
+               CAST(SUM(c) AS BIGINT) AS control_hits,
+               CAST(SUM(r) AS BIGINT) AS replacement_hits
+        FROM per_doc
+        GROUP BY {source_col}
+        ORDER BY {source_col}
+    """
 
 
 def embedding_coverage(

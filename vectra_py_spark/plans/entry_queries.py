@@ -2437,6 +2437,12 @@ def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding health: mojibake / control-byte / U+FFFD
+    counts and flag rate — upstream charset-pipeline smells."""
+    return cu.encoding_report(load(spark, sf_dir, "documents"))
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight shuffle-skew diagnostic on the events join key: the
     10 heaviest user_ids with share and x_mean (= the skew factor an
@@ -2908,6 +2914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_coverage": q_embedding_coverage,
     "tokenizer_fertility": q_tokenizer_fertility,
     "span_cut": q_span_cut,
+    "encoding_report": q_encoding_report,
     **RELATIONAL_QUERIES,
 }
 
@@ -2949,6 +2956,7 @@ _CHECK_FIRST: list[str] = [
     "embedding_coverage",
     "tokenizer_fertility",
     "span_cut",
+    "encoding_report",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2980,7 +2988,6 @@ _CHECK_FIRST: list[str] = [
     "ngram_jaccard_neardup",
     "minhash_lsh_neardup",
     "minhash_probe",
-    "simhash_fingerprint",
 ]
 
 QUERIES = {
@@ -3047,6 +3054,7 @@ ORACLES: dict[str, str] = {
     "skew_report": sk.skew_report_sql("user_id", "events"),
     "embedding_coverage": cu.embedding_coverage_sql(),
     "tokenizer_fertility": ta.tokenizer_fertility_sql(),
+    "encoding_report": cu.encoding_report_sql(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
