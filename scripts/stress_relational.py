@@ -52,11 +52,27 @@ STRESS_QUERIES = [
     "returned_customers",
     "disjunctive_revenue",
     "waiting_suppliers",
+    # plans/relational.py shapes (Q2/Q5/Q6/Q9/Q11/Q12/Q13/Q15/Q16/Q17/Q20)
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "customer_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "excess_suppliers",
 ]
 
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 PTYPES = ["ECONOMY", "MEDIUM", "SMALL", "PROMO", "LARGE", "STANDARD"]
+# fixture-style "adjective noun" part names (so the %widget% / 'red %'
+# name-filtered shapes match a realistic fraction at 10x, like sf0.1)
+P_ADJ = ["red", "blue", "hot", "cold", "old", "large", "small", "new"]
+P_NOUN = ["widget", "ring", "bolt", "plate", "gear", "cog"]
 EPOCH_95 = "1995-01-01"
 SPAN_DAYS = 2400  # ~1995-2001, like the fixture
 
@@ -125,7 +141,11 @@ def generate(spark) -> None:
 
     part = spark.range(N_PART).select(
         F.col("id").alias("p_partkey"),
-        F.concat(F.lit("part"), F.col("id")).alias("p_name"),
+        F.concat(
+            _pick(h(F.col("id"), 25), P_ADJ),
+            F.lit(" "),
+            _pick(h(F.col("id"), 26), P_NOUN),
+        ).alias("p_name"),
         F.concat(F.lit("Brand#"), (h(F.col("id"), 19) % 50)).alias("p_brand"),
         _pick(h(F.col("id"), 20), PTYPES).alias("p_type"),
         (h(F.col("id"), 21) % 50 + 1).cast("int").alias("p_size"),

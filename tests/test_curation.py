@@ -524,3 +524,30 @@ def test_encoding_report_cross_engine_parity_on_planted(spark, tmp_path):
     sql = cu.encoding_report_sql(table=f"read_parquet('{path}/*.parquet')")
     want = [tuple(t) for t in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+def test_content_checksum_null_cells_cross_engine(spark, tmp_path):
+    """NULL cells must hash identically on both engines (concat_ws
+    skips NULLs; the sentinel restores parity) and differ from ''."""
+    import duckdb
+
+    rows = [(1, "a", None), (2, "a", ""), (3, None, "x")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    path = str(tmp_path / "cc.parquet")
+    df.coalesce(1).write.parquet(path)
+    key = lambda t: (t[0] is None, t)  # noqa: E731 — NULLS FIRST/LAST differ
+    got = sorted(
+        ((r.source, r.n_rows, r.checksum)
+         for r in cu.content_checksum(df).collect()), key=key)
+    sql = cu.content_checksum_sql(table=f"read_parquet('{path}/*.parquet')")
+    want = sorted(
+        (tuple(t) for t in duckdb.connect().execute(sql).fetchall()), key=key)
+    assert got == want
+    # NULL text and empty text produce different checksums
+    df2 = spark.createDataFrame(
+        [(1, "a", None)], "doc_id bigint, source string, text string")
+    df3 = spark.createDataFrame(
+        [(1, "a", "")], "doc_id bigint, source string, text string")
+    c2 = cu.content_checksum(df2).collect()[0].checksum
+    c3 = cu.content_checksum(df3).collect()[0].checksum
+    assert c2 != c3

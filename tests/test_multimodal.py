@@ -151,3 +151,23 @@ def test_real_decoders_through_dataframe_api(spark):
     assert mm.decode_ppm(bytes(row.data)).shape == (4, 8, 3)
     feats = mm.extract_features(resized, decoder="ppm").collect()[0]
     assert len(feats.features) == mm.FEATURE_DIM
+
+
+def test_real_decoders_tolerate_null_and_crlf(spark):
+    # NULL payloads yield zero features, not a stage failure
+    df = spark.createDataFrame(
+        [("n", "audio", None, None)], mm.MEDIA_SCHEMA
+    )
+    row = mm.extract_features(df, decoder="wav").collect()[0]
+    assert row.features == [0.0] * mm.FEATURE_DIM and row.n_bytes == 0
+    rowp = mm.extract_features(df, decoder="ppm").collect()[0]
+    assert rowp.features == [0.0] * mm.FEATURE_DIM
+    assert mm._ppm_resize(b"", 4, 4) == b""
+    # a 1-frame WAV must not emit NaN features
+    one = mm.synth_wav(freq=100.0, seconds=1.0 / 8000, sr=8000)
+    feats = mm._wav_features(one)
+    assert all(f == f for f in feats)  # no NaN
+    # CRLF-terminated header decodes pixel-exact, not byte-shifted
+    img = mm.decode_ppm(mm.synth_ppm(8, 4))
+    crlf = b"P6\r\n8 4\r\n255\r\n" + img.tobytes()
+    assert (mm.decode_ppm(crlf) == img).all()

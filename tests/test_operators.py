@@ -1268,10 +1268,10 @@ def test_winnow_span_cut_removes_planted_passage(spark):
     # contaminated doc: every eval-passage token is gone
     cut_words = set(out[1].text.split(" "))
     assert cut_words.isdisjoint(set(eval_passage.split()))
-    # the cut is bounded: passage (8 tokens) + <= w-1 pad each side of
-    # each fused run edge, plus gram tail — never the whole document
-    assert 8 <= out[1].n_cut <= 8 + 2 * (3 + 3)
-    assert "lead" in out[1].text  # leading context survives
+    # the cut is bounded: passage (8 tokens) + at most w-1 = 3 pad
+    # tokens per run edge (observed: 10 = 8 + 1 + 1 here)
+    assert 8 <= out[1].n_cut <= 8 + 2 * 3
+    assert "lead" in out[1].text and "ten" in out[1].text  # context survives
     # untouched doc passes through byte-identical, n_cut = 0
     assert out[2].text == "completely unrelated text with  odd   spacing preserved"
     assert out[2].n_cut == 0

@@ -789,12 +789,19 @@ def content_checksum(
     ~10^9 rows per source — switch the accumulator to DECIMAL(38,0) at
     that scale (same op, wider lane). One aggregate, map-side combined;
     the shuffle carries one (source, partial) pair per partition.
+
+    NULL cells hash as the control byte ``\\x01`` (``concat_ws`` would
+    silently SKIP them, making ``(id, src, NULL)`` collide with
+    ``(id, src)``-without-a-text-field and diverging from SQL ``||``
+    NULL propagation) — so a NULL-vs-empty corruption on one side of a
+    migration is detected, not masked.
     """
+    null_mark = "\x01"
     row_str = F.concat_ws(
         "|",
-        F.col(id_col).cast("string"),
-        F.col(source_col),
-        F.col(text_col),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(null_mark)),
+        F.coalesce(F.col(source_col), F.lit(null_mark)),
+        F.coalesce(F.col(text_col), F.lit(null_mark)),
     )
     h32 = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
     return (
@@ -974,10 +981,12 @@ def content_checksum_sql(
 ) -> str:
     """DuckDB twin of :func:`content_checksum` (no ``conv`` in DuckDB —
     nibble arithmetic over the same 8 hex chars, as in
-    ``splits.hash_bucket_sql``)."""
+    ``splits.hash_bucket_sql``; NULL cells take the same ``chr(1)``
+    sentinel as the Spark side)."""
     h = (
-        f"md5(CAST({id_col} AS VARCHAR) || '|' || {source_col} || '|' "
-        f"|| {text_expr})"
+        f"md5(COALESCE(CAST({id_col} AS VARCHAR), chr(1)) || '|' || "
+        f"COALESCE({source_col}, chr(1)) || '|' || "
+        f"COALESCE({text_expr}, chr(1)))"
     )
     nib = [
         f"(instr('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"

@@ -1488,9 +1488,12 @@ def winnow_span_cut_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_expr: str = "text",
+    out_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`winnow_span_cut` — ``eval_pred`` selects
-    the eval rows of ``table``; the corpus is its complement."""
+    the eval rows of ``table``; the corpus is its complement.
+    ``out_col`` names the output text column (``text_expr`` may be an
+    arbitrary expression, which cannot double as an alias)."""
     pad = w - 1
     inner = winnow_fingerprints_sql(k, w, table, id_col, text_expr)
     ws = rf"string_split_regex(lower({text_expr}), '\s+')"
@@ -1533,7 +1536,7 @@ def winnow_span_cut_sql(
         ),
         cut_docs AS (
             SELECT o.cid AS {id_col},
-                   COALESCE(r.txt, '') AS {text_expr},
+                   COALESCE(r.txt, '') AS {out_col},
                    CAST(o.orig_n - COALESCE(r.kept_n, 0) AS BIGINT)
                        AS n_cut
             FROM (
@@ -1544,7 +1547,7 @@ def winnow_span_cut_sql(
             ) o
             LEFT JOIN rebuilt r USING (cid)
         )
-        SELECT {id_col}, {text_expr}, CAST(0 AS BIGINT) AS n_cut
+        SELECT {id_col}, {text_expr} AS {out_col}, CAST(0 AS BIGINT) AS n_cut
         FROM {table}
         WHERE NOT ({eval_pred})
           AND {id_col} NOT IN (SELECT cid FROM hit_ids)

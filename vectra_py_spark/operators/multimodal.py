@@ -114,7 +114,11 @@ def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     rate, RMS, peak, zero-crossing rate, spectral centroid (fraction
     of Nyquist), and ``dim - 6`` log-spaced spectral band energies —
     the curation signals an audio pipeline filters on (silence, clip,
-    tone vs noise) before any model sees the clip."""
+    tone vs noise) before any model sees the clip. NULL/empty payloads
+    yield all-zero features (a quarantine-able sentinel, not a stage
+    failure — same contract as the fake decoder)."""
+    if not payload:
+        return [0.0] * dim
     x, sr = decode_wav(payload)
     n = len(x)
     if n == 0:
@@ -122,7 +126,11 @@ def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     dur = n / sr
     rms = float(np.sqrt(np.mean(x * x)))
     peak = float(np.max(np.abs(x)))
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
     spec = np.abs(np.fft.rfft(x))
     power = spec * spec
     freqs = np.fft.rfftfreq(n, d=1.0 / sr)
@@ -157,7 +165,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         toks.append(payload[start:pos])
-    pos += 1  # exactly one whitespace byte separates header from pixels
+    # one whitespace byte separates header from pixels per the spec —
+    # but text-mode writers emit CRLF; treating the '\r' alone as the
+    # separator would shift every pixel byte by one, silently
+    if payload[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     if toks[0] != b"P6":
         raise ValueError(f"not a binary PPM (P6) payload: {toks[0]!r}")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
@@ -172,7 +186,12 @@ def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Honest image features from decoded pixels: log dims, aspect,
     per-channel means, grayscale contrast, plus a 4×2 grayscale
     thumbnail — the size/brightness/contrast signals an image-curation
-    pass filters on (blank, over/under-exposed, degenerate aspect)."""
+    pass filters on (blank, over/under-exposed, degenerate aspect).
+    NULL/empty payloads yield all-zero features (quarantine-able
+    sentinel, not a stage failure — same contract as the fake
+    decoder)."""
+    if not payload:
+        return [0.0] * dim
     img = decode_ppm(payload)
     h, w = img.shape[:2]
     gray = img.astype(np.float64).mean(axis=2)
@@ -300,7 +319,10 @@ def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     index maps (floor(i·src/dst) — deterministic, no interpolation
     arithmetic to drift) → re-encode as valid P6 bytes, so resized
     payloads round-trip through :func:`decode_ppm` and compose with
-    feature extraction."""
+    feature extraction. NULL/empty payloads pass through empty (no
+    stage failure)."""
+    if not payload:
+        return b""
     img = decode_ppm(payload)
     h, w = img.shape[:2]
     rows = (np.arange(height) * h) // height

@@ -152,11 +152,6 @@ def bm25_write_index(
     bootstrap (batch 0). Compact postings partitions on a schedule
     with ``sources/maintenance.py`` once many small batches accrue.
     """
-    toks = df.select(
-        F.col(id_col), words_col(text_col).alias("words")
-    ).select(
-        id_col, F.size("words").alias("dl"), F.explode("words").alias("term")
-    )
     _write_bm25_batch(df, path, 0, id_col, text_col, n_buckets, bootstrap=True)
 
 

@@ -121,7 +121,12 @@ def read_csv_documents(
     match against the schema-ordered header string — shards of one
     dump share one column order by construction; a shard whose header
     differs shows up loudly as corrupt rows rather than silently
-    shifted columns."""
+    shifted columns. The match is content-based (a line-oriented scan
+    has no per-file line numbers), so a DATA line byte-identical to
+    the header is treated as a header too — such a line could only
+    parse under an all-string schema anyway (under the documents
+    schema it would land in quarantine as a failed ``doc_id`` parse,
+    which is where a dropped header would otherwise surface)."""
     target = _with_corrupt(schema)
     # from_csv takes a DDL string, not a StructType
     ddl = ", ".join(
