@@ -1275,3 +1275,32 @@ def test_winnow_span_cut_removes_planted_passage(spark):
     # untouched doc passes through byte-identical, n_cut = 0
     assert out[2].text == "completely unrelated text with  odd   spacing preserved"
     assert out[2].n_cut == 0
+
+
+def test_bm25_probe_batch_matches_single_probes(spark, tmp_path):
+    from vectra_py_spark.operators import ranking as rk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),
+            (2, "spark table column row filter"),
+            (3, "table column row filter group"),
+            (4, "shuffle exchange partition skew shuffle"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "bm25_batch_idx")
+    rk.bm25_write_index(df, path)
+    queries = {"qa": ("spark", "shuffle"), "qb": ("table", "filter")}
+    batch = rk.bm25_probe_batch(spark, path, queries, k=3)
+    got = {
+        qid: [(r.doc_id, r.bm25) for r in rows]
+        for qid, rows in __import__("itertools").groupby(
+            batch.collect(), key=lambda r: r.query_id
+        )
+    }
+    for qid, terms in queries.items():
+        single = [(r.doc_id, r.bm25)
+                  for r in rk.bm25_probe(spark, path, list(terms), k=3)
+                  .collect()]
+        assert got[qid] == single  # batch == per-query single probes

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectra_py_spark.operators.text_analysis import words_col, _words_sql
@@ -41,6 +41,8 @@ __all__ = [
     "bm25_append_index",
     "bm25_probe",
     "bm25_probe_sql",
+    "bm25_probe_batch",
+    "bm25_probe_batch_sql",
     "BM25_K1",
     "BM25_B",
     "BM25_INDEX_BUCKETS",
@@ -375,6 +377,158 @@ def bm25_probe_sql(
         GROUP BY {id_col}
         ORDER BY bm25 DESC, {id_col}
         LIMIT {k}
+    """
+
+
+def bm25_probe_batch(
+    spark,
+    path: str,
+    queries: dict[str, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = BM25_INDEX_BUCKETS,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Many keyword queries against the materialized inverted index in
+    ONE pass — the lexical twin of batched vector serving
+    (``similarity.cosine_topk_batch``): the query table broadcasts,
+    the postings store is scanned once for the UNION of all probed
+    terms' buckets, per-term ``df`` is computed once and shared across
+    queries, and per-query top-k comes from a window over the scored
+    (query, doc) pairs. Amortizes the per-job floor across the batch
+    exactly like the vector path.
+
+    ``queries`` maps query_id → terms. Scores are identical to
+    :func:`bm25_probe` per query (same exact-DECIMAL contribution
+    sum); output is (query_id, doc_id, bm25, rank) with the same
+    deterministic (score desc, doc_id) tie-break.
+    """
+    pairs = [
+        (qid, t) for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)
+    ]
+    qdf = spark.createDataFrame(pairs, "query_id string, term string")
+    all_terms = sorted({t for _, t in pairs})
+    buckets = sorted(
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in all_terms], "term string"
+        )
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    stats = (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
+        .select(
+            (F.col("_n") * F.lit(1.0)).alias("n_docs"),
+            (F.col("_s") / F.col("_n")).alias("avgdl"),
+        )
+    )
+    post = spark.read.parquet(path).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
+    )
+    dfreq = post.groupBy("term").agg(
+        (F.count(F.lit(1)) * F.lit(1.0)).alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", id_col, contrib.cast("decimal(28,12)").alias("c")
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("s").cast("double"), score_dp).alias("bm25"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_probe_batch_sql(
+    queries: dict[str, Sequence[str]],
+    k: int = 10,
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    score_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bm25_probe_batch`, derived from the raw
+    table (the oracle has no materialized index)."""
+    pairs = [
+        (qid, t) for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)
+    ]
+    w = _words_sql(text_expr)
+    all_terms = sorted({t for _, t in pairs})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    values = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, words, len(words) AS dl
+          FROM (SELECT {id_col}, {w} AS words FROM {table})
+        ), stats AS (
+          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM d
+        ), q(query_id, term) AS (
+          VALUES {values}
+        ), post AS (
+          SELECT {id_col}, dl, term, count(*) AS tf
+          FROM (SELECT {id_col}, dl, unnest(words) AS term FROM d) u
+          WHERE term IN ({in_list})
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) * 1.0 AS df FROM post GROUP BY 1
+        ), scores AS (
+          SELECT query_id, {id_col},
+                 ROUND(CAST(SUM(c) AS DOUBLE), {score_dp}) AS bm25
+          FROM (
+            SELECT query_id, {id_col},
+                   CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * (tf * {k1p1!r})
+                        / (tf + {BM25_K1!r}
+                           * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))
+                        AS DECIMAL(28,12)) AS c
+            FROM post
+            JOIN q USING (term)
+            JOIN dfreq USING (term), stats
+          )
+          GROUP BY query_id, {id_col}
+        )
+        SELECT query_id, {id_col}, bm25, rank FROM (
+          SELECT query_id, {id_col}, bm25,
+                 CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY bm25 DESC, {id_col}
+                 ) AS INT) AS rank
+          FROM scores
+        )
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
     """
 
 

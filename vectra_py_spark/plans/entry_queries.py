@@ -2776,6 +2776,27 @@ def q_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.bm25_probe(spark, path, _BM25_TERMS, k=10)
 
 
+_BM25_BATCH_QUERIES = {
+    "q_spark": ("spark", "shuffle"),
+    "q_vector": ("vector", "index", "column"),
+    "q_mixed": ("table", "stream", "merge"),
+}
+
+
+def q_bm25_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched keyword serving: three queries against the materialized
+    BM25 inverted index in ONE pass (shared postings scan + df table,
+    per-query windowed top-k) — the lexical twin of `batch_topk`.
+    Timing includes the index build."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/vectra_bm25_idx/{sf_tag}_batch"
+    rk.bm25_write_index(docs, path)
+    return rk.bm25_probe_batch(spark, path, _BM25_BATCH_QUERIES, k=5)
+
+
 def q_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source order-independent content checksum — the one-number
     replication/migration validation (n_rows + 32-bit-hash sum)."""
@@ -2915,6 +2936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "span_cut": q_span_cut,
     "encoding_report": q_encoding_report,
+    "bm25_batch_probe": q_bm25_batch_probe,
     **RELATIONAL_QUERIES,
 }
 
@@ -2957,6 +2979,7 @@ _CHECK_FIRST: list[str] = [
     "tokenizer_fertility",
     "span_cut",
     "encoding_report",
+    "bm25_batch_probe",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -2987,7 +3010,6 @@ _CHECK_FIRST: list[str] = [
     "exact_dedup",
     "ngram_jaccard_neardup",
     "minhash_lsh_neardup",
-    "minhash_probe",
 ]
 
 QUERIES = {
@@ -3055,6 +3077,7 @@ ORACLES: dict[str, str] = {
     "embedding_coverage": cu.embedding_coverage_sql(),
     "tokenizer_fertility": ta.tokenizer_fertility_sql(),
     "encoding_report": cu.encoding_report_sql(),
+    "bm25_batch_probe": rk.bm25_probe_batch_sql(_BM25_BATCH_QUERIES, k=5),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
