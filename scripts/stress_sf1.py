@@ -116,6 +116,7 @@ STRESS_QUERIES = [
     "tokenizer_fertility",
     "span_cut",
     "encoding_report",
+    "bm25_batch_probe",
 ]
 
 
