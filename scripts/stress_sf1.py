@@ -117,6 +117,7 @@ STRESS_QUERIES = [
     "span_cut",
     "encoding_report",
     "bm25_batch_probe",
+    "hybrid_probe",
 ]
 
 

@@ -2797,6 +2797,76 @@ def q_bm25_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rk.bm25_probe_batch(spark, path, _BM25_BATCH_QUERIES, k=5)
 
 
+def q_hybrid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from materialized indexes: a
+    BM25 inverted-index probe (bucket-pruned postings) and an IVF
+    partition-pruned ANN probe each produce a top-100 candidate list,
+    RRF-fused to a top-20 — the corpus text and the full embedding
+    table are never scanned at query time. Timing includes building
+    both indexes (the honest self-contained semantics; production
+    probes hit standing indexes and are corpus-size-independent).
+    The RRF windows run over ≤100 candidate rows, not the corpus."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    bpath = f"/tmp/vectra_bm25_idx/{sf_tag}_hybrid"
+    vpath = f"/tmp/vectra_ivf_idx/{sf_tag}_hybrid"
+    rk.bm25_write_index(docs, bpath)
+    sim.ivf_write_index(emb, vpath, dim=64)
+    qv = seeded_query_vector(64, seed=7)
+
+    wa = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    a = rk.bm25_probe(spark, bpath, _BM25_TERMS, k=_RRF_N).select(
+        "doc_id", F.row_number().over(wa).alias("ra")
+    )
+    wb = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    b = sim.ivf_topk_indexed(
+        spark, vpath, qv, k=_RRF_N, extra_cols=()
+    ).select("vec_id", F.row_number().over(wb).alias("rb"))
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.vec_id"), "full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
+        6,
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.vec_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_hybrid_probe() -> str:
+    bm25 = rk.bm25_probe_sql(_BM25_TERMS, k=_RRF_N)
+    ivf = sim.ivf_topk_sql(
+        seeded_query_vector(64, seed=7), k=_RRF_N, extra_cols=""
+    )
+    return f"""
+        WITH a AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+          FROM ({bm25})
+        ), b AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY score DESC, vec_id) AS rb
+          FROM ({ivf})
+        )
+        SELECT coalesce(a.doc_id, b.vec_id) AS doc_id,
+               ROUND(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + rb), 0.0), 6) AS rrf
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.vec_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 20
+    """
+
+
 def q_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source order-independent content checksum — the one-number
     replication/migration validation (n_rows + 32-bit-hash sum)."""
@@ -2937,6 +3007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_cut": q_span_cut,
     "encoding_report": q_encoding_report,
     "bm25_batch_probe": q_bm25_batch_probe,
+    "hybrid_probe": q_hybrid_probe,
     **RELATIONAL_QUERIES,
 }
 
@@ -2980,6 +3051,7 @@ _CHECK_FIRST: list[str] = [
     "span_cut",
     "encoding_report",
     "bm25_batch_probe",
+    "hybrid_probe",
     # (a) registered in r3 after the window filled — never checked
     "winnow_probe",
     "winnow_contamination",
@@ -3009,7 +3081,6 @@ _CHECK_FIRST: list[str] = [
     # ASCII fixtures, but fresh driver rows should say so)
     "exact_dedup",
     "ngram_jaccard_neardup",
-    "minhash_lsh_neardup",
 ]
 
 QUERIES = {
@@ -3078,6 +3149,7 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": ta.tokenizer_fertility_sql(),
     "encoding_report": cu.encoding_report_sql(),
     "bm25_batch_probe": rk.bm25_probe_batch_sql(_BM25_BATCH_QUERIES, k=5),
+    "hybrid_probe": _sql_hybrid_probe(),
     "lloyd_kmeans": cl.lloyd_kmeans_sql(k=8, iters=2),
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
