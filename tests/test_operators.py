@@ -1293,9 +1293,11 @@ def test_bm25_probe_batch_matches_single_probes(spark, tmp_path):
     rk.bm25_write_index(df, path)
     queries = {"qa": ("spark", "shuffle"), "qb": ("table", "filter")}
     batch = rk.bm25_probe_batch(spark, path, queries, k=3)
+    import itertools
+
     got = {
         qid: [(r.doc_id, r.bm25) for r in rows]
-        for qid, rows in __import__("itertools").groupby(
+        for qid, rows in itertools.groupby(
             batch.collect(), key=lambda r: r.query_id
         )
     }

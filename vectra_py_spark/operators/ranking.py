@@ -254,6 +254,86 @@ def bm25_append_index(
     )
 
 
+def _probe_buckets(spark, terms: Sequence[str], n_buckets: int) -> list[int]:
+    """The probed terms' bucket ids via a 1-row Spark job (xxhash64 is
+    JVM-side — reimplementing it driver-side risks divergence; bounded
+    collect, one row per term). Shared by single and batched probes."""
+    return sorted(
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def _index_stats(spark, path: str) -> DataFrame:
+    """1-row (n_docs, avgdl) from the per-batch stats deltas — exact
+    integer sums, identical under any append history."""
+    return (
+        spark.read.parquet(f"{path}/_stats")
+        .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
+        .select(
+            (F.col("_n") * F.lit(1.0)).alias("n_docs"),
+            (F.col("_s") / F.col("_n")).alias("avgdl"),
+        )
+    )
+
+
+def _bm25_contrib() -> Column:
+    """Per-posting BM25 contribution over (tf, dl, df, n_docs, avgdl)
+    columns — the ONE place the scoring arithmetic lives for both
+    probe paths (operation order mirrored by the SQL twin in
+    :func:`_contrib_sql`)."""
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+
+
+def _probe_ctes_sql(
+    terms: Sequence[str], table: str, text_expr: str, id_col: str
+) -> str:
+    """Shared d/stats/post/dfreq CTE body for the probe SQL twins."""
+    w = _words_sql(text_expr)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""d AS (
+          SELECT {id_col}, words, len(words) AS dl
+          FROM (SELECT {id_col}, {w} AS words FROM {table})
+        ), stats AS (
+          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM d
+        ), post AS (
+          SELECT {id_col}, dl, term, count(*) AS tf
+          FROM (SELECT {id_col}, dl, unnest(words) AS term FROM d) u
+          WHERE term IN ({in_list})
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) * 1.0 AS df FROM post GROUP BY 1
+        )"""
+
+
+def _contrib_sql() -> str:
+    """DuckDB twin of :func:`_bm25_contrib` (same operation order)."""
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return (
+        f"CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (tf * {k1p1!r})"
+        f" / (tf + {BM25_K1!r}"
+        f" * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))"
+        f" AS DECIMAL(28,12))"
+    )
+
+
 def bm25_probe(
     spark,
     path: str,
@@ -283,44 +363,18 @@ def bm25_probe(
     corpus-size-independent.
     """
     terms = list(dict.fromkeys(terms))
-    buckets = sorted(
-        r["b"]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    stats = (
-        spark.read.parquet(f"{path}/_stats")
-        .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
-        .select(
-            (F.col("_n") * F.lit(1.0)).alias("n_docs"),
-            (F.col("_s") / F.col("_n")).alias("avgdl"),
-        )
-    )
+    buckets = _probe_buckets(spark, terms, n_buckets)
+    stats = _index_stats(spark, path)
     post = spark.read.parquet(path).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
     dfreq = post.groupBy("term").agg(
         (F.count(F.lit(1)) * F.lit(1.0)).alias("df")
     )
-    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    contrib = (
-        idf
-        * (F.col("tf") * (k1 + 1.0))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-    )
     return (
         post.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select(id_col, contrib.cast("decimal(28,12)").alias("c"))
+        .select(id_col, _bm25_contrib().cast("decimal(28,12)").alias("c"))
         .groupBy(id_col)
         .agg(F.sum("c").alias("s"))
         .select(
@@ -344,34 +398,14 @@ def bm25_probe_sql(
     exact-DECIMAL contribution sum pipeline, derived from the raw
     table (the oracle has no materialized index — equality proves the
     index content is faithful)."""
-    w = _words_sql(text_expr)
     terms = list(dict.fromkeys(terms))
-    in_list = ", ".join(f"'{t}'" for t in terms)
-    k1p1 = BM25_K1 + 1.0
-    one_minus_b = 1.0 - BM25_B
     return f"""
-        WITH d AS (
-          SELECT {id_col}, words, len(words) AS dl
-          FROM (SELECT {id_col}, {w} AS words FROM {table})
-        ), stats AS (
-          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM d
-        ), post AS (
-          SELECT {id_col}, dl, term, count(*) AS tf
-          FROM (SELECT {id_col}, dl, unnest(words) AS term FROM d) u
-          WHERE term IN ({in_list})
-          GROUP BY 1, 2, 3
-        ), dfreq AS (
-          SELECT term, count(*) * 1.0 AS df FROM post GROUP BY 1
-        )
+        WITH {_probe_ctes_sql(terms, table, text_expr, id_col)}
         SELECT {id_col},
                ROUND(CAST(SUM(c) AS DOUBLE), {score_dp}) AS bm25
         FROM (
           SELECT {id_col},
-                 CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                      * (tf * {k1p1!r})
-                      / (tf + {BM25_K1!r}
-                         * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))
-                      AS DECIMAL(28,12)) AS c
+                 {_contrib_sql()} AS c
           FROM post JOIN dfreq USING (term), stats
         )
         GROUP BY {id_col}
@@ -409,41 +443,13 @@ def bm25_probe_batch(
     ]
     qdf = spark.createDataFrame(pairs, "query_id string, term string")
     all_terms = sorted({t for _, t in pairs})
-    buckets = sorted(
-        r["b"]
-        for r in spark.createDataFrame(
-            [(t,) for t in all_terms], "term string"
-        )
-        .select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    stats = (
-        spark.read.parquet(f"{path}/_stats")
-        .agg(F.sum("n_docs").alias("_n"), F.sum("sum_dl").alias("_s"))
-        .select(
-            (F.col("_n") * F.lit(1.0)).alias("n_docs"),
-            (F.col("_s") / F.col("_n")).alias("avgdl"),
-        )
-    )
+    buckets = _probe_buckets(spark, all_terms, n_buckets)
+    stats = _index_stats(spark, path)
     post = spark.read.parquet(path).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(all_terms)
     )
     dfreq = post.groupBy("term").agg(
         (F.count(F.lit(1)) * F.lit(1.0)).alias("df")
-    )
-    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    contrib = (
-        idf
-        * (F.col("tf") * (k1 + 1.0))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc(id_col)
@@ -453,7 +459,9 @@ def bm25_probe_batch(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
-            "query_id", id_col, contrib.cast("decimal(28,12)").alias("c")
+            "query_id",
+            id_col,
+            _bm25_contrib().cast("decimal(28,12)").alias("c"),
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("c").alias("s"))
@@ -482,37 +490,18 @@ def bm25_probe_batch_sql(
         (qid, t) for qid, terms in queries.items()
         for t in dict.fromkeys(terms)
     ]
-    w = _words_sql(text_expr)
     all_terms = sorted({t for _, t in pairs})
-    in_list = ", ".join(f"'{t}'" for t in all_terms)
     values = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
-    k1p1 = BM25_K1 + 1.0
-    one_minus_b = 1.0 - BM25_B
     return f"""
-        WITH d AS (
-          SELECT {id_col}, words, len(words) AS dl
-          FROM (SELECT {id_col}, {w} AS words FROM {table})
-        ), stats AS (
-          SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM d
-        ), q(query_id, term) AS (
+        WITH {_probe_ctes_sql(all_terms, table, text_expr, id_col)},
+        q(query_id, term) AS (
           VALUES {values}
-        ), post AS (
-          SELECT {id_col}, dl, term, count(*) AS tf
-          FROM (SELECT {id_col}, dl, unnest(words) AS term FROM d) u
-          WHERE term IN ({in_list})
-          GROUP BY 1, 2, 3
-        ), dfreq AS (
-          SELECT term, count(*) * 1.0 AS df FROM post GROUP BY 1
         ), scores AS (
           SELECT query_id, {id_col},
                  ROUND(CAST(SUM(c) AS DOUBLE), {score_dp}) AS bm25
           FROM (
             SELECT query_id, {id_col},
-                   CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                        * (tf * {k1p1!r})
-                        / (tf + {BM25_K1!r}
-                           * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))
-                        AS DECIMAL(28,12)) AS c
+                   {_contrib_sql()} AS c
             FROM post
             JOIN q USING (term)
             JOIN dfreq USING (term), stats

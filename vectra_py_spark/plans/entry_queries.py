@@ -531,6 +531,44 @@ _RRF_K = 60
 _RRF_N = 100
 
 
+def _rrf_fuse(a: DataFrame, b: DataFrame, id_b: str, limit: int) -> DataFrame:
+    """Shared RRF combiner: ``a`` carries (doc_id, ra), ``b`` carries
+    (id_b, rb); full-outer union of the two candidate lists, score =
+    Σ 1/(K + rank), 6-dp round, deterministic (score desc, id) top cut.
+    The ONE place the fusion arithmetic lives — `rrf_fusion` and
+    `hybrid_probe` both route through it (SQL twin:
+    :func:`_rrf_fuse_sql`)."""
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col(f"b.{id_b}"), "full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
+        6,
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.doc_id"), F.col(f"b.{id_b}")).alias("doc_id"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def _rrf_fuse_sql(id_b: str, limit: int) -> str:
+    """DuckDB twin of :func:`_rrf_fuse`'s SELECT over CTEs ``a``
+    (doc_id, ra) and ``b`` (``id_b``, rb)."""
+    return f"""
+        SELECT coalesce(a.doc_id, b.{id_b}) AS doc_id,
+               ROUND(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + rb), 0.0), 6) AS rrf
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.{id_b}
+        ORDER BY rrf DESC, doc_id
+        LIMIT {limit}
+    """
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two rankers (BM25 relevance × quality
     score) — the standard hybrid-retrieval combiner
@@ -556,22 +594,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_N)
         .select("doc_id", F.row_number().over(wb).alias("rb"))
     )
-    joined = a.alias("a").join(
-        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
-    )
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
-        6,
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
-            rrf.alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return _rrf_fuse(a, b, id_b="doc_id", limit=20)
 
 
 def _sql_rrf_fusion() -> str:
@@ -587,12 +610,7 @@ def _sql_rrf_fusion() -> str:
           FROM (SELECT doc_id, quality_score FROM ({qual})
                 ORDER BY quality_score DESC, doc_id LIMIT {_RRF_N})
         )
-        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-               ROUND(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
-                     + coalesce(1.0 / ({_RRF_K} + rb), 0.0), 6) AS rrf
-        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-        ORDER BY rrf DESC, doc_id
-        LIMIT 20
+        {_rrf_fuse_sql(id_b="doc_id", limit=20)}
     """
 
 
@@ -2825,22 +2843,7 @@ def q_hybrid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sim.ivf_topk_indexed(
         spark, vpath, qv, k=_RRF_N, extra_cols=()
     ).select("vec_id", F.row_number().over(wb).alias("rb"))
-    joined = a.alias("a").join(
-        b.alias("b"), F.col("a.doc_id") == F.col("b.vec_id"), "full_outer"
-    )
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("ra")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rb")), F.lit(0.0)),
-        6,
-    )
-    return (
-        joined.select(
-            F.coalesce(F.col("a.doc_id"), F.col("b.vec_id")).alias("doc_id"),
-            rrf.alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return _rrf_fuse(a, b, id_b="vec_id", limit=20)
 
 
 def _sql_hybrid_probe() -> str:
@@ -2858,12 +2861,7 @@ def _sql_hybrid_probe() -> str:
                  row_number() OVER (ORDER BY score DESC, vec_id) AS rb
           FROM ({ivf})
         )
-        SELECT coalesce(a.doc_id, b.vec_id) AS doc_id,
-               ROUND(coalesce(1.0 / ({_RRF_K} + ra), 0.0)
-                     + coalesce(1.0 / ({_RRF_K} + rb), 0.0), 6) AS rrf
-        FROM a FULL OUTER JOIN b ON a.doc_id = b.vec_id
-        ORDER BY rrf DESC, doc_id
-        LIMIT 20
+        {_rrf_fuse_sql(id_b="vec_id", limit=20)}
     """
 
 
@@ -3076,11 +3074,13 @@ _CHECK_FIRST: list[str] = [
     "shipping_priority",
     "promo_revenue",
     "semantic_search",
-    # (c) r2-green, stale — shingle/simhash family first (their
-    # tokenizer gained re.ASCII this round; behavior-neutral on the
-    # ASCII fixtures, but fresh driver rows should say so)
-    "exact_dedup",
-    "ngram_jaccard_neardup",
+    # (c) r2-green, stale — the MinHash pair keeps its slots because
+    # its Python-side tokenizer gained re.ASCII this round
+    # (behavior-neutral on the ASCII fixtures; the fresh rows prove
+    # it). exact_dedup/ngram_jaccard (no Python tokenizer) rotated
+    # out to make room for the session-2 additions.
+    "minhash_lsh_neardup",
+    "minhash_probe",
 ]
 
 QUERIES = {
