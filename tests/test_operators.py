@@ -1306,3 +1306,68 @@ def test_bm25_probe_batch_matches_single_probes(spark, tmp_path):
                   for r in rk.bm25_probe(spark, path, list(terms), k=3)
                   .collect()]
         assert got[qid] == single  # batch == per-query single probes
+
+
+def test_compact_bm25_index_preserves_probes_and_replay(spark, tmp_path):
+    from vectra_py_spark.operators import ranking as rk
+    from vectra_py_spark.sources.maintenance import parquet_file_stats
+
+    cols = ["doc_id", "text"]
+    b0 = [(1, "spark shuffle spark join"), (2, "spark table column")]
+    b1 = [(3, "table column row filter group")]
+    b2 = [(4, "shuffle exchange partition skew shuffle")]
+    path = str(tmp_path / "cidx")
+    rk.bm25_write_index(spark.createDataFrame(b0, cols), path)
+    rk.bm25_append_index(spark.createDataFrame(b1, cols), path, batch_id=1)
+    rk.bm25_append_index(spark.createDataFrame(b2, cols), path, batch_id=2)
+
+    terms = ["spark", "shuffle", "table"]
+    before = [(r.doc_id, r.bm25)
+              for r in rk.bm25_probe(spark, path, terms, k=4).collect()]
+    n_before, _ = parquet_file_stats(path)
+
+    out = rk.compact_bm25_index(spark, path)
+    assert out["batches_folded"] == 2
+    assert out["files_after"] < n_before
+
+    after = [(r.doc_id, r.bm25)
+             for r in rk.bm25_probe(spark, path, terms, k=4).collect()]
+    assert after == before
+
+    # the LATEST batch can still be replayed idempotently post-compaction
+    rk.bm25_append_index(spark.createDataFrame(b2, cols), path, batch_id=2)
+    replay = [(r.doc_id, r.bm25)
+              for r in rk.bm25_probe(spark, path, terms, k=4).collect()]
+    assert replay == before
+    # and the next auto-assigned batch id still advances past max
+    rk.bm25_append_index(
+        spark.createDataFrame([(5, "spark anew")], cols), path
+    )
+    ids = {r.doc_id for r in rk.bm25_probe(spark, path, ["spark"], k=5)
+           .collect()}
+    assert 5 in ids
+
+
+def test_ivf_append_equals_fresh_build(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    cols = "vec_id bigint, embedding array<double>"
+    inc = str(tmp_path / "ivf_inc")
+    sim.ivf_write_index(
+        spark.createDataFrame(rows[:25], cols), inc, dim=8
+    )
+    sim.ivf_append_index(
+        spark.createDataFrame(rows[25:], cols), inc, dim=8
+    )
+    full = str(tmp_path / "ivf_full")
+    sim.ivf_write_index(spark.createDataFrame(rows, cols), full, dim=8)
+
+    q = [float(x) for x in rng.standard_normal(8)]
+    got = [(r.vec_id, r.score) for r in
+           sim.ivf_topk_indexed(spark, inc, q, k=5, extra_cols=()).collect()]
+    want = [(r.vec_id, r.score) for r in
+            sim.ivf_topk_indexed(spark, full, q, k=5, extra_cols=()).collect()]
+    assert got == want

@@ -39,6 +39,7 @@ __all__ = [
     "bm25_topk_sql",
     "bm25_write_index",
     "bm25_append_index",
+    "compact_bm25_index",
     "bm25_probe",
     "bm25_probe_sql",
     "bm25_probe_batch",
@@ -332,6 +333,79 @@ def _contrib_sql() -> str:
         f" * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))"
         f" AS DECIMAL(28,12))"
     )
+
+
+def compact_bm25_index(spark, path: str) -> dict[str, int]:
+    """Fold the index's COMMITTED batch partitions into one — the
+    OPTIMIZE step for an index many :func:`bm25_append_index` /
+    streaming batches have accreted small files onto.
+
+    Replay safety: only the LATEST batch id can ever be replayed
+    (a crash lands before its checkpoint commit; every earlier batch's
+    commit is durable), so batches ``0..max-1`` fold into a single
+    ``_batch_id = 0`` partition per bucket while batch ``max`` keeps
+    its own partitions — a post-compaction replay of ``max`` still
+    replaces exactly its own data (idempotency preserved,
+    test-asserted). Stats deltas fold the same way, so probe stats
+    stay exact. Whole-index rewrite via tmp-and-swap (single-writer,
+    run at a maintenance window like every OPTIMIZE); at 100 TB run
+    it bucket-by-bucket on a schedule instead (same fold, one
+    directory at a time — the ``sources/maintenance.compact_index``
+    pattern).
+
+    Returns {files_before, files_after, batches_folded}.
+    """
+    import shutil
+    import uuid
+
+    from vectra_py_spark.sources.maintenance import parquet_file_stats
+
+    max_bid = int(
+        spark.read.parquet(f"{path}/_stats").agg(F.max("_batch_id")).head()[0]
+    )
+    before, _ = parquet_file_stats(path)
+    if max_bid < 1:
+        return {"files_before": before, "files_after": before,
+                "batches_folded": 0}
+
+    post = spark.read.parquet(path)
+    folded_post = (
+        post.filter(F.col("_batch_id") < max_bid)
+        .withColumn("_batch_id", F.lit(0))
+        .unionByName(post.filter(F.col("_batch_id") == max_bid))
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    folded_stats = (
+        stats.filter(F.col("_batch_id") < max_bid)
+        .groupBy()
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .withColumn("_batch_id", F.lit(0))
+        # a bootstrap-less stream starts at batch 1: nothing below max
+        # → the global agg yields one all-NULL row; drop it
+        .filter(F.col("n_docs").isNotNull())
+        .unionByName(stats.filter(F.col("_batch_id") == max_bid))
+    )
+
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    (
+        folded_post.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "_batch_id")
+        .parquet(tmp)
+    )
+    folded_stats.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        f"{tmp}/_stats"
+    )
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    after, _ = parquet_file_stats(path)
+    return {
+        "files_before": before,
+        "files_after": after,
+        "batches_folded": max_bid,
+    }
 
 
 def bm25_probe(

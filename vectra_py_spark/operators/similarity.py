@@ -58,6 +58,7 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_sql",
     "ivf_write_index",
+    "ivf_append_index",
     "ivf_topk_indexed",
     "lsh_similarity_join",
     "lsh_similarity_join_sql",
@@ -830,6 +831,58 @@ def ivf_write_index(
         df.join(cells, df[id_col] == cells["vid"])
         .drop("vid")
         .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_append_index(
+    df_new: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Incremental IVF maintenance: assign a new batch's vectors to
+    their cells and append into the existing cell directories — the
+    at-scale ingest path :func:`ivf_write_index` bootstraps (cost is
+    O(batch); the indexed corpus is never rescanned, and
+    :func:`ivf_topk_indexed` serves the union immediately).
+
+    Cell assignment is a pure function of (vector, centroids), so an
+    incrementally-built index holds exactly the rows a from-scratch
+    build would (equality-tested). New ids must be disjoint from
+    indexed ones — the same single-writer discipline as the vector
+    index MERGE and the BM25 postings append. Appends accrete one
+    file per touched cell per batch; fold with
+    ``sources/maintenance.compact_index``-style per-directory
+    compaction on a schedule.
+    """
+    cents = seeded_centroids(dim, n_cells, seed)
+    spark = df_new.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    base = df_new.select(
+        F.col(id_col).alias("vid"), F.col(vector_col).alias("vec")
+    )
+    dots = base.join(F.broadcast(cent_df)).select(
+        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
+    cells = (
+        dots.withColumn("cell", F.first("cid").over(w))
+        .select("vid", "cell")
+        .distinct()
+    )
+    (
+        df_new.join(cells, df_new[id_col] == cells["vid"])
+        .drop("vid")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
     )
