@@ -59,6 +59,10 @@ def main() -> None:
         "pq_rerank(trained,x20)": lambda q: qz.pq_topk_rerank(
             emb, q, k=K, oversample=20, codebook=cb_trained
         ),
+        # the BENCH.md headline rerank row — oversample x50
+        "pq_rerank(trained,x50)": lambda q: qz.pq_topk_rerank(
+            emb, q, k=K, oversample=50, codebook=cb_trained
+        ),
     }
 
     hits = {name: 0 for name in variants}

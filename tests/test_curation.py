@@ -245,7 +245,7 @@ def test_oov_rate_counts(spark):
         ["doc_id", "source", "text"],
     )
     vocab = ta.build_vocab(df, vocab_size=2)
-    out = {r.source: r for r in ta.oov_rate(df, vocab, 2).collect()}
+    out = {r.source: r for r in ta.oov_rate(df, vocab).collect()}
     assert out["a"].n_tokens == 6 and out["a"].n_oov == 1
     assert out["b"].n_tokens == 3 and out["b"].n_oov == 1
     assert out["a"].oov_rate == pytest.approx(1 / 6, abs=1e-6)
@@ -551,3 +551,30 @@ def test_content_checksum_null_cells_cross_engine(spark, tmp_path):
     c2 = cu.content_checksum(df2).collect()[0].checksum
     c3 = cu.content_checksum(df3).collect()[0].checksum
     assert c2 != c3
+
+
+def test_corpus_diff_null_text_rows_keep_presence(spark):
+    """Presence must come from row existence, not hash nullity — a
+    NULL-text row (e.g. quarantined parse) in only the old snapshot is
+    'removed', and NULL == NULL text is 'unchanged'."""
+    cols = "doc_id bigint, source string, text string"
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "same"), (3, "a", None)], cols)
+    new = spark.createDataFrame(
+        [(2, "a", "same"), (3, "a", None), (4, "a", "fresh")], cols)
+    out = {(r.source, r.status): r.n_docs
+           for r in cu.corpus_diff(old, new).collect()}
+    assert out == {
+        ("a", "removed"): 1,    # doc 1 (NULL text, old only)
+        ("a", "unchanged"): 2,  # doc 2 + doc 3 (NULL == NULL)
+        ("a", "added"): 1,      # doc 4
+    }
+
+
+def test_nfc_normalize_keeps_null_text_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "café"), (2, None)], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in cu.nfc_normalize(df).collect()}
+    assert len(out) == 2                      # NULL row not dropped
+    assert out[2].norm_hash is None and out[2].changed is None
+    assert out[1].changed and out[1].n_chars_norm == 4  # NFC composed

@@ -519,12 +519,18 @@ def nfc_normalize(
         for pdf in batches:
             ids, hs, ns, ch = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
                 if t is None:
+                    # NULL text stays a (NULL-featured) row — dropping
+                    # it would silently lose the doc from every
+                    # downstream dedup, and diverge from the SQL twin
+                    hs.append(None)
+                    ns.append(None)
+                    ch.append(None)
                     continue
                 norm = spaces.sub(
                     " ", ctrl.sub("", unicodedata.normalize("NFC", str(t)))
                 )
-                ids.append(i)
                 hs.append(hashlib.md5(norm.encode()).hexdigest())
                 ns.append(len(norm))
                 ch.append(norm != t)
@@ -709,21 +715,28 @@ def corpus_diff(
     aggregate. At 100 TB both sides are id-bucketed snapshots, so the
     join co-locates without a shuffle (see ``sources/bucketed.py``).
     """
+    # presence is tracked by dedicated marker columns, NOT hash
+    # nullity — a present row with NULL text (e.g. a quarantined
+    # PERMISSIVE-parse) has a NULL md5 and would otherwise be
+    # misclassified as absent; hash comparison is null-safe for the
+    # same reason (NULL text on both sides = unchanged).
     o = old_df.select(
         F.col(id_col),
         F.col(source_col).alias("src_old"),
         F.md5(F.col(text_col)).alias("h_old"),
+        F.lit(1).alias("_in_old"),
     )
     n = new_df.select(
         F.col(id_col),
         F.col(source_col).alias("src_new"),
         F.md5(F.col(text_col)).alias("h_new"),
+        F.lit(1).alias("_in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("added"))
-        .when(F.col("h_new").isNull(), F.lit("removed"))
-        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old").eqNullSafe(F.col("h_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
@@ -749,18 +762,18 @@ def corpus_diff_sql(
     return f"""
         WITH o AS (
             SELECT {id_col}, {source_col} AS src_old,
-                   md5({text_expr}) AS h_old
+                   md5({text_expr}) AS h_old, 1 AS in_old
             FROM {old_rel}
         ),
         n AS (
             SELECT {id_col}, {source_col} AS src_new,
-                   md5({text_expr}) AS h_new
+                   md5({text_expr}) AS h_new, 1 AS in_new
             FROM {new_rel}
         )
         SELECT COALESCE(src_new, src_old) AS {source_col},
-               CASE WHEN h_old IS NULL THEN 'added'
-                    WHEN h_new IS NULL THEN 'removed'
-                    WHEN h_old = h_new THEN 'unchanged'
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN h_old IS NOT DISTINCT FROM h_new THEN 'unchanged'
                     ELSE 'changed' END AS status,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM o FULL OUTER JOIN n USING ({id_col})

@@ -244,9 +244,19 @@ def pq_codebook(
     for s in range(m):
         cents = seeded_centroids(dsub, ks, seed=seed + 7919 * s)
         out.append(
-            [[int(round(x * PQ_SCALE)) for x in c] for c in cents]
+            [[_half_away(x * PQ_SCALE) for x in c] for c in cents]
         )
     return out
+
+
+def _half_away(x: float) -> int:
+    """Scalar half-away-from-zero rounding (matches DuckDB/Spark ROUND
+    and :func:`_scale_to_int`; Python's builtin ``round`` is
+    half-to-even and would encode a query differently from the stored
+    vectors on exact .5 fixed-point ties)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
 
 def _scale_to_int(a):
@@ -335,7 +345,7 @@ def pq_topk(
     q = [float(x) for x in query]
     if len(q) != m * dsub:
         raise ValueError(f"query dim {len(q)} != {m * dsub}")
-    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
+    qi = [_half_away(x * PQ_SCALE) for x in q]
     lut = [
         [
             sum(
@@ -358,25 +368,18 @@ def pq_topk(
     )
 
 
-def pq_topk_sql(
-    query: Sequence[float],
-    k: int = 10,
-    codebook: list[list[list[int]]] | None = None,
-    table: str = "embeddings",
-    id_col: str = "vec_id",
-    vector_expr: str = "embedding",
+def _pq_sql_tail(
+    cb, qi, rel: str, id_col: str, vector_expr: str, k: int
 ) -> str:
-    """DuckDB twin of :func:`pq_topk`: the same integer codebook as a
-    VALUES relation, encode = ROW_NUMBER-argmin over exact int64
-    distances (ORDER BY d, code = numpy argmin's first-minimum), LUT
-    from the same query constants, ADC = SUM of LUT hits."""
-    cb = codebook or pq_codebook()
+    """The shared encode/LUT/ADC CTE body + final SELECT of the PQ SQL
+    twins — ``rel`` is the relation the vectors come from (the raw
+    table for pq_topk, the cell-pruned ``survivors`` CTE for ivfpq).
+    One place for the fixed-point encode and argmin tie rule, so the
+    two ANN twins cannot drift."""
     m = len(cb)
     ks = len(cb[0])
     dsub = len(cb[0][0])
     dim = m * dsub
-    q = [float(x) for x in query]
-    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
     cb_rows = ", ".join(
         f"({s}, {c}, {j}, {cb[s][c][j]})"
         for s in range(m)
@@ -392,8 +395,7 @@ def pq_topk_sql(
         for s in range(m)
         for c in range(ks)
     )
-    return f"""
-        WITH cb(sub, code, pos, cv) AS (VALUES {cb_rows}),
+    return f"""cb(sub, code, pos, cv) AS (VALUES {cb_rows}),
         lut(sub, code, qd) AS (VALUES {lut_rows}),
         ve AS (
             SELECT {id_col},
@@ -401,7 +403,7 @@ def pq_topk_sql(
                    CAST((i - 1) % {dsub} AS INT) AS pos,
                    CAST(ROUND(CAST({vector_expr}[i] AS DOUBLE)
                               * {PQ_SCALE}.0) AS BIGINT) AS xv
-            FROM {table}, range(1, {dim + 1}) t(i)
+            FROM {rel}, range(1, {dim + 1}) t(i)
         ),
         dists AS (
             SELECT {id_col}, sub, code,
@@ -422,6 +424,29 @@ def pq_topk_sql(
         ORDER BY adc, c.{id_col}
         LIMIT {k}
     """
+
+
+def pq_topk_sql(
+    query: Sequence[float],
+    k: int = 10,
+    codebook: list[list[list[int]]] | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_expr: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: the same integer codebook as a
+    VALUES relation, encode = ROW_NUMBER-argmin over exact int64
+    distances (ORDER BY d, code = numpy argmin's first-minimum), LUT
+    from the same query constants, ADC = SUM of LUT hits."""
+    cb = codebook or pq_codebook()
+    m = len(cb)
+    dsub = len(cb[0][0])
+    q = [float(x) for x in query]
+    qi = [_half_away(x * PQ_SCALE) for x in q]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    return f"""
+        WITH {_pq_sql_tail(cb, qi, table, id_col, vector_expr, k)}"""
 
 
 def ivfpq_topk(
@@ -487,7 +512,8 @@ def ivfpq_topk_sql(
     vector_expr: str = "embedding",
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk`: the ivf_topk cell CTE (same
-    centroids, probes, tie rule) feeding the pq_topk code/LUT CTEs."""
+    centroids, probes, tie rule) feeding the SHARED pq encode/LUT/ADC
+    tail (:func:`_pq_sql_tail`) over the cell-pruned survivors."""
     from vectra_py_spark.operators.similarity import (
         _plane_lit_sql,
         _seq_dot,
@@ -495,10 +521,6 @@ def ivfpq_topk_sql(
     )
 
     cb = codebook or pq_codebook()
-    m = len(cb)
-    ks = len(cb[0])
-    dsub = len(cb[0][0])
-    dim = m * dsub
     cents = seeded_centroids(len(query), n_cells, seed)
     probe = ", ".join(
         str(cid)
@@ -507,27 +529,12 @@ def ivfpq_topk_sql(
         )[:nprobe]
     )
     q = [float(x) for x in query]
-    qi = [int(round(abs(x) * PQ_SCALE) * (1 if x >= 0 else -1)) for x in q]
+    qi = [_half_away(x * PQ_SCALE) for x in q]
     v = f"{vector_expr}::DOUBLE[]"
     dot_union = "\n            UNION ALL\n".join(
         f"            SELECT {id_col} AS vid, {cid} AS cid, "
         f"list_dot_product({v}, {_plane_lit_sql(c)}) AS d FROM {table}"
         for cid, c in enumerate(cents)
-    )
-    cb_rows = ", ".join(
-        f"({s}, {c}, {j}, {cb[s][c][j]})"
-        for s in range(m)
-        for c in range(ks)
-        for j in range(dsub)
-    )
-    lut_rows = ", ".join(
-        f"({s}, {c}, "
-        + str(
-            sum((qi[s * dsub + j] - cb[s][c][j]) ** 2 for j in range(dsub))
-        )
-        + ")"
-        for s in range(m)
-        for c in range(ks)
     )
     return f"""
         WITH dots AS (
@@ -544,35 +551,7 @@ def ivfpq_topk_sql(
             JOIN cells ON t.{id_col} = cells.vid
                       AND cells.cell IN ({probe})
         ),
-        cb(sub, code, pos, cv) AS (VALUES {cb_rows}),
-        lut(sub, code, qd) AS (VALUES {lut_rows}),
-        ve AS (
-            SELECT {id_col},
-                   CAST((i - 1) // {dsub} AS INT) AS sub,
-                   CAST((i - 1) % {dsub} AS INT) AS pos,
-                   CAST(ROUND(CAST({vector_expr}[i] AS DOUBLE)
-                              * {PQ_SCALE}.0) AS BIGINT) AS xv
-            FROM survivors, range(1, {dim + 1}) t(i)
-        ),
-        dists AS (
-            SELECT {id_col}, sub, code,
-                   SUM((xv - cv) * (xv - cv)) AS d
-            FROM ve JOIN cb USING (sub, pos)
-            GROUP BY {id_col}, sub, code
-        ),
-        codes AS (
-            SELECT {id_col}, sub, code,
-                   ROW_NUMBER() OVER (PARTITION BY {id_col}, sub
-                                      ORDER BY d, code) AS rn
-            FROM dists
-        )
-        SELECT c.{id_col}, CAST(SUM(l.qd) AS BIGINT) AS adc
-        FROM codes c JOIN lut l USING (sub, code)
-        WHERE c.rn = 1
-        GROUP BY c.{id_col}
-        ORDER BY adc, c.{id_col}
-        LIMIT {k}
-    """
+        {_pq_sql_tail(cb, qi, "survivors", id_col, vector_expr, k)}"""
 
 
 def pq_train_codebook(
@@ -626,7 +605,7 @@ def pq_train_codebook(
                 if len(members):  # empty cell keeps its old centroid
                     C[c] = members.mean(axis=0)
         out.append(
-            [[int(round(x * PQ_SCALE)) for x in c] for c in C]
+            [[_half_away(x * PQ_SCALE) for x in c] for c in C]
         )
     return out
 

@@ -255,6 +255,12 @@ def bm25_append_index(
     )
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    probe terms are user input ("don't" is an ordinary keyword)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _probe_buckets(spark, terms: Sequence[str], n_buckets: int) -> list[int]:
     """The probed terms' bucket ids via a 1-row Spark job (xxhash64 is
     JVM-side — reimplementing it driver-side risks divergence; bounded
@@ -306,7 +312,7 @@ def _probe_ctes_sql(
 ) -> str:
     """Shared d/stats/post/dfreq CTE body for the probe SQL twins."""
     w = _words_sql(text_expr)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    in_list = ", ".join(_sql_str(t) for t in terms)
     return f"""d AS (
           SELECT {id_col}, words, len(words) AS dl
           FROM (SELECT {id_col}, {w} AS words FROM {table})
@@ -348,10 +354,14 @@ def compact_bm25_index(spark, path: str) -> dict[str, int]:
     replaces exactly its own data (idempotency preserved,
     test-asserted). Stats deltas fold the same way, so probe stats
     stay exact. Whole-index rewrite via tmp-and-swap (single-writer,
-    run at a maintenance window like every OPTIMIZE); at 100 TB run
-    it bucket-by-bucket on a schedule instead (same fold, one
-    directory at a time — the ``sources/maintenance.compact_index``
-    pattern).
+    run at a maintenance window like every OPTIMIZE). The swap is
+    driver-local-filesystem ``shutil``, same as
+    ``sources/maintenance.compact_parquet`` — on HDFS/S3 deployments
+    fold bucket-by-bucket on a schedule instead (same fold, one
+    directory at a time through the Spark writer — the
+    ``sources/maintenance.compact_index`` pattern), which is also the
+    right shape at 100 TB where a whole-index rewrite is a full-corpus
+    job.
 
     Returns {files_before, files_after, batches_folded}.
     """
@@ -565,7 +575,9 @@ def bm25_probe_batch_sql(
         for t in dict.fromkeys(terms)
     ]
     all_terms = sorted({t for _, t in pairs})
-    values = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    values = ", ".join(
+        f"({_sql_str(q)}, {_sql_str(t)})" for q, t in pairs
+    )
     return f"""
         WITH {_probe_ctes_sql(all_terms, table, text_expr, id_col)},
         q(query_id, term) AS (
@@ -605,7 +617,7 @@ def bm25_scores_sql(
     """DuckDB twin of :func:`bm25_scores` (no ordering/truncation)."""
     w = _words_sql(text_expr)
     dfs = ",\n                 ".join(
-        f"sum(CASE WHEN list_contains(words, '{t}') THEN 1 ELSE 0 END)"
+        f"sum(CASE WHEN list_contains(words, {_sql_str(t)}) THEN 1 ELSE 0 END)"
         f" * 1.0 AS df_{i}"
         for i, t in enumerate(terms)
     )
@@ -613,8 +625,8 @@ def bm25_scores_sql(
     one_minus_b = 1.0 - BM25_B
     parts = "\n          + ".join(
         f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
-        f" * (len(list_filter(words, x -> x = '{t}')) * {k1p1!r})"
-        f" / (len(list_filter(words, x -> x = '{t}'))"
+        f" * (len(list_filter(words, x -> x = {_sql_str(t)})) * {k1p1!r})"
+        f" / (len(list_filter(words, x -> x = {_sql_str(t)}))"
         f" + {BM25_K1!r} * ({one_minus_b!r} + {BM25_B!r} * dl / avgdl))"
         for i, t in enumerate(terms)
     )

@@ -792,6 +792,31 @@ def ivf_topk_sql(
     """
 
 
+def _ivf_cells(
+    df: DataFrame, cents, id_col: str, vector_col: str
+) -> DataFrame:
+    """(vid, cell) assignment — argmax-dot centroid with the
+    (d DESC, cid ASC) tie rule. The ONE place the assignment lives for
+    both the bootstrap build and incremental append (the
+    incremental-equals-fresh invariant depends on them agreeing)."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    base = df.select(F.col(id_col).alias("vid"), F.col(vector_col).alias("vec"))
+    dots = base.join(F.broadcast(cent_df)).select(
+        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
+    return (
+        dots.withColumn("cell", F.first("cid").over(w))
+        .select("vid", "cell")
+        .distinct()
+    )
+
+
 def ivf_write_index(
     df: DataFrame,
     path: str,
@@ -810,23 +835,7 @@ def ivf_write_index(
     the bytes (verify: `PartitionFilters` in the scan node, see
     :func:`ivf_topk_indexed` and BENCH.md).
     """
-    cents = seeded_centroids(dim, n_cells, seed)
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
-    )
-    base = df.select(F.col(id_col).alias("vid"), F.col(vector_col).alias("vec"))
-    dots = base.join(F.broadcast(cent_df)).select(
-        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
-    cells = (
-        dots.withColumn("cell", F.first("cid").over(w))
-        .select("vid", "cell")
-        .distinct()
-    )
+    cells = _ivf_cells(df, seeded_centroids(dim, n_cells, seed), id_col, vector_col)
     (
         df.join(cells, df[id_col] == cells["vid"])
         .drop("vid")
@@ -860,24 +869,8 @@ def ivf_append_index(
     ``sources/maintenance.compact_index``-style per-directory
     compaction on a schedule.
     """
-    cents = seeded_centroids(dim, n_cells, seed)
-    spark = df_new.sparkSession
-    cent_df = spark.createDataFrame(
-        [(cid, c) for cid, c in enumerate(cents)], "cid INT, cvec ARRAY<DOUBLE>"
-    )
-    base = df_new.select(
-        F.col(id_col).alias("vid"), F.col(vector_col).alias("vec")
-    )
-    dots = base.join(F.broadcast(cent_df)).select(
-        "vid", "cid", dot(F.col("vec"), F.col("cvec")).alias("d")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vid").orderBy(F.desc("d"), F.asc("cid"))
-    cells = (
-        dots.withColumn("cell", F.first("cid").over(w))
-        .select("vid", "cell")
-        .distinct()
+    cells = _ivf_cells(
+        df_new, seeded_centroids(dim, n_cells, seed), id_col, vector_col
     )
     (
         df_new.join(cells, df_new[id_col] == cells["vid"])

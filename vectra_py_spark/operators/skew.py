@@ -97,8 +97,12 @@ def skew_report(
             F.col(key),
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), dp).alias("share"),
+            # n_rows * (_keys / _total): the division goes first so the
+            # arithmetic stays in double — n_rows * _keys in int64
+            # overflows at exactly the table sizes this diagnostic is
+            # for (1e11-row hot key × 1e8 keys > 2^63)
             F.round(
-                F.col("n_rows") * F.col("_keys") / F.col("_total"), dp
+                F.col("n_rows") * (F.col("_keys") / F.col("_total")), dp
             ).alias("x_mean"),
         )
         .orderBy(F.desc("n_rows"), key)
@@ -118,7 +122,7 @@ def skew_report_sql(
         )
         SELECT {key}, CAST(n_rows AS BIGINT) AS n_rows,
                ROUND(n_rows / _total, {dp}) AS share,
-               ROUND(n_rows * _keys / _total, {dp}) AS x_mean
+               ROUND(n_rows * (_keys / _total), {dp}) AS x_mean
         FROM counts, stats
         ORDER BY n_rows DESC, {key}
         LIMIT {top_n}

@@ -1770,13 +1770,13 @@ def seq_len_histogram_sql(
 def oov_rate(
     df: DataFrame,
     vocab: DataFrame,
-    vocab_size: int,
     group_col: str = "source",
     text_col: str = "text",
     dp: int = 6,
 ) -> DataFrame:
     """Out-of-vocabulary rate per ``group_col``: the fraction of token
-    occurrences a ``vocab_size``-word vocabulary cannot cover — the
+    occurrences the given vocabulary (a :func:`build_vocab` result —
+    its size IS the vocab budget under test) cannot cover — the
     go/no-go metric when sizing a vocabulary or admitting a new source
     whose token distribution the tokenizer never saw.
 

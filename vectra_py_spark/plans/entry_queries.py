@@ -2690,7 +2690,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-word vocabulary (same vocab as tokenize_ids)."""
     docs = load(spark, sf_dir, "documents")
     vocab = ta.build_vocab(docs, vocab_size=_VOCAB_V)
-    return ta.oov_rate(docs, vocab, _VOCAB_V)
+    return ta.oov_rate(docs, vocab)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
