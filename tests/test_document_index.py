@@ -7,6 +7,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from vectra_py_spark.document_index import SparkDocumentIndex, infer_doc_type
 
@@ -112,3 +113,43 @@ def test_delete_document(doc_index):
     stats = doc_index.get_catalog_stats()
     assert stats["documents"] == n - 1
     assert doc_index.get_document_id("file:///tmp/extra.txt") is None
+
+
+def test_bulk_ingest_dataframe_path(spark, tmp_path):
+    """upsert_documents_df: corpus DataFrame in, same query surface
+    out; deterministic ids make re-ingest idempotent."""
+    idx = SparkDocumentIndex(spark, str(tmp_path / "bulkidx"), vector_dim=16)
+    idx.create()
+    corpus = spark.createDataFrame(
+        [
+            ("s3://c/a.md", "alpha document body text here", "web"),
+            ("s3://c/b.txt", "beta document entirely different", "web"),
+            ("s3://c/noext", "gamma third text", "book"),
+        ],
+        ["uri", "text", "src"],
+    )
+    idx.upsert_documents_df(corpus, metadata_cols=("src",))
+    docs = {r.uri: r for r in idx.documents().collect()}
+    assert len(docs) == 3
+    assert docs["s3://c/a.md"].doc_type == "md"
+    assert docs["s3://c/noext"].doc_type is None
+    assert docs["s3://c/b.txt"].metadata["src"] == "web"
+    assert idx.get_catalog_stats()["documents"] == 3
+
+    # re-ingest with one changed doc: replaced in place, not duplicated
+    idx.upsert_documents_df(
+        corpus.withColumn(
+            "text",
+            F.when(F.col("uri") == "s3://c/a.md",
+                   F.lit("alpha body REVISED")).otherwise(F.col("text")),
+        ),
+        metadata_cols=("src",),
+    )
+    docs2 = idx.documents().collect()
+    assert len(docs2) == 3
+    assert {r.text for r in docs2 if r.uri == "s3://c/a.md"} == {
+        "alpha body REVISED"
+    }
+    # retrieval works over the bulk-ingested corpus
+    ranked = idx.query_documents("beta document", max_documents=2)
+    assert len(ranked.collect()) >= 1

@@ -149,7 +149,73 @@ class SparkDocumentIndex:
                 }
             )
         staged = self.spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+        self._ingest_staged(staged)
+        return ids
 
+    def upsert_documents_df(
+        self,
+        docs_df: DataFrame,
+        uri_col: str = "uri",
+        text_col: str = "text",
+        doc_type_col: str | None = None,
+        metadata_cols: tuple[str, ...] = (),
+    ) -> None:
+        """Corpus-scale D5: the exact split → embed → partition-scoped
+        MERGE pipeline of :meth:`upsert_documents`, staged straight
+        from a DataFrame — a JSONL/CSV dump read by
+        ``sources/textcorpus.py`` (or any corpus table) flows in with
+        nothing round-tripping the driver.
+
+        ``document_id = md5(uri)``: deterministic, so re-ingesting a
+        corpus REPLACES documents in place instead of duplicating them
+        (the per-row ``uuid4`` of the list path would make bulk ingest
+        non-idempotent). ``doc_type`` comes from ``doc_type_col`` when
+        given, else from the uri extension (same T8 inference as the
+        driver-side path, as a codegen'd expression).
+        ``metadata_cols`` are folded into the string-map metadata.
+
+        Scale note: replace-by-uri deletion materializes the replaced
+        ids driver-side — O(re-ingested docs that already exist), zero
+        on a fresh corpus load. For a full-corpus RE-ingest, recreate
+        the index instead (strictly cheaper than merging 100% churn).
+        """
+        fname = F.element_at(F.split(F.col(uri_col), "/"), -1)
+        inferred = F.when(
+            fname.contains("."),
+            F.nullif(
+                F.lower(F.element_at(F.split(fname, r"\."), -1)), F.lit("")
+            ),
+        )
+        doc_type = (
+            F.coalesce(F.lower(F.col(doc_type_col)), inferred)
+            if doc_type_col
+            else inferred
+        )
+        meta = (
+            F.create_map(
+                *[
+                    x
+                    for c in metadata_cols
+                    for x in (F.lit(c), F.col(c).cast("string"))
+                ]
+            )
+            if metadata_cols
+            else F.lit(None).cast("map<string,string>")
+        )
+        staged = docs_df.select(
+            F.md5(F.col(uri_col)).alias("document_id"),
+            F.col(uri_col).cast("string").alias("uri"),
+            doc_type.alias("doc_type"),
+            F.col(text_col).cast("string").alias("text"),
+            meta.alias("metadata"),
+        )
+        self._ingest_staged(staged)
+
+    def _ingest_staged(self, staged: DataFrame) -> None:
+        """Shared tail of both ingest paths: replace-by-uri document
+        MERGE, distributed chunk+embed, one partition-scoped items
+        MERGE (reference delete-then-insert semantics,
+        ``local_document_index.py:137-141``)."""
         # replace-by-uri upsert of document rows (window MERGE, as in
         # SparkVectorIndex.commit)
         existing = self.documents()
@@ -210,7 +276,6 @@ class SparkDocumentIndex:
             F.col("document_id").isin(*replaced_ids) if replaced_ids else None
         )
         self.index.merge_batch(items, delete_cond=delete_cond)
-        return ids
 
     def upsert_document(
         self,
