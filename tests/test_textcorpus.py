@@ -94,3 +94,40 @@ def test_blank_lines_skipped_and_parse_is_narrow(spark, tmp_path):
     assert "Exchange" not in plan
     assert plan.startswith("*(1)")  # fused into one codegen stage
     assert "Python" not in plan
+
+
+def test_jsonl_dump_to_retrieval_end_to_end(spark, tmp_path):
+    """The full bulk path: JSONL dump → quarantine split → DataFrame
+    bulk ingest → vector retrieval, nothing driver-side in between."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from vectra_py_spark.document_index import SparkDocumentIndex
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "alpha retrieval subject body", "lang": "en",
+         "source": "web", "n_chars": 28},
+        {"doc_id": 2, "text": "beta unrelated content words", "lang": "en",
+         "source": "web", "n_chars": 28},
+    ]
+    lines = [_json.dumps(r) for r in rows] + ['{"doc_id": broken']
+    (p / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    clean, bad = corrupt_splitout(read_jsonl_documents(spark, str(p)))
+    assert bad.count() == 1
+
+    idx = SparkDocumentIndex(spark, str(tmp_path / "e2e_idx"), vector_dim=16)
+    idx.create()
+    idx.upsert_documents_df(
+        clean.select(
+            F.concat(F.lit("dump://"), F.col("doc_id")).alias("uri"),
+            "text",
+            "source",
+        ),
+        metadata_cols=("source",),
+    )
+    assert idx.get_catalog_stats()["documents"] == 2
+    hits = idx.query_documents("alpha retrieval", max_documents=1).collect()
+    assert len(hits) == 1
