@@ -153,3 +153,38 @@ def test_bulk_ingest_dataframe_path(spark, tmp_path):
     # retrieval works over the bulk-ingested corpus
     ranked = idx.query_documents("beta document", max_documents=2)
     assert len(ranked.collect()) >= 1
+
+
+def test_bulk_ingest_batch_hygiene(spark, tmp_path):
+    """NULL uris raise; duplicate uris keep one deterministic winner;
+    blank explicit doc_type falls back to extension inference; default
+    metadata is an empty map like the list path."""
+    idx = SparkDocumentIndex(spark, str(tmp_path / "hyg"), vector_dim=16)
+    idx.create()
+
+    with pytest.raises(ValueError, match="NULL uri"):
+        idx.upsert_documents_df(
+            spark.createDataFrame(
+                [(None, "text body")], "uri string, text string"
+            )
+        )
+
+    dup = spark.createDataFrame(
+        [
+            ("u://a.md", "bbb later crawl content", ""),
+            ("u://a.md", "aaa earlier crawl content", ""),
+        ],
+        ["uri", "text", "dt"],
+    )
+    idx.upsert_documents_df(dup, doc_type_col="dt")
+    rows = idx.documents().collect()
+    assert len(rows) == 1
+    assert rows[0].text == "aaa earlier crawl content"  # deterministic
+    assert rows[0].doc_type == "md"  # blank explicit → inferred
+    assert rows[0].metadata == {}    # empty map, not NULL
+    # exactly one uri's chunks in the items table
+    assert idx.get_catalog_stats()["chunks"] >= 1
+    doc_ids = {
+        r.document_id for r in idx.index.items().select("document_id").collect()
+    }
+    assert doc_ids == {rows[0].document_id}

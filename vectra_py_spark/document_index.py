@@ -174,12 +174,28 @@ class SparkDocumentIndex:
         driver-side path, as a codegen'd expression).
         ``metadata_cols`` are folded into the string-map metadata.
 
+        Batch hygiene (all matching the list path's semantics): a NULL
+        uri raises (the list path fails loudly on a missing uri —
+        silently ingesting an unaddressable document would orphan its
+        chunks forever); duplicate uris within the batch keep ONE
+        deterministic winner (smallest text — a dump that repeats a
+        uri is re-crawl churn, and replace-by-uri means exactly one
+        row per uri may land); empty/blank explicit doc_type falls
+        back to extension inference like ``infer_doc_type``.
+
         Scale note: replace-by-uri deletion materializes the replaced
         ids driver-side — O(re-ingested docs that already exist), zero
         on a fresh corpus load. For a full-corpus RE-ingest, recreate
         the index instead (strictly cheaper than merging 100% churn).
         """
-        fname = F.element_at(F.split(F.col(uri_col), "/"), -1)
+        u = F.col(uri_col).cast("string")
+        if docs_df.filter(u.isNull()).limit(1).count():
+            raise ValueError(
+                "upsert_documents_df: NULL uri in batch (an unaddressable "
+                "document can never be looked up or replaced) — filter or "
+                "fix upstream"
+            )
+        fname = F.element_at(F.split(u, "/"), -1)
         inferred = F.when(
             fname.contains("."),
             F.nullif(
@@ -187,7 +203,12 @@ class SparkDocumentIndex:
             ),
         )
         doc_type = (
-            F.coalesce(F.lower(F.col(doc_type_col)), inferred)
+            F.coalesce(
+                F.nullif(
+                    F.lower(F.col(doc_type_col).cast("string")), F.lit("")
+                ),
+                inferred,
+            )
             if doc_type_col
             else inferred
         )
@@ -200,14 +221,27 @@ class SparkDocumentIndex:
                 ]
             )
             if metadata_cols
-            else F.lit(None).cast("map<string,string>")
+            # empty map, not NULL — the list path always writes a map
+            else F.create_map().cast("map<string,string>")
         )
-        staged = docs_df.select(
-            F.md5(F.col(uri_col)).alias("document_id"),
-            F.col(uri_col).cast("string").alias("uri"),
-            doc_type.alias("doc_type"),
-            F.col(text_col).cast("string").alias("text"),
-            meta.alias("metadata"),
+        staged = (
+            docs_df.select(
+                F.md5(u).alias("document_id"),
+                u.alias("uri"),
+                doc_type.alias("doc_type"),
+                F.col(text_col).cast("string").alias("text"),
+                meta.alias("metadata"),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("uri").orderBy(
+                        F.col("text").asc_nulls_last()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
         self._ingest_staged(staged)
 
@@ -216,6 +250,12 @@ class SparkDocumentIndex:
         MERGE, distributed chunk+embed, one partition-scoped items
         MERGE (reference delete-then-insert semantics,
         ``local_document_index.py:137-141``)."""
+        # Pin the staged rows ONCE: the frame is consumed three times
+        # (replaced-ids probe, documents merge, chunk/embed) — without
+        # this a DataFrame-sourced batch re-scans its source each time
+        # and a nondeterministic source could hand each consumer a
+        # different row set (orphan chunks / chunkless documents).
+        staged = staged.localCheckpoint(eager=True)
         # replace-by-uri upsert of document rows (window MERGE, as in
         # SparkVectorIndex.commit)
         existing = self.documents()
