@@ -118,6 +118,10 @@ STRESS_QUERIES = [
     "encoding_report",
     "bm25_batch_probe",
     "hybrid_probe",
+    # round-5: production-threshold LSH (linear output; banding prunes)
+    # and the post-ADVICE AQE-planned sizes join
+    "lsh_neardup_strict",
+    "neardup_weights",
 ]
 
 

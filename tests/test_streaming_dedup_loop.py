@@ -172,3 +172,36 @@ def test_stream_kmeans_carries_centroid_state_across_runs(spark, tmp_path):
     assert {r._batch_id for r in st.select("_batch_id").distinct().collect()} >= {0}
     tot = st.groupBy().sum("n").collect()[0][0]
     assert tot == 6 * 2  # 6 vectors x 2 dims
+
+
+def test_km_store_absent_seeds_but_transient_failure_propagates(
+    spark, tmp_path
+):
+    """ADVICE r3 guard: an ABSENT store (first batch) seeds an empty
+    state frame, but any OTHER store-read failure (permissions, FS
+    hiccup, corruption) must PROPAGATE and fail the batch — silently
+    re-seeding centroids against a store that exists-but-didn't-read
+    would corrupt the running clustering with no error."""
+    from pyspark.errors import AnalysisException
+
+    from vectra_py_spark.streaming.kmeans import _read_km_store
+
+    # absent path -> empty seed frame, no raise
+    seed = _read_km_store(spark, str(tmp_path / "never_written"))
+    assert seed.count() == 0
+
+    # non-PATH AnalysisException -> must propagate untouched
+    class _Reader:
+        def schema(self, _s):
+            return self
+
+        def parquet(self, _p):
+            raise AnalysisException(
+                "[INSUFFICIENT_PERMISSIONS] simulated transient FS failure"
+            )
+
+    class _FakeSpark:
+        read = _Reader()
+
+    with pytest.raises(AnalysisException, match="INSUFFICIENT_PERMISSIONS"):
+        _read_km_store(_FakeSpark(), str(tmp_path / "store"))
