@@ -141,6 +141,31 @@ def test_lsh_join_recall_vs_exact(vecs):
     assert approx == exact
 
 
+def test_lsh_strict_banding_finds_planted_neardups(spark):
+    """Production-regime banding (τ=0.85, b=16, L=8 — the
+    `lsh_neardup_strict` registry entry's parameters): every planted
+    near-dup (cos ≈ 0.995) must collide in ≥1 table and survive the
+    verify, while random pairs (cos ≈ 0) are pruned by the banding.
+    Deterministic: fixed data seed, fixed plane seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    base = rng.standard_normal((60, 64))
+    pert = base + 0.1 * np.roll(base, -1, axis=1)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    rows += [(1000 + i, [float(x) for x in pert[i]]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = sim.lsh_similarity_join(
+        df, threshold=0.85, bits_per_table=16, n_tables=8, seed=1234
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert {(i, 1000 + i) for i in range(60)} <= pairs
+    # and the output is the planted pairs, not a quadratic blow-up
+    assert len(pairs) < 120
+
+
 def test_hyperplanes_deterministic():
     a = sim.seeded_hyperplanes(8, 4, seed=99)
     b = sim.seeded_hyperplanes(8, 4, seed=99)

@@ -34,8 +34,10 @@ __all__ = [
     "DeterministicTokenizer",
     "ByteLevelBPETokenizer",
     "TiktokenTokenizer",
+    "HFTokenizer",
     "get_tokenizer",
     "bytes_to_unicode",
+    "gpt2_byte_order",
     "train_bpe_merges",
     "load_merges_file",
 ]
@@ -115,6 +117,24 @@ def bytes_to_unicode() -> dict[int, str]:
             cs.append(256 + n)
             n += 1
     return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def gpt2_byte_order() -> list[int]:
+    """The byte values in GPT-2 vocab-id order: printable ranges first,
+    then the remaining bytes in the order :func:`bytes_to_unicode`
+    appends them. GPT-2's released ``vocab.json`` assigns base-symbol
+    ids 0–255 in exactly this construction order (e.g. ``"\\n"`` — byte
+    10, the 11th appended byte after the 188 printables — is id 198),
+    and merge outputs get ``256 + rank``. Assigning our base ids the
+    same way makes :class:`ByteLevelBPETokenizer` ids exactly GPT-2's
+    once the released ``merges.txt`` is loaded."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    bs += [b for b in range(256) if b not in set(bs)]
+    return bs
 
 
 def train_bpe_merges(corpus: str, n_merges: int) -> list[tuple[str, str]]:
@@ -315,7 +335,9 @@ class ByteLevelBPETokenizer:
         b2u = bytes_to_unicode()
         self._u2b = {v: k for k, v in b2u.items()}
         self._b2u = b2u
-        vocab = [b2u[i] for i in range(256)]
+        # Base ids in GPT-2 vocab order (not raw byte order): with the
+        # released merges.txt loaded, encode() ids are exactly GPT-2's.
+        vocab = [b2u[b] for b in gpt2_byte_order()]
         vocab.extend(a + b for a, b in merges)
         self._tok_of = vocab
         self._id_of = {tok: i for i, tok in enumerate(vocab)}
@@ -378,6 +400,38 @@ class ByteLevelBPETokenizer:
         return len(self.encode(text))
 
 
+class HFTokenizer:
+    """T6: HF ``AutoTokenizer`` wrapper (reference
+    ``all_MiniLM_L6_v2_tokenizer.py:5-23``) with the §2.9.7 bug fixed:
+    the reference's ``encode`` treated any len>1 *string* as a list of
+    strings, so plain strings were encoded per-character, and its
+    ``decode`` was ``pass``. Here dispatch is by ``isinstance`` — a
+    ``str`` encodes as one text, a sequence encodes element-wise — and
+    decode returns real text. Import-gated on ``transformers``; the
+    contract is pinned by ``tests/test_real_libs.py`` whenever the
+    library is present."""
+
+    def __init__(
+        self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2"
+    ) -> None:
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(model_name)
+
+    def encode(self, text) -> list[int]:
+        if isinstance(text, str):  # the §2.9.7 fix: str is ONE text
+            return self._tok.encode(text, add_special_tokens=False)
+        return [
+            self._tok.encode(t, add_special_tokens=False) for t in text
+        ]
+
+    def decode(self, tokens: list[int]) -> str:
+        return self._tok.decode(tokens)
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
 class TiktokenTokenizer:
     """tiktoken-backed tokenizer (reference T5) — used when installed."""
 
@@ -397,16 +451,24 @@ class TiktokenTokenizer:
 
 
 def get_tokenizer(model: str | None = None) -> Tokenizer:
-    """Best available tokenizer, in fidelity order: tiktoken if
-    installed (reference T5 exactly), else a released merges file named
-    by ``$VECTRA_BPE_MERGES`` (real deployment boundaries), else the
+    """Best available tokenizer, in fidelity order: for a hub-path
+    model name (contains ``/``) the HF AutoTokenizer (reference T6),
+    for other model names tiktoken (reference T5 exactly) — each when
+    its library is installed; else a released merges file named by
+    ``$VECTRA_BPE_MERGES`` (real deployment boundaries), else the
     vendored trained table (identical behavior across
     driver/executors)."""
     if model:
-        try:
-            return TiktokenTokenizer(model)
-        except ImportError:
-            pass
+        if "/" in model:  # HF hub path, e.g. sentence-transformers/...
+            try:
+                return HFTokenizer(model)
+            except ImportError:
+                pass
+        else:
+            try:
+                return TiktokenTokenizer(model)
+            except ImportError:
+                pass
     merges_path = os.environ.get(MERGES_FILE_ENV)
     if merges_path:
         return ByteLevelBPETokenizer.from_merges_file(merges_path)
