@@ -97,6 +97,27 @@ def test_language_id_votes(docs, spark):
     assert ta.language_id(zh).collect()[0].pred_lang == "zh"
 
 
+def test_lang_confusion_shares(spark):
+    """Confusion cells count (label, prediction) pairs; share is the
+    cell's fraction of its LABEL row (each label's shares sum to 1)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the a of and is", "en"),
+            (2, "der und die das ist", "de"),
+            (3, "xqz qwv zzz", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {
+        (r.lang, r.pred_lang): (r.n, r.share)
+        for r in ta.lang_confusion(df).collect()
+    }
+    assert rows[("en", "en")] == (1, 0.5)
+    assert rows[("en", "und")] == (1, 0.5)
+    assert rows[("de", "de")] == (1, 1.0)
+    assert len(rows) == 3
+
+
 def test_fingerprint_whitespace_invariant(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "hello  world ")],

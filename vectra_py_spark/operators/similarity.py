@@ -817,6 +817,80 @@ def _ivf_cells(
     )
 
 
+def ivf_cell_balance(
+    df: DataFrame,
+    n_cells: int = 8,
+    seed: int = 4321,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int = 64,
+    dp: int = 6,
+) -> DataFrame:
+    """IVF index health card: per-cell population, corpus fraction, and
+    load factor (``n·n_cells/total``; 1.0 = perfectly balanced). Probe
+    latency variance is bounded by the hottest probed cell, so this is
+    the table an operator reads after a run of :func:`ivf_append_index`
+    — sustained skew means the centroids no longer fit the data
+    distribution: retrain (:func:`kmeans_centroids`) and rebuild.
+
+    100 TB design: assignment is the SAME broadcast-centroid argmax the
+    ingest path uses (`_ivf_cells`); the aggregate emits ``n_cells``
+    rows with map-side partial counts. Against a STANDING index this
+    collapses to partition metadata (row counts per cell directory) —
+    it is computed inline here so the DuckDB oracle can verify the
+    assignment itself.
+    """
+    cells = _ivf_cells(
+        df, seeded_centroids(dim, n_cells, seed), id_col, vector_col
+    )
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())  # n_cells rows only
+    return counts.select(
+        "cell",
+        "n",
+        F.round(F.col("n") / tot, dp).alias("frac"),
+        F.round(F.col("n") * n_cells / tot, dp).alias("load_factor"),
+    ).orderBy("cell")
+
+
+def ivf_cell_balance_sql(
+    n_cells: int = 8,
+    seed: int = 4321,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int = 64,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ivf_cell_balance` (same centroids/ties)."""
+    cents = seeded_centroids(dim, n_cells, seed)
+    v = f"{vector_col}::DOUBLE[]"
+    dot_union = "\n            UNION ALL\n".join(
+        f"            SELECT {id_col} AS vid, {cid} AS cid, "
+        f"list_dot_product({v}, {_plane_lit_sql(c)}) AS d FROM {table}"
+        for cid, c in enumerate(cents)
+    )
+    return f"""
+        WITH dots AS (
+{dot_union}
+        ),
+        cells AS (
+            SELECT DISTINCT vid,
+                   first_value(cid) OVER
+                       (PARTITION BY vid ORDER BY d DESC, cid ASC) AS cell
+            FROM dots
+        ),
+        counts AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell)
+        SELECT cell, n,
+               ROUND(n::DOUBLE / SUM(n) OVER (), {dp}) AS frac,
+               ROUND((n * {n_cells})::DOUBLE / SUM(n) OVER (), {dp})
+                   AS load_factor
+        FROM counts ORDER BY cell
+    """
+
+
 def ivf_write_index(
     df: DataFrame,
     path: str,

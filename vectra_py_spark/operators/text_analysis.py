@@ -292,7 +292,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
+def pred_lang_sql_expr(text_expr: str = "text") -> str:
+    """The language-ID decision as one SQL CASE expression (DuckDB) —
+    shared by :func:`language_id_sql` and :func:`lang_confusion_sql`."""
     w = _words_sql(text_expr)
 
     def vote(markers: list[str]) -> str:
@@ -305,12 +307,73 @@ def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
         f"WHEN {votes[lang]} = {best} AND {best} > 0 THEN '{lang}'"
         for lang in LANG_MARKERS
     )
+    return (
+        f"CASE WHEN regexp_matches({text_expr}, '{_CJK_PATTERN}') THEN 'zh'\n"
+        f"     {whens}\n"
+        f"     ELSE 'und' END"
+    )
+
+
+def language_id_sql(table: str = "documents", text_expr: str = "text") -> str:
     return f"""
         SELECT doc_id,
-               CASE WHEN regexp_matches({text_expr}, '{_CJK_PATTERN}') THEN 'zh'
-                    {whens}
-                    ELSE 'und' END AS pred_lang
+               {pred_lang_sql_expr(text_expr)} AS pred_lang
         FROM {table}
+    """
+
+
+def lang_confusion(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Language-ID QA: confusion cells of the n-gram classifier's
+    prediction against the labeled ``lang`` column, with each cell's
+    share of its label row — the eval table a curation pipeline reads
+    before trusting a lang filter to route 100 TB of text.
+
+    Output: (lang, pred_lang, n, share) ordered by (lang, pred_lang);
+    ``share`` = n / label_total, ROUND(dp).
+
+    100 TB design: prediction is the same zero-shuffle projection as
+    :func:`language_id` (stopword votes + CJK regex, all in the scan's
+    codegen stage); the confusion aggregate groups on a ≤|langs|² key
+    space with map-side partial counts, and the share window runs over
+    the aggregated cells, never the corpus.
+    """
+    cells = (
+        df.select(F.col(label_col), pred_lang_col(text_col).alias("pred_lang"))
+        .groupBy(label_col, "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(label_col)
+    return (
+        cells.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w), dp)
+        )
+        .orderBy(label_col, "pred_lang")
+    )
+
+
+def lang_confusion_sql(
+    table: str = "documents",
+    label_col: str = "lang",
+    text_expr: str = "text",
+    dp: int = 6,
+) -> str:
+    return f"""
+        WITH pred AS (
+            SELECT {label_col} AS lang,
+                   {pred_lang_sql_expr(text_expr)} AS pred_lang
+            FROM {table}
+        )
+        SELECT lang, pred_lang, count(*) AS n,
+               ROUND(count(*)::DOUBLE /
+                     SUM(count(*)) OVER (PARTITION BY lang), {dp}) AS share
+        FROM pred
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang
     """
 
 

@@ -933,6 +933,69 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.pmi_collocations(load(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval: confusion cells (labeled lang × predicted
+    lang) with per-label share — the QA gate before trusting the lang
+    filter to route a corpus."""
+    return ta.lang_confusion(load(spark, sf_dir, "documents"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB-quality-classifier calibration: fixed half-logit bins of
+    nb_logodds vs the Gopher rules' pass rate per bin — do the two
+    independent quality signals agree, and is the classifier score
+    monotone in rule quality? Fixed-width bins (not ntile deciles) on
+    purpose: binning is a pure projection + small groupBy, no global
+    sort — the formulation that survives 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    nb = ta.nb_quality_score(docs).select("doc_id", "nb_logodds")
+    gq = cu.gopher_quality(docs).select(
+        "doc_id", F.col("pass_gopher").cast("int").alias("p")
+    )
+    j = nb.join(gq, "doc_id").withColumn(
+        "bin", F.floor(F.col("nb_logodds") * 2) / 2 + F.lit(0.0)
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p") / F.count(F.lit(1)), 6).alias(
+                "gopher_pass_rate"
+            ),
+            F.round(
+                F.sum(F.col("nb_logodds").cast("decimal(28,10)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logodds"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _sql_quality_calibration() -> str:
+    nb = ta.nb_quality_score_sql()
+    g = cu.gopher_quality_sql()
+    return f"""
+        WITH nb AS ({nb}), g AS ({g})
+        SELECT FLOOR(nb.nb_logodds * 2) / 2 + 0.0 AS bin,
+               count(*) AS n,
+               ROUND(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS gopher_pass_rate,
+               ROUND(SUM(CAST(nb.nb_logodds AS DECIMAL(28,10)))::DOUBLE
+                     / count(*), 6) AS mean_logodds
+        FROM nb JOIN g USING (doc_id)
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health: per-cell population / load factor of the IVF
+    layout — the observability card behind `ivf_topk`'s partition
+    pruning (a probe's cost is its probed cells' share of the corpus)."""
+    return sim.ivf_cell_balance(load(spark, sf_dir, "embeddings"))
+
+
 def q_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two token-length histogram with cumulative doc/token
     coverage — the max_seq_len planning table."""
@@ -3016,6 +3079,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "padding_efficiency": q_padding_efficiency,
     "lsh_neardup": q_lsh_neardup,
     "lsh_neardup_strict": q_lsh_neardup_strict,
+    "lang_confusion": q_lang_confusion,
+    "quality_calibration": q_quality_calibration,
+    "ivf_cell_balance": q_ivf_cell_balance,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
@@ -3110,6 +3176,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _CHECK_FIRST: list[str] = [
     # (new this round — first driver look)
     "lsh_neardup_strict",
+    "lang_confusion",
+    "quality_calibration",
+    "ivf_cell_balance",
     # (a) r2-green, stale two rounds — the full set queued in
     # COVERAGE.md's ledger (alphabetical; all code-unchanged since
     # their green rows, locally sweep-green every suite run)
@@ -3160,9 +3229,6 @@ _CHECK_FIRST: list[str] = [
     "dsir_weights",
     "curriculum_order",
     "duplicate_ngram_spans",
-    "nb_quality_score",
-    "tokenize_ids",
-    "lloyd_kmeans",
 ]
 
 QUERIES = {
@@ -3277,6 +3343,9 @@ ORACLES: dict[str, str] = {
         n_tables=_STRICT_TABLES, seed=_LSH_SEED,
         table=_augmented_embeddings_sql(),
     ),
+    "lang_confusion": ta.lang_confusion_sql(),
+    "quality_calibration": _sql_quality_calibration(),
+    "ivf_cell_balance": sim.ivf_cell_balance_sql(),
     "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
     "events_sliding": ev.sliding_counts_sql(),
