@@ -131,6 +131,68 @@ def test_ppm_decode_resize_features_roundtrip():
     assert abs(f[5] - 128 / 255) < 1e-6    # constant blue plane
 
 
+def test_bmp_decode_encode_resize_roundtrip():
+    import numpy as np
+
+    # PPM gradient pixels re-encoded as BMP must decode bit-identically
+    src = mm.decode_ppm(mm.synth_ppm(5, 3))  # w=5 → row stride pads 15→16
+    payload = mm.encode_bmp(src)
+    assert payload[:2] == b"BM"
+    back = mm.decode_bmp(payload)
+    assert back.shape == (3, 5, 3)
+    assert np.array_equal(back, src)  # padding + BGR + bottom-up all undone
+
+    # top-down variant (negative biHeight) decodes to the same pixels
+    import struct
+
+    neg = bytearray(payload)
+    h = struct.unpack_from("<i", neg, 22)[0]
+    struct.pack_into("<i", neg, 22, -h)
+    # with top-down flag set the stored rows are read in natural order,
+    # so the image flips vs the bottom-up original
+    flipped = mm.decode_bmp(bytes(neg))
+    assert np.array_equal(flipped, src[::-1])
+
+    # resize: every pixel an actual source pixel; round-trips decode_bmp
+    big = mm.encode_bmp(mm.decode_ppm(mm.synth_ppm(32, 16)))
+    small = mm._bmp_resize(big, 8, 4)
+    simg = mm.decode_bmp(small)
+    assert simg.shape == (4, 8, 3)
+    assert set(np.unique(simg)) <= set(np.unique(mm.decode_bmp(big)))
+
+    # features match the PPM features for identical pixels (shared path)
+    assert mm._bmp_features(big) == mm._ppm_features(mm.synth_ppm(32, 16))
+
+    # wrong magic / compressed files refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.decode_bmp(b"PNG...")
+    comp = bytearray(payload)
+    struct.pack_into("<I", comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        mm.decode_bmp(bytes(comp))
+
+
+def test_bmp_decoder_through_dataframe_api(spark):
+    imgs = spark.createDataFrame(
+        [
+            (
+                "i",
+                "image",
+                mm.encode_bmp(mm.decode_ppm(mm.synth_ppm(32, 16))),
+                None,
+            )
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    resized = mm.resize_media(imgs, 8, 4, resizer="bmp")
+    row = resized.collect()[0]
+    assert mm.decode_bmp(bytes(row.data)).shape == (4, 8, 3)
+    feats = mm.extract_features(resized, decoder="bmp").collect()[0]
+    assert len(feats.features) == mm.FEATURE_DIM
+
+
 def test_real_decoders_through_dataframe_api(spark):
     rows = [
         ("a", "audio", mm.synth_wav(freq=440.0), None),

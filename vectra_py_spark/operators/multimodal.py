@@ -46,6 +46,8 @@ __all__ = [
     "decode_stub",
     "decode_wav",
     "decode_ppm",
+    "decode_bmp",
+    "encode_bmp",
     "resize_media",
     "sample_frames",
     "synth_wav",
@@ -182,17 +184,61 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     ).reshape(h, w, 3)
 
 
-def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Honest image features from decoded pixels: log dims, aspect,
-    per-channel means, grayscale contrast, plus a 4×2 grayscale
-    thumbnail — the size/brightness/contrast signals an image-curation
-    pass filters on (blank, over/under-exposed, degenerate aspect).
-    NULL/empty payloads yield all-zero features (quarantine-able
-    sentinel, not a stage failure — same contract as the fake
-    decoder)."""
-    if not payload:
-        return [0.0] * dim
-    img = decode_ppm(payload)
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real BMP decode with zero codec dependencies: uncompressed
+    24-bit BI_RGB (the standard Windows DIB layout) → uint8 array of
+    shape (h, w, 3) in RGB order. Handles the 4-byte row padding,
+    bottom-up row order, and top-down files (negative biHeight per the
+    spec)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: {payload[:2]!r}")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BI_RGB supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)
+    img = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        img = img[::-1]  # bottom-up storage → natural row order
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp`: uint8 (h, w, 3) RGB → 24-bit
+    bottom-up BI_RGB BMP bytes (row-padded)."""
+    import struct
+
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pixels = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def _pixel_features(img: np.ndarray, dim: int) -> list[float]:
+    """Shared image-feature vector for any decoded (h, w, 3) uint8
+    array: log dims, aspect, per-channel means, grayscale contrast,
+    plus a 4×2 grayscale thumbnail — the size/brightness/contrast
+    signals an image-curation pass filters on (blank, over/under-
+    exposed, degenerate aspect)."""
     h, w = img.shape[:2]
     gray = img.astype(np.float64).mean(axis=2)
     means = img.reshape(-1, 3).mean(axis=0) / 255.0
@@ -219,7 +265,28 @@ def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats[:dim] + [0.0] * max(dim - len(feats), 0)
 
 
-DECODERS = {"fake": _fake_features, "wav": _wav_features, "ppm": _ppm_features}
+def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """PPM decode → shared pixel features. NULL/empty payloads yield
+    all-zero features (quarantine-able sentinel, not a stage failure —
+    same contract as the fake decoder)."""
+    if not payload:
+        return [0.0] * dim
+    return _pixel_features(decode_ppm(payload), dim)
+
+
+def _bmp_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """BMP decode → shared pixel features (same NULL contract)."""
+    if not payload:
+        return [0.0] * dim
+    return _pixel_features(decode_bmp(payload), dim)
+
+
+DECODERS = {
+    "fake": _fake_features,
+    "wav": _wav_features,
+    "ppm": _ppm_features,
+    "bmp": _bmp_features,
+}
 
 
 def synth_wav(
@@ -331,7 +398,20 @@ def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
 
 
-RESIZERS = {"fake": _fake_resize, "ppm": _ppm_resize}
+def _bmp_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample for BMP via the same integer index
+    maps as :func:`_ppm_resize`; re-encodes with :func:`encode_bmp` so
+    resized payloads round-trip through :func:`decode_bmp`."""
+    if not payload:
+        return b""
+    img = decode_bmp(payload)
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_bmp(np.ascontiguousarray(img[rows][:, cols]))
+
+
+RESIZERS = {"fake": _fake_resize, "ppm": _ppm_resize, "bmp": _bmp_resize}
 
 
 def resize_media(
