@@ -1417,3 +1417,24 @@ def test_ivf_append_equals_fresh_build(spark, tmp_path):
     want = [(r.vec_id, r.score) for r in
             sim.ivf_topk_indexed(spark, full, q, k=5, extra_cols=()).collect()]
     assert got == want
+
+
+def test_typo_pairs_deletion_neighborhood(spark):
+    """Candidates via deletion-1 variants cover ALL Levenshtein-≤1
+    relations (deletion, insertion, substitution); distance-2 pairs —
+    including transpositions — are verified away."""
+    terms = spark.createDataFrame(
+        [("table",), ("tble",), ("tabke",), ("cable",), ("chair",),
+         ("tables",), ("tabel",)],
+        ["term"],
+    )
+    pairs = {
+        (r.term_a, r.term_b) for r in dd.typo_pairs(terms).collect()
+    }
+    assert ("table", "tble") in pairs     # deletion
+    assert ("tabke", "table") in pairs    # substitution (k↔l)
+    assert ("table", "tables") in pairs   # insertion
+    assert ("cable", "table") in pairs    # substitution (c↔t)
+    assert not any("chair" in p for p in pairs)
+    # transposition is Levenshtein distance 2 — excluded by contract
+    assert ("tabel", "table") not in pairs

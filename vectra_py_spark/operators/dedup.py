@@ -69,6 +69,8 @@ __all__ = [
     "incremental_dedup_sql",
     "dup_rate_by_source",
     "dup_rate_by_source_sql",
+    "typo_pairs",
+    "typo_pairs_sql",
 ]
 
 DEFAULT_SHINGLE_K = 3
@@ -1670,4 +1672,73 @@ def dup_rate_by_source_sql(
         FROM {table}
         GROUP BY {source_col}
         ORDER BY {source_col}
+    """
+
+
+def typo_pairs(
+    df: DataFrame, term_col: str = "term", max_dist: int = 1
+) -> DataFrame:
+    """SymSpell-style fuzzy TERM join: pairs of vocabulary terms within
+    Levenshtein distance ``max_dist`` (=1) — the typo/OCR-variant
+    merge step of a vocabulary-normalization pass (token variants like
+    "table"/"tabel" fragment token statistics and dedup keys).
+
+    Candidate generation is the deletion-neighborhood trick: each term
+    emits itself plus every single-character deletion; two terms at
+    distance ≤1 ALWAYS share a variant (insert/delete: the shorter
+    string IS a deletion of the longer; substitution: both sides
+    deleting the differing position meet in the middle), so an
+    equi-join on variant finds every true pair — verified with exact
+    ``levenshtein`` to drop the false candidates (distance-2 pairs
+    that share a deletion).
+
+    100 TB design: the input is a VOCABULARY (Zipf-bounded — millions
+    of rows at corpus scale, not corpus-sized); variants add ≤ len+1
+    short strings per term; the join is a string equi-join with
+    map-side-combinable dedup. Never all-pairs, no cartesian.
+    """
+    t = df.select(F.col(term_col).alias("t"))
+    var = t.select(
+        "t",
+        F.expr(
+            "explode(array_union(array(t), transform("
+            "sequence(1, length(t)), "
+            "i -> concat(substr(t, 1, i-1), substr(t, i+1)))))"
+        ).alias("v"),
+    )
+    a = var.select(F.col("t").alias("term_a"), "v")
+    b = var.select(F.col("t").alias("term_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("term_a", "term_b") <= max_dist)
+        .orderBy("term_a", "term_b")
+    )
+
+
+def typo_pairs_sql(terms_rel: str, max_dist: int = 1) -> str:
+    """DuckDB twin of :func:`typo_pairs`. ``terms_rel`` is a
+    parenthesized relation/CTE-able subquery yielding a ``t`` column."""
+    return f"""
+        WITH terms AS (SELECT t FROM {terms_rel}),
+        var AS (
+            SELECT t,
+                   unnest(list_append(list_transform(
+                       range(1, length(t) + 1),
+                       i -> substr(t, 1, i - 1) || substr(t, i + 1)
+                   ), t)) AS v
+            FROM terms
+        ),
+        cand AS (
+            SELECT DISTINCT a.t AS term_a, b.t AS term_b
+            FROM var a JOIN var b USING (v)
+            WHERE a.t < b.t
+        )
+        SELECT term_a, term_b FROM cand
+        WHERE levenshtein(term_a, term_b) <= {max_dist}
+        ORDER BY term_a, term_b
     """

@@ -989,6 +989,49 @@ def _sql_quality_calibration() -> str:
     """
 
 
+def q_typo_neardup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary typo-merge: corpus vocabulary (4–12 chars) plus
+    deterministically planted misspellings (3rd char deleted from
+    every ≥5-char term), run through the SymSpell deletion-
+    neighborhood join at Levenshtein ≤1. The fixture vocabulary has no
+    natural distance-1 pairs, so the planted variants make the
+    operator's output non-trivial while both engines construct the
+    identical term set."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t")
+        )
+        .filter((F.length("t") >= 4) & (F.length("t") <= 12))
+        .distinct()
+    )
+    typos = words.filter(F.length("t") >= 5).select(
+        F.expr("concat(substr(t, 1, 2), substr(t, 4))").alias("t")
+    )
+    terms = words.unionByName(typos).distinct()
+    return dd.typo_pairs(terms, term_col="t")
+
+
+def _sql_typo_neardup_terms() -> str:
+    from vectra_py_spark.operators.text_analysis import _words_sql
+
+    w = _words_sql("text")
+    terms = f"""(
+        WITH words AS (
+            SELECT DISTINCT t
+            FROM (SELECT unnest({w}) AS t FROM documents)
+            WHERE length(t) BETWEEN 4 AND 12
+        ),
+        typos AS (
+            SELECT substr(t, 1, 2) || substr(t, 4) AS t
+            FROM words WHERE length(t) >= 5
+        )
+        SELECT DISTINCT t
+        FROM (SELECT t FROM words UNION ALL SELECT t FROM typos)
+    )"""
+    return dd.typo_pairs_sql(terms)
+
+
 def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index health: per-cell population / load factor of the IVF
     layout — the observability card behind `ivf_topk`'s partition
@@ -3082,6 +3125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "quality_calibration": q_quality_calibration,
     "ivf_cell_balance": q_ivf_cell_balance,
+    "typo_neardup_terms": q_typo_neardup_terms,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
@@ -3179,6 +3223,7 @@ _CHECK_FIRST: list[str] = [
     "lang_confusion",
     "quality_calibration",
     "ivf_cell_balance",
+    "typo_neardup_terms",
     # (a) r2-green, stale two rounds — the full set queued in
     # COVERAGE.md's ledger (alphabetical; all code-unchanged since
     # their green rows, locally sweep-green every suite run)
@@ -3228,7 +3273,6 @@ _CHECK_FIRST: list[str] = [
     # (b) fill to 50 with the oldest r3-green rows (r3 recording order)
     "dsir_weights",
     "curriculum_order",
-    "duplicate_ngram_spans",
 ]
 
 QUERIES = {
@@ -3346,6 +3390,7 @@ ORACLES: dict[str, str] = {
     "lang_confusion": ta.lang_confusion_sql(),
     "quality_calibration": _sql_quality_calibration(),
     "ivf_cell_balance": sim.ivf_cell_balance_sql(),
+    "typo_neardup_terms": _sql_typo_neardup_terms(),
     "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
     "events_sliding": ev.sliding_counts_sql(),
