@@ -122,6 +122,10 @@ STRESS_QUERIES = [
     # and the post-ADVICE AQE-planned sizes join
     "lsh_neardup_strict",
     "neardup_weights",
+    "lang_confusion",
+    "quality_calibration",
+    "ivf_cell_balance",
+    "typo_neardup_terms",
 ]
 
 

@@ -1,0 +1,56 @@
+"""Property test: `typo_pairs` equals brute-force Levenshtein ≤ 1 on
+randomized term sets — the deletion-neighborhood candidate generation
+must be COMPLETE (every true ≤1 pair shares a variant) and the verify
+must be exact (no ≥2 pair survives)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vectra_py_spark.operators import dedup as dd
+
+_terms = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+    unique=True,
+)
+
+_SPARK = None
+
+
+def test_bind_session(spark):
+    global _SPARK
+    _SPARK = spark
+    assert _SPARK is not None
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(_terms)
+def test_typo_pairs_equal_brute_force(terms):
+    want = {
+        (a, b)
+        for a in terms
+        for b in terms
+        if a < b and _lev(a, b) <= 1
+    }
+    df = _SPARK.createDataFrame([(t,) for t in terms], ["term"])
+    got = {
+        (r.term_a, r.term_b) for r in dd.typo_pairs(df).collect()
+    }
+    assert got == want
