@@ -176,8 +176,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     generate(spark)
 
+    # argv names → stress only that subset (fast re-measures of new
+    # entries without the full 70-query session); no args = full list
+    subset = [n for n in sys.argv[1:] if n in QUERIES]
+    queries = subset or STRESS_QUERIES
     report: dict = {"n_docs": N_DOCS, "n_vecs": N_VECS, "queries": {}}
-    for name in STRESS_QUERIES:
+    for name in queries:
         fn = QUERIES[name]
         # count(), not collect(): pair cardinality + wall time is the
         # metric; collecting millions of pairs to the driver would just

@@ -1438,3 +1438,22 @@ def test_typo_pairs_deletion_neighborhood(spark):
     assert not any("chair" in p for p in pairs)
     # transposition is Levenshtein distance 2 — excluded by contract
     assert ("tabel", "table") not in pairs
+
+
+def test_source_overlap_mirrors_and_disjoint(spark):
+    """Mirrored sources estimate Jaccard 1.0 (identical shingle sets →
+    identical signatures); disjoint-content sources estimate 0.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "a"),
+            (2, "alpha beta gamma delta epsilon zeta", "b"),  # mirror
+            (3, "one two three four five six seven", "c"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r.src_a, r.src_b): r.est_jaccard
+        for r in dd.source_overlap(docs).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0

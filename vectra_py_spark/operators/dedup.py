@@ -71,6 +71,8 @@ __all__ = [
     "dup_rate_by_source_sql",
     "typo_pairs",
     "typo_pairs_sql",
+    "source_overlap",
+    "source_overlap_sql",
 ]
 
 DEFAULT_SHINGLE_K = 3
@@ -1741,4 +1743,93 @@ def typo_pairs_sql(terms_rel: str, max_dist: int = 1) -> str:
         SELECT term_a, term_b FROM cand
         WHERE levenshtein(term_a, term_b) <= {max_dist}
         ORDER BY term_a, term_b
+    """
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    dp: int = 6,
+) -> DataFrame:
+    """DATASET-level content overlap: a per-SOURCE MinHash signature
+    (component-wise min over every doc's signature — identical to the
+    min over the source's whole shingle set) and the pairwise estimated
+    Jaccard between sources (fraction of matching components).
+
+    The corpus-curation signal above document dedup: two sources with
+    high overlap are mirrors/re-crawls of each other, and a naive mix
+    double-weights their shared content even after per-document dedup
+    keeps one copy of each page.
+
+    100 TB design: per-doc signatures run in the same narrow
+    ``mapInPandas`` as :func:`minhash_signatures` (no shingle explode);
+    the per-source re-min is an H-column groupBy over |sources| groups
+    with map-side combine; the pairwise compare is |sources|² tiny
+    rows. Nothing corpus-sized shuffles.
+    """
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    )
+    ssig = (
+        sig.join(df.select(id_col, source_col), id_col)
+        .groupBy(source_col)
+        .agg(*[F.min(f"h{h}").alias(f"h{h}") for h in range(num_hashes)])
+    )
+    a = ssig.select(
+        F.col(source_col).alias("src_a"),
+        *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)],
+    )
+    b = ssig.select(
+        F.col(source_col).alias("src_b"),
+        *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(matches / F.lit(num_hashes), dp).alias("est_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_overlap_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_expr: str = "text",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`source_overlap` (min straight over the
+    source's shingle set — equal to the min over per-doc mins)."""
+    sh = _shingles_sql(text_expr, k).format(table=table)
+    sig_cols = ",\n               ".join(
+        f"MIN(md5('{h}:' || shingle)) AS h{h}" for h in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.h{h} = b.h{h} THEN 1 ELSE 0 END"
+        for h in range(num_hashes)
+    )
+    return f"""
+        WITH sh AS ({sh}),
+        ssig AS (
+            SELECT d.{source_col} AS source,
+               {sig_cols}
+            FROM sh JOIN {table} d USING (doc_id)
+            GROUP BY d.{source_col}
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               ROUND(({matches}) * 1.0 / {num_hashes}, {dp}) AS est_jaccard
+        FROM ssig a JOIN ssig b ON a.source < b.source
+        ORDER BY src_a, src_b
     """

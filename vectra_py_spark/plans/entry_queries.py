@@ -989,6 +989,14 @@ def _sql_quality_calibration() -> str:
     """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level mirror detection: pairwise estimated Jaccard
+    between SOURCES from per-source MinHash signatures — the signal
+    that two sources are re-crawls of each other even after
+    per-document dedup."""
+    return dd.source_overlap(load(spark, sf_dir, "documents"))
+
+
 def q_typo_neardup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary typo-merge: corpus vocabulary (4–12 chars) plus
     deterministically planted misspellings (3rd char deleted from
@@ -3126,6 +3134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibration": q_quality_calibration,
     "ivf_cell_balance": q_ivf_cell_balance,
     "typo_neardup_terms": q_typo_neardup_terms,
+    "source_overlap": q_source_overlap,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_sliding": q_events_sliding,
@@ -3224,6 +3233,7 @@ _CHECK_FIRST: list[str] = [
     "quality_calibration",
     "ivf_cell_balance",
     "typo_neardup_terms",
+    "source_overlap",
     # (a) r2-green, stale two rounds — the full set queued in
     # COVERAGE.md's ledger (alphabetical; all code-unchanged since
     # their green rows, locally sweep-green every suite run)
@@ -3272,7 +3282,6 @@ _CHECK_FIRST: list[str] = [
     "volume_anomalies",
     # (b) fill to 50 with the oldest r3-green rows (r3 recording order)
     "dsir_weights",
-    "curriculum_order",
 ]
 
 QUERIES = {
@@ -3391,6 +3400,7 @@ ORACLES: dict[str, str] = {
     "quality_calibration": _sql_quality_calibration(),
     "ivf_cell_balance": sim.ivf_cell_balance_sql(),
     "typo_neardup_terms": _sql_typo_neardup_terms(),
+    "source_overlap": dd.source_overlap_sql(),
     "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
     "events_sliding": ev.sliding_counts_sql(),
