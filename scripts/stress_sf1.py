@@ -126,6 +126,7 @@ STRESS_QUERIES = [
     "quality_calibration",
     "ivf_cell_balance",
     "typo_neardup_terms",
+    "source_overlap",
 ]
 
 
