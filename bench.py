@@ -86,9 +86,11 @@ def main() -> None:
 
     # Standing-index builds are maintenance, not serving: run the four
     # index-probe queries once UNTIMED so their per-process build memo
-    # (`entry_queries._build_index_once`) is warm, and report the build
-    # wall separately. The timed pass below then measures what a
-    # production deployment pays per probe — a pruned read of a
+    # (`entry_queries._build_index_once`) is warm, and report that
+    # pre-pass wall separately. NOTE the field is the whole cold pre-
+    # pass — index builds PLUS each query's first (cold-plan) probe —
+    # not a pure build wall; the timed pass below then measures what a
+    # production deployment pays per probe: a pruned read of a
     # standing index.
     probe_queries = [
         "bm25_probe", "bm25_batch_probe", "hybrid_probe", "winnow_probe",
@@ -97,7 +99,7 @@ def main() -> None:
     for name in probe_queries:
         if name in QUERIES:
             QUERIES[name](spark, sf_dir).collect()
-    index_build_s = round(time.perf_counter() - t0, 4)
+    index_prebuild_s = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
@@ -115,7 +117,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "bench_warm": warm,
-        "index_build_s": index_build_s,
+        "index_prebuild_s": index_prebuild_s,
     }
     try:
         (REPO / "BENCH_LATEST.json").write_text(json.dumps(full) + "\n")
@@ -141,7 +143,7 @@ def main() -> None:
         % len(timings),
         "sf": sf,
         "bench_warm": warm,
-        "index_build_s": index_build_s,
+        "index_prebuild_s": index_prebuild_s,
     }
     print(json.dumps(compact), flush=True)
     spark.stop()

@@ -82,10 +82,22 @@ def validate(path: Path) -> None:
 
 
 def main() -> None:
+    import os
+
     dest = Path(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DEST
     dest.parent.mkdir(parents=True, exist_ok=True)
-    dest.write_bytes(fetch())
-    validate(dest)
+    # download → validate at a TEMP path → atomic move: a mirror
+    # returning an HTML error page with HTTP 200 must never land at
+    # the auto-discovered default path, where the skip-gated goldens
+    # would activate on it and fail every subsequent pytest run
+    tmp = dest.with_suffix(".tmp")
+    tmp.write_bytes(fetch())
+    try:
+        validate(tmp)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
+    os.replace(tmp, dest)
     print(f"installed {dest}")
     print(f'export VECTRA_BPE_MERGES="{dest}"')
 

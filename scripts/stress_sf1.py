@@ -179,8 +179,10 @@ def main() -> None:
 
     # argv names → stress only that subset (fast re-measures of new
     # entries without the full 70-query session); no args = full list
-    subset = [n for n in sys.argv[1:] if n in QUERIES]
-    queries = subset or STRESS_QUERIES
+    unknown = [n for n in sys.argv[1:] if n not in QUERIES]
+    if unknown:  # a typo must not silently trigger the full-list run
+        raise SystemExit(f"unknown query name(s): {unknown}")
+    queries = sys.argv[1:] or STRESS_QUERIES
     report: dict = {"n_docs": N_DOCS, "n_vecs": N_VECS, "queries": {}}
     for name in queries:
         fn = QUERIES[name]

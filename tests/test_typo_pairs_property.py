@@ -17,14 +17,6 @@ _terms = st.lists(
     unique=True,
 )
 
-_SPARK = None
-
-
-def test_bind_session(spark):
-    global _SPARK
-    _SPARK = spark
-    assert _SPARK is not None
-
 
 def _lev(a: str, b: str) -> int:
     if len(a) < len(b):
@@ -40,17 +32,18 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+# the session-scoped `spark` fixture rides alongside @given directly
+# (only function-scoped fixtures trip hypothesis's health check), so
+# this test is runnable in isolation and under any test ordering
 @settings(max_examples=25, deadline=None)
-@given(_terms)
-def test_typo_pairs_equal_brute_force(terms):
+@given(terms=_terms)
+def test_typo_pairs_equal_brute_force(spark, terms):
     want = {
         (a, b)
         for a in terms
         for b in terms
         if a < b and _lev(a, b) <= 1
     }
-    df = _SPARK.createDataFrame([(t,) for t in terms], ["term"])
-    got = {
-        (r.term_a, r.term_b) for r in dd.typo_pairs(df).collect()
-    }
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    got = {(r.term_a, r.term_b) for r in dd.typo_pairs(df).collect()}
     assert got == want

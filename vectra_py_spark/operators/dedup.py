@@ -1749,7 +1749,6 @@ def typo_pairs_sql(terms_rel: str, max_dist: int = 1) -> str:
 def source_overlap(
     df: DataFrame,
     source_col: str = "source",
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = DEFAULT_SHINGLE_K,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -1765,18 +1764,23 @@ def source_overlap(
     double-weights their shared content even after per-document dedup
     keeps one copy of each page.
 
-    100 TB design: per-doc signatures run in the same narrow
-    ``mapInPandas`` as :func:`minhash_signatures` (no shingle explode);
-    the per-source re-min is an H-column groupBy over |sources| groups
-    with map-side combine; the pairwise compare is |sources|² tiny
-    rows. Nothing corpus-sized shuffles.
+    100 TB design: ONE corpus scan — the per-row signature pass
+    (:func:`minhash_signatures`) is fed ``source`` AS the id column,
+    so no doc_id→source join ever materializes; the per-source re-min
+    is an H-column groupBy over |sources| groups with map-side
+    combine; the pairwise compare is |sources|² tiny rows. Nothing
+    corpus-sized shuffles.
     """
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+        df.select(
+            F.col(source_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        ),
+        k=k,
+        num_hashes=num_hashes,
     )
     ssig = (
-        sig.join(df.select(id_col, source_col), id_col)
-        .groupBy(source_col)
+        sig.groupBy(F.col("doc_id").alias(source_col))
         .agg(*[F.min(f"h{h}").alias(f"h{h}") for h in range(num_hashes)])
     )
     a = ssig.select(

@@ -844,10 +844,18 @@ def ivf_cell_balance(
         df, seeded_centroids(dim, n_cells, seed), id_col, vector_col
     )
     counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    # Left-join onto the full cell spine: an EMPTY cell (n=0) is the
+    # strongest retrain signal of all and must not be invisible just
+    # because no row hashed into it.
+    spark = df.sparkSession
+    spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    full = spine.join(counts, "cell", "left").select(
+        "cell", F.coalesce("n", F.lit(0)).alias("n")
+    )
     from pyspark.sql import Window
 
     tot = F.sum("n").over(Window.partitionBy())  # n_cells rows only
-    return counts.select(
+    return full.select(
         "cell",
         "n",
         F.round(F.col("n") / tot, dp).alias("frac"),
@@ -882,12 +890,19 @@ def ivf_cell_balance_sql(
                        (PARTITION BY vid ORDER BY d DESC, cid ASC) AS cell
             FROM dots
         ),
-        counts AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell)
+        counts AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+        spine AS (
+            SELECT CAST(unnest(range(0, {n_cells})) AS INTEGER) AS cell
+        ),
+        filled AS (
+            SELECT s.cell, COALESCE(n, 0) AS n
+            FROM spine s LEFT JOIN counts USING (cell)
+        )
         SELECT cell, n,
                ROUND(n::DOUBLE / SUM(n) OVER (), {dp}) AS frac,
                ROUND((n * {n_cells})::DOUBLE / SUM(n) OVER (), {dp})
                    AS load_factor
-        FROM counts ORDER BY cell
+        FROM filled ORDER BY cell
     """
 
 

@@ -418,7 +418,9 @@ class HFTokenizer:
 
         self._tok = AutoTokenizer.from_pretrained(model_name)
 
-    def encode(self, text) -> list[int]:
+    def encode(
+        self, text: "str | list[str]"
+    ) -> "list[int] | list[list[int]]":
         if isinstance(text, str):  # the §2.9.7 fix: str is ONE text
             return self._tok.encode(text, add_special_tokens=False)
         return [
@@ -429,6 +431,10 @@ class HFTokenizer:
         return self._tok.decode(tokens)
 
     def count(self, text: str) -> int:
+        if not isinstance(text, str):
+            # len(encode(list)) would be the TEXT count, a plausible-
+            # looking wrong number — refuse instead
+            raise TypeError("count() takes one text; got a sequence")
         return len(self.encode(text))
 
 
@@ -463,7 +469,19 @@ def get_tokenizer(model: str | None = None) -> Tokenizer:
             try:
                 return HFTokenizer(model)
             except ImportError:
-                pass
+                # A hub path names a SPECIFIC tokenizer; substituting
+                # byte-level BPE changes counts and boundaries, so the
+                # fallback must not be silent (unlike the documented
+                # tiktoken→vendored downgrade, which is this
+                # container's normal mode).
+                import warnings
+
+                warnings.warn(
+                    f"transformers not installed — falling back from "
+                    f"HF tokenizer {model!r} to the byte-level BPE; "
+                    f"token counts and boundaries will differ",
+                    stacklevel=2,
+                )
         else:
             try:
                 return TiktokenTokenizer(model)
