@@ -233,3 +233,149 @@ def test_real_decoders_tolerate_null_and_crlf(spark):
     img = mm.decode_ppm(mm.synth_ppm(8, 4))
     crlf = b"P6\r\n8 4\r\n255\r\n" + img.tobytes()
     assert (mm.decode_ppm(crlf) == img).all()
+
+
+def _png_filter_rows(img, ftype):
+    """Independent reference implementation of RFC 2083 §6 filters
+    (ENCODER side), used to build test files the decoder must invert."""
+    import numpy as np
+
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(int)
+    out = []
+    for y in range(h):
+        orig = flat[y]
+        prior = flat[y - 1] if y else [0] * stride
+        row = bytearray([ftype])
+        for x in range(stride):
+            left = orig[x - c] if x >= c else 0
+            up = prior[x]
+            upleft = flat[y - 1][x - c] if (y and x >= c) else 0
+            if ftype == 0:
+                v = orig[x]
+            elif ftype == 1:
+                v = orig[x] - left
+            elif ftype == 2:
+                v = orig[x] - up
+            elif ftype == 3:
+                v = orig[x] - ((left + up) // 2)
+            else:  # Paeth
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else upleft)
+                )
+                v = orig[x] - pred
+            row.append(v & 0xFF)
+        out.append(bytes(row))
+    return b"".join(out)
+
+
+def _png_manual(img, ftype):
+    """Assemble a PNG by hand with every row filtered as `ftype`."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(_png_filter_rows(img, ftype)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filters_reconstruct_exactly():
+    """Each spec filter applied by an INDEPENDENT reference encoder must
+    invert to the original pixels — this pins the decoder to RFC 2083,
+    not merely to our own encoder's conventions."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for ftype in range(5):
+        got = mm.decode_png(_png_manual(img, ftype))
+        assert np.array_equal(got, img), f"filter {ftype} failed"
+
+
+def test_png_roundtrip_gray_rgb_rgba_and_refusals():
+    import struct
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(4)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(4, 6, c), dtype=np.uint8)
+        back = mm.decode_png(mm.encode_png(img))
+        assert np.array_equal(back, img)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"JFIF....")
+    # 16-bit refuses loudly
+    img = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    payload = bytearray(mm.encode_png(img))
+    payload[24] = 16  # IHDR bit depth byte
+    # (crc now wrong too, but depth check fires first)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        mm.decode_png(bytes(payload))
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+    import numpy as np
+
+    # 2x2 palette image: indices [[0,1],[1,0]], palette red/blue
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    idx = b"\x00\x00\x01" + b"\x00\x01\x00"  # two filter-0 rows
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + chunk(b"IDAT", zlib.compress(idx))
+        + chunk(b"IEND", b"")
+    )
+    img = mm.decode_png(payload)
+    assert img.shape == (2, 2, 3)
+    assert list(img[0, 0]) == [255, 0, 0] and list(img[0, 1]) == [0, 0, 255]
+    assert list(img[1, 0]) == [0, 0, 255] and list(img[1, 1]) == [255, 0, 0]
+
+
+def test_png_decoder_through_dataframe_api(spark):
+    import numpy as np
+
+    src = mm.decode_ppm(mm.synth_ppm(32, 16))
+    imgs = spark.createDataFrame(
+        [("p", "image", mm.encode_png(src), None)], mm.MEDIA_SCHEMA
+    )
+    resized = mm.resize_media(imgs, 8, 4, resizer="png")
+    row = resized.collect()[0]
+    simg = mm.decode_png(bytes(row.data))
+    assert simg.shape == (4, 8, 3)
+    feats = mm.extract_features(resized, decoder="png").collect()[0]
+    assert len(feats.features) == mm.FEATURE_DIM
+    # identical pixels → identical features across PPM/BMP/PNG decoders
+    assert (
+        mm._png_features(mm.encode_png(src))
+        == mm._ppm_features(mm.synth_ppm(32, 16))
+    )

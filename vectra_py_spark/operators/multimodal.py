@@ -48,6 +48,8 @@ __all__ = [
     "decode_ppm",
     "decode_bmp",
     "encode_bmp",
+    "decode_png",
+    "encode_png",
     "resize_media",
     "sample_frames",
     "synth_wav",
@@ -233,6 +235,144 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pixels
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode with zero codec dependencies: stdlib ``zlib``
+    inflates the IDAT stream, numpy reconstructs the five spec filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA),
+    non-interlaced → uint8 array of shape (h, w, c) with c ∈ {1, 3, 4}
+    (palette expands to RGB). Interlaced/16-bit files refuse loudly.
+
+    Filter reconstruction is per-scanline: Up is fully vectorized;
+    Sub/Average/Paeth carry a left-neighbor dependence, walked per
+    pixel with whole-channel vector ops — exact per spec, adequate for
+    feature extraction at fixture scale (register a codec lib in
+    :data:`DECODERS` for bulk decode throughput).
+    """
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError(f"not a PNG payload: {payload[:8]!r}")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace}) — "
+            "only 8-bit non-interlaced supported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = ftypes[y]
+        cur = data[y].copy()
+        up = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + up) & 0xFF
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = (
+                    out[y - 1, x - bpp]
+                    if (y and x >= bpp)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_png`: uint8 (h, w) or (h, w, {1,3,4})
+    → 8-bit non-interlaced PNG (filter 0 rows, stdlib zlib + crc32)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_to_rgb(img: np.ndarray) -> np.ndarray:
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
+
+
 def _pixel_features(img: np.ndarray, dim: int) -> list[float]:
     """Shared image-feature vector for any decoded (h, w, 3) uint8
     array: log dims, aspect, per-channel means, grayscale contrast,
@@ -281,11 +421,19 @@ def _bmp_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return _pixel_features(decode_bmp(payload), dim)
 
 
+def _png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """PNG decode → shared pixel features (same NULL contract)."""
+    if not payload:
+        return [0.0] * dim
+    return _pixel_features(_png_to_rgb(decode_png(payload)), dim)
+
+
 DECODERS = {
     "fake": _fake_features,
     "wav": _wav_features,
     "ppm": _ppm_features,
     "bmp": _bmp_features,
+    "png": _png_features,
 }
 
 
@@ -411,7 +559,25 @@ def _bmp_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_bmp(np.ascontiguousarray(img[rows][:, cols]))
 
 
-RESIZERS = {"fake": _fake_resize, "ppm": _ppm_resize, "bmp": _bmp_resize}
+def _png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample for PNG via the shared integer index
+    maps; re-encodes with :func:`encode_png` (RGB form) so resized
+    payloads round-trip through :func:`decode_png`."""
+    if not payload:
+        return b""
+    img = _png_to_rgb(decode_png(payload))
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_png(np.ascontiguousarray(img[rows][:, cols]))
+
+
+RESIZERS = {
+    "fake": _fake_resize,
+    "ppm": _ppm_resize,
+    "bmp": _bmp_resize,
+    "png": _png_resize,
+}
 
 
 def resize_media(
