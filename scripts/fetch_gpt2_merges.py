@@ -90,7 +90,7 @@ def main() -> None:
     # returning an HTML error page with HTTP 200 must never land at
     # the auto-discovered default path, where the skip-gated goldens
     # would activate on it and fail every subsequent pytest run
-    tmp = dest.with_suffix(".tmp")
+    tmp = dest.with_name(dest.name + ".tmp")
     tmp.write_bytes(fetch())
     try:
         validate(tmp)

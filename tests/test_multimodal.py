@@ -274,6 +274,18 @@ def _png_filter_rows(img, ftype):
     return b"".join(out)
 
 
+def _png_chunk(t, d):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(d))
+        + t
+        + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+
+
 def _png_manual(img, ftype):
     """Assemble a PNG by hand with every row filtered as `ftype`."""
     import struct
@@ -281,20 +293,11 @@ def _png_manual(img, ftype):
 
     h, w, c = img.shape
     color = {1: 0, 3: 2, 4: 6}[c]
-
-    def chunk(t, d):
-        return (
-            struct.pack(">I", len(d))
-            + t
-            + d
-            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
-        )
-
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(_png_filter_rows(img, ftype)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(_png_filter_rows(img, ftype)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -312,7 +315,6 @@ def test_png_all_five_filters_reconstruct_exactly():
 
 
 def test_png_roundtrip_gray_rgb_rgba_and_refusals():
-    import struct
     import numpy as np
     import pytest
 
@@ -336,24 +338,15 @@ def test_png_roundtrip_gray_rgb_rgba_and_refusals():
 def test_png_palette_expands_to_rgb():
     import struct
     import zlib
-    import numpy as np
 
     # 2x2 palette image: indices [[0,1],[1,0]], palette red/blue
-    def chunk(t, d):
-        return (
-            struct.pack(">I", len(d))
-            + t
-            + d
-            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
-        )
-
     idx = b"\x00\x00\x01" + b"\x00\x01\x00"  # two filter-0 rows
     payload = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
-        + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
-        + chunk(b"IDAT", zlib.compress(idx))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+        + _png_chunk(b"IDAT", zlib.compress(idx))
+        + _png_chunk(b"IEND", b"")
     )
     img = mm.decode_png(payload)
     assert img.shape == (2, 2, 3)
@@ -379,3 +372,42 @@ def test_png_decoder_through_dataframe_api(spark):
         mm._png_features(mm.encode_png(src))
         == mm._ppm_features(mm.synth_ppm(32, 16))
     )
+
+
+def test_png_malformed_payloads_raise_valueerror_only():
+    """Corpus robustness contract: ANY malformed PNG refuses with
+    ValueError — never a raw zlib.error / struct.error / IndexError
+    that a caller matching ValueError would miss mid-stage."""
+    import struct
+    import zlib
+    import numpy as np
+    import pytest
+
+    good = mm.encode_png(
+        np.zeros((2, 2, 3), dtype=np.uint8)
+    )
+    # truncated mid-IDAT → corrupt deflate stream
+    with pytest.raises(ValueError, match="malformed PNG"):
+        mm.decode_png(good[:-20] )
+    # IHDR shorter than its declared struct
+    tiny = b"\x89PNG\r\n\x1a\n" + struct.pack(">I4s", 13, b"IHDR") + b"\x00\x00"
+    with pytest.raises(ValueError):
+        mm.decode_png(tiny)
+    # palette index past PLTE
+    idx = b"\x00\x05"  # one row, index 5 into a 1-entry palette
+    bad_pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", bytes([1, 2, 3]))
+        + _png_chunk(b"IDAT", zlib.compress(idx))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(bad_pal)
+    # non-uint8 encode refuses instead of silently truncating mod 256
+    with pytest.raises(ValueError, match="uint8"):
+        mm.encode_png(np.full((1, 1, 3), 300, dtype=np.int32))
+    with pytest.raises(ValueError, match="uint8"):
+        mm.encode_bmp(np.full((1, 1, 3), 300, dtype=np.int32))
+    with pytest.raises(ValueError, match="channel count"):
+        mm.encode_png(np.zeros((2, 2, 2), dtype=np.uint8))

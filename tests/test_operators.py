@@ -1457,3 +1457,23 @@ def test_source_overlap_mirrors_and_disjoint(spark):
     }
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0
+
+
+def test_ivf_cell_balance_surfaces_empty_cells(spark):
+    """The health card must show DEAD cells as n=0 rows (the strongest
+    retrain signal) — with 3 vectors and 8 centroids at least 5 cells
+    are empty, yet all 8 rows appear and fractions account for every
+    vector."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = sim.ivf_cell_balance(df, n_cells=8, dim=4).collect()
+    assert [r.cell for r in out] == list(range(8))
+    assert sum(r.n for r in out) == 3
+    empties = [r for r in out if r.n == 0]
+    assert len(empties) >= 5
+    for r in empties:
+        assert r.frac == 0.0 and r.load_factor == 0.0

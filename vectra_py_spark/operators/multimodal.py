@@ -5,15 +5,16 @@ metadata map — the Spark-side contract (schema, partitioning, Arrow
 batch shape, UDF signatures) is real and tested. Decoders come in
 three tiers:
 
-- **Real, container-native**: WAV/PCM audio (stdlib ``wave``) and
-  binary PPM (P6) images (pure numpy) decode for real — spectral
-  features, pixel statistics, and an actual nearest-neighbor resampler
+- **Real, container-native**: WAV/PCM audio (stdlib ``wave``), binary
+  PPM (P6), uncompressed 24-bit BMP, and compressed PNG (stdlib zlib
+  + the five RFC 2083 scanline filters) decode for real — spectral
+  features, pixel statistics, and actual nearest-neighbor resamplers
   with no codec library at all. These prove the full path
   (bytes → decode → features/resize → DataFrame) end-to-end on honest
   media, not just plumbing.
 - **Deterministic fake**: md5-seeded features/bytes for hermetic
   pipeline tests on arbitrary payloads.
-- **Stubbed**: compressed formats (JPEG/PNG/MP3/MP4) raise
+- **Stubbed**: the remaining compressed formats (JPEG/MP3/MP4) raise
   ``NotImplementedError`` until a codec library (PIL / torchaudio /
   pyav) is registered in :data:`DECODERS` — absent from this
   container by constraint, not design.
@@ -219,9 +220,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 def encode_bmp(img: np.ndarray) -> bytes:
     """Inverse of :func:`decode_bmp`: uint8 (h, w, 3) RGB → 24-bit
-    bottom-up BI_RGB BMP bytes (row-padded)."""
+    bottom-up BI_RGB BMP bytes (row-padded). Non-uint8 input refuses
+    (silent truncation would corrupt pixels with no error)."""
     import struct
 
+    if img.dtype != np.uint8:
+        raise ValueError(f"encode_bmp needs uint8 pixels, got {img.dtype}")
     h, w = img.shape[:2]
     row_bytes = (w * 3 + 3) & ~3
     rows = np.zeros((h, row_bytes), dtype=np.uint8)
@@ -244,7 +248,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports bit depth 8,
     color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA),
     non-interlaced → uint8 array of shape (h, w, c) with c ∈ {1, 3, 4}
-    (palette expands to RGB). Interlaced/16-bit files refuse loudly.
+    (palette expands to RGB). Interlaced/16-bit files — and ANY
+    malformed payload (truncated chunk, corrupt deflate stream,
+    palette index past PLTE) — refuse with :class:`ValueError`, the
+    single exception type callers and the feature pass contract on.
 
     Filter reconstruction is per-scanline: Up is fully vectorized;
     Sub/Average/Paeth carry a left-neighbor dependence, walked per
@@ -252,6 +259,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     feature extraction at fixture scale (register a codec lib in
     :data:`DECODERS` for bulk decode throughput).
     """
+    import struct
+    import zlib
+
+    try:
+        return _decode_png(payload)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"malformed PNG payload: {exc}") from exc
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     import struct
     import zlib
 
@@ -336,13 +353,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def encode_png(img: np.ndarray) -> bytes:
     """Inverse of :func:`decode_png`: uint8 (h, w) or (h, w, {1,3,4})
-    → 8-bit non-interlaced PNG (filter 0 rows, stdlib zlib + crc32)."""
+    → 8-bit non-interlaced PNG (filter 0 rows, stdlib zlib + crc32).
+    Non-uint8 input refuses (silent ``% 256`` truncation of int32 or
+    float intermediates would corrupt pixels with no error)."""
     import struct
     import zlib
 
+    if img.dtype != np.uint8:
+        raise ValueError(f"encode_png needs uint8 pixels, got {img.dtype}")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c} (want 1, 3 or 4)")
     color = {1: 0, 3: 2, 4: 6}[c]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
