@@ -188,3 +188,32 @@ def test_bulk_ingest_batch_hygiene(spark, tmp_path):
         r.document_id for r in idx.index.items().select("document_id").collect()
     }
     assert doc_ids == {rows[0].document_id}
+
+
+def test_query_documents_hybrid_lexical_arm_finds_exact_terms(doc_index):
+    """Hybrid retrieval: the lexical arm must surface the document that
+    literally contains the query terms even when the (deterministic)
+    dense arm has no semantic signal — and fused scores still blend
+    both arms (every returned doc carries a positive RRF sum)."""
+    out = doc_index.query_documents_hybrid(
+        "telescopes observe galaxies", max_documents=3
+    ).collect()
+    assert out and out[0].uri == "file:///corpus/space.txt"
+    for r in out:
+        assert r.doc_score > 0.0 and r.n_chunks >= 1
+
+    # a different literal query flips the winner — lexical evidence,
+    # not a fixture accident
+    out2 = doc_index.query_documents_hybrid(
+        "oranges citrus vitamin", max_documents=3
+    ).collect()
+    assert out2 and out2[0].uri == "file:///corpus/fruit.md"
+
+    # filter_ast applies to BOTH arms: restrict to topic=color and the
+    # lexical space winner cannot appear
+    out3 = doc_index.query_documents_hybrid(
+        "telescopes observe galaxies",
+        max_documents=3,
+        filter_ast={"topic": {"$eq": "color"}},
+    ).collect()
+    assert all(r.uri == "file:///corpus/colors.txt" for r in out3)

@@ -380,6 +380,103 @@ class SparkDocumentIndex:
             .limit(max_documents)
         )
 
+    def query_documents_hybrid(
+        self,
+        query_text: str,
+        max_documents: int = 10,
+        k_each: int = 50,
+        rrf_k: int = 60,
+        filter_ast: Mapping[str, Any] | None = None,
+    ) -> DataFrame:
+        """Hybrid retrieval at the document-index surface: the dense
+        arm is the vector index's chunk top-k; the lexical arm is BM25
+        over chunk texts reconstructed as substrings of the document
+        text (chunk payloads are never stored twice); the two top-k
+        lists RRF-fuse per chunk (1/(rrf_k + rank)), and a document
+        scores its BEST chunk's fused score (max-pooling — summing
+        chunk contributions would reward chunk COUNT whenever k_each
+        exceeds a document's retrieved chunks, drowning relevance).
+
+        Returns (document_id, uri, doc_score, n_chunks) ordered by
+        doc_score DESC, document_id.
+
+        Scale: both arms end in ``TakeOrderedAndProject`` top-k; the
+        RRF windows and the document group-by run over ≤ 2·k_each
+        candidate rows. The lexical arm here is the self-contained
+        full-scan BM25 — a serving deployment probes the standing
+        inverted index instead (``operators/ranking.bm25_probe``; see
+        the ``hybrid_probe`` registry entry for that composition).
+        """
+        import re
+
+        from vectra_py_spark.operators import ranking as rk
+
+        provider = self.embedder_factory()
+        qvec = provider.create_embeddings([scrub_newlines(query_text)])[0]
+
+        wa = Window.orderBy(F.desc("score"), F.asc("id"))
+        dense = (
+            self.index.query_items(qvec, k_each, filter_ast)
+            .select("id", "document_id", F.row_number().over(wa).alias("ra"))
+        )
+
+        items = self.index.items()
+        if filter_ast:
+            from vectra_py_spark.filters import compile_filter
+            from vectra_py_spark.index import _metadata_resolver
+
+            items = items.filter(
+                compile_filter(filter_ast, _metadata_resolver(items))
+            )
+        docs = self.documents().select("document_id", "text")
+        ctext = (
+            items.select("id", "document_id", "start_pos", "end_pos")
+            .join(F.broadcast(docs), "document_id")
+            .select(
+                "id",
+                "document_id",
+                F.expr(
+                    "substring(text, cast(start_pos AS int) + 1, "
+                    "cast(end_pos - start_pos AS int) + 1)"
+                ).alias("ctext"),
+            )
+        )
+        terms = [t for t in re.split(r"\s+", query_text.lower()) if t]
+        wb = Window.orderBy(F.desc("bm25"), F.asc("id"))
+        lex = (
+            rk.bm25_topk(ctext, terms, k=k_each, text_col="ctext", id_col="id")
+            .select("id", F.row_number().over(wb).alias("rb"))
+        )
+
+        fused = (
+            dense.join(lex, "id", "full_outer")
+            .withColumn(
+                "rrf",
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rb")), F.lit(0.0)),
+            )
+        )
+        # document_id rides the dense arm; lexical-only chunks recover
+        # theirs from the (id → document_id) chunk table
+        fused = (
+            fused.join(
+                items.select("id", F.col("document_id").alias("did")), "id"
+            )
+            .select("id", F.coalesce("document_id", "did").alias("document_id"), "rrf")
+        )
+        uris = self.documents().select("document_id", "uri")
+        return (
+            fused.groupBy("document_id")
+            .agg(
+                F.round(F.max("rrf"), 6).alias("doc_score"),
+                F.count(F.lit(1)).alias("n_chunks"),
+            )
+            .join(F.broadcast(uris), "document_id", "left")
+            .select("document_id", "uri", "doc_score", "n_chunks")
+            .orderBy(F.desc("doc_score"), F.asc("document_id"))
+            .limit(max_documents)
+        )
+
     def render_document_sections(
         self,
         query_text: str,
