@@ -190,12 +190,26 @@ def test_bulk_ingest_batch_hygiene(spark, tmp_path):
     assert doc_ids == {rows[0].document_id}
 
 
-def test_query_documents_hybrid_lexical_arm_finds_exact_terms(doc_index):
+def test_query_documents_hybrid_lexical_arm_finds_exact_terms(spark, tmp_path):
     """Hybrid retrieval: the lexical arm must surface the document that
     literally contains the query terms even when the (deterministic)
-    dense arm has no semantic signal — and fused scores still blend
-    both arms (every returned doc carries a positive RRF sum)."""
-    out = doc_index.query_documents_hybrid(
+    dense arm has no semantic signal. Uses its OWN index — the shared
+    module fixture is mutated by earlier tests (space.txt's text is
+    replaced), and with no lexical target the ranking would fall to
+    dense ties broken by per-run random chunk uuids.
+
+    Strict-win argument (uuid-proof): k_each ≥ total chunks, so every
+    chunk is in the dense list; the lexical-rank-1 chunk therefore
+    scores 1/(60+1) + 1/(60+r_dense) under max-pooling, strictly above
+    any other document's best single-arm 1/(60+1)."""
+    idx = SparkDocumentIndex(
+        spark, f"{tmp_path}/hybidx", vector_dim=64, chunk_size=64
+    )
+    idx.create()
+    for d in DOCS:
+        idx.upsert_document(d["uri"], d["text"], metadata=d["metadata"])
+
+    out = idx.query_documents_hybrid(
         "telescopes observe galaxies", max_documents=3
     ).collect()
     assert out and out[0].uri == "file:///corpus/space.txt"
@@ -204,16 +218,20 @@ def test_query_documents_hybrid_lexical_arm_finds_exact_terms(doc_index):
 
     # a different literal query flips the winner — lexical evidence,
     # not a fixture accident
-    out2 = doc_index.query_documents_hybrid(
+    out2 = idx.query_documents_hybrid(
         "oranges citrus vitamin", max_documents=3
     ).collect()
     assert out2 and out2[0].uri == "file:///corpus/fruit.md"
 
-    # filter_ast applies to BOTH arms: restrict to topic=color and the
-    # lexical space winner cannot appear
-    out3 = doc_index.query_documents_hybrid(
+    # filter_ast applies to BOTH arms. Chunk metadata carries
+    # document_id/start_pos/end_pos (doc-level metadata lives in the
+    # documents table — same split as the reference), so filter on the
+    # chunk surface: restrict to the colors doc and the lexical space
+    # winner cannot appear.
+    colors_id = idx.get_document_id("file:///corpus/colors.txt")
+    out3 = idx.query_documents_hybrid(
         "telescopes observe galaxies",
         max_documents=3,
-        filter_ast={"topic": {"$eq": "color"}},
+        filter_ast={"document_id": {"$eq": colors_id}},
     ).collect()
-    assert all(r.uri == "file:///corpus/colors.txt" for r in out3)
+    assert out3 and all(r.uri == "file:///corpus/colors.txt" for r in out3)

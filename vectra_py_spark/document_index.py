@@ -400,6 +400,12 @@ class SparkDocumentIndex:
         Returns (document_id, uri, doc_score, n_chunks) ordered by
         doc_score DESC, document_id.
 
+        ``filter_ast`` applies to BOTH arms and evaluates against the
+        CHUNK metadata surface (``document_id``/``start_pos``/
+        ``end_pos`` — doc-level metadata lives in the documents table,
+        the same split as the reference); an unknown field rejects
+        every chunk per the P11 missing-field rule.
+
         Scale: both arms end in ``TakeOrderedAndProject`` top-k; the
         RRF windows and the document group-by run over ≤ 2·k_each
         candidate rows. The lexical arm here is the self-contained
