@@ -174,6 +174,37 @@ def test_bmp_decode_encode_resize_roundtrip():
         mm.decode_bmp(bytes(comp))
 
 
+def test_bmp_malformed_payloads_raise_valueerror_only():
+    """Corpus robustness contract (same as PNG): ANY malformed BMP
+    refuses with ValueError — never a raw struct.error that a caller
+    matching ValueError would miss mid-stage."""
+    import struct
+
+    import pytest
+
+    payload = mm.encode_bmp(mm.decode_ppm(mm.synth_ppm(32, 16)))
+
+    # truncated header: 'BM' magic present but the DIB fields missing →
+    # struct.unpack_from at offsets 10/18/28/30 must surface ValueError
+    for cut in (2, 8, 16, 24, 31):
+        with pytest.raises(ValueError):
+            mm.decode_bmp(payload[:cut])
+    # truncated pixel data (header intact, rows missing)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(payload[:60])
+    # data offset pointing past the end of the payload
+    bad_off = bytearray(payload)
+    struct.pack_into("<I", bad_off, 10, len(payload) + 100)
+    with pytest.raises(ValueError, match="past end"):
+        mm.decode_bmp(bytes(bad_off))
+    # absurd dimensions (zero-height / negative-width headers)
+    for w, h in ((0, 16), (-5, 16), (32, 0)):
+        bad_dim = bytearray(payload)
+        struct.pack_into("<ii", bad_dim, 18, w, h)
+        with pytest.raises(ValueError):
+            mm.decode_bmp(bytes(bad_dim))
+
+
 def test_bmp_decoder_through_dataframe_api(spark):
     imgs = spark.createDataFrame(
         [

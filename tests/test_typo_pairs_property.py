@@ -47,3 +47,17 @@ def test_typo_pairs_equal_brute_force(spark, terms):
     df = spark.createDataFrame([(t,) for t in terms], ["term"])
     got = {(r.term_a, r.term_b) for r in dd.typo_pairs(df).collect()}
     assert got == want
+
+
+def test_typo_pairs_rejects_max_dist_other_than_one(spark):
+    """The single-deletion neighborhood is complete ONLY for distance
+    1 — max_dist=2 would silently drop true pairs, so both the
+    DataFrame op and its SQL twin must refuse loudly."""
+    import pytest
+
+    df = spark.createDataFrame([("abc",), ("abd",)], ["term"])
+    for bad in (0, 2, 3):
+        with pytest.raises(ValueError, match="max_dist"):
+            dd.typo_pairs(df, max_dist=bad)
+        with pytest.raises(ValueError, match="max_dist"):
+            dd.typo_pairs_sql("(SELECT 'x' AS t)", max_dist=bad)

@@ -372,12 +372,24 @@ class SparkDocumentIndex:
                 ).alias("chunks"),  # O3: chunks in document order
             )
         )
-        docs = self.documents().select("document_id", "uri", "text")
-        return (
-            grouped.join(F.broadcast(docs), "document_id", "left")  # V6
-            .select("document_id", "uri", "doc_score", "chunks", "text")
-            .orderBy(F.desc("doc_score"), F.asc("document_id"))  # O2
+        winners = (
+            grouped.orderBy(F.desc("doc_score"), F.asc("document_id"))  # O2
             .limit(max_documents)
+        )
+        # hydrate AFTER the limit (S6): semi-join shrinks the
+        # corpus-sized documents relation (which carries full text) to
+        # the ≤max_documents winners before anything is broadcast —
+        # never a forced broadcast of an unbounded relation
+        docs = self.documents().select("document_id", "uri", "text")
+        docs_small = docs.join(
+            F.broadcast(winners.select("document_id")),
+            "document_id",
+            "left_semi",
+        )
+        return (
+            winners.join(F.broadcast(docs_small), "document_id", "left")  # V6
+            .select("document_id", "uri", "doc_score", "chunks", "text")
+            .orderBy(F.desc("doc_score"), F.asc("document_id"))
         )
 
     def query_documents_hybrid(
@@ -434,10 +446,15 @@ class SparkDocumentIndex:
             items = items.filter(
                 compile_filter(filter_ast, _metadata_resolver(items))
             )
+        # chunk-text reconstruction is a corpus×corpus equi-join (all
+        # chunks against all document texts) — no broadcast hint: AQE
+        # picks broadcast at small scale and sort-merge at corpus
+        # scale; forcing a broadcast of the unbounded documents
+        # relation (with its full text column) would OOM at 100 TB
         docs = self.documents().select("document_id", "text")
         ctext = (
             items.select("id", "document_id", "start_pos", "end_pos")
-            .join(F.broadcast(docs), "document_id")
+            .join(docs, "document_id")
             .select(
                 "id",
                 "document_id",
@@ -470,17 +487,29 @@ class SparkDocumentIndex:
             )
             .select("id", F.coalesce("document_id", "did").alias("document_id"), "rrf")
         )
-        uris = self.documents().select("document_id", "uri")
-        return (
+        winners = (
             fused.groupBy("document_id")
             .agg(
                 F.round(F.max("rrf"), 6).alias("doc_score"),
                 F.count(F.lit(1)).alias("n_chunks"),
             )
-            .join(F.broadcast(uris), "document_id", "left")
-            .select("document_id", "uri", "doc_score", "n_chunks")
             .orderBy(F.desc("doc_score"), F.asc("document_id"))
             .limit(max_documents)
+        )
+        # hydrate uris AFTER the limit (S6 pattern): semi-join shrinks
+        # the corpus-sized uri relation to the ≤max_documents winners,
+        # then the left join broadcasts that bounded slice — only
+        # bounded relations are ever broadcast here
+        uris = self.documents().select("document_id", "uri")
+        uris_small = uris.join(
+            F.broadcast(winners.select("document_id")),
+            "document_id",
+            "left_semi",
+        )
+        return (
+            winners.join(F.broadcast(uris_small), "document_id", "left")
+            .select("document_id", "uri", "doc_score", "n_chunks")
+            .orderBy(F.desc("doc_score"), F.asc("document_id"))
         )
 
     def render_document_sections(

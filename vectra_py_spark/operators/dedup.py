@@ -1698,7 +1698,18 @@ def typo_pairs(
     of rows at corpus scale, not corpus-sized); variants add ≤ len+1
     short strings per term; the join is a string equi-join with
     map-side-combinable dedup. Never all-pairs, no cartesian.
+
+    The single-deletion neighborhood is complete ONLY for distance 1;
+    ``max_dist != 1`` would silently return an incomplete pair set
+    (just the distance-k pairs that happen to share a one-char
+    deletion), so anything else refuses loudly.
     """
+    if max_dist != 1:
+        raise ValueError(
+            "typo_pairs: the single-deletion candidate neighborhood is "
+            f"complete only for max_dist=1 (got {max_dist}); deeper "
+            "neighborhoods would need deletion depth max_dist"
+        )
     t = df.select(F.col(term_col).alias("t"))
     var = t.select(
         "t",
@@ -1725,6 +1736,11 @@ def typo_pairs(
 def typo_pairs_sql(terms_rel: str, max_dist: int = 1) -> str:
     """DuckDB twin of :func:`typo_pairs`. ``terms_rel`` is a
     parenthesized relation/CTE-able subquery yielding a ``t`` column."""
+    if max_dist != 1:
+        raise ValueError(
+            "typo_pairs_sql: single-deletion neighborhood is complete "
+            f"only for max_dist=1 (got {max_dist})"
+        )
     return f"""
         WITH terms AS (SELECT t FROM {terms_rel}),
         var AS (

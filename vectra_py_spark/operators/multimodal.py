@@ -192,7 +192,19 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     24-bit BI_RGB (the standard Windows DIB layout) → uint8 array of
     shape (h, w, 3) in RGB order. Handles the 4-byte row padding,
     bottom-up row order, and top-down files (negative biHeight per the
-    spec)."""
+    spec). ANY malformed payload (truncated header, absurd dimensions,
+    pixel data past end of buffer) refuses with :class:`ValueError`,
+    the single exception type callers and the feature pass contract
+    on — same contract as :func:`decode_png`."""
+    import struct
+
+    try:
+        return _decode_bmp(payload)
+    except struct.error as exc:
+        raise ValueError(f"malformed BMP payload: {exc}") from exc
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] != b"BM":
@@ -208,6 +220,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"malformed BMP dimensions ({w}x{h})")
+    if data_offset >= len(payload):
+        raise ValueError(
+            f"BMP data offset {data_offset} past end of {len(payload)}-byte payload"
+        )
     row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
     arr = np.frombuffer(
         payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset

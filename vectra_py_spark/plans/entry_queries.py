@@ -416,6 +416,20 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROBE_DOC = 0
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Per-fixture tag for /tmp standing-index paths: the readable
+    basename PLUS a short hash of the absolute path, so two different
+    fixture directories that share a basename (e.g. ``/a/sf0.1`` and
+    ``/b/sf0.1``) can never alias to one memoized index within a
+    process (`_build_index_once` keys on the resulting path)."""
+    import hashlib
+    import os
+
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    digest = hashlib.sha1(full.encode()).hexdigest()[:8]
+    return f"{os.path.basename(full)}_{digest}"
+
+
 def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup lookup: materialize the banded MinHash
     index (partitionBy band, bucket), then probe it with one document's
@@ -423,10 +437,8 @@ def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ B (band, bucket) directories (PartitionFilters asserted in
     tests). Probe = fixture doc 0, so the result always contains the
     self-match (est 1.0) plus any genuine near-dups."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     path = f"/tmp/vectra_minhash_idx/{sf_tag}"
     dd.minhash_write_index(docs, path)
     text = (
@@ -1070,10 +1082,8 @@ def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (partitionBy bucket), probe with fixture doc 0's text — the
     probe opens only the directories its own fingerprints hash into
     (PartitionFilters asserted in tests); includes the self-match."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     path = f"/tmp/vectra_winnow_idx/{sf_tag}"
     _build_index_once(path, lambda: dd.winnow_write_index(docs, path))
     text = (
@@ -2730,11 +2740,9 @@ _DML_SUBSET = 100  # vec_id < 100 exists at every fixture sf
 
 
 def _dml_index(spark: SparkSession, sf_dir: str, name: str):
-    import os
-
     from vectra_py_spark.index import SparkVectorIndex
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     idx = SparkVectorIndex(
         spark, f"/tmp/vectra_dml/{sf_tag}/{name}", n_buckets=8
     )
@@ -2982,10 +2990,8 @@ def q_bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     process (`_build_index_once`); the probe itself opens only the
     probed terms' bucket directories (PartitionFilters asserted in
     tests) — corpus-size-independent."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     path = f"/tmp/vectra_bm25_idx/{sf_tag}"
     _build_index_once(path, lambda: rk.bm25_write_index(docs, path))
     return rk.bm25_probe(spark, path, _BM25_TERMS, k=10)
@@ -3003,10 +3009,8 @@ def q_bm25_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 inverted index in ONE pass (shared postings scan + df table,
     per-query windowed top-k) — the lexical twin of `batch_topk`.
     The build runs once per process (`_build_index_once`)."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     path = f"/tmp/vectra_bm25_idx/{sf_tag}_batch"
     _build_index_once(path, lambda: rk.bm25_write_index(docs, path))
     return rk.bm25_probe_batch(spark, path, _BM25_BATCH_QUERIES, k=5)
@@ -3021,11 +3025,9 @@ def q_hybrid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     process (`_build_index_once`); production probes hit standing
     indexes and are corpus-size-independent. The RRF windows run over
     ≤100 candidate rows, not the corpus."""
-    import os
-
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = _sf_tag(sf_dir)
     bpath = f"/tmp/vectra_bm25_idx/{sf_tag}_hybrid"
     vpath = f"/tmp/vectra_ivf_idx/{sf_tag}_hybrid"
     _build_index_once(bpath, lambda: rk.bm25_write_index(docs, bpath))
@@ -3217,71 +3219,70 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-5 priority (per VERDICT r4 item 1):
-# any queries NEW this round first (first driver look), then the 43
-# queries whose newest driver evidence is r2-vintage (everything r3/r4
-# is fresh), then fill to exactly 50 with the oldest r3-green rows
-# (CORRECTNESS_r03 recording order). After this round records, nothing
-# in the registry has driver evidence older than r3. When adding a NEW
-# query, insert its name at the front and drop the last r3 filler name
-# if that pushes past 50.
+# fresh driver row go first. Round-6 priority (per VERDICT r5 item 1):
+# any queries NEW this round first (first driver look), then the 49
+# queries whose newest driver evidence is r3-vintage (cross-referencing
+# CORRECTNESS_r01–r05: everything r4/r5 is fresh), then fill to exactly
+# 50 with the oldest r4-green rows (CORRECTNESS_r04 recording order).
+# After this round records, nothing in the registry has driver evidence
+# older than r4. When adding a NEW query, insert its name at the front
+# and drop the last filler name if that pushes past 50.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    # (new this round — first driver look)
-    "lsh_neardup_strict",
-    "lang_confusion",
-    "quality_calibration",
-    "ivf_cell_balance",
-    "typo_neardup_terms",
-    "source_overlap",
-    # (a) r2-green, stale two rounds — the full set queued in
-    # COVERAGE.md's ledger (alphabetical; all code-unchanged since
-    # their green rows, locally sweep-green every suite run)
-    "bigram_lm_quality",
-    "bm25_topk",
-    "clean_corpus",
-    "concat_chunk",
-    "cross_source_dups",
-    "doc_fingerprint",
-    "document_ranking",
-    "dup_shingle_ratio",
-    "embedding_neardup",
-    "events_sessionize",
-    "events_sliding",
-    "events_windowed",
-    "exact_dedup",
-    "filter_nin",
-    "filter_or_in_gt",
-    "frequent_tokens",
-    "hybrid_search",
-    "incremental_dedup",
-    "index_stats",
-    "language_id",
-    "lm_quality",
-    "lm_quality_cut",
-    "lsh_neardup",
-    "ngram_diversity",
-    "ngram_jaccard_neardup",
-    "pii_scrub",
-    "point_lookup",
-    "pricing_summary",
-    "props_json_stats",
-    "repetition_signals",
-    "rrf_fusion",
-    "semantic_dedup",
-    "simhash_fingerprint",
-    "simhash_neardup",
-    "source_quota",
-    "source_token_drift",
-    "temperature_mix",
-    "text_analysis",
-    "top_users_per_type",
-    "topk_orders_enriched",
-    "vector_topk",
-    "vector_topk_filtered",
-    "volume_anomalies",
-    # (b) fill to 50 with the oldest r3-green rows (r3 recording order)
-    "dsir_weights",
+    # (a) r3-green, stale two rounds — the full set, in r3 recording
+    # order (all code-unchanged since their green rows, locally
+    # sweep-green every suite run)
+    "curriculum_order",
+    "duplicate_ngram_spans",
+    "nb_quality_score",
+    "tokenize_ids",
+    "lloyd_kmeans",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "seq_len_histogram",
+    "winnow_fingerprints",
+    "winnow_matches",
+    "corpus_stats",
+    "random_projection",
+    "bpe_pair_counts",
+    "padding_efficiency",
+    "packed_sequences",
+    "frame_sample",
+    "quantized_topk",
+    "label_centroids",
+    "quality_weighted_sample",
+    "bloom_decontaminate",
+    "leakage_safe_split",
+    "rollup_revenue",
+    "churned_rich",
+    "nation_volume",
+    "market_share",
+    "returned_customers",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "event_funnel",
+    "cohort_retention",
+    "event_type_pivot",
+    "viewers_not_purchasers",
+    "daily_rolling",
+    "late_ship_priority",
+    "big_spenders",
+    "dml_insert",
+    "dml_upsert",
+    "dml_delete",
+    "min_cost_supplier",
+    "forecast_revenue",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "customer_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "excess_suppliers",
+    "batch_topk",
+    # (b) fill to 50 with the oldest r4-green rows (r4 recording order)
+    "gopher_quality",
 ]
 
 QUERIES = {
