@@ -127,6 +127,12 @@ STRESS_QUERIES = [
     "ivf_cell_balance",
     "typo_neardup_terms",
     "source_overlap",
+    # round-6: real JPEG codec e2e (narrow mapInPandas; per-row cost
+    # bounded by the synthesized image, independent of corpus size)
+    "jpeg_roundtrip",
+    # round-6: BPE training loop (one corpus scan; rounds run on the
+    # capped vocab table — 10× corpus should barely move it)
+    "bpe_train_rounds",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Distributed BPE training loop: greedy-merge semantics (overlap
+edge cases), loop determinism, and Spark↔DuckDB twin equivalence
+(reference intent: the trainable counterpart of text/tokenizers.py's
+local 256-merge fallback — tiktoken gpt3_tokenizer.py:5-13)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators import text_analysis as ta
+
+
+def _merge(spark, syms, lhs, rhs):
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    return df.select(
+        ta._merge_pair_expr(F.col("syms"), lhs, rhs).alias("m")
+    ).collect()[0].m
+
+
+def test_greedy_merge_reference_semantics(spark):
+    """Greedy left-to-right non-overlapping — including the self-pair
+    run cases where naive string REPLACE tricks diverge."""
+    assert _merge(spark, ["l", "o", "w"], "l", "o") == ["lo", "w"]
+    assert _merge(spark, ["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge(spark, ["a", "a", "a"], "a", "a") == ["aa", "a"]
+    # six-run: greedy pairs (1,2)(3,4)(5,6), never skips a mergeable pair
+    assert _merge(spark, ["a"] * 6, "a", "a") == ["aa", "aa", "aa"]
+    # merged token does not re-match as the left element in-round
+    assert _merge(spark, ["a", "b", "b"], "a", "b") == ["ab", "b"]
+    # alternating pattern merges every occurrence
+    assert _merge(spark, ["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    # no match → identity; single symbol → identity
+    assert _merge(spark, ["x", "y"], "a", "b") == ["x", "y"]
+    assert _merge(spark, ["x"], "a", "b") == ["x"]
+    # symbols containing other symbols as substrings never false-match
+    assert _merge(spark, ["xa", "b"], "a", "b") == ["xa", "b"]
+    assert _merge(spark, ["a", "bc"], "a", "b") == ["a", "bc"]
+
+
+def test_duckdb_recursive_merge_matches_spark_fold(spark):
+    """The oracle's recursive-CTE scan and the Spark aggregate fold are
+    the same algorithm — checked on the adversarial symbol layouts by
+    running ONE training round on words engineered to hit them."""
+    words = ["aaaa", "aaa", "aaaaaa", "abab", "abb", "xab"]
+    sdf = spark.createDataFrame([(w,) for w in words], ["text"])
+    got = {
+        (r.round, r.lhs, r.rhs, r.n)
+        for r in ta.bpe_train(sdf, n_rounds=3, vocab_cap=100).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_v", __import__("pandas").DataFrame({"text": words}))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_v")
+    want = {
+        tuple(row)
+        for row in con.sql(ta.bpe_train_sql(n_rounds=3, vocab_cap=100)).fetchall()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_bpe_train_is_deterministic_and_tie_broken(spark):
+    """Equal-count pairs resolve by (lhs, rhs) ascending — two runs,
+    identical output (the property the cross-engine hash rests on)."""
+    sdf = spark.createDataFrame([("cd cd ab ab",), ("ab cd",)], ["text"])
+    a = ta.bpe_train(sdf, n_rounds=2, vocab_cap=100).collect()
+    b = ta.bpe_train(sdf, n_rounds=2, vocab_cap=100).collect()
+    assert a == b
+    # 'ab' and 'cd' both occur 3 times → round 1 must pick (a,b)
+    assert (a[0].lhs, a[0].rhs, a[0].n) == ("a", "b", 3)
+    assert (a[1].lhs, a[1].rhs, a[1].n) == ("c", "d", 3)
+
+
+def test_later_rounds_see_earlier_merges(spark):
+    """Round k's counts come from the round-(k-1) segmentation: after
+    merging (l,o), round 2's best pair includes the merged symbol."""
+    sdf = spark.createDataFrame([("loww loww loww low",)], ["text"])
+    rows = ta.bpe_train(sdf, n_rounds=3, vocab_cap=100).collect()
+    assert (rows[0].lhs, rows[0].rhs) == ("l", "o") and rows[0].n == 4
+    assert (rows[1].lhs, rows[1].rhs) == ("lo", "w") and rows[1].n == 4
+    # round 3: remaining pair (low, w) appears in the 3 'loww' words
+    assert (rows[2].lhs, rows[2].rhs) == ("low", "w") and rows[2].n == 3
+
+
+def test_vocab_cap_bounds_the_working_set(spark):
+    """The cap keeps every post-scan stage vocab-bounded (the 100 TB
+    invariant); with cap=1 only the single most frequent word trains."""
+    sdf = spark.createDataFrame([("zz zz zz qq qq",)], ["text"])
+    rows = ta.bpe_train(sdf, n_rounds=1, vocab_cap=1).collect()
+    assert len(rows) == 1
+    assert (rows[0].lhs, rows[0].rhs, rows[0].n) == ("z", "z", 3)

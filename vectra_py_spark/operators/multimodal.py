@@ -6,18 +6,20 @@ batch shape, UDF signatures) is real and tested. Decoders come in
 three tiers:
 
 - **Real, container-native**: WAV/PCM audio (stdlib ``wave``), binary
-  PPM (P6), uncompressed 24-bit BMP, and compressed PNG (stdlib zlib
-  + the five RFC 2083 scanline filters) decode for real — spectral
-  features, pixel statistics, and actual nearest-neighbor resamplers
-  with no codec library at all. These prove the full path
-  (bytes → decode → features/resize → DataFrame) end-to-end on honest
-  media, not just plumbing.
+  PPM (P6), uncompressed 24-bit BMP, compressed PNG (stdlib zlib
+  + the five RFC 2083 scanline filters), and baseline-sequential JPEG
+  (pure-numpy Huffman + dequant + IDCT + YCbCr, :mod:`.jpeg`) decode
+  for real — spectral features, pixel statistics, and actual
+  nearest-neighbor resamplers with no codec library at all. These
+  prove the full path (bytes → decode → features/resize → DataFrame)
+  end-to-end on honest media, not just plumbing.
 - **Deterministic fake**: md5-seeded features/bytes for hermetic
   pipeline tests on arbitrary payloads.
-- **Stubbed**: the remaining compressed formats (JPEG/MP3/MP4) raise
-  ``NotImplementedError`` until a codec library (PIL / torchaudio /
-  pyav) is registered in :data:`DECODERS` — absent from this
-  container by constraint, not design.
+- **Stubbed**: the remaining compressed formats (MP3/MP4, progressive
+  JPEG) raise ``NotImplementedError``/``ValueError`` until a codec
+  library (PIL / torchaudio / pyav) is registered in
+  :data:`DECODERS` — absent from this container by constraint, not
+  design.
 
 Scale notes: binary payloads dominate row size — keep them OUT of
 shuffles (extract features first, then drop/park the payload column);
@@ -40,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .jpeg import decode_jpeg, encode_jpeg
+
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_binary_payload",
@@ -51,6 +55,8 @@ __all__ = [
     "encode_bmp",
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
     "resize_media",
     "sample_frames",
     "synth_wav",
@@ -469,12 +475,22 @@ def _png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return _pixel_features(_png_to_rgb(decode_png(payload)), dim)
 
 
+def _jpeg_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Baseline JPEG decode → shared pixel features (same NULL
+    contract). Grayscale frames broadcast to RGB via the same channel
+    rule as PNG."""
+    if not payload:
+        return [0.0] * dim
+    return _pixel_features(_png_to_rgb(decode_jpeg(payload)), dim)
+
+
 DECODERS = {
     "fake": _fake_features,
     "wav": _wav_features,
     "ppm": _ppm_features,
     "bmp": _bmp_features,
     "png": _png_features,
+    "jpeg": _jpeg_features,
 }
 
 
@@ -613,11 +629,27 @@ def _png_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(np.ascontiguousarray(img[rows][:, cols]))
 
 
+def _jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample for JPEG via the shared integer index
+    maps; re-encodes with :func:`encode_jpeg` (quality 90, 4:4:4) so
+    resized payloads round-trip through :func:`decode_jpeg`. Lossy by
+    format — the round-trip contract is decodability + dimensions, not
+    bit identity."""
+    if not payload:
+        return b""
+    img = _png_to_rgb(decode_jpeg(payload))
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_jpeg(np.ascontiguousarray(img[rows][:, cols]), quality=90)
+
+
 RESIZERS = {
     "fake": _fake_resize,
     "ppm": _ppm_resize,
     "bmp": _bmp_resize,
     "png": _png_resize,
+    "jpeg": _jpeg_resize,
 }
 
 

@@ -904,6 +904,217 @@ def bpe_pair_counts_sql(
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer TRAINING loop (N merge rounds)
+# ---------------------------------------------------------------------------
+def _merge_pair_expr(syms, lhs: str, rhs: str):
+    """Greedy left-to-right non-overlapping merge of the adjacent pair
+    (lhs, rhs) in a symbol array — Sennrich et al. 2016's merge step —
+    as a pure JVM ``aggregate`` foldLeft (whole-stage codegen, no UDF).
+
+    State = (out, carry): carry holds the unconsumed previous symbol;
+    when (carry, current) == (lhs, rhs) the merged token is emitted and
+    the carry cleared, so a merged token never re-matches as the left
+    element within the same round — exactly the reference semantics
+    (e.g. pair (a,a) on "a a a a" → [aa, aa], on "a a a" → [aa, a]).
+    Values are passed as literal Columns, never interpolated into SQL
+    text (symbols may contain quotes)."""
+    lc, rc, mc = F.lit(lhs), F.lit(rhs), F.lit(lhs + rhs)
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, s):
+        out, carry = acc["out"], acc["carry"]
+        return (
+            F.when(carry.isNull(), F.struct(out.alias("out"), s.alias("carry")))
+            .when(
+                (carry == lc) & (s == rc),
+                F.struct(
+                    F.concat(out, F.array(mc)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(carry)).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _adjacent_pairs(seg: DataFrame) -> DataFrame:
+    """(lhs, rhs, n) adjacent-pair counts over a segmentation table
+    (word → syms array, cnt), weighted by word frequency. Vocab-sized
+    input, pair-alphabet-sized output; map-side combinable."""
+    pairs = F.when(
+        F.size("syms") > 1,
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS lhs,"
+            "             element_at(syms, i + 1) AS rhs))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<lhs:string,rhs:string>>)"))
+    return (
+        seg.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_rounds: int = 4,
+    vocab_cap: int = 2000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_rounds`` BPE merges on the corpus — the full training
+    loop (count pairs → pick the best → re-segment → repeat), not just
+    the one-round statistic (:func:`bpe_pair_counts`). Returns one row
+    per learned merge: (round, lhs, rhs, n) with the deterministic
+    tie-break (count DESC, lhs ASC, rhs ASC) that makes the result
+    hash-comparable cross-engine.
+
+    This closes the loop between the pipeline operators and the
+    vendored tokenizer (text/tokenizers.py trains its 256-merge
+    fallback locally; reference intent: tiktoken-style learned merges,
+    gpt3_tokenizer.py:5-13) — the same table becomes trainable ON the
+    corpus, distributed.
+
+    100 TB design — the classic BPE trick, kept honest at every stage:
+    the corpus is scanned ONCE (map-side-combined word count → a
+    vocabulary-sized exchange, capped to the top ``vocab_cap`` words by
+    (freq, word)); every training round then runs on the WORD table —
+    pair explode ≈ |V|·avg_len rows, pair agg alphabet²-sized, and
+    re-segmentation a narrow per-row ``aggregate`` fold (JVM codegen,
+    no Python). The per-round driver round-trip is ONE row (the chosen
+    pair) — the merge decision itself, same as any distributed BPE
+    trainer. Each round's segmentation is persisted so round k doesn't
+    recompute rounds 1..k-1; at real scale swap persist for
+    localCheckpoint to also truncate lineage.
+    """
+    freq = (
+        df.select(F.explode(words_col(text_col)).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+    )
+    seg = freq.select(
+        "word",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).persist()
+    spark = df.sparkSession
+    merges = []
+    cached = [seg]
+    try:
+        for rnd in range(1, n_rounds + 1):
+            best = (
+                _adjacent_pairs(seg)
+                .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((rnd, b.lhs, b.rhs, int(b.n)))
+            if rnd < n_rounds:
+                seg = seg.select(
+                    "word", "cnt",
+                    _merge_pair_expr(F.col("syms"), b.lhs, b.rhs).alias("syms"),
+                ).persist()
+                cached.append(seg)
+    finally:
+        for c in cached:
+            c.unpersist()
+    return spark.createDataFrame(
+        merges, "round INT, lhs STRING, rhs STRING, n BIGINT"
+    )
+
+
+def bpe_train_sql(
+    n_rounds: int = 4,
+    vocab_cap: int = 2000,
+    table: str = "documents",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_train`: the training loop unrolled into
+    ``n_rounds`` CTE stages; each stage's re-segmentation is a recursive
+    CTE replaying the SAME greedy left-to-right non-overlapping scan as
+    the Spark ``aggregate`` fold (pointer i walks the symbol list; a
+    match consumes two symbols, so every path terminates at
+    i = len(syms) + 1, which is what selects the final row)."""
+    w = _words_sql(text_expr)
+    parts = [
+        f"""
+f AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest({w}) AS word FROM {table})
+  WHERE word <> '' AND length(word) >= 2
+  GROUP BY word
+),
+v AS (SELECT word, cnt FROM f ORDER BY cnt DESC, word LIMIT {vocab_cap}),
+seg0 AS (
+  SELECT word, cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS syms
+  FROM v
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"seg{r - 1}"
+        parts.append(
+            f"""
+p{r} AS (
+  SELECT syms[i] AS lhs, syms[i+1] AS rhs, SUM(cnt) AS n
+  FROM {prev}, LATERAL unnest(range(1, len(syms))) t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT lhs, rhs, n FROM p{r} ORDER BY n DESC, lhs, rhs LIMIT 1)"""
+        )
+        if r < n_rounds:
+            parts.append(
+                f"""
+m{r} AS (
+  SELECT word, cnt, syms, 1 AS i, []::VARCHAR[] AS acc FROM {prev}
+  UNION ALL
+  SELECT word, cnt, syms,
+    CASE WHEN i < len(syms) AND syms[i] = (SELECT lhs FROM b{r})
+              AND syms[i+1] = (SELECT rhs FROM b{r})
+         THEN i + 2 ELSE i + 1 END,
+    CASE WHEN i < len(syms) AND syms[i] = (SELECT lhs FROM b{r})
+              AND syms[i+1] = (SELECT rhs FROM b{r})
+         THEN list_append(acc, (SELECT lhs || rhs FROM b{r}))
+         ELSE list_append(acc, syms[i]) END
+  FROM m{r} WHERE i <= len(syms)
+),
+seg{r} AS (SELECT word, cnt, acc AS syms FROM m{r} WHERE i = len(syms) + 1)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, lhs, rhs, CAST(n AS BIGINT) AS n FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"\nSELECT CAST(round AS INT) AS round, lhs, rhs, n FROM ({union}) ORDER BY round"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source duplicate flows
 # ---------------------------------------------------------------------------
 def cross_source_dups(

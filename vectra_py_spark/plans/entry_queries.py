@@ -779,6 +779,24 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.bpe_pair_counts(load(spark, sf_dir, "documents"))
 
 
+_BPE_ROUNDS = 4
+_BPE_VOCAB_CAP = 2000
+
+
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full distributed BPE TRAINING loop (count → pick best pair →
+    greedy re-segment → repeat, N=4 rounds) — one corpus scan, then
+    vocab-table-sized rounds; the oracle unrolls the same loop into
+    recursive CTEs replaying the identical greedy merge scan. Each
+    round's learned merge depends on every earlier round's
+    re-segmentation, so a hash match certifies the whole loop."""
+    return ta.bpe_train(
+        load(spark, sf_dir, "documents"),
+        n_rounds=_BPE_ROUNDS,
+        vocab_cap=_BPE_VOCAB_CAP,
+    )
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror/syndication map: distinct texts shared per source pair."""
     return ta.cross_source_dups(load(spark, sf_dir, "documents"))
@@ -1465,6 +1483,83 @@ def _sql_frame_sample() -> str:
         FROM (SELECT doc_id, octet_length(encode(text)) AS L
               FROM documents),
              (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS i)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal — real JPEG encode→decode round-trip, value-oracled
+# ---------------------------------------------------------------------------
+_JPEG_DOCS = 300  # payloads per run: bounded, deterministic work
+_JPEG_Q00 = 5  # Annex K luma q[0,0] at quality 85 (pinned in tests)
+
+
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image codec e2e on the Spark surface: per doc,
+    synthesize a flat grayscale image (value and non-multiple-of-8 dims
+    derived from doc_id), encode it as baseline JPEG (Huffman + FDCT +
+    quantize), decode it back (unstuff + IDCT), and report the decoded
+    dims and min/max pixel. The oracle replays the closed-form DC-only
+    arithmetic (quantize→dequantize→IDCT of a flat block is
+    ``round(round(8Δ/q00)·q00/8)+128``) in SQL — so Huffman coding, the
+    marker layer, MCU padding/cropping, and the rounding mode are all
+    value-checked cross-engine, not just row-counted.
+
+    Plan shape: pushed-down `doc_id <` filter → narrow ``mapInPandas``
+    (one small codec call per row, no shuffle, payloads never leave the
+    worker). 100 TB: linear scale-out; per-row cost is bounded by the
+    synthesized image size, independent of corpus size."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "px_min": [], "px_max": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 37 + 11) % 256
+                w = 8 + (did % 5) * 3
+                h = 8 + (did % 7) * 2
+                img = np.full((h, w), v, np.uint8)
+                dec = mm.decode_jpeg(mm.encode_jpeg(img, quality=85))
+                out["doc_id"].append(did)
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                out["px_min"].append(int(dec.min()))
+                out["px_max"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id BIGINT, width INT, height INT, px_min INT, px_max INT",
+    )
+
+
+def _sql_jpeg_roundtrip() -> str:
+    # flat block ⇒ DC-only: decoded pixel = clip(round(round(8Δ/q00)
+    # · q00/8) + 128). DuckDB ROUND(double) is half-away-from-zero,
+    # matching the codec's _round_half_away (no exact .5 exists on the
+    # quantize side; the dequant side's exact .5 agrees — verified over
+    # all 256 values in tests/test_jpeg.py).
+    px = (
+        "CAST(LEAST(255, GREATEST(0, ROUND(ROUND("
+        f"(8*(((doc_id*37+11)%256) - 128))/{_JPEG_Q00}.0) * {_JPEG_Q00}.0/8.0"
+        " + 128))) AS INT)"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST(8 + (doc_id % 5)*3 AS INT) AS width,
+               CAST(8 + (doc_id % 7)*2 AS INT) AS height,
+               {px} AS px_min,
+               {px} AS px_max
+        FROM documents
+        WHERE doc_id < {_JPEG_DOCS}
     """
 
 
@@ -3124,6 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "lm_quality_cut": q_lm_quality_cut,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train_rounds": q_bpe_train_rounds,
     "dsir_weights": q_dsir_weights,
     "curriculum_order": q_curriculum_order,
     "temperature_mix": q_temperature_mix,
@@ -3147,6 +3243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_region": q_revenue_by_region,
     "multimodal_bytes": q_multimodal_bytes,
     "frame_sample": q_frame_sample,
+    "jpeg_roundtrip": q_jpeg_roundtrip,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3219,16 +3316,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-6 priority (per VERDICT r5 item 1):
-# any queries NEW this round first (first driver look), then the 49
-# queries whose newest driver evidence is r3-vintage (cross-referencing
-# CORRECTNESS_r01–r05: everything r4/r5 is fresh), then fill to exactly
-# 50 with the oldest r4-green rows (CORRECTNESS_r04 recording order).
-# After this round records, nothing in the registry has driver evidence
-# older than r4. When adding a NEW query, insert its name at the front
-# and drop the last filler name if that pushes past 50.
+# fresh driver row go first. Round-6 priority (per VERDICT r5 items 1
+# and 7): the 2 queries NEW this round first (first driver look —
+# jpeg_roundtrip, bpe_train_rounds), then 48 of the 49 queries whose
+# newest driver evidence is r3-vintage (cross-referencing
+# CORRECTNESS_r01–r05: everything r4/r5 is fresh). Each new query costs
+# a rotation slot (VERDICT r5 item 7 accepts this trade): the displaced
+# names are gopher_quality (r4 filler) and batch_topk (r3 — now the
+# single most stale entry: round 7's rotation MUST lead with it).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
+    # (new this round — first driver look)
+    "jpeg_roundtrip",
+    "bpe_train_rounds",
     # (a) r3-green, stale two rounds — the full set, in r3 recording
     # order (all code-unchanged since their green rows, locally
     # sweep-green every suite run)
@@ -3280,9 +3380,6 @@ _CHECK_FIRST: list[str] = [
     "supplier_part_counts",
     "small_qty_revenue",
     "excess_suppliers",
-    "batch_topk",
-    # (b) fill to 50 with the oldest r4-green rows (r4 recording order)
-    "gopher_quality",
 ]
 
 QUERIES = {
@@ -3382,6 +3479,9 @@ ORACLES: dict[str, str] = {
     "random_projection": _sql_random_projection(),
     "lm_quality_cut": _sql_lm_quality_cut(),
     "bpe_pair_counts": ta.bpe_pair_counts_sql(),
+    "bpe_train_rounds": ta.bpe_train_sql(
+        n_rounds=_BPE_ROUNDS, vocab_cap=_BPE_VOCAB_CAP
+    ),
     "dsir_weights": mx.dsir_importance_sql(_DSIR_TARGET),
     "curriculum_order": mx.curriculum_order_sql("length(text)"),
     "temperature_mix": mx.temperature_mix_sql(),
@@ -3412,6 +3512,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_region": _sql_revenue_by_region(),
     "multimodal_bytes": _sql_multimodal_bytes(),
     "frame_sample": _sql_frame_sample(),
+    "jpeg_roundtrip": _sql_jpeg_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
     ),
