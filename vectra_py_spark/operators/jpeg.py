@@ -21,7 +21,11 @@ zigzag, Huffman coding with 0xFF byte stuffing.
 
 This is the PNG precedent (``multimodal.decode_png``) extended to the
 dominant compressed image format a 100 TB image-text pipeline actually
-ingests. Per-scanline/pure-numpy performance is adequate for feature
+ingests. The reference engine has no image path at all (its multimodal
+story stops at text; see SURVEY.md §2) — this module is part of the
+beyond-reference pipeline surface, kept to the same contracts as the
+reference-parity operators (ValueError-only refusal, oracle-checked
+end-to-end via ``jpeg_roundtrip``). Per-scanline/pure-numpy performance is adequate for feature
 extraction at fixture scale; register a codec library (PIL/libjpeg) in
 ``multimodal.DECODERS`` for bulk decode throughput — the Spark-side
 plumbing is identical either way.

@@ -7,12 +7,14 @@ three tiers:
 
 - **Real, container-native**: WAV/PCM audio (stdlib ``wave``), binary
   PPM (P6), uncompressed 24-bit BMP, compressed PNG (stdlib zlib
-  + the five RFC 2083 scanline filters), and baseline-sequential JPEG
-  (pure-numpy Huffman + dequant + IDCT + YCbCr, :mod:`.jpeg`) decode
-  for real — spectral features, pixel statistics, and actual
-  nearest-neighbor resamplers with no codec library at all. These
-  prove the full path (bytes → decode → features/resize → DataFrame)
-  end-to-end on honest media, not just plumbing.
+  + the five RFC 2083 scanline filters), baseline-sequential JPEG
+  (pure-numpy Huffman + dequant + IDCT + YCbCr, :mod:`.jpeg`), and
+  multi-frame GIF (full LZW, interlace, transparency/disposal
+  compositing, :mod:`.gif`) decode for real — spectral features,
+  pixel statistics, actual nearest-neighbor resamplers, and REAL
+  frame sampling (:func:`sample_gif_frames`) with no codec library at
+  all. These prove the full path (bytes → decode → features/resize/
+  frames → DataFrame) end-to-end on honest media, not just plumbing.
 - **Deterministic fake**: md5-seeded features/bytes for hermetic
   pipeline tests on arbitrary payloads.
 - **Stubbed**: the remaining compressed formats (MP3/MP4, progressive
@@ -42,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .gif import decode_gif, encode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 
 __all__ = [
@@ -57,10 +60,14 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "decode_gif",
+    "encode_gif",
     "resize_media",
     "sample_frames",
+    "sample_gif_frames",
     "synth_wav",
     "synth_ppm",
+    "synth_gif",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -484,6 +491,19 @@ def _jpeg_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return _pixel_features(_png_to_rgb(decode_jpeg(payload)), dim)
 
 
+def _gif_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """GIF decode → pixel features of the FIRST composited frame (the
+    poster-frame convention), with the last feature slot replaced by
+    log1p(n_frames) so animated vs static payloads are separable
+    downstream (same NULL contract)."""
+    if not payload:
+        return [0.0] * dim
+    frames = decode_gif(payload)
+    feats = _pixel_features(frames[0], dim)
+    feats[dim - 1] = float(np.log1p(frames.shape[0]))
+    return feats
+
+
 DECODERS = {
     "fake": _fake_features,
     "wav": _wav_features,
@@ -491,6 +511,7 @@ DECODERS = {
     "bmp": _bmp_features,
     "png": _png_features,
     "jpeg": _jpeg_features,
+    "gif": _gif_features,
 }
 
 
@@ -644,12 +665,27 @@ def _jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_jpeg(np.ascontiguousarray(img[rows][:, cols]), quality=90)
 
 
+def _gif_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample for GIF — EVERY frame, preserving
+    animation; re-encodes with :func:`encode_gif` so resized payloads
+    round-trip through :func:`decode_gif` (palette is reused exactly:
+    nearest-neighbor never invents colors)."""
+    if not payload:
+        return b""
+    frames = decode_gif(payload)
+    n, h, w = frames.shape[:3]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_gif(np.ascontiguousarray(frames[:, rows][:, :, cols]))
+
+
 RESIZERS = {
     "fake": _fake_resize,
     "ppm": _ppm_resize,
     "bmp": _bmp_resize,
     "png": _png_resize,
     "jpeg": _jpeg_resize,
+    "gif": _gif_resize,
 }
 
 
@@ -736,4 +772,73 @@ def sample_frames(
     return df.mapInPandas(
         run,
         schema="media_id STRING, frame_idx INT, frame BINARY, n_bytes BIGINT",
+    )
+
+
+def synth_gif(
+    n_frames: int = 6, width: int = 30, height: int = 20
+) -> bytes:
+    """Generate a real animated GIF (a red box sweeping over a blue
+    field — few colors, valid input for ANY GIF decoder)."""
+    frames = np.zeros((n_frames, height, width, 3), np.uint8)
+    frames[:, :, :, 2] = 40
+    bw = max(width // n_frames, 1)
+    for i in range(n_frames):
+        x = (i * width) // n_frames
+        frames[i, height // 4 : 3 * height // 4, x : x + bw] = [255, 0, 0]
+    return encode_gif(frames, delay_cs=5)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    n_frames: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video-style frame sampling: decode each animated-GIF
+    payload, pick ``n_frames`` evenly spaced ACTUAL frames (frame
+    ``floor(N·i/n)`` of N — the same integer boundary math as
+    :func:`sample_frames`, applied to decoded frames instead of byte
+    slices), and re-encode each as a standalone single-frame GIF that
+    composes with :func:`extract_features` / :func:`resize_media`
+    downstream.
+
+    Plan shape: identical to :func:`sample_frames` — a row-exploding
+    narrow ``mapInPandas``, no shuffle, payloads never leave the
+    worker. A real keyframe sampler (pyav) swaps in at this exact
+    seam; the GIF path proves the full decode → select → re-encode →
+    per-frame-operator chain on honest multi-frame media. Malformed
+    payloads surface as ValueError (quarantine upstream with
+    try/filter if partial progress is preferred — same policy as the
+    image decoders)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            srcs: list[int] = []
+            outs: list[bytes] = []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                if b is None or len(b) == 0:
+                    continue  # NULL payload → no frames (not a failure)
+                frames = decode_gif(bytes(b))
+                total = frames.shape[0]
+                for i in range(n_frames):
+                    src = (total * i) // n_frames
+                    ids.append(mid)
+                    idxs.append(i)
+                    srcs.append(src)
+                    outs.append(encode_gif(frames[src]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "src_frame": srcs,
+                    "frame": outs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="media_id STRING, frame_idx INT, src_frame INT, frame BINARY",
     )
