@@ -205,6 +205,39 @@ def test_bmp_malformed_payloads_raise_valueerror_only():
             mm.decode_bmp(bytes(bad_dim))
 
 
+def test_extract_features_quarantine_mode(spark):
+    """One corrupt payload among good ones: on_error='fail' kills the
+    stage (curated-input contract); on_error='quarantine' keeps every
+    row flowing with the error recorded and filterable."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    good = mm.encode_bmp(mm.decode_ppm(mm.synth_ppm(16, 8)))
+    rows = [
+        ("ok1", "image", bytearray(good), {}),
+        ("bad", "image", bytearray(good[:20]), {}),  # truncated header
+        ("ok2", "image", bytearray(good), {}),
+        ("nul", "image", None, {}),  # NULL stays a zero-feature row
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_features(df, decoder="bmp").collect()
+    assert "malformed BMP" in str(exc_info.value)
+
+    out = {r.media_id: r for r in
+           mm.extract_features(df, decoder="bmp", on_error="quarantine").collect()}
+    assert len(out) == 4
+    assert out["bad"].decode_error and "BMP" in out["bad"].decode_error
+    assert out["bad"].features == [0.0] * mm.FEATURE_DIM
+    assert out["ok1"].decode_error is None
+    assert out["ok1"].features == out["ok2"].features != [0.0] * mm.FEATURE_DIM
+    assert out["nul"].decode_error is None  # NULL is absent, not corrupt
+
+    with pytest.raises(ValueError, match="on_error"):
+        mm.extract_features(df, decoder="bmp", on_error="skip")
+
+
 def test_bmp_decoder_through_dataframe_api(spark):
     imgs = spark.createDataFrame(
         [

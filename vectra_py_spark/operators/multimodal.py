@@ -564,36 +564,65 @@ def extract_features(
     decoder: str = "fake",
     data_col: str = "data",
     id_col: str = "media_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Binary payloads → fixed-dim feature vectors via ``mapInPandas``.
 
     With ``decoder='fake'`` the deterministic byte-hash features run
     end-to-end; any other name resolves through :data:`DECODERS` and
     raises ``NotImplementedError`` until a real codec is registered.
+
+    ``on_error`` is the 100 TB robustness knob: every real decoder
+    refuses malformed payloads with :class:`ValueError` (the uniform
+    contract), and
+
+    - ``'fail'`` (default) lets that propagate — one bad row fails the
+      stage, the right behavior for curated inputs where corruption
+      means an upstream bug;
+    - ``'quarantine'`` catches it per row instead: the row survives
+      with all-zero features and the error message in an extra
+      ``decode_error`` column (NULL for clean rows), so a crawl-scale
+      corpus with inevitable truncated/corrupt media keeps flowing and
+      the quarantined rows stay filterable/auditable downstream.
     """
     if decoder not in DECODERS:
         decode_stub(decoder, b"")  # raises with a clear message
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
     fn = DECODERS[decoder]
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                fn(bytes(b) if b is not None else b"") for b in pdf[data_col]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype(str),
-                    "n_bytes": [
-                        len(bytes(b)) if b is not None else 0
-                        for b in pdf[data_col]
-                    ],
-                    "features": feats,
-                }
-            )
+            feats: list[list[float]] = []
+            errs: list[str | None] = []
+            for b in pdf[data_col]:
+                payload = bytes(b) if b is not None else b""
+                if not quarantine:
+                    feats.append(fn(payload))
+                    continue
+                try:
+                    feats.append(fn(payload))
+                    errs.append(None)
+                except ValueError as exc:
+                    feats.append([0.0] * FEATURE_DIM)
+                    errs.append(str(exc))
+            out = {
+                "media_id": pdf[id_col].astype(str),
+                "n_bytes": [
+                    len(bytes(b)) if b is not None else 0
+                    for b in pdf[data_col]
+                ],
+                "features": feats,
+            }
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        run, schema="media_id STRING, n_bytes BIGINT, features ARRAY<DOUBLE>"
-    )
+    schema = "media_id STRING, n_bytes BIGINT, features ARRAY<DOUBLE>"
+    if quarantine:
+        schema += ", decode_error STRING"
+    return df.mapInPandas(run, schema=schema)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
