@@ -144,10 +144,15 @@ def test_malformed_payloads_raise_valueerror_only():
     for cut in (2, 3, 4, 10, 21, 25, 90, len(payload) // 2, len(payload) - 2):
         with pytest.raises(ValueError):
             decode_jpeg(payload[:cut])
-    # progressive frames refuse loudly (SOF0 -> SOF2)
+    # a baseline stream merely relabeled SOF2 is malformed progressive
+    # (its single scan claims the full band with Se=63 on a DC scan)
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # genuinely unsupported frame types still refuse loudly
+    lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(lossless)
     # corrupt entropy data → invalid Huffman code or truncated stream
     body = bytearray(payload)
     body[-20:-2] = bytes(18)  # stomp scan bytes, keep EOI
@@ -156,6 +161,142 @@ def test_malformed_payloads_raise_valueerror_only():
     # missing EOI
     with pytest.raises(ValueError):
         decode_jpeg(payload[:-2])
+
+
+def test_progressive_equals_baseline_exactly():
+    """Progressive is a lossless REORGANIZATION of the same quantized
+    coefficients: for every quality/subsampling/shape, the SOF2 payload
+    must decode to pixels IDENTICAL to the baseline payload's. This
+    single property pins the whole Annex G machinery (spectral bands,
+    DC/AC successive approximation, EOB runs, buffered correction
+    bits) against the independently-written baseline path."""
+    img = mm.decode_ppm(mm.synth_ppm(37, 23))
+    for quality in (95, 85, 50):
+        for subsample in (False, True):
+            base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+            prog = decode_jpeg(
+                encode_jpeg(img, quality=quality, subsample=subsample, progressive=True)
+            )
+            assert np.array_equal(base, prog), (quality, subsample)
+    # grayscale + odd dims with 4:2:0 (grid-edge stress)
+    g = img.mean(axis=2).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=90)),
+        decode_jpeg(encode_jpeg(g, quality=90, progressive=True)),
+    )
+    img2 = mm.decode_ppm(mm.synth_ppm(41, 29))
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img2, quality=80, subsample=True)),
+        decode_jpeg(encode_jpeg(img2, quality=80, subsample=True, progressive=True)),
+    )
+    # randomized content: 20 noise images
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        noisy = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(noisy, quality=75)),
+            decode_jpeg(encode_jpeg(noisy, quality=75, progressive=True)),
+        )
+
+
+def test_progressive_ac_scan_primitives_property():
+    """The AC first+refine pair round-trips 300 random coefficient
+    blocks bit-exactly (encoder and decoder exercised below the file
+    layer, with explicit byte unstuffing)."""
+    from vectra_py_spark.operators import jpeg as J
+
+    act = J._decode_table(*J._AC_LUMA)
+    rng = np.random.default_rng(2)
+    for _ in range(300):
+        zt = np.zeros(64, np.int32)
+        n = int(rng.integers(0, 30))
+        idx = rng.choice(np.arange(1, 64), n, replace=False)
+        zt[idx] = rng.integers(-300, 300, n)
+        c = {
+            "coefzz": zt.reshape(1, 1, 64), "bh": 1, "bw": 1,
+            "codes_ac": J._canonical_codes(*J._AC_LUMA),
+        }
+        b1 = J._BitWriter()
+        J._emit_ac_first(b1, c, 1, 63, 1)
+        b2 = J._BitWriter()
+        J._emit_ac_refine(b2, c, 1, 63, 0)
+        z = np.zeros(64, np.int32)
+        J._ac_first_block(
+            J._BitReader(b1.flush().replace(b"\xff\x00", b"\xff")),
+            act, z, 1, 63, 1, 0,
+        )
+        J._ac_refine_block(
+            J._BitReader(b2.flush().replace(b"\xff\x00", b"\xff")),
+            act, z, 1, 63, 0, 0,
+        )
+        assert np.array_equal(z[1:], zt[1:])
+
+
+def test_progressive_handbuilt_eobrun_restarts_and_dht_redefine():
+    """Paths our encoder never emits, exercised with a hand-assembled
+    progressive stream: EOBn with r=1 (a 2-block EOB run), RSTn restarts
+    inside a progressive DC scan, DRI redefinition between scans, and a
+    DHT defined AFTER the first scan. Grayscale 24x8 (3 blocks), all-1
+    quant table; expected pixels computed from the coefficients
+    directly with an independent IDCT expression."""
+    import struct
+
+    from vectra_py_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all ones (zigzag order is all ones too)
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    # SOF2: 8-bit, h=8, w=24, 1 component id=1 hv=1x1 tq=0
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: single symbol 0x00 (all diffs zero), code '0'
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    # DRI: restart every 2 MCUs (applies to the DC scan)
+    out += seg(0xDD, struct.pack(">H", 2))
+    # scan 1: DC first, Al=0 — 3 MCUs, bits '0','0' | RST0 | '0'
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += bytes([0b00111111])  # two '0' bits + 1-padding
+    out += b"\xff\xd0"  # RST0
+    out += bytes([0b01111111])  # one '0' bit + padding
+    # between scans: disable restarts, define the AC table
+    out += seg(0xDD, struct.pack(">H", 0))
+    # AC table 0: 0x01→'0' (len1), 0x00→'10', 0x10→'11' (len2)
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes([1, 2] + [0] * 14) + bytes([0x01, 0x00, 0x10]),
+    )
+    # scan 2: AC first, Ss=1 Se=63 Ah=0 Al=0
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    # block1: 0x01 ('0') + mag bit '1' (coef +1 at zigzag k=1) + EOB0
+    # ('10'); blocks 2-3: EOB1 ('11') + 1 extra bit '0' (run = 2);
+    # bit stream 0,1,1,0,1,1,0 + 1-bit pad → 0b01101101
+    out += bytes([0b01101101])
+    out += b"\xff\xd9"
+    decoded = J.decode_jpeg(bytes(out))
+    assert decoded.shape == (8, 24, 1)
+    # expected: blocks 2,3 flat 128; block 1 = IDCT of nat[0,1]=1 (+128)
+    nat = np.zeros((8, 8))
+    nat[0, 1] = 1.0  # zigzag index 1 → natural (0,1); q=1
+    blk = J._A @ nat @ J._A.T + 128.0
+    want = np.clip(np.trunc(blk + np.copysign(0.5, blk)), 0, 255).astype(np.uint8)
+    assert np.array_equal(decoded[:, :8, 0], want)
+    assert (decoded[:, 8:, 0] == 128).all()
+
+
+def test_progressive_malformed_payloads_raise_valueerror_only():
+    img = mm.decode_ppm(mm.synth_ppm(24, 16))
+    payload = encode_jpeg(img, quality=85, progressive=True)
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 24, 3)
+    for cut in (30, 60, 120, len(payload) // 2, len(payload) - 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+    # multi-component AC scan is illegal in progressive
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, progressive=True, restart_interval=2)
 
 
 def test_encoder_input_validation():

@@ -1,23 +1,30 @@
-"""Baseline-sequential JPEG codec with zero codec dependencies.
+"""JPEG codec (baseline sequential + progressive) with zero codec
+dependencies.
 
-Decoder: ITU-T T.81 baseline sequential DCT with Huffman entropy
-coding — marker parse (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI),
-canonical Huffman code construction, byte-unstuffed bit reading,
-per-block DC-difference + AC run-length decode, dequantize, dezigzag,
-float IDCT (orthonormal 8×8 basis matrix), chroma upsample by pixel
-replication, YCbCr→RGB per JFIF. Grayscale (1 component) and YCbCr
-(3 components) at arbitrary standard sampling factors (4:4:4, 4:2:0,
-4:2:2, …). Progressive (SOF2), arithmetic coding, hierarchical, and
-12-bit frames — and ANY malformed payload (truncated marker segment,
-truncated entropy stream, invalid Huffman code, missing tables) —
-refuse with :class:`ValueError`, the single exception type the
-multimodal feature pass contracts on.
+Decoder: ITU-T T.81 DCT with Huffman entropy coding — marker parse
+(SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/RSTn/EOI), canonical Huffman
+code construction, byte-unstuffed bit reading, per-block DC-difference
++ AC run-length decode, dequantize, dezigzag, float IDCT (orthonormal
+8×8 basis matrix), chroma upsample by pixel replication, YCbCr→RGB per
+JFIF. Grayscale (1 component) and YCbCr (3 components) at arbitrary
+standard sampling factors (4:4:4, 4:2:0, 4:2:2, …). Progressive
+(SOF2) decodes in full: spectral-selection bands, successive-
+approximation DC/AC refinement bit-planes (T.81 Annex G, the libjpeg
+refine structure), EOB runs, per-scan Huffman redefinition, and
+restart intervals. Arithmetic coding, hierarchical, and 12-bit frames
+— and ANY malformed payload (truncated marker segment, truncated
+entropy stream, invalid Huffman code, missing tables) — refuse with
+:class:`ValueError`, the single exception type the multimodal feature
+pass contracts on.
 
 Encoder: the inverse — the spec's example tables (ITU-T T.81 Annex K
 quantization matrices scaled by the public libjpeg quality formula,
 Annex K Huffman tables), 4:4:4 or 4:2:0 chroma subsampling (box
 mean), level shift, float FDCT, half-away-from-zero quantization,
-zigzag, Huffman coding with 0xFF byte stuffing.
+zigzag, Huffman coding with 0xFF byte stuffing; ``progressive=True``
+re-transmits the same coefficients as an SOF2 scan script (lossless
+reorganization — pixel-identical to baseline by construction and by
+test).
 
 This is the PNG precedent (``multimodal.decode_png``) extended to the
 dominant compressed image format a 100 TB image-text pipeline actually
@@ -267,6 +274,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
 
     while True:
@@ -313,7 +321,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (Huffman seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog.
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -324,12 +332,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "unsupported JPEG frame type "
-                f"SOF{marker - 0xC0} — only baseline sequential Huffman "
-                "(SOF0/SOF1) supported"
+                f"SOF{marker - 0xC0} — only baseline sequential (SOF0/SOF1) "
+                "and progressive (SOF2) Huffman frames supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -341,6 +350,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tds >> 4, tds & 15))
+            if progressive:
+                ss, se, ahal = struct.unpack_from(
+                    ">BBB", seg, 1 + 2 * ns
+                )
+                return _decode_progressive(
+                    payload, pos, frame, (scan, ss, se, ahal >> 4, ahal & 15),
+                    qtables, htables, restart_interval,
+                )
             return _decode_scan(
                 payload, pos, frame, scan, qtables, htables, restart_interval
             )
@@ -428,6 +445,13 @@ def _decode_scan(payload, pos, frame, scan, qtables, htables, restart_interval):
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk
             n_mcu += 1
 
+    return _finish_planes(order, h, w, hmax, vmax)
+
+
+def _finish_planes(order, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop to the
+    frame, and convert YCbCr→RGB (or pass grayscale through) — the
+    shared tail of the baseline and progressive decode paths."""
     planes = []
     for c in order:
         p = np.repeat(
@@ -473,6 +497,284 @@ def _decode_block(br: _BitReader, c: dict) -> np.ndarray:
     nat[_ZIGZAG] = zz
     coeffs = nat.reshape(8, 8) * c["q"]
     return _A @ coeffs @ _A.T + 128.0
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2): coefficients accumulate across scans —
+# spectral selection bands + successive-approximation bit planes — and
+# the IDCT runs once at the end. T.81 Annex G.
+# ---------------------------------------------------------------------------
+def _entropy_until_marker(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuff entropy data from ``pos`` up to the next non-RST marker,
+    split at RSTn boundaries. Returns (segments, position of the 0xFF
+    of the terminating marker)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            raise ValueError("JPEG entropy stream truncated at 0xFF")
+        m = payload[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            segs.append(bytes(cur))
+            return segs, pos
+    raise ValueError("JPEG progressive stream truncated (no trailing marker)")
+
+
+def _decode_progressive(
+    payload, pos, frame, first_scan, qtables, htables, restart_interval
+):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        # coefficient store in ZIGZAG order, sized to the MCU grid (the
+        # non-interleaved grid ceil(sampled/8) is always ≤ it)
+        c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        if c["tq"] not in qtables:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+
+    by_id = {c["id"]: c for c in comps}
+    scan = first_scan
+    while True:
+        pos = _progressive_scan(
+            payload, pos, scan, by_id, htables, restart_interval,
+            mcux, mcuy,
+        )
+        # parse inter-scan markers until the next SOS or EOI
+        scan = None
+        while scan is None:
+            if payload[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at offset {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            pos += 2
+            if marker == 0xD9:  # EOI — all scans done
+                order = list(comps)
+                for c in order:
+                    # quant table natural→zigzag to match the coef store
+                    q = qtables[c["tq"]].astype(np.float64).reshape(64)[
+                        _ZIGZAG
+                    ]
+                    plane = np.zeros(
+                        (c["coef"].shape[0] * 8, c["coef"].shape[1] * 8)
+                    )
+                    nat = np.zeros(64)
+                    for by in range(c["coef"].shape[0]):
+                        for bx in range(c["coef"].shape[1]):
+                            zz = c["coef"][by, bx] * q
+                            nat[_ZIGZAG] = zz
+                            blk = _A @ nat.reshape(8, 8) @ _A.T + 128.0
+                            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                    c["plane"] = plane
+                return _finish_planes(order, h, w, hmax, vmax)
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2 : pos + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("JPEG marker segment truncated")
+            pos += seglen
+            if marker == 0xC4:  # DHT (tables may be redefined per scan)
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + nv])
+                    if len(vals) != nv:
+                        raise ValueError("JPEG DHT truncated")
+                    htables[(tc, th)] = _decode_table(bits, vals)
+                    p += 17 + nv
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:
+                ns = seg[0]
+                sc = []
+                for i in range(ns):
+                    cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                    sc.append((cs, tds >> 4, tds & 15))
+                ss, se, ahal = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+                scan = (sc, ss, se, ahal >> 4, ahal & 15)
+            # DQT/APPn/COM between scans: skipped (DQT must precede
+            # the first scan per Annex G; tables are frozen here)
+
+
+def _progressive_scan(
+    payload, pos, scan_params, by_id, htables, restart_interval, mcux, mcuy
+):
+    scan, ss, se, ah, al = scan_params
+    if not scan or not 0 <= ss <= se <= 63 or se > 63:
+        raise ValueError("malformed JPEG progressive scan header")
+    segs, end_pos = _entropy_until_marker(payload, pos)
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        c = by_id[cs]
+        if ss == 0 and ah == 0:
+            if (0, td) not in htables:
+                raise ValueError("JPEG missing DC Huffman table for scan")
+            c["dct"] = htables[(0, td)]
+        if ss > 0:
+            if (1, ta) not in htables:
+                raise ValueError("JPEG missing AC Huffman table for scan")
+            c["act"] = htables[(1, ta)]
+        order.append(c)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC progressive scan must have Se=0")
+        _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy)
+    else:
+        if len(order) != 1:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        _ac_scan(order[0], segs, ss, se, ah, al, restart_interval)
+    return end_pos
+
+
+def _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy):
+    """DC first pass (Huffman diff, point-transformed by Al) or DC
+    refinement (one raw bit per block)."""
+    for c in order:
+        c["pred"] = 0
+    seg_i = 0
+    br = _BitReader(segs[0])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segs[seg_i])
+                for c in order:
+                    c["pred"] = 0
+            for c in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            s = _decode_symbol(br, c["dct"])
+                            diff = _extend(br.read_bits(s), s)
+                            c["pred"] += diff
+                            blk[0] = c["pred"] << al
+                        else:
+                            if br.read_bit():
+                                blk[0] |= 1 << al
+            n_mcu += 1
+
+
+def _ac_scan(c, segs, ss, se, ah, al, restart_interval):
+    """AC band scan over the component's own (non-interleaved) block
+    grid: first pass with EOB-run coding, or the successive-
+    approximation refinement pass (T.81 G.1.2.3)."""
+    blocks = [
+        c["coef"][by, bx]
+        for by in range(c["bh"])
+        for bx in range(c["bw"])
+    ]
+    act = c["act"]
+    seg_i = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    for n_blk, zz in enumerate(blocks):
+        if restart_interval and n_blk and n_blk % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segs[seg_i])
+            eobrun = 0
+        if ah == 0:
+            eobrun = _ac_first_block(br, act, zz, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, act, zz, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, act, zz, ss, se, al, eobrun) -> int:
+    """First AC pass for one block; returns the count of FOLLOWING
+    blocks the current EOB run still skips."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + (br.read_bits(r) if r else 0)  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC index out of band")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, act, zz, ss, se, al, eobrun) -> int:
+    """Successive-approximation AC refinement for one block (T.81
+    G.1.2.3 / the libjpeg decode_mcu_AC_refine structure). The EOB-run
+    counter here INCLUDES the current block, because a block that
+    declares (or sits inside) an EOB run still receives correction
+    bits for its already-nonzero band coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break  # current block finishes inside the run below
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement magnitude must be 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+        else:
+            return 0  # band fully coded, no EOB run in effect
+    # inside an EOB run: correction bits still flow for the remaining
+    # nonzero coefficients of this block's band
+    while k <= se:
+        if zz[k] != 0:
+            if br.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else m1
+        k += 1
+    return eobrun - 1
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +871,144 @@ def _encode_block(
     return dc
 
 
+# ---------------------------------------------------------------------------
+# Progressive encoder: the same quantized coefficients as baseline,
+# transmitted as a spectral-selection + successive-approximation scan
+# script (progressive is a lossless REORGANIZATION — pinned in tests by
+# exact pixel equality against the baseline pipeline).
+# ---------------------------------------------------------------------------
+def _quantize_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """MCU-padded plane → (bh, bw, 64) int32 quantized coefficients in
+    ZIGZAG order (the transmission order every scan type walks)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.empty((bh, bw, 64), np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _A.T @ (blk - 128.0) @ _A
+            q = _round_half_away(coeffs / qt).astype(np.int32)
+            out[by, bx] = q.reshape(64)[_ZIGZAG]
+    return out
+
+
+def _sos_header(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, td, ta in scan_comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return struct.pack(">BBH", 0xFF, 0xDA, len(body) + 2) + body
+
+
+def _emit_dc_first(bw, comps, mcux, mcuy, al):
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["hv"][1]):
+                    for bx in range(c["hv"][0]):
+                        v = int(
+                            c["coefzz"][my * c["hv"][1] + by,
+                                        mx * c["hv"][0] + bx, 0]
+                        ) >> al  # DC point transform: arithmetic shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        code, ln = c["codes_dc"][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(bw, comps, mcux, mcuy, al):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["hv"][1]):
+                    for bx in range(c["hv"][0]):
+                        v = int(
+                            c["coefzz"][my * c["hv"][1] + by,
+                                        mx * c["hv"][0] + bx, 0]
+                        )
+                        bw.write((v >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, c, ss, se, al):
+    """AC band, first pass. EOB runs are capped at 1 (plain EOB0) so
+    the Annex K AC tables suffice — the spec's longer EOBn codes need
+    custom Huffman tables baseline never defines. Decoders accept both
+    (ours reads EOBn up to r=14; tested with a hand-built stream)."""
+    codes = c["codes_ac"]
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            zz = c["coefzz"][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                av = abs(v) >> al
+                if av == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                s = av.bit_length()
+                code, ln = codes[(r << 4) | s]
+                bw.write(code, ln)
+                mag = av if v > 0 else -av
+                bw.write(mag if mag >= 0 else mag + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                code, ln = codes[0x00]  # EOB0
+                bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, c, ss, se, al):
+    """AC band, successive-approximation refinement (the encoder dual
+    of `_ac_refine_block`): newly-significant coefficients code as
+    (run<<4)|1 + sign, already-significant ones buffer a correction
+    bit that flushes at the next symbol — exactly the order the
+    decoder's advance loop consumes them in."""
+    codes = c["codes_ac"]
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            zz = c["coefzz"][by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(64)]
+            eobpos = ss - 1
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eobpos = k
+            r = 0
+            buffered: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    code, ln = codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in buffered:
+                        bw.write(bit, 1)
+                    buffered = []
+                if t > 1:  # already significant: buffer correction bit
+                    buffered.append(t & 1)
+                    continue
+                code, ln = codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                r = 0
+                for bit in buffered:
+                    bw.write(bit, 1)
+                buffered = []
+            if r > 0 or buffered:
+                code, ln = codes[0x00]  # EOB0 folds the tail
+                bw.write(code, ln)
+                for bit in buffered:
+                    bw.write(bit, 1)
+
+
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     h, w = plane.shape
     ph = (-h) % mult_y
@@ -583,14 +1023,25 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (h, w, 3) RGB, (h, w, 1) or (h, w) gray → baseline
     sequential JFIF bytes. ``subsample=True`` emits 4:2:0 (box-mean
     chroma), else 4:4:4. ``restart_interval`` > 0 emits a DRI segment
     and RSTn markers every N MCUs (what a parallel decoder keys on —
     restart segments are the unit a 100 TB image pipeline could split
-    entropy decode at). Non-uint8 input refuses (silent truncation
+    entropy decode at; baseline only). ``progressive=True`` emits the
+    SAME quantized coefficients as an SOF2 spectral-selection +
+    successive-approximation scan script (DC first/refine, split AC
+    bands at Al=1, AC refinements) — a lossless reorganization, so
+    progressive and baseline payloads decode to identical pixels
+    (pinned in tests). Non-uint8 input refuses (silent truncation
     would corrupt pixels with no error)."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart_interval is not supported by the progressive "
+            "encoder (the decoder accepts progressive restarts)"
+        )
     if img.dtype != np.uint8:
         raise ValueError(f"encode_jpeg needs uint8 pixels, got {img.dtype}")
     if img.ndim == 2:
@@ -658,6 +1109,80 @@ def encode_jpeg(
         c["codes_ac"] = _canonical_codes(*c["ac"])
         c["pred"] = 0
 
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    # DQT ships tables in zigzag order
+    lz = _scaled_quant(_QUANT_LUMA, quality)[_ZIGZAG]
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in lz))
+    if nc == 3:
+        cz = _scaled_quant(_QUANT_CHROMA, quality)[_ZIGZAG]
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in cz))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, c in enumerate(comps):
+        sof += struct.pack(
+            ">BBB", i + 1, (c["hv"][0] << 4) | c["hv"][1], c["tq"]
+        )
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if nc == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    if progressive:
+        for i, c in enumerate(comps):
+            c["coefzz"] = _quantize_blocks(c["plane"], c["qt"])
+            ch, cv = c["hv"]
+            # non-interleaved AC grid = ceil(sampled/8), NOT MCU-padded
+            c["bh"] = -(-(-(-h * cv // vmax)) // 8)
+            c["bw"] = -(-(-(-w * ch // hmax)) // 8)
+            c["cid"] = i + 1
+        all_ids = [(c["cid"], c["td"], c["td"]) for c in comps]
+
+        def run_scan(header, emit, *args):
+            wr = _BitWriter()
+            emit(wr, *args)
+            return header + wr.flush()
+
+        # the classic script: DC first (Al=1) → AC bands at Al=1 →
+        # DC refine → AC refinements, luma band split in two
+        y0 = comps[0]
+        out += run_scan(
+            _sos_header(all_ids, 0, 0, 0, 1),
+            _emit_dc_first, comps, mcux, mcuy, 1,
+        )
+        out += run_scan(
+            _sos_header([(y0["cid"], 0, y0["td"])], 1, 5, 0, 1),
+            _emit_ac_first, y0, 1, 5, 1,
+        )
+        for c in comps[1:]:
+            out += run_scan(
+                _sos_header([(c["cid"], 0, c["td"])], 1, 63, 0, 1),
+                _emit_ac_first, c, 1, 63, 1,
+            )
+        out += run_scan(
+            _sos_header([(y0["cid"], 0, y0["td"])], 6, 63, 0, 1),
+            _emit_ac_first, y0, 6, 63, 1,
+        )
+        out += run_scan(
+            _sos_header(all_ids, 0, 0, 1, 0),
+            _emit_dc_refine, comps, mcux, mcuy, 0,
+        )
+        for c in comps:
+            out += run_scan(
+                _sos_header([(c["cid"], 0, c["td"])], 1, 63, 1, 0),
+                _emit_ac_refine, c, 1, 63, 0,
+            )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     bw = _BitWriter()
     n_mcu = 0
     rst = 0
@@ -680,39 +1205,11 @@ def encode_jpeg(
                             bw, blk, c["qt"], c["pred"],
                             c["codes_dc"], c["codes_ac"],
                         )
-    entropy = bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
-    )
-    # DQT ships tables in zigzag order
-    lz = _scaled_quant(_QUANT_LUMA, quality)[_ZIGZAG]
-    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in lz))
-    if nc == 3:
-        cz = _scaled_quant(_QUANT_CHROMA, quality)[_ZIGZAG]
-        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in cz))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i, c in enumerate(comps):
-        sof += struct.pack(
-            ">BBB", i + 1, (c["hv"][0] << 4) | c["hv"][1], c["tq"]
-        )
-    out += seg(0xC0, sof)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
-    if nc == 3:
-        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
-    for tc_th, (bits, vals) in tables:
-        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     sos = bytes([nc])
     for i, c in enumerate(comps):
         sos += bytes([i + 1, (c["td"] << 4) | c["td"]])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    out += entropy
+    out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

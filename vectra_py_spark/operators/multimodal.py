@@ -7,21 +7,21 @@ three tiers:
 
 - **Real, container-native**: WAV/PCM audio (stdlib ``wave``), binary
   PPM (P6), uncompressed 24-bit BMP, compressed PNG (stdlib zlib
-  + the five RFC 2083 scanline filters), baseline-sequential JPEG
-  (pure-numpy Huffman + dequant + IDCT + YCbCr, :mod:`.jpeg`), and
-  multi-frame GIF (full LZW, interlace, transparency/disposal
-  compositing, :mod:`.gif`) decode for real — spectral features,
-  pixel statistics, actual nearest-neighbor resamplers, and REAL
-  frame sampling (:func:`sample_gif_frames`) with no codec library at
-  all. These prove the full path (bytes → decode → features/resize/
-  frames → DataFrame) end-to-end on honest media, not just plumbing.
+  + the five RFC 2083 scanline filters), JPEG — baseline sequential
+  AND progressive SOF2 (pure-numpy Huffman + dequant + IDCT + YCbCr,
+  :mod:`.jpeg`) — and multi-frame GIF (full LZW, interlace,
+  transparency/disposal compositing, :mod:`.gif`) decode for real —
+  spectral features, pixel statistics, actual nearest-neighbor
+  resamplers, and REAL frame sampling (:func:`sample_gif_frames`)
+  with no codec library at all. These prove the full path (bytes →
+  decode → features/resize/frames → DataFrame) end-to-end on honest
+  media, not just plumbing.
 - **Deterministic fake**: md5-seeded features/bytes for hermetic
   pipeline tests on arbitrary payloads.
-- **Stubbed**: the remaining compressed formats (MP3/MP4, progressive
-  JPEG) raise ``NotImplementedError``/``ValueError`` until a codec
-  library (PIL / torchaudio / pyav) is registered in
-  :data:`DECODERS` — absent from this container by constraint, not
-  design.
+- **Stubbed**: the remaining compressed formats (MP3/MP4) raise
+  ``NotImplementedError``/``ValueError`` until a codec library
+  (torchaudio / pyav) is registered in :data:`DECODERS` — absent
+  from this container by constraint, not design.
 
 Scale notes: binary payloads dominate row size — keep them OUT of
 shuffles (extract features first, then drop/park the payload column);
