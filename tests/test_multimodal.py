@@ -205,6 +205,44 @@ def test_bmp_malformed_payloads_raise_valueerror_only():
             mm.decode_bmp(bytes(bad_dim))
 
 
+def test_sniff_and_auto_decoder_dispatch(spark):
+    """Mixed-format corpus through ONE extract_features call: magic
+    bytes route each payload to its codec; unknown bytes quarantine."""
+    ppm = mm.synth_ppm(16, 8)
+    img = mm.decode_ppm(ppm)
+    rows = [
+        ("jpg", "image", bytearray(mm.encode_jpeg(img)), {}),
+        ("jpr", "image", bytearray(mm.encode_jpeg(img, progressive=True)), {}),
+        ("png", "image", bytearray(mm.encode_png(img)), {}),
+        ("gif", "video", bytearray(mm.synth_gif(3, 16, 8)), {}),
+        ("bmp", "image", bytearray(mm.encode_bmp(img)), {}),
+        ("ppm", "image", bytearray(ppm), {}),
+        ("wav", "audio", bytearray(mm.synth_wav()), {}),
+        ("mys", "image", bytearray(b"\x00\x01mystery-format"), {}),
+    ]
+    assert mm.sniff_media_type(bytes(rows[0][2])) == "jpeg"
+    assert mm.sniff_media_type(bytes(rows[3][2])) == "gif"
+    assert mm.sniff_media_type(b"") is None
+
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {
+        r.media_id: r
+        for r in mm.extract_features(
+            df, decoder="auto", on_error="quarantine"
+        ).collect()
+    }
+    assert len(out) == 8
+    for mid in ("jpg", "jpr", "png", "gif", "bmp", "ppm", "wav"):
+        assert out[mid].decode_error is None, mid
+        assert out[mid].features != [0.0] * mm.FEATURE_DIM, mid
+    assert "unrecognized media payload" in out["mys"].decode_error
+    # baseline and progressive JPEG produce identical features (same
+    # coefficients, different entropy layer)
+    assert out["jpg"].features == out["jpr"].features
+    # image formats of the same pixels agree on the pixel features
+    assert out["png"].features == out["bmp"].features == out["ppm"].features
+
+
 def test_extract_features_quarantine_mode(spark):
     """One corrupt payload among good ones: on_error='fail' kills the
     stage (curated-input contract); on_error='quarantine' keeps every

@@ -65,6 +65,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "sample_gif_frames",
+    "sniff_media_type",
     "synth_wav",
     "synth_ppm",
     "synth_gif",
@@ -504,6 +505,43 @@ def _gif_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats
 
 
+def sniff_media_type(payload: bytes) -> str | None:
+    """Magic-byte media-type detection for crawl payloads whose
+    container format is unknown or mislabeled (the on-disk reality of
+    any web-scale corpus: extensions lie, Content-Type lies more).
+    Returns a :data:`DECODERS` key, or None for unrecognized bytes."""
+    if not payload:
+        return None
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _auto_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Sniff the format from magic bytes, then run that codec's
+    feature fn. Unrecognized bytes refuse with ValueError — under
+    ``on_error='quarantine'`` that routes unknown formats to the
+    quarantine column instead of failing the stage."""
+    if not payload:
+        return [0.0] * dim
+    kind = sniff_media_type(payload)
+    if kind is None:
+        raise ValueError(
+            f"unrecognized media payload (first bytes {payload[:8]!r})"
+        )
+    return DECODERS[kind](payload, dim)
+
+
 DECODERS = {
     "fake": _fake_features,
     "wav": _wav_features,
@@ -512,6 +550,7 @@ DECODERS = {
     "png": _png_features,
     "jpeg": _jpeg_features,
     "gif": _gif_features,
+    "auto": _auto_features,
 }
 
 

@@ -1498,11 +1498,15 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize a flat grayscale image (value and non-multiple-of-8 dims
     derived from doc_id), encode it as baseline JPEG (Huffman + FDCT +
     quantize), decode it back (unstuff + IDCT), and report the decoded
-    dims and min/max pixel. The oracle replays the closed-form DC-only
+    dims and min/max pixel. Odd doc_ids encode PROGRESSIVE (SOF2 scan
+    script), even ones baseline — progressive is a lossless
+    reorganization of the same coefficients, so ONE closed-form oracle
+    covers both entropy layers. The oracle replays the DC-only
     arithmetic (quantize→dequantize→IDCT of a flat block is
     ``round(round(8Δ/q00)·q00/8)+128``) in SQL — so Huffman coding, the
-    marker layer, MCU padding/cropping, and the rounding mode are all
-    value-checked cross-engine, not just row-counted.
+    marker layer (both scan structures), MCU padding/cropping, and the
+    rounding mode are all value-checked cross-engine, not just
+    row-counted.
 
     Plan shape: pushed-down `doc_id <` filter → narrow ``mapInPandas``
     (one small codec call per row, no shuffle, payloads never leave the
@@ -1527,7 +1531,9 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 8 + (did % 5) * 3
                 h = 8 + (did % 7) * 2
                 img = np.full((h, w), v, np.uint8)
-                dec = mm.decode_jpeg(mm.encode_jpeg(img, quality=85))
+                dec = mm.decode_jpeg(
+                    mm.encode_jpeg(img, quality=85, progressive=bool(did % 2))
+                )
                 out["doc_id"].append(did)
                 out["height"].append(dec.shape[0])
                 out["width"].append(dec.shape[1])
