@@ -1,0 +1,89 @@
+"""Continuous multimodal ingest: binaryFile readStream → the SAME
+extract_features transformation as batch, exactly-once per micro-batch,
+corrupt files quarantined in-stream. Equivalence-tested against the
+batch operator on the identical files (the package's standard
+streaming-twin discipline)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.streaming.media import (
+    media_file_stream,
+    stream_media_features,
+)
+
+
+def _drop_files(d):
+    img = mm.decode_ppm(mm.synth_ppm(24, 16))
+    files = {
+        "a.jpg": mm.encode_jpeg(img, quality=90),
+        "b.png": mm.encode_png(img),
+        "c.gif": mm.synth_gif(3, 24, 16),
+        "d.wav": mm.synth_wav(),
+        "e.bin": b"\x00\x01not-a-media-file",
+    }
+    for name, payload in files.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(payload)
+    return files
+
+
+def test_stream_features_match_batch_and_quarantine(spark):
+    drop = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    files = _drop_files(drop)
+
+    q = stream_media_features(
+        media_file_stream(spark, drop), sink, ckpt,
+        decoder="auto", on_error="quarantine",
+    )
+    q.awaitTermination(120)
+    got = {
+        os.path.basename(r.media_id): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert set(got) == set(files)
+    # corrupt file quarantined in-stream, not a failed query
+    assert "unrecognized media payload" in got["e.bin"].decode_error
+    assert got["e.bin"].features == [0.0] * mm.FEATURE_DIM
+    for name in ("a.jpg", "b.png", "c.gif", "d.wav"):
+        assert got[name].decode_error is None, name
+        assert got[name].n_bytes == len(files[name])
+
+    # equivalence: the batch operator on the same payloads produces the
+    # identical features (same decode path, same schema)
+    rows = [
+        (name, "unknown", bytearray(payload), {})
+        for name, payload in files.items()
+    ]
+    batch_df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    batch = {
+        r.media_id: r.features
+        for r in mm.extract_features(
+            batch_df, decoder="auto", on_error="quarantine"
+        ).collect()
+    }
+    for name in files:
+        assert got[name].features == batch[name], name
+
+    # incremental drain (exactly-once): re-running with a NEW file only
+    # appends that file; completed batches are never re-decoded
+    extra = mm.encode_bmp(mm.decode_ppm(mm.synth_ppm(8, 8)))
+    with open(os.path.join(drop, "f.bmp"), "wb") as f:
+        f.write(extra)
+    q2 = stream_media_features(
+        media_file_stream(spark, drop), sink, ckpt,
+        decoder="auto", on_error="quarantine",
+    )
+    q2.awaitTermination(120)
+    after = spark.read.parquet(sink)
+    assert after.count() == len(files) + 1
+    newrow = [
+        r for r in after.collect() if os.path.basename(r.media_id) == "f.bmp"
+    ]
+    assert len(newrow) == 1 and newrow[0].decode_error is None

@@ -19,8 +19,14 @@ from vectra_py_spark.streaming.incremental_dedup import stream_neardup_dedup
 from vectra_py_spark.streaming.kmeans import stream_kmeans
 from vectra_py_spark.streaming.ingest import stream_upsert
 from vectra_py_spark.streaming.joins import streaming_interval_join
+from vectra_py_spark.streaming.media import (
+    media_file_stream,
+    stream_media_features,
+)
 
 __all__ = [
+    "media_file_stream",
+    "stream_media_features",
     "streaming_asof_enrich",
     "event_time_col",
     "sessionize",
