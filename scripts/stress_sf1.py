@@ -131,8 +131,10 @@ STRESS_QUERIES = [
     # bounded by the synthesized image, independent of corpus size)
     "jpeg_roundtrip",
     # round-6: BPE training loop (one corpus scan; rounds run on the
-    # capped vocab table — 10× corpus should barely move it)
+    # capped vocab table — 10× corpus should barely move it) and its
+    # apply side (same shape + one vocab-sized aggregate)
     "bpe_train_rounds",
+    "bpe_vocab_usage",
 ]
 
 

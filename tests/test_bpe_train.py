@@ -80,6 +80,29 @@ def test_later_rounds_see_earlier_merges(spark):
     assert (rows[2].lhs, rows[2].rhs) == ("low", "w") and rows[2].n == 3
 
 
+def test_bpe_vocab_usage_applies_all_merges(spark):
+    """The apply side: after training on 'loww…', the usage table must
+    count the MERGED subwords ('low', 'loww' territory), weighted by
+    word frequency — and match the DuckDB twin exactly."""
+    import pandas as pd
+
+    texts = ["loww loww loww low", "low loww"]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [(r.sym, r.n) for r in
+           ta.bpe_vocab_usage(sdf, n_rounds=3, vocab_cap=100, k=10).collect()]
+    # merges learned: (l,o)→lo, (lo,w)→low, (low,w)→loww; vocab usage:
+    # 'loww' ×4, 'low' ×2 — every word fully merged, no loose chars
+    assert got == [("loww", 4), ("low", 2)]
+
+    con = duckdb.connect()
+    con.register("docs_v", pd.DataFrame({"text": texts}))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_v")
+    want = [tuple(r) for r in con.sql(
+        ta.bpe_vocab_usage_sql(n_rounds=3, vocab_cap=100, k=10)
+    ).fetchall()]
+    assert got == want
+
+
 def test_vocab_cap_bounds_the_working_set(spark):
     """The cap keeps every post-scan stage vocab-bounded (the 100 TB
     invariant); with cap=1 only the single most frequent word trains."""

@@ -797,6 +797,21 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: train 4 merges, re-segment the
+    corpus vocabulary with them, report the top-30 subword symbols by
+    corpus-weighted usage — the readout that tells you what the learned
+    table actually does to the token mass. Same one-scan/vocab-capped
+    shape as `bpe_train_rounds`; the oracle unrolls train AND apply
+    into the same recursive-CTE chain (MATERIALIZED per stage)."""
+    return ta.bpe_vocab_usage(
+        load(spark, sf_dir, "documents"),
+        n_rounds=_BPE_ROUNDS,
+        vocab_cap=_BPE_VOCAB_CAP,
+        k=30,
+    )
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror/syndication map: distinct texts shared per source pair."""
     return ta.cross_source_dups(load(spark, sf_dir, "documents"))
@@ -3226,6 +3241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_quality_cut": q_lm_quality_cut,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_train_rounds": q_bpe_train_rounds,
+    "bpe_vocab_usage": q_bpe_vocab_usage,
     "dsir_weights": q_dsir_weights,
     "curriculum_order": q_curriculum_order,
     "temperature_mix": q_temperature_mix,
@@ -3323,18 +3339,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
 # fresh driver row go first. Round-6 priority (per VERDICT r5 items 1
-# and 7): the 2 queries NEW this round first (first driver look —
-# jpeg_roundtrip, bpe_train_rounds), then 48 of the 49 queries whose
-# newest driver evidence is r3-vintage (cross-referencing
+# and 7): the 3 queries NEW this round first (first driver look —
+# jpeg_roundtrip, bpe_train_rounds, bpe_vocab_usage), then 47 of the 49
+# queries whose newest driver evidence is r3-vintage (cross-referencing
 # CORRECTNESS_r01–r05: everything r4/r5 is fresh). Each new query costs
-# a rotation slot (VERDICT r5 item 7 accepts this trade): the displaced
-# names are gopher_quality (r4 filler) and batch_topk (r3 — now the
-# single most stale entry: round 7's rotation MUST lead with it).
+# a rotation slot (VERDICT r5 item 7 allows ≤3–4): the displaced names
+# are gopher_quality (r4 filler) and batch_topk + excess_suppliers
+# (r3 — now the two most stale entries: round 7's rotation MUST lead
+# with them).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
     # (new this round — first driver look)
     "jpeg_roundtrip",
     "bpe_train_rounds",
+    "bpe_vocab_usage",
     # (a) r3-green, stale two rounds — the full set, in r3 recording
     # order (all code-unchanged since their green rows, locally
     # sweep-green every suite run)
@@ -3385,7 +3403,6 @@ _CHECK_FIRST: list[str] = [
     "top_supplier",
     "supplier_part_counts",
     "small_qty_revenue",
-    "excess_suppliers",
 ]
 
 QUERIES = {
@@ -3487,6 +3504,9 @@ ORACLES: dict[str, str] = {
     "bpe_pair_counts": ta.bpe_pair_counts_sql(),
     "bpe_train_rounds": ta.bpe_train_sql(
         n_rounds=_BPE_ROUNDS, vocab_cap=_BPE_VOCAB_CAP
+    ),
+    "bpe_vocab_usage": ta.bpe_vocab_usage_sql(
+        n_rounds=_BPE_ROUNDS, vocab_cap=_BPE_VOCAB_CAP, k=30
     ),
     "dsir_weights": mx.dsir_importance_sql(_DSIR_TARGET),
     "curriculum_order": mx.curriculum_order_sql("length(text)"),
