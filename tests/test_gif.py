@@ -3,6 +3,8 @@ case), interlace, transparency/disposal compositing, the ValueError-only
 malformed contract, and REAL frame sampling through the DataFrame API —
 the honest multi-frame counterpart of sample_frames' byte slicing."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -182,3 +184,49 @@ def test_gif_through_dataframe_api(spark):
         mm.MEDIA_SCHEMA,
     )
     assert mm.extract_features(fdf, decoder="gif").count() == 3
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw LZW bytes in GIF data sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def test_disposal2_restores_global_background_under_local_table():
+    """GIF89a: the logical-screen background color index refers to the
+    GLOBAL color table. A frame that carries a small LOCAL table and
+    disposal=2 must restore the region from gct[bg] — not index the
+    local table (which here doesn't even contain the bg index)."""
+    from vectra_py_spark.operators.gif import _lzw_encode
+
+    # global table: 8 grays, bg index 5 → (50, 50, 50)
+    gct = bytes(v for i in range(8) for v in (i * 10, i * 10, i * 10))
+    payload = bytearray(b"GIF89a")
+    payload += struct.pack("<HHBBB", 8, 8, 0xF2, 5, 0)
+    payload += gct
+    # frame 1: disposal=2, full screen, LOCAL 4-entry table, all index 1
+    payload += bytes([0x21, 0xF9, 0x04, 2 << 2, 0, 0, 0, 0])
+    payload += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 8, 8, 0x81)
+    payload += bytes([200, 0, 0, 0, 200, 0, 0, 0, 200, 255, 255, 255])
+    idx1 = np.full(64, 1, np.uint8)
+    payload += bytes([2]) + _sub_blocks(_lzw_encode(idx1, 2))
+    # frame 2: no GCE, 2x2 at origin from the GLOBAL table, index 7
+    payload += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 2, 2, 0x00)
+    idx2 = np.full(4, 7, np.uint8)
+    payload += bytes([3]) + _sub_blocks(_lzw_encode(idx2, 3))
+    payload += bytes([0x3B])
+
+    out = decode_gif(bytes(payload))
+    assert out.shape == (2, 8, 8, 3)
+    # frame 1 painted from the local table
+    assert np.array_equal(out[0], np.full((8, 8, 3), (0, 200, 0), np.uint8))
+    # frame 2: disposal-2 restored background = gct[5] = (50,50,50),
+    # with the 2x2 overlay = gct[7] = (70,70,70)
+    want = np.full((8, 8, 3), 50, np.uint8)
+    want[0:2, 0:2] = 70
+    assert np.array_equal(out[1], want)

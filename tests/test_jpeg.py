@@ -335,3 +335,109 @@ def test_jpeg_through_dataframe_api(spark):
         out = decode_jpeg(bytes(r.data))
         assert out.shape == (8, 16, 3)
         assert r.meta["out_w"] == "16" and r.meta["out_h"] == "8"
+
+
+def test_zero_sampling_factor_raises_valueerror():
+    """A SOF sampling-factor nibble of 0 must refuse with ValueError —
+    never ZeroDivisionError escaping into a quarantine-mode stage
+    (ADVICE r6: the crawl-robustness contract)."""
+    img = mm.decode_ppm(mm.synth_ppm(16, 16))
+    payload = bytearray(encode_jpeg(img, quality=85))
+    i = bytes(payload).index(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then cid, hv, tq
+    hv_off = i + 2 + 2 + 6 + 1
+    for bad in (0x00, 0x20, 0x02, 0x50, 0x15):
+        p = bytearray(payload)
+        p[hv_off] = bad
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(p))
+
+
+def _gray_jpeg_2x2(img: np.ndarray, quality: int, progressive: bool) -> bytes:
+    """Hand-build a single-component JPEG that DECLARES 2x2 sampling
+    factors (as grayscale transcodes of color files do) with the scan
+    emitted in the spec's NON-interleaved order: one block per MCU,
+    row-major over ceil(dims/8) — T.81 A.2."""
+    import struct as st
+
+    from vectra_py_spark.operators import jpeg as J
+
+    h, w = img.shape
+    ql = J._scaled_quant(J._QUANT_LUMA, quality).reshape(8, 8).astype(np.float64)
+    bh, bw = -(-h // 8), -(-w // 8)
+    plane = np.pad(
+        img.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    codes_dc = J._canonical_codes(*J._DC_LUMA)
+    codes_ac = J._canonical_codes(*J._AC_LUMA)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return st.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    lz = J._scaled_quant(J._QUANT_LUMA, quality)[J._ZIGZAG]
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in lz))
+    # the lie under test: ncomp=1 but sampling factors 2x2
+    out += seg(
+        0xC2 if progressive else 0xC0,
+        st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x22, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(J._DC_LUMA[0]) + bytes(J._DC_LUMA[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(J._AC_LUMA[0]) + bytes(J._AC_LUMA[1]))
+
+    if not progressive:
+        out += bytes(
+            st.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        )
+        wr = J._BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                pred = J._encode_block(wr, blk, ql, pred, codes_dc, codes_ac)
+        out += wr.flush()
+    else:
+        coefzz = J._quantize_blocks(plane, ql)
+        # DC scan (Ss=Se=0, Ah=Al=0): non-interleaved row-major
+        out += bytes(
+            st.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 0, 0, 0])
+        )
+        wr = J._BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                v = int(coefzz[by, bx, 0])
+                diff = v - pred
+                pred = v
+                s = J._category(diff)
+                code, ln = codes_dc[s]
+                wr.write(code, ln)
+                if s:
+                    wr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        out += wr.flush()
+        # AC scan (Ss=1, Se=63, Ah=Al=0) over the same grid
+        out += bytes(
+            st.pack(">BBH", 0xFF, 0xDA, 8) + bytes([1, 1, 0x00, 1, 63, 0])
+        )
+        wr = J._BitWriter()
+        c = {"coefzz": coefzz, "bh": bh, "bw": bw, "codes_ac": codes_ac}
+        J._emit_ac_first(wr, c, 1, 63, 0)
+        out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_single_component_scan_is_noninterleaved():
+    """Grayscale frames that RETAIN 2x2 sampling factors (color files
+    transcoded to gray) must decode block-row-major per T.81 A.2 —
+    identical pixels to the plain 1x1 encoding, since the quantized
+    blocks are the same and sampling factors are ignored in a
+    one-component scan. Covers baseline AND the progressive DC path."""
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (24, 16), (20, 28)):  # multiple-of-16 + ragged
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        want = decode_jpeg(encode_jpeg(img, quality=85))
+        got = decode_jpeg(_gray_jpeg_2x2(img, 85, progressive=False))
+        assert np.array_equal(got, want), f"baseline {h}x{w}"
+        got_p = decode_jpeg(_gray_jpeg_2x2(img, 85, progressive=True))
+        assert np.array_equal(got_p, want), f"progressive {h}x{w}"

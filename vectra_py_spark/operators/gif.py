@@ -297,7 +297,9 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 region[:, :] = rgb
             frames.append(canvas.copy())
             if disposal == 2:  # restore region to background
-                bg_rgb = ct[bg] if (gct is not None and bg < len(gct)) else 0
+                # GIF89a: the background color index refers to the GLOBAL
+                # color table — never a frame's local table.
+                bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else 0
                 canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
             elif disposal == 3 and prev_canvas is not None:
                 canvas = prev_canvas

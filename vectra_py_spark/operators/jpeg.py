@@ -263,7 +263,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     malformed or unsupported payload raises :class:`ValueError`."""
     try:
         return _decode_jpeg(payload)
-    except (struct.error, IndexError, KeyError) as exc:
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as exc:
         raise ValueError(f"malformed JPEG payload: {exc}") from exc
 
 
@@ -330,7 +330,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                # T.81 B.2.2: sampling factors are 1..4; zero would
+                # divide-by-zero downstream, breaking the ValueError-only
+                # contract extract_features(on_error='quarantine') relies on.
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"malformed JPEG sampling factors {ch}x{cv}"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (h, w, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -417,6 +425,33 @@ def _decode_scan(payload, pos, frame, scan, qtables, htables, restart_interval):
     vmax = max(c["v"] for c in order)
     if any(hmax % c["h"] or vmax % c["v"] for c in order):
         raise ValueError("unsupported JPEG sampling factors")
+
+    if len(order) == 1:
+        # T.81 A.2: a one-component scan is NON-interleaved — one block
+        # per MCU, row-major over the component's own ceil(dims/8) grid,
+        # sampling factors ignored. Grayscale frames that retain 2x2
+        # sampling would otherwise decode in scrambled (MCU) block order.
+        c = order[0]
+        bh, bw = -(-h // 8), -(-w // 8)
+        c["plane"] = np.zeros((bh * 8, bw * 8))
+        c["pred"] = 0
+        segs = _entropy_segments(payload, pos)
+        seg_i = 0
+        br = _BitReader(segs[0])
+        n_blk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n_blk and n_blk % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("JPEG missing restart segment")
+                    br = _BitReader(segs[seg_i])
+                    c["pred"] = 0
+                blk = _decode_block(br, c)
+                c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                n_blk += 1
+        return _finish_planes(order, h, w, c["h"], c["v"])
+
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in order:
@@ -658,6 +693,30 @@ def _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy):
     seg_i = 0
     br = _BitReader(segs[0])
     n_mcu = 0
+    if len(order) == 1:
+        # Non-interleaved single-component DC scan (T.81 A.2): one block
+        # per MCU, row-major over the component's own bh×bw grid — the
+        # same grid _ac_scan already walks.
+        c = order[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("JPEG missing restart segment")
+                    br = _BitReader(segs[seg_i])
+                    c["pred"] = 0
+                blk = c["coef"][by, bx]
+                if ah == 0:
+                    s = _decode_symbol(br, c["dct"])
+                    diff = _extend(br.read_bits(s), s)
+                    c["pred"] += diff
+                    blk[0] = c["pred"] << al
+                else:
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+                n_mcu += 1
+        return
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
