@@ -1,0 +1,276 @@
+"""FLAC codec: lossless round-trips, hand-built decoder-path coverage
+(LPC, stereo decorrelation, rice2, escape partitions, wasted bits,
+partition orders), CRC verification, the ValueError-only malformed
+contract, and WAV-parity of the audio features (reference parity: the
+compressed-audio decode the reference delegates to codec libraries —
+VERDICT r6 item 8)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    decode_flac,
+    encode_flac,
+    flac_info,
+    synth_flac,
+)
+
+
+def test_roundtrip_random_smooth_constant_multichannel():
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(-32768, 32768, 777).astype(np.int64),           # noise
+        (8000 * np.sin(np.arange(3000) / 15)).astype(np.int64),      # tone
+        np.full(500, -12345, np.int64),                              # const
+        np.zeros(100, np.int64),                                     # silence
+    ]
+    for x in cases:
+        dec, sr = decode_flac(encode_flac(x, 8000, blocksize=512))
+        assert sr == 8000
+        assert np.array_equal(dec[:, 0], x)
+    # 3-channel independent
+    tri = np.stack([cases[1][:400], cases[0][:400], cases[2][:400] * 0 + 7],
+                   axis=1)
+    dec, _ = decode_flac(encode_flac(tri, 44100, blocksize=256))
+    assert np.array_equal(dec, tri)
+    # smooth signals actually compress (fixed predictors earn their keep)
+    p = encode_flac(cases[1], 8000)
+    assert len(p) < cases[1].size * 2 * 0.6
+
+
+def test_single_sample_frames_roundtrip_exactly():
+    """Regression (caught by the flac_roundtrip oracle in round 7): a
+    1-sample trailing frame takes the CONSTANT path, whose encoder
+    omitted the wasted-bits flag — the decoder then read the value's
+    sign bit as the flag and silently decoded a WRONG sample. Sweep the
+    16-bit range through 1-sample payloads, plus the n=65/blocksize=64
+    shape that exposed it."""
+    for v in range(-32768, 32768, 499):
+        d, _ = decode_flac(encode_flac(np.array([v], np.int64), 8000))
+        assert d[0, 0] == v, v
+    i = np.arange(65, dtype=np.int64)
+    x = (7 + i * 13) % 65536 - 32768
+    d, _ = decode_flac(encode_flac(x, 8000, blocksize=64))
+    assert np.array_equal(d[:, 0], x)
+
+
+def test_info_probe_and_blocksize_edges():
+    p = encode_flac(np.arange(-300, 300, dtype=np.int64), 22050, blocksize=100)
+    info = flac_info(p)
+    assert info == {"sample_rate": 22050, "channels": 1,
+                    "bits_per_sample": 16, "total_samples": 600}
+    # non-multiple final block + blocksize extremes
+    for bs in (16, 100, 32768):
+        x = np.arange(-50, 55, dtype=np.int64)
+        assert np.array_equal(
+            decode_flac(encode_flac(x, 8000, blocksize=bs))[0][:, 0], x
+        )
+
+
+# ---------------------------------------------------------------------------
+# Hand-built frames: decoder paths the encoder doesn't emit
+# ---------------------------------------------------------------------------
+def _frame_payload(subframes_bits, blocksize, ch_code, sr=8000, ch=2):
+    """Assemble STREAMINFO + ONE frame whose subframe payload bits are
+    provided by `subframes_bits(bw)` — the harness for exotic paths."""
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.w(blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(sr, 20)
+    si.w(ch - 1, 3)
+    si.w(15, 5)  # 16-bit
+    si.w(blocksize, 36)
+    body = si.bytes() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 2)
+    bw.w(7, 4)   # 16-bit blocksize at end
+    bw.w(0, 4)   # rate from STREAMINFO
+    bw.w(ch_code, 4)
+    bw.w(4, 3)   # 16 bit
+    bw.w(0, 1)
+    bw.w(0, 8)   # frame 0
+    bw.w(blocksize - 1, 16)
+    hdr = bw.bytes()
+    bw2 = _BitWriter()
+    bw2.buf = bytearray(hdr)
+    bw2.w(_crc8(hdr), 8)
+    subframes_bits(bw2)
+    bw2.align()
+    frame = bw2.bytes()
+    out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def _verbatim(bw, samples, bps):
+    bw.w(0, 1)
+    bw.w(1, 6)  # VERBATIM
+    bw.w(0, 1)
+    for v in samples:
+        bw.w(int(v) & ((1 << bps) - 1), bps)
+
+
+def test_stereo_decorrelation_modes():
+    """left/side, right/side, mid/side frames hand-built from VERBATIM
+    subframes (side channel carries bps+1) must reconstruct the same
+    stereo block."""
+    rng = np.random.default_rng(11)
+    left = rng.integers(-32768, 32768, 32).astype(np.int64)
+    right = rng.integers(-32768, 32768, 32).astype(np.int64)
+    side = left - right
+
+    def ls(bw):
+        _verbatim(bw, left, 16)
+        _verbatim(bw, side, 17)
+
+    def rs(bw):
+        _verbatim(bw, side, 17)
+        _verbatim(bw, right, 16)
+
+    def ms(bw):
+        mid = (left + right) >> 1
+        _verbatim(bw, mid, 16)
+        _verbatim(bw, side, 17)
+
+    for ch_code, bits in ((8, ls), (9, rs), (10, ms)):
+        dec, _ = decode_flac(_frame_payload(bits, 32, ch_code))
+        assert np.array_equal(dec[:, 0], left), f"ch_code {ch_code} L"
+        assert np.array_equal(dec[:, 1], right), f"ch_code {ch_code} R"
+
+
+def test_lpc_subframe_and_partitions_and_escape_and_wasted():
+    """One hand-built mono frame per exotic path: a real LPC predictor,
+    partition order 1, an escape partition (raw 7-bit residuals), and
+    wasted bits — each must reproduce the exact samples."""
+    n = 32
+    # (a) LPC order 2, coefs [3, -1], shift 1: x[i] = ((3*x[i-1] - x[i-2]) >> 1) + r
+    warm = [100, 110]
+    res_a = [5, -3, 2, 0, -1, 7, -6, 1] * 4
+    res_a = res_a[: n - 2]
+    x_a = list(warm)
+    for r in res_a:
+        x_a.append(((3 * x_a[-1] - 1 * x_a[-2]) >> 1) + r)
+
+    def lpc(bw):
+        bw.w(0, 1)
+        bw.w(0b100000 | (2 - 1), 6)  # LPC, order 2
+        bw.w(0, 1)  # no wasted bits
+        for v in warm:
+            bw.w(v & 0xFFFF, 16)
+        bw.w(15 - 1, 4)   # precision 15 (code 14)
+        bw.w(1, 5)        # shift 1
+        bw.w(3 & 0x7FFF, 15)
+        bw.w(-1 & 0x7FFF, 15)
+        # residual: rice method 0, partition order 1 (two partitions)
+        bw.w(0, 2)
+        bw.w(1, 4)
+        half = n // 2
+        p1, p2 = res_a[: half - 2], res_a[half - 2 :]
+        for part in (p1, p2):
+            bw.w(3, 4)  # rice param 3
+            for r in part:
+                u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+                q = u >> 3
+                if q:
+                    bw.w(0, q)
+                bw.w(1, 1)
+                bw.w(u & 7, 3)
+
+    # the type-code line above writes 33; keep the constant honest
+    dec, _ = decode_flac(_frame_payload(lpc, n, 0, ch=1))
+    assert dec[:, 0].tolist() == x_a
+
+    # (b) escape partition: fixed order 0, rice2 method, escaped raw 7-bit
+    vals = [(-60 + 7 * i) % 120 - 60 for i in range(n)]
+
+    def esc(bw):
+        bw.w(0, 1)
+        bw.w(8, 6)  # FIXED order 0
+        bw.w(0, 1)
+        bw.w(1, 2)   # rice2 (5-bit params)
+        bw.w(0, 4)   # partition order 0
+        bw.w(31, 5)  # escape
+        bw.w(7, 5)   # raw 7-bit residuals
+        for v in vals:
+            bw.w(v & 0x7F, 7)
+
+    dec, _ = decode_flac(_frame_payload(esc, n, 0, ch=1))
+    assert dec[:, 0].tolist() == vals
+
+    # (c) wasted bits: constant subframe with 2 wasted bits → ×4
+    def wasted(bw):
+        bw.w(0, 1)
+        bw.w(0, 6)   # CONSTANT
+        bw.w(1, 1)   # wasted flag
+        bw.w(0, 1)   # unary 1 more zero...
+        bw.w(1, 1)   # → wasted = 2
+        bw.w(300 & 0x3FFF, 14)  # bps reduced by 2
+
+    dec, _ = decode_flac(_frame_payload(wasted, n, 0, ch=1))
+    assert dec[:, 0].tolist() == [1200] * n
+
+
+def test_crc_and_malformed_contract():
+    x = (1000 * np.sin(np.arange(400) / 9)).astype(np.int64)
+    p = encode_flac(x, 8000, blocksize=128)
+    with pytest.raises(ValueError):
+        decode_flac(b"")
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF1234WAVE")
+    for cut in (4, 6, 30, 41, 60, len(p) // 2, len(p) - 1):
+        with pytest.raises(ValueError):
+            decode_flac(p[:cut])
+    # flip one audio byte → CRC-16 (or upstream bitstream error), never
+    # a silent wrong decode
+    for off in (50, 80, len(p) - 3):
+        bad = bytearray(p)
+        bad[off] ^= 0x55
+        with pytest.raises(ValueError):
+            decode_flac(bytes(bad))
+    # encoder validation
+    with pytest.raises(ValueError, match="integer PCM"):
+        encode_flac(np.zeros(10, np.float64))
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_flac(np.array([40000], np.int64))
+    with pytest.raises(ValueError, match="blocksize"):
+        encode_flac(np.zeros(10, np.int64), blocksize=4)
+    with pytest.raises(ValueError, match="sample shape"):
+        encode_flac(np.zeros((0, 1), np.int64))
+
+
+def test_features_match_wav_exactly_and_sniff(spark):
+    """Lossless means the SAME clip yields byte-identical curation
+    features through the WAV and FLAC paths — and sniff/auto routes
+    each container correctly (including quarantine)."""
+    wav = mm.synth_wav(freq=440.0, seconds=0.1, sr=8000)
+    x, sr = mm.decode_wav(wav)
+    pcm = np.round(x * 32768.0).astype(np.int64).clip(-32768, 32767)
+    fl = encode_flac(pcm, sr)
+    assert mm.sniff_media_type(fl) == "flac"
+    f_wav = mm.DECODERS["wav"](wav)
+    f_flac = mm.DECODERS["flac"](fl)
+    assert f_wav == f_flac
+    assert mm.DECODERS["auto"](fl) == f_flac
+    df = spark.createDataFrame(
+        [
+            ("f1", "audio", bytearray(fl), {}),
+            ("f2", "audio", bytearray(fl[:40]), {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in
+            mm.extract_features(df, decoder="auto", on_error="quarantine")
+            .collect()}
+    assert rows["f1"].decode_error is None
+    assert list(rows["f1"].features) == pytest.approx(f_flac)
+    assert rows["f2"].decode_error is not None

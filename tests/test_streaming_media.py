@@ -18,6 +18,9 @@ from vectra_py_spark.streaming.media import (
 
 
 def _drop_files(d):
+    from vectra_py_spark.operators.avi import synth_avi
+    from vectra_py_spark.operators.flac import synth_flac
+
     img = mm.decode_ppm(mm.synth_ppm(24, 16))
     files = {
         "a.jpg": mm.encode_jpeg(img, quality=90),
@@ -25,6 +28,9 @@ def _drop_files(d):
         "c.gif": mm.synth_gif(3, 24, 16),
         "d.wav": mm.synth_wav(),
         "e.bin": b"\x00\x01not-a-media-file",
+        # r7 codecs ride the same sniff→decode map, zero stream changes
+        "f.avi": synth_avi(4, 24, 16),
+        "g.flac": synth_flac(),
     }
     for name, payload in files.items():
         with open(os.path.join(d, name), "wb") as f:
@@ -51,7 +57,7 @@ def test_stream_features_match_batch_and_quarantine(spark):
     # corrupt file quarantined in-stream, not a failed query
     assert "unrecognized media payload" in got["e.bin"].decode_error
     assert got["e.bin"].features == [0.0] * mm.FEATURE_DIM
-    for name in ("a.jpg", "b.png", "c.gif", "d.wav"):
+    for name in ("a.jpg", "b.png", "c.gif", "d.wav", "f.avi", "g.flac"):
         assert got[name].decode_error is None, name
         assert got[name].n_bytes == len(files[name])
 

@@ -139,6 +139,13 @@ def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     if not payload:
         return [0.0] * dim
     x, sr = decode_wav(payload)
+    return _audio_features(x, sr, dim)
+
+
+def _audio_features(x: np.ndarray, sr: int, dim: int) -> list[float]:
+    """Shared PCM feature tail for every audio codec (WAV, FLAC):
+    mono float samples in [-1, 1] + sample rate → the curation
+    feature vector."""
     n = len(x)
     if n == 0:
         return [0.0] * dim
@@ -164,6 +171,20 @@ def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     ]
     return [float(np.log1p(dur)), float(np.log10(sr)), rms, peak, zcr,
             centroid, *bands]
+
+
+def _flac_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Compressed-audio decode → the same curation features as WAV
+    (lossless, so a clip's features are identical in either container —
+    pinned in tests). Downmix by mean, normalize 16-bit PCM to
+    [-1, 1], same NULL contract."""
+    from vectra_py_spark.operators.flac import decode_flac
+
+    if not payload:
+        return [0.0] * dim
+    samples, sr = decode_flac(payload)
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    return _audio_features(x, sr, dim)
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -505,6 +526,20 @@ def _gif_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats
 
 
+def _avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """MJPEG-in-AVI: first-frame pixel features + frame count in the
+    last slot (same readout shape as the GIF path — video joins the
+    image pipeline at this seam)."""
+    from vectra_py_spark.operators.avi import decode_avi
+
+    if not payload:
+        return [0.0] * dim
+    frames = decode_avi(payload)
+    feats = _pixel_features(_png_to_rgb(frames[0]), dim)
+    feats[dim - 1] = float(np.log1p(frames.shape[0]))
+    return feats
+
+
 def sniff_media_type(payload: bytes) -> str | None:
     """Magic-byte media-type detection for crawl payloads whose
     container format is unknown or mislabeled (the on-disk reality of
@@ -524,6 +559,10 @@ def sniff_media_type(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    if payload[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -550,6 +589,8 @@ DECODERS = {
     "png": _png_features,
     "jpeg": _jpeg_features,
     "gif": _gif_features,
+    "avi": _avi_features,
+    "flac": _flac_features,
     "auto": _auto_features,
 }
 
@@ -897,6 +938,61 @@ def sample_gif_frames(
                     idxs.append(i)
                     srcs.append(src)
                     outs.append(encode_gif(frames[src]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "src_frame": srcs,
+                    "frame": outs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="media_id STRING, frame_idx INT, src_frame INT, frame BINARY",
+    )
+
+
+def sample_avi_frames(
+    df: DataFrame,
+    n_frames: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling over MJPEG-in-AVI payloads: parse the
+    RIFF 'movi' list, pick ``n_frames`` evenly spaced frames (frame
+    ``floor(N·i/n)`` of N — the same boundary math as
+    :func:`sample_frames` / :func:`sample_gif_frames`), and emit each
+    as its ORIGINAL JPEG chunk — byte-exact, zero pixel decode, zero
+    re-encode (MJPEG is all-intra, so every frame is independently
+    decodable). Sampled frames compose directly with
+    :func:`extract_features` (``decoder='jpeg'`` or ``'auto'``).
+
+    Plan shape: row-exploding narrow ``mapInPandas``, no shuffle,
+    payloads never leave the worker; per-row cost is a linear container
+    walk over the payload bytes. A real MP4/pyav keyframe sampler swaps
+    in at this exact seam (the MP4 gate stays a declared
+    ``NotImplementedError``). Malformed payloads raise ValueError —
+    quarantine upstream as with the image decoders."""
+    from vectra_py_spark.operators.avi import avi_frame_payloads
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            srcs: list[int] = []
+            outs: list[bytes] = []
+            for mid, b in zip(pdf[id_col], pdf[data_col]):
+                if b is None or len(b) == 0:
+                    continue  # NULL payload → no frames (not a failure)
+                frames = avi_frame_payloads(bytes(b))
+                total = len(frames)
+                for i in range(n_frames):
+                    src = (total * i) // n_frames
+                    ids.append(mid)
+                    idxs.append(i)
+                    srcs.append(src)
+                    outs.append(frames[src])
             yield pd.DataFrame(
                 {
                     "media_id": ids,
