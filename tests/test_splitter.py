@@ -175,3 +175,41 @@ def test_doc_type_alias_resolution():
     from vectra_py_spark.text.splitter import DEFAULT_SEPARATORS
 
     assert cfg.separators == DEFAULT_SEPARATORS
+
+
+def test_single_space_tokenizer_regime_is_sql_predictable():
+    """The chunk_spans_simple regime: with the count-only
+    SingleSpaceTokenizer, single-spaced text >48 chars, K=8, the REAL
+    splitter yields groups of floor((K+1)/2)=4 words, alnum-guarded,
+    with exact char spans."""
+    from vectra_py_spark.text.splitter import (
+        SingleSpaceTokenizer,
+        SplitterConfig,
+        TextSplitter,
+    )
+
+    text = "alpha beta !! gamma delta epsilon zeta eta theta iota kappa"
+    assert len(text) > 48
+    sp = TextSplitter(
+        SplitterConfig(chunk_size=8, chunk_overlap=0, keep_separators=False),
+        tokenizer=SingleSpaceTokenizer(),
+    )
+    chunks = sp.split(text)
+    # '!!' dropped by the P16 guard; 10 words → 4 + 4 + 2
+    assert [c.text for c in chunks] == [
+        "alpha beta gamma delta",
+        "epsilon zeta eta theta",
+        "iota kappa",
+    ]
+    assert [len(c.tokens) for c in chunks] == [4, 4, 2]
+    for c in chunks:
+        # spans index the ORIGINAL text; re-slicing covers the words
+        assert text[c.start_pos] == c.text[0]
+        assert text[c.end_pos] == c.text[-1]
+    assert chunks[0].start_pos == 0
+    assert chunks[0].end_pos == text.index("delta") + len("delta") - 1
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        from vectra_py_spark.text.splitter import split_documents
+
+        split_documents(None, tokenizer="nope")

@@ -160,6 +160,31 @@ class SplitterConfig:
         return DEFAULT_SEPARATORS
 
 
+class SingleSpaceTokenizer:
+    """1 token per single-space-separated piece — the SQL-expressible
+    token model behind the `chunk_spans_simple` driver oracle: with
+    this tokenizer the REAL splitter's recursion/guard/packing become
+    exactly predictable in ANSI SQL (split + window cumulative
+    positions), giving the splitter its first cross-engine value check
+    (VERDICT r6 item 5). Token ids carry no meaning (count is the
+    contract); decode is intentionally unsupported (overlap=0 regimes
+    only)."""
+
+    def encode(self, text: str) -> list[int]:
+        return [1 for p in text.split(" ") if p]
+
+    def decode(self, tokens: list[int]) -> str:
+        raise NotImplementedError(
+            "SingleSpaceTokenizer is count-only (overlap=0 regimes)"
+        )
+
+
+_TOKENIZERS = {
+    "bpe": None,  # TextSplitter default (ByteLevelBPETokenizer)
+    "space": SingleSpaceTokenizer,
+}
+
+
 class TextSplitter:
     def __init__(
         self, config: SplitterConfig | None = None, tokenizer: Tokenizer | None = None
@@ -313,6 +338,7 @@ def split_documents(
     chunk_size: int = 512,
     chunk_overlap: int = 0,
     keep_separators: bool = True,
+    tokenizer: str = "bpe",
 ):
     """documents → one row per chunk (the reference's D5 split stage).
 
@@ -320,10 +346,19 @@ def split_documents(
     ``local_document_index.py:65-70``). Runs as ``mapInPandas`` so each
     Arrow batch of documents is split inside one Python worker call —
     no per-row UDF overhead, no shuffle, linear scale-out.
+    ``tokenizer`` selects the token model by name (a string so nothing
+    heavier than the flag crosses the pickle boundary): ``"bpe"`` (the
+    default byte-level BPE) or ``"space"``
+    (:class:`SingleSpaceTokenizer`, the oracle regime).
     """
     import pandas as pd
 
     from vectra_py_spark.session import spread
+
+    if tokenizer not in _TOKENIZERS:  # fail on the driver, not in a stage
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r}; one of {sorted(_TOKENIZERS)}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-executor lazy init (tokenizer never pickled)
@@ -341,13 +376,15 @@ def split_documents(
                 )
                 sp = splitters.get(doc_type)
                 if sp is None:
+                    tok_cls = _TOKENIZERS[tokenizer]
                     sp = TextSplitter(
                         SplitterConfig(
                             chunk_size=chunk_size,
                             chunk_overlap=chunk_overlap,
                             keep_separators=keep_separators,
                             doc_type=doc_type or None,
-                        )
+                        ),
+                        tokenizer=tok_cls() if tok_cls else None,
                     )
                     splitters[doc_type] = sp
                 text = rec[text_col]
