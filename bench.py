@@ -122,11 +122,6 @@ def main() -> None:
     # that look like scale risks but are documented demo/training
     # regimes with a separately-benched production twin.
     notes = {
-        "lsh_neardup": (
-            "tau=0.4 DEMO regime, output-quadratic by construction "
-            "(vs_10x 2.6); production regime is lsh_neardup_strict "
-            "(tau=0.85, vs_10x 0.21)"
-        ),
         "bpe_train_rounds": (
             "4-round tokenizer TRAINING loop (one corpus scan + "
             "vocab-table rounds; vs_10x 0.15) — a batch job, not a "

@@ -26,7 +26,13 @@ sys.path.insert(0, str(REPO))
 
 import numpy as np  # noqa: E402
 
-from vectra_py_spark.plans.entry_queries import QUERIES  # noqa: E402
+from vectra_py_spark.plans.entry_queries import (  # noqa: E402
+    QUERIES,
+    q_lsh_neardup_demo,
+)
+
+# demoted from the registry (VERDICT r6 item 6) but still stress-measured
+QUERIES = {**QUERIES, "lsh_neardup_demo": q_lsh_neardup_demo}
 from vectra_py_spark.session import get_spark  # noqa: E402
 
 SF01_DIR = "/root/testdata/sf0.1"
@@ -45,7 +51,7 @@ STRESS_QUERIES = [
     "exact_dedup",
     "minhash_lsh_neardup",
     "simhash_neardup",
-    "lsh_neardup",
+    "lsh_neardup_demo",
     "embedding_neardup",
     # round-2 document/vector operators (narrow maps / broadcast-agg
     # shapes — expected well under linear)
@@ -135,6 +141,13 @@ STRESS_QUERIES = [
     # apply side (same shape + one vocab-sized aggregate)
     "bpe_train_rounds",
     "bpe_vocab_usage",
+    # round-7: the splitter oracle regime (narrow mapInPandas, rows
+    # scale with corpus), MJPEG-in-AVI sampling and FLAC round-trip
+    # (both doc_id-bounded — flat by construction, the honest contract
+    # for synthesized-codec e2e entries)
+    "chunk_spans_simple",
+    "mjpeg_sample",
+    "flac_roundtrip",
 ]
 
 
