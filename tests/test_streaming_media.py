@@ -20,6 +20,7 @@ from vectra_py_spark.streaming.media import (
 def _drop_files(d):
     from vectra_py_spark.operators.avi import synth_avi
     from vectra_py_spark.operators.flac import synth_flac
+    from vectra_py_spark.operators.mp4 import synth_mp4
 
     img = mm.decode_ppm(mm.synth_ppm(24, 16))
     files = {
@@ -31,6 +32,7 @@ def _drop_files(d):
         # r7 codecs ride the same sniff→decode map, zero stream changes
         "f.avi": synth_avi(4, 24, 16),
         "g.flac": synth_flac(),
+        "h.mp4": synth_mp4(4, 24, 16),
     }
     for name, payload in files.items():
         with open(os.path.join(d, name), "wb") as f:
@@ -57,7 +59,7 @@ def test_stream_features_match_batch_and_quarantine(spark):
     # corrupt file quarantined in-stream, not a failed query
     assert "unrecognized media payload" in got["e.bin"].decode_error
     assert got["e.bin"].features == [0.0] * mm.FEATURE_DIM
-    for name in ("a.jpg", "b.png", "c.gif", "d.wav", "f.avi", "g.flac"):
+    for name in ("a.jpg", "b.png", "c.gif", "d.wav", "f.avi", "g.flac", "h.mp4"):
         assert got[name].decode_error is None, name
         assert got[name].n_bytes == len(files[name])
 

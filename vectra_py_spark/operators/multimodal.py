@@ -9,19 +9,24 @@ three tiers:
   PPM (P6), uncompressed 24-bit BMP, compressed PNG (stdlib zlib
   + the five RFC 2083 scanline filters), JPEG — baseline sequential
   AND progressive SOF2 (pure-numpy Huffman + dequant + IDCT + YCbCr,
-  :mod:`.jpeg`) — and multi-frame GIF (full LZW, interlace,
-  transparency/disposal compositing, :mod:`.gif`) decode for real —
-  spectral features, pixel statistics, actual nearest-neighbor
-  resamplers, and REAL frame sampling (:func:`sample_gif_frames`)
-  with no codec library at all. These prove the full path (bytes →
-  decode → features/resize/frames → DataFrame) end-to-end on honest
-  media, not just plumbing.
+  :mod:`.jpeg`) — multi-frame GIF (full LZW, interlace,
+  transparency/disposal compositing, :mod:`.gif`), FLAC lossless
+  audio (Rice + fixed/LPC predictors, :mod:`.flac`), and MJPEG video
+  in BOTH real containers — AVI (:mod:`.avi`) and ISO-BMFF MP4
+  (:mod:`.mp4`) — decode for real: spectral features, pixel
+  statistics, actual nearest-neighbor resamplers, and REAL frame
+  sampling (:func:`sample_gif_frames` / :func:`sample_avi_frames` /
+  :func:`sample_mp4_frames`) with no codec library at all. These
+  prove the full path (bytes → decode → features/resize/frames →
+  DataFrame) end-to-end on honest media, not just plumbing.
 - **Deterministic fake**: md5-seeded features/bytes for hermetic
   pipeline tests on arbitrary payloads.
-- **Stubbed**: the remaining compressed formats (MP3/MP4) raise
+- **Stubbed**: the remaining compressed CODECS (MP3 audio;
+  H.264/HEVC/AV1 video inside MP4) raise
   ``NotImplementedError``/``ValueError`` until a codec library
   (torchaudio / pyav) is registered in :data:`DECODERS` — absent
-  from this container by constraint, not design.
+  from this container by constraint, not design. The containers
+  themselves are no longer the gap.
 
 Scale notes: binary payloads dominate row size — keep them OUT of
 shuffles (extract features first, then drop/park the payload column);
@@ -111,12 +116,23 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode with zero codec dependencies: WAV/PCM via the
     stdlib ``wave`` module → (mono float64 samples in [-1, 1], sample
-    rate). 16-bit and 8-bit PCM; multi-channel downmixes by mean."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    rate). 16-bit and 8-bit PCM; multi-channel downmixes by mean.
+    Malformed payloads raise ValueError (the stdlib's ``wave.Error`` /
+    ``EOFError`` / ``struct.error`` are converted — found by the codec
+    fuzz harness, tests/test_codec_fuzz.py)."""
+    import struct
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # RuntimeError: py3.11 chunk.skip() raises it bare on truncation
+        raise ValueError(f"malformed WAV payload: {exc}") from exc
+    if sr <= 0 or nch <= 0:
+        raise ValueError(f"malformed WAV header (sr={sr}, channels={nch})")
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 1:
@@ -540,6 +556,19 @@ def _avi_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return feats
 
 
+def _mp4_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """MJPEG-in-MP4: first-frame pixel features + frame count in the
+    last slot (same readout as the GIF/AVI paths)."""
+    from vectra_py_spark.operators.mp4 import decode_mp4
+
+    if not payload:
+        return [0.0] * dim
+    frames = decode_mp4(payload)
+    feats = _pixel_features(_png_to_rgb(frames[0]), dim)
+    feats[dim - 1] = float(np.log1p(frames.shape[0]))
+    return feats
+
+
 def sniff_media_type(payload: bytes) -> str | None:
     """Magic-byte media-type detection for crawl payloads whose
     container format is unknown or mislabeled (the on-disk reality of
@@ -563,6 +592,8 @@ def sniff_media_type(payload: bytes) -> str | None:
         return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -591,6 +622,7 @@ DECODERS = {
     "gif": _gif_features,
     "avi": _avi_features,
     "flac": _flac_features,
+    "mp4": _mp4_features,
     "auto": _auto_features,
 }
 
@@ -970,11 +1002,39 @@ def sample_avi_frames(
 
     Plan shape: row-exploding narrow ``mapInPandas``, no shuffle,
     payloads never leave the worker; per-row cost is a linear container
-    walk over the payload bytes. A real MP4/pyav keyframe sampler swaps
-    in at this exact seam (the MP4 gate stays a declared
-    ``NotImplementedError``). Malformed payloads raise ValueError —
+    walk over the payload bytes. Malformed payloads raise ValueError —
     quarantine upstream as with the image decoders."""
     from vectra_py_spark.operators.avi import avi_frame_payloads
+
+    return _sample_container_frames(
+        df, n_frames, avi_frame_payloads, data_col, id_col
+    )
+
+
+def sample_mp4_frames(
+    df: DataFrame,
+    n_frames: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """MJPEG-in-MP4 frame sampling: the ISO-BMFF sample tables
+    (stsz/stsc/stco) give byte-exact JPEG samples with zero transcode —
+    same contract, schema, and plan shape as :func:`sample_avi_frames`.
+    H.264/HEVC tracks refuse with ValueError naming the codec (the
+    DECODE gate for those remains until a codec library exists)."""
+    from vectra_py_spark.operators.mp4 import mp4_frame_payloads
+
+    return _sample_container_frames(
+        df, n_frames, mp4_frame_payloads, data_col, id_col
+    )
+
+
+def _sample_container_frames(
+    df: DataFrame, n_frames: int, extract, data_col: str, id_col: str
+) -> DataFrame:
+    """Shared row-exploding sampler over any container whose frames are
+    independently decodable payloads: floor(N·i/n) frame pick, the
+    ORIGINAL frame bytes out."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -985,7 +1045,7 @@ def sample_avi_frames(
             for mid, b in zip(pdf[id_col], pdf[data_col]):
                 if b is None or len(b) == 0:
                     continue  # NULL payload → no frames (not a failure)
-                frames = avi_frame_payloads(bytes(b))
+                frames = extract(bytes(b))
                 total = len(frames)
                 for i in range(n_frames):
                     src = (total * i) // n_frames
