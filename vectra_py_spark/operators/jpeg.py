@@ -685,6 +685,17 @@ def _progressive_scan(
     return end_pos
 
 
+def _check_dc(v: int) -> int:
+    """Corrupt entropy data can walk the DC predictor arbitrarily far
+    (each bogus diff accumulates); the coefficient store is int32, so
+    an unchecked store raises OverflowError instead of the contractual
+    ValueError (found by the codec fuzz harness). Any legitimate 8-bit
+    DC coefficient is tiny compared to this bound."""
+    if not -(1 << 31) <= v < (1 << 31):
+        raise ValueError("JPEG DC coefficient out of range (corrupt stream)")
+    return v
+
+
 def _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy):
     """DC first pass (Huffman diff, point-transformed by Al) or DC
     refinement (one raw bit per block)."""
@@ -711,7 +722,7 @@ def _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy):
                     s = _decode_symbol(br, c["dct"])
                     diff = _extend(br.read_bits(s), s)
                     c["pred"] += diff
-                    blk[0] = c["pred"] << al
+                    blk[0] = _check_dc(c["pred"] << al)
                 else:
                     if br.read_bit():
                         blk[0] |= 1 << al
@@ -734,7 +745,7 @@ def _dc_scan(order, segs, ah, al, restart_interval, mcux, mcuy):
                             s = _decode_symbol(br, c["dct"])
                             diff = _extend(br.read_bits(s), s)
                             c["pred"] += diff
-                            blk[0] = c["pred"] << al
+                            blk[0] = _check_dc(c["pred"] << al)
                         else:
                             if br.read_bit():
                                 blk[0] |= 1 << al
