@@ -147,7 +147,9 @@ STRESS_QUERIES = [
     # for synthesized-codec e2e entries)
     "chunk_spans_simple",
     "mjpeg_sample",
+    "mp4_sample",
     "flac_roundtrip",
+    "media_probe",
 ]
 
 

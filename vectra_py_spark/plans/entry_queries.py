@@ -1699,6 +1699,208 @@ def _sql_mjpeg_sample() -> str:
     """
 
 
+def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ISO-BMFF twin of `mjpeg_sample`: identical synthesized
+    frames, identical sampling math, but packed in a real MP4
+    (ftyp/mdat/moov with full stsz/stsc/stco sample tables,
+    :mod:`operators.mp4`) and sampled with
+    :func:`sample_mp4_frames`. Both containers must hit the SAME
+    closed-form oracle — container-independence of the frame pipeline,
+    value-checked cross-engine. Registered below the driver window
+    (rotation budget spent); rotates in r8."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MJPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.mp4 import encode_mp4_mjpeg
+
+        for pdf in batches:
+            ids: list[str] = []
+            payloads: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 5
+                w = 8 + (did % 5) * 3
+                h = 8 + (did % 7) * 2
+                frames = [
+                    mm.encode_jpeg(
+                        np.full((h, w), (did * 31 + i * 17) % 256, np.uint8),
+                        quality=85,
+                        progressive=bool((did + i) % 2),
+                    )
+                    for i in range(n)
+                ]
+                ids.append(str(did))
+                payloads.append(encode_mp4_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    sampled = mm.sample_mp4_frames(media, n_frames=_MJPEG_K)
+
+    def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "src_frame": [],
+                   "width": [], "height": [], "px": []}
+            for mid, fi, src, fr in zip(
+                pdf["media_id"], pdf["frame_idx"],
+                pdf["src_frame"], pdf["frame"],
+            ):
+                img = mm.decode_jpeg(bytes(fr))
+                out["doc_id"].append(int(mid))
+                out["frame_idx"].append(int(fi))
+                out["src_frame"].append(int(src))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["px"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return sampled.mapInPandas(
+        dec,
+        schema=(
+            "doc_id BIGINT, frame_idx INT, src_frame INT, "
+            "width INT, height INT, px INT"
+        ),
+    )
+
+
+_PROBE_DOCS = 300
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media TRIAGE e2e (`operators/probe.py`): per doc,
+    synthesize a payload whose FORMAT cycles with doc_id%10 through all
+    ten supported containers (JPEG/PNG/GIF/BMP/PPM/WAV/AVI/MP4/FLAC/
+    MP3) with doc_id-derived dims/frame-counts, then run the REAL
+    :func:`probe_media` operator — no pixel or PCM decode anywhere —
+    and report what the headers declare. The oracle recomputes every
+    field in closed form, so ten different header walkers (incl. the
+    GIF block-skip frame counter and the MP3 frame-chain walk) are
+    value-checked cross-engine in one entry. Missing fields use a −1
+    sentinel (NULL-free cross-engine hashing). Registered below the
+    driver window; rotates in r8.
+
+    Plan shape: pushed-down filter → two chained narrow ``mapInPandas``
+    stages; bounded per-row work, linear scale-out."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PROBE_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.avi import synth_avi
+        from vectra_py_spark.operators.flac import encode_flac
+        from vectra_py_spark.operators.mp3 import synth_mp3
+        from vectra_py_spark.operators.mp4 import synth_mp4
+
+        def wav_n(n: int) -> bytes:
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(bytes(2 * n))
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids: list[str] = []
+            payloads: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 5) * 3
+                h = 8 + (did % 7) * 2
+                img = np.full((h, w), (did * 37 + 11) % 256, np.uint8)
+                kind = did % 10
+                if kind == 0:
+                    p = mm.encode_jpeg(img, quality=85)
+                elif kind == 1:
+                    p = mm.encode_png(img)
+                elif kind == 2:
+                    p = mm.encode_gif(
+                        np.stack([np.stack([img] * 3, axis=2)]
+                                 * (2 + did % 4))
+                    )
+                elif kind == 3:
+                    p = mm.encode_bmp(np.stack([img] * 3, axis=2))
+                elif kind == 4:
+                    p = (f"P6\n{w} {h}\n255\n").encode() + bytes(
+                        np.stack([img] * 3, axis=2).tobytes()
+                    )
+                elif kind == 5:
+                    p = wav_n(400 + did % 100)
+                elif kind == 6:
+                    p = synth_avi(2 + did % 5, w, h)
+                elif kind == 7:
+                    p = synth_mp4(2 + did % 5, w, h)
+                elif kind == 8:
+                    n = 64 + did % 32
+                    i = np.arange(n, dtype=np.int64)
+                    p = encode_flac(
+                        (did * 7 + i * 13) % 65536 - 32768, 8000, blocksize=64
+                    )
+                else:
+                    p = synth_mp3(10 + did % 10)
+                ids.append(str(did))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    from vectra_py_spark.operators.probe import probe_media
+
+    probed = probe_media(media)
+    return probed.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "kind",
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("n_frames"), F.lit(-1)).alias("n_frames"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).alias("sample_rate"),
+    )
+
+
+def _sql_media_probe() -> str:
+    img = "doc_id % 10 IN (0, 1, 2, 3, 4, 6, 7)"
+    return f"""
+        SELECT doc_id,
+               CASE doc_id % 10
+                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+                 WHEN 3 THEN 'bmp' WHEN 4 THEN 'ppm' WHEN 5 THEN 'wav'
+                 WHEN 6 THEN 'avi' WHEN 7 THEN 'mp4' WHEN 8 THEN 'flac'
+                 ELSE 'mp3' END AS kind,
+               CAST(CASE WHEN {img} THEN 8 + (doc_id % 5)*3
+                         ELSE -1 END AS INT) AS width,
+               CAST(CASE WHEN {img} THEN 8 + (doc_id % 7)*2
+                         ELSE -1 END AS INT) AS height,
+               CAST(CASE doc_id % 10
+                 WHEN 2 THEN 2 + doc_id % 4
+                 WHEN 5 THEN 400 + doc_id % 100
+                 WHEN 6 THEN 2 + doc_id % 5
+                 WHEN 7 THEN 2 + doc_id % 5
+                 WHEN 8 THEN 64 + doc_id % 32
+                 WHEN 9 THEN 10 + doc_id % 10
+                 ELSE 1 END AS INT) AS n_frames,
+               CAST(CASE doc_id % 10
+                 WHEN 5 THEN 8000 WHEN 8 THEN 8000 WHEN 9 THEN 44100
+                 ELSE -1 END AS INT) AS sample_rate
+        FROM documents
+        WHERE doc_id < {_PROBE_DOCS}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multimodal — FLAC lossless audio round-trip, value-oracled
 # ---------------------------------------------------------------------------
@@ -3530,6 +3732,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "mjpeg_sample": q_mjpeg_sample,
+    "mp4_sample": q_mp4_sample,
+    "media_probe": q_media_probe,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
@@ -3799,6 +4003,8 @@ ORACLES: dict[str, str] = {
     "frame_sample": _sql_frame_sample(),
     "jpeg_roundtrip": _sql_jpeg_roundtrip(),
     "mjpeg_sample": _sql_mjpeg_sample(),
+    "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
+    "media_probe": _sql_media_probe(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
