@@ -150,6 +150,7 @@ STRESS_QUERIES = [
     "mp4_sample",
     "flac_roundtrip",
     "media_probe",
+    "audio_pipeline",
 ]
 
 

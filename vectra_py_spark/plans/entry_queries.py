@@ -1771,6 +1771,131 @@ def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_DOCS = 300
+_TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
+
+
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM transform chain e2e (`operators/audio.py`): per doc,
+    synthesize a deterministic stereo clip (closed-form samples with
+    doc_id-derived silence padding front and back), encode as WAV, run
+    the REAL :func:`transform_audio` (mono downmix → −60 dBFS
+    edge-trim), decode the transformed payload, and report
+    count/sum/min/max of the output PCM. The oracle recomputes the
+    whole chain in SQL — the downmix mean, the half-away rounding, the
+    pre-round trim comparison (|c0+c1| ≥ 66), and the kept-range
+    bookkeeping are all value-checked cross-engine. Registered below
+    the driver window; rotates in r8.
+
+    Plan shape: pushed-down filter → two narrow ``mapInPandas`` stages
+    around the transform; bounded per-row work, linear scale-out."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AUDIO_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.audio import encode_audio_payload
+
+        for pdf in batches:
+            ids: list[str] = []
+            payloads: list[bytes] = []
+            metas: list[dict] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                c0 = (did * 11 + i * 29) % 60000 - 30000
+                c1 = (did * 13 + i * 31) % 60000 - 30000
+                sig = np.stack([c0, c1], axis=1)
+                pad_f = np.zeros((did % 37, 2), np.int64)
+                pad_b = np.zeros((did % 23, 2), np.int64)
+                full = np.concatenate([pad_f, sig, pad_b])
+                ids.append(str(did))
+                payloads.append(encode_audio_payload(full, 8000, "wav"))
+                metas.append({})
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": "audio",
+                 "data": payloads, "meta": metas}
+            )
+
+    media = docs.mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
+    from vectra_py_spark.operators.audio import transform_audio
+
+    out = transform_audio(media, mono=True, trim_db=_TRIM_DB)
+
+    def report(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from vectra_py_spark.operators.audio import decode_audio_payload
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "s_sum": [],
+                    "s_min": [], "s_max": []}
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                samples, _sr, _k = decode_audio_payload(bytes(b))
+                s = samples[:, 0]
+                rows["doc_id"].append(int(mid))
+                rows["n_samples"].append(int(s.size))
+                rows["s_sum"].append(int(s.sum()))
+                rows["s_min"].append(int(s.min()))
+                rows["s_max"].append(int(s.max()))
+            yield pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        report,
+        schema=(
+            "doc_id BIGINT, n_samples INT, s_sum BIGINT, "
+            "s_min BIGINT, s_max BIGINT"
+        ),
+    )
+
+
+def _sql_audio_pipeline() -> str:
+    # the synthesized sequence: i in [0, pad_f + n + pad_b); signal
+    # region [pad_f, pad_f + n); mono = ROUND((c0+c1)/2) half-away;
+    # trim keeps [min, max] of i where |c0+c1| >= 66 (pre-round compare)
+    return f"""
+WITH seq AS (
+  SELECT doc_id,
+         doc_id % 37 AS pad_f,
+         200 + doc_id % 50 AS n,
+         unnest(range(0, (doc_id % 37) + (200 + doc_id % 50)
+                         + (doc_id % 23))) AS i
+  FROM documents WHERE doc_id < {_AUDIO_DOCS}
+), pcm AS (
+  SELECT doc_id, i,
+         CASE WHEN i >= pad_f AND i < pad_f + n
+              THEN (doc_id*11 + (i - pad_f)*29) % 60000 - 30000
+              ELSE 0 END AS c0,
+         CASE WHEN i >= pad_f AND i < pad_f + n
+              THEN (doc_id*13 + (i - pad_f)*31) % 60000 - 30000
+              ELSE 0 END AS c1
+  FROM seq
+), keptrange AS (
+  SELECT doc_id,
+         MIN(i) FILTER (ABS(c0 + c1) >= 66) AS lo,
+         MAX(i) FILTER (ABS(c0 + c1) >= 66) AS hi
+  FROM pcm GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(CAST(ROUND((c0 + c1)/2.0) + 0.0 AS BIGINT)) AS BIGINT)
+         AS s_sum,
+       CAST(MIN(CAST(ROUND((c0 + c1)/2.0) + 0.0 AS BIGINT)) AS BIGINT)
+         AS s_min,
+       CAST(MAX(CAST(ROUND((c0 + c1)/2.0) + 0.0 AS BIGINT)) AS BIGINT)
+         AS s_max
+FROM pcm p JOIN keptrange k ON p.doc_id = k.doc_id
+WHERE p.i BETWEEN k.lo AND k.hi
+GROUP BY p.doc_id
+"""
+
+
 _PROBE_DOCS = 300
 
 
@@ -3734,6 +3859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mjpeg_sample": q_mjpeg_sample,
     "mp4_sample": q_mp4_sample,
     "media_probe": q_media_probe,
+    "audio_pipeline": q_audio_pipeline,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
@@ -4005,6 +4131,7 @@ ORACLES: dict[str, str] = {
     "mjpeg_sample": _sql_mjpeg_sample(),
     "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
     "media_probe": _sql_media_probe(),
+    "audio_pipeline": _sql_audio_pipeline(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
