@@ -1,0 +1,149 @@
+"""WARC web-archive source: record parse (plain + per-record gzip
+members), HTTP layer peel, the Spark explode with per-file quarantine,
+ZIP/TAR media bundles, and end-to-end composition into the existing
+media (probe/features) and document (html→markdown) pipelines —
+Common Crawl-shaped ingestion."""
+
+import gzip
+import os
+import tarfile
+import tempfile
+import zipfile
+
+import pytest
+
+from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.operators.probe import probe_payload
+from vectra_py_spark.sources.warc import (
+    parse_warc,
+    read_media_archive,
+    read_warc,
+    synth_warc,
+)
+
+
+def _pages():
+    img = mm.decode_ppm(mm.synth_ppm(16, 8))
+    return [
+        ("http://ex.org/a.html",
+         b"<html><body><h1>Title</h1><p>Body text</p></body></html>",
+         "text/html"),
+        ("http://ex.org/pic.jpg", mm.encode_jpeg(img), "image/jpeg"),
+        ("http://ex.org/clip.flac",
+         __import__(
+             "vectra_py_spark.operators.flac", fromlist=["synth_flac"]
+         ).synth_flac(),
+         "audio/flac"),
+    ]
+
+
+def test_parse_plain_and_gzip_round_trip():
+    pages = _pages()
+    for compress in (False, True):
+        recs = parse_warc(synth_warc(pages, compress=compress))
+        assert [r["warc_type"] for r in recs] == ["warcinfo"] + ["response"] * 3
+        for (url, body, ctype), rec in zip(pages, recs[1:]):
+            assert rec["url"] == url
+            assert rec["http_status"] == 200
+            assert rec["content_type"] == ctype
+            assert rec["payload"] == body  # HTTP layer peeled, byte-exact
+
+
+def test_parse_malformed_contract():
+    good = synth_warc(_pages())
+    with pytest.raises(ValueError, match="not a WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="gzip"):
+        parse_warc(b"\x1f\x8b\x08" + b"\x00" * 10)
+    # payload fuzz: mutations never escape ValueError
+    import numpy as np
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_codec_fuzz import _mutations
+
+    rng = np.random.default_rng(12021)
+    for mut in _mutations(good, rng, 200):
+        try:
+            parse_warc(mut)
+        except ValueError:
+            pass
+
+
+def test_read_warc_spark_and_pipeline_composition(spark):
+    d = tempfile.mkdtemp()
+    pages = _pages()
+    with open(os.path.join(d, "seg0.warc"), "wb") as f:
+        f.write(synth_warc(pages))
+    with open(os.path.join(d, "seg1.warc.gz"), "wb") as f:
+        f.write(synth_warc(pages, compress=True))
+    with open(os.path.join(d, "broken.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nBad\r\n\r\n")
+
+    df = read_warc(spark, d)
+    rows = df.collect()
+    by_archive = {}
+    for r in rows:
+        by_archive.setdefault(os.path.basename(r.archive.replace("file:", "")), []).append(r)
+    assert set(by_archive) == {"seg0.warc", "seg1.warc.gz", "broken.warc"}
+    # quarantined file: one error row
+    bad = by_archive["broken.warc"]
+    assert len(bad) == 1 and bad[0].error and bad[0].payload is None
+    # both good archives yield 4 records each with intact payloads
+    for name in ("seg0.warc", "seg1.warc.gz"):
+        recs = sorted(by_archive[name], key=lambda r: r.record_idx)
+        assert [r.warc_type for r in recs] == ["warcinfo"] + ["response"] * 3
+        assert bytes(recs[2].payload) == pages[1][1]
+
+    # composition: media records → probe + features; html → markdown docs
+    media = (
+        df.filter("content_type LIKE 'image/%' OR content_type LIKE 'audio/%'")
+        .selectExpr("url AS media_id", "'media' AS modality",
+                    "payload AS data", "map() AS meta")
+    )
+    from vectra_py_spark.operators.probe import probe_media
+
+    probed = {r.media_id: r for r in probe_media(media).collect()}
+    assert all(r.error is None for r in probed.values())
+    kinds = {r.kind for r in probed.values()}
+    assert kinds == {"jpeg", "flac"}
+    feats = mm.extract_features(media, decoder="auto", on_error="quarantine")
+    assert all(r.decode_error is None for r in feats.collect())
+
+    from vectra_py_spark.sources.fetchers import html_to_markdown
+
+    html_rows = df.filter("content_type = 'text/html'").collect()
+    md = html_to_markdown(bytes(html_rows[0].payload).decode())
+    assert "# Title" in md and "Body text" in md
+
+
+def test_read_media_archive_zip_and_tar(spark):
+    d = tempfile.mkdtemp()
+    img = mm.encode_png(mm.decode_ppm(mm.synth_ppm(8, 8)))
+    wav = mm.synth_wav(seconds=0.05)
+    zp = os.path.join(d, "bundle.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("imgs/a.png", img)
+        z.writestr("audio/b.wav", wav)
+        z.writestr("empty_dir/", b"")
+    tp = os.path.join(d, "bundle.tar.gz")
+    with tarfile.open(tp, "w:gz") as t:
+        import io as _io
+
+        info = tarfile.TarInfo("c.png")
+        info.size = len(img)
+        t.addfile(info, _io.BytesIO(img))
+    with open(os.path.join(d, "junk.zip"), "wb") as f:
+        f.write(b"PK\x03\x04 nope")
+
+    rows = read_media_archive(spark, d).collect()
+    by_member = {r.member: r for r in rows if r.member}
+    assert set(by_member) == {"imgs/a.png", "audio/b.wav", "c.png"}
+    assert bytes(by_member["imgs/a.png"].payload) == img
+    assert probe_payload(bytes(by_member["c.png"].payload))["kind"] == "png"
+    errs = [r for r in rows if r.error]
+    assert len(errs) == 1 and "junk.zip" in errs[0].archive

@@ -1,0 +1,296 @@
+"""WARC web-archive source — the format 100 TB crawl corpora actually
+arrive in (Common Crawl ships WARC/1.0/1.1; public spec ISO 28500).
+
+A WARC file is a sequence of records: a header block (``WARC/1.x``
+version line + name:value headers, Content-Length mandatory), a blank
+line, ``Content-Length`` bytes of block, and a ``\\r\\n\\r\\n``
+separator. ``response`` records wrap a full HTTP response (status line
++ headers + body); ``.warc.gz`` files are per-record gzip members
+concatenated, which the stdlib gzip reader walks natively.
+
+Surface:
+
+- :func:`parse_warc` — bytes → list of record dicts (HTTP layer peeled
+  for response records). ValueError on structural corruption.
+- :func:`read_warc` — Spark source: ``binaryFile`` scan → one row per
+  record, with per-FILE quarantine (a corrupt archive yields one error
+  row, never a failed stage — crawl archives are dirty by nature).
+  Extracted payloads feed the existing pipelines directly:
+  :func:`probe.probe_media` / ``extract_features`` for media,
+  ``html_to_markdown`` → document ingest for pages.
+- :func:`read_media_archive` — the same explode for plain ZIP/TAR
+  bundles (stdlib ``zipfile``/``tarfile``), the other shape bulk media
+  drops arrive in.
+- :func:`synth_warc` — generate a valid (optionally gzipped) archive
+  for tests/demos.
+
+Scale shape: one narrow ``mapInPandas`` per file batch; records never
+enter a shuffle; ``binaryFile`` splits by file, so archive count is
+the parallelism unit (Common Crawl segments are ~1 GB each — thousands
+of files saturate any executor fleet).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "parse_warc",
+    "read_warc",
+    "read_media_archive",
+    "synth_warc",
+    "WARC_SCHEMA",
+    "ARCHIVE_SCHEMA",
+]
+
+WARC_SCHEMA = (
+    "archive STRING, record_idx INT, warc_type STRING, url STRING, "
+    "warc_date STRING, http_status INT, content_type STRING, "
+    "payload BINARY, n_bytes BIGINT, error STRING"
+)
+
+ARCHIVE_SCHEMA = (
+    "archive STRING, member STRING, payload BINARY, n_bytes BIGINT, "
+    "error STRING"
+)
+
+
+def _split_headers(block: bytes) -> tuple[dict, bytes]:
+    """name:value header block + blank line → (headers, rest)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("missing blank line after headers")
+    headers: dict[str, str] = {}
+    for line in block[:sep].split(b"\r\n"):
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = (
+            v.strip().decode("latin-1")
+        )
+    return headers, block[sep + 4 :]
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC bytes (plain or gzip, incl. multi-member .warc.gz) → one
+    dict per record: warc_type, url, warc_date, content_type, payload
+    (the HTTP BODY for response records, the raw block otherwise),
+    http_status (response records only). Structural corruption raises
+    ValueError."""
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+        except (OSError, EOFError) as exc:
+            raise ValueError(f"corrupt WARC gzip stream: {exc}") from exc
+    if not payload.startswith(b"WARC/"):
+        raise ValueError(
+            f"not a WARC payload (starts {payload[:8]!r})"
+        )
+    records: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"WARC/":
+            raise ValueError(
+                f"WARC record expected at byte {pos} "
+                f"(got {payload[pos:pos + 5]!r})"
+            )
+        hdr_end = payload.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("WARC header block truncated")
+        headers, _ = _split_headers(payload[pos : hdr_end + 4])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(f"WARC record missing Content-Length: {exc}") from exc
+        if length < 0:
+            raise ValueError("negative WARC Content-Length")
+        block_start = hdr_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            raise ValueError("WARC block extends past the file")
+        block = payload[block_start:block_end]
+        if payload[block_end : block_end + 4] not in (b"\r\n\r\n", b""):
+            raise ValueError("WARC record separator missing")
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "payload": block,
+        }
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            http_hdr_end = block.find(b"\r\n\r\n")
+            if http_hdr_end < 0:
+                raise ValueError("WARC response record: HTTP headers truncated")
+            status_line = block[: block.find(b"\r\n")].decode(
+                "latin-1", "replace"
+            )
+            parts = status_line.split()
+            if len(parts) < 2 or not parts[1].isdigit():
+                raise ValueError(
+                    f"malformed HTTP status line {status_line!r}"
+                )
+            http_headers, _ = _split_headers(block[: http_hdr_end + 4])
+            rec["http_status"] = int(parts[1])
+            rec["content_type"] = http_headers.get(
+                "content-type", rec["content_type"]
+            )
+            rec["payload"] = block[http_hdr_end + 4 :]
+        records.append(rec)
+        pos = block_end + 4
+        if pos > n:  # final record may omit the trailing separator
+            pos = n
+    if not records:
+        raise ValueError("WARC contains no records")
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/glob of .warc / .warc.gz files → one row per record.
+    Per-FILE quarantine: a corrupt archive becomes a single row with
+    ``error`` set and everything else NULL — the stage never fails."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "archive", "record_idx", "warc_type", "url", "warc_date",
+                "http_status", "content_type", "payload", "n_bytes",
+                "error",
+            )}
+
+            def emit(archive, idx, rec=None, err=None):
+                rows["archive"].append(archive)
+                rows["record_idx"].append(idx)
+                rows["warc_type"].append(rec["warc_type"] if rec else None)
+                rows["url"].append(rec["url"] if rec else None)
+                rows["warc_date"].append(rec["warc_date"] if rec else None)
+                rows["http_status"].append(
+                    rec["http_status"] if rec else None
+                )
+                rows["content_type"].append(
+                    rec["content_type"] if rec else None
+                )
+                rows["payload"].append(rec["payload"] if rec else None)
+                rows["n_bytes"].append(len(rec["payload"]) if rec else 0)
+                rows["error"].append(err)
+
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for i, rec in enumerate(parse_warc(bytes(content))):
+                        emit(fpath, i, rec=rec)
+                except ValueError as exc:
+                    emit(fpath, -1, err=str(exc))
+            out = pd.DataFrame(rows)
+            out["record_idx"] = out["record_idx"].astype("Int32")
+            out["http_status"] = out["http_status"].astype("Int32")
+            yield out
+
+    return raw.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
+    """ZIP/TAR (incl. .tar.gz) bundles → one row per member file, the
+    other container bulk media drops arrive in. Same per-file
+    quarantine policy as :func:`read_warc`; members feed
+    probe_media/extract_features directly."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def members(content: bytes) -> list[tuple[str, bytes]]:
+        buf = io.BytesIO(content)
+        if content[:4] == b"PK\x03\x04":
+            try:
+                with zipfile.ZipFile(buf) as z:
+                    return [
+                        (nm, z.read(nm))
+                        for nm in z.namelist()
+                        if not nm.endswith("/")
+                    ]
+            except (zipfile.BadZipFile, OSError, EOFError) as exc:
+                raise ValueError(f"corrupt ZIP archive: {exc}") from exc
+        try:
+            with tarfile.open(fileobj=buf, mode="r:*") as t:
+                out = []
+                for m in t.getmembers():
+                    if m.isfile():
+                        f = t.extractfile(m)
+                        out.append((m.name, f.read() if f else b""))
+                return out
+        except (tarfile.TarError, OSError, EOFError) as exc:
+            raise ValueError(f"corrupt TAR archive: {exc}") from exc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "archive", "member", "payload", "n_bytes", "error",
+            )}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for name, data in members(bytes(content)):
+                        rows["archive"].append(fpath)
+                        rows["member"].append(name)
+                        rows["payload"].append(data)
+                        rows["n_bytes"].append(len(data))
+                        rows["error"].append(None)
+                except ValueError as exc:
+                    rows["archive"].append(fpath)
+                    rows["member"].append(None)
+                    rows["payload"].append(None)
+                    rows["n_bytes"].append(0)
+                    rows["error"].append(str(exc))
+            yield pd.DataFrame(rows)
+
+    return raw.select("path", "content").mapInPandas(
+        run, schema=ARCHIVE_SCHEMA
+    )
+
+
+def synth_warc(
+    pages: list[tuple[str, bytes, str]], compress: bool = False
+) -> bytes:
+    """(url, body, content_type) triples → a valid WARC/1.0 archive
+    with a warcinfo record then one response record per page. With
+    ``compress=True``, each record is its own gzip member (the
+    .warc.gz convention)."""
+    def record(headers: dict[str, str], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers.items()
+        )
+        head += f"Content-Length: {len(block)}\r\n".encode()
+        return head + b"\r\n" + block + b"\r\n\r\n"
+
+    out: list[bytes] = []
+    info = b"software: vectra-py-spark synth_warc\r\n"
+    out.append(record(
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+         "WARC-Date": "2026-01-01T00:00:00Z",
+         "Content-Type": "application/warc-fields"},
+        info,
+    ))
+    for i, (url, body, ctype) in enumerate(pages, 1):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {ctype}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n" + body
+        )
+        out.append(record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:uuid:{i}>",
+             "WARC-Date": "2026-01-01T00:00:00Z",
+             "WARC-Target-URI": url,
+             "Content-Type": "application/http; msgtype=response"},
+            http,
+        ))
+    if compress:
+        return b"".join(gzip.compress(r) for r in out)
+    return b"".join(out)
