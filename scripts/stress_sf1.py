@@ -151,6 +151,7 @@ STRESS_QUERIES = [
     "flac_roundtrip",
     "media_probe",
     "audio_pipeline",
+    "warc_extract",
 ]
 
 

@@ -1771,6 +1771,87 @@ def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_DOCS = 200
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion e2e (`sources/warc.py`): per doc,
+    synthesize a WARC with 2 + doc_id%4 HTTP response records whose
+    bodies follow a closed-form byte pattern, gzip every odd doc's
+    archive (the .warc.gz per-record-member convention), parse it back
+    with the REAL :func:`parse_warc`, and report per-record byte counts
+    and byte sums. The oracle recomputes the pattern in SQL — record
+    framing, Content-Length bookkeeping, the HTTP header peel, and the
+    multi-member gzip path are value-checked cross-engine. Registered
+    below the driver window; rotates in r8.
+
+    Plan shape: pushed-down filter → one narrow ``mapInPandas``;
+    bounded per-row work, linear scale-out (binaryFile-per-archive is
+    the real parallelism unit, exercised in tests)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARC_DOCS)
+        .select("doc_id")
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from vectra_py_spark.sources.warc import parse_warc, synth_warc
+
+        for pdf in batches:
+            out = {"doc_id": [], "rec_idx": [], "n_bytes": [],
+                   "byte_sum": [], "http_status": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = 2 + did % 4
+                pages = []
+                for j in range(k):
+                    L = 50 + (did * 7 + j * 13) % 100
+                    body = bytes((did + j * 3 + i) % 256 for i in range(L))
+                    pages.append(
+                        (f"http://ex.org/{did}/{j}", body, "text/plain")
+                    )
+                recs = parse_warc(
+                    synth_warc(pages, compress=bool(did % 2))
+                )
+                for j, rec in enumerate(recs[1:]):  # skip warcinfo
+                    out["doc_id"].append(did)
+                    out["rec_idx"].append(j)
+                    out["n_bytes"].append(len(rec["payload"]))
+                    out["byte_sum"].append(sum(rec["payload"]))
+                    out["http_status"].append(rec["http_status"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id BIGINT, rec_idx INT, n_bytes INT, byte_sum BIGINT, "
+            "http_status INT"
+        ),
+    )
+
+
+def _sql_warc_extract() -> str:
+    return f"""
+WITH recs AS (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS j
+  FROM documents WHERE doc_id < {_WARC_DOCS}
+), sized AS (
+  SELECT doc_id, j, 50 + (doc_id*7 + j*13) % 100 AS L FROM recs
+), bytes AS (
+  SELECT doc_id, j, L, unnest(range(0, L)) AS i FROM sized
+)
+SELECT doc_id,
+       CAST(j AS INT) AS rec_idx,
+       CAST(L AS INT) AS n_bytes,
+       CAST(SUM((doc_id + j*3 + i) % 256) AS BIGINT) AS byte_sum,
+       CAST(200 AS INT) AS http_status
+FROM bytes
+GROUP BY doc_id, j, L
+"""
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -3860,6 +3941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp4_sample": q_mp4_sample,
     "media_probe": q_media_probe,
     "audio_pipeline": q_audio_pipeline,
+    "warc_extract": q_warc_extract,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
@@ -4132,6 +4214,7 @@ ORACLES: dict[str, str] = {
     "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
     "media_probe": _sql_media_probe(),
     "audio_pipeline": _sql_audio_pipeline(),
+    "warc_extract": _sql_warc_extract(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
