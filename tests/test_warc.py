@@ -147,3 +147,78 @@ def test_read_media_archive_zip_and_tar(spark):
     assert probe_payload(bytes(by_member["c.png"].payload))["kind"] == "png"
     errs = [r for r in rows if r.error]
     assert len(errs) == 1 and "junk.zip" in errs[0].archive
+
+
+def test_warc_documents_glue_and_index_ingest(spark):
+    """The crawl→corpus glue: response records become (uri, text,
+    doc_type) rows and flow into SparkDocumentIndex.upsert_documents_df
+    — WARC to queryable index end-to-end."""
+    import tempfile as tf
+
+    d = tf.mkdtemp()
+    pages = _pages() + [
+        ("http://ex.org/notes.txt", b"plain text notes body", "text/plain"),
+    ]
+    with open(os.path.join(d, "seg.warc"), "wb") as f:
+        f.write(synth_warc(pages))
+    records = read_warc(spark, d)
+    from vectra_py_spark.sources.warc import warc_documents
+
+    docs = warc_documents(records)
+    got = {r.uri: r for r in docs.collect()}
+    # only the text-like records survive (image/audio filtered out)
+    assert set(got) == {"http://ex.org/a.html", "http://ex.org/notes.txt"}
+    assert got["http://ex.org/a.html"].doc_type == "md"
+    assert "# Title" in got["http://ex.org/a.html"].text
+    assert got["http://ex.org/notes.txt"].doc_type == "txt"
+    assert got["http://ex.org/notes.txt"].text == "plain text notes body"
+
+    from vectra_py_spark.document_index import SparkDocumentIndex
+
+    ix = SparkDocumentIndex(spark, tf.mkdtemp() + "/ix", vector_dim=16)
+    ix.create()
+    ix.upsert_documents_df(docs, doc_type_col="doc_type")
+    res = ix.query_documents("plain text notes", max_documents=2)
+    assert res.count() >= 1
+
+
+def test_streaming_warc_matches_batch(spark):
+    """Streaming-twin discipline: the record stream over a drop dir
+    produces exactly the batch reader's rows, exactly-once, with a
+    corrupt archive quarantined in-stream; a later drop only appends."""
+    import tempfile as tf
+
+    from vectra_py_spark.streaming.warc import (
+        stream_warc_records,
+        warc_file_stream,
+    )
+
+    drop = tf.mkdtemp()
+    sink = tf.mkdtemp() + "/records"
+    ckpt = tf.mkdtemp() + "/ckpt"
+    with open(os.path.join(drop, "a.warc"), "wb") as f:
+        f.write(synth_warc(_pages()))
+    with open(os.path.join(drop, "bad.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nbroken\r\n\r\n")
+
+    q = stream_warc_records(warc_file_stream(spark, drop), sink, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    batch = read_warc(spark, drop).collect()
+
+    def key(r):
+        return (os.path.basename(r.archive.replace("file:", "")),
+                r.record_idx, r.warc_type, r.url,
+                bytes(r.payload) if r.payload is not None else None,
+                r.error is None)
+
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert any(r.error for r in got)  # quarantine row present in-stream
+
+    # incremental drain: a new archive appends its records only
+    with open(os.path.join(drop, "b.warc.gz"), "wb") as f:
+        f.write(synth_warc(_pages()[:1], compress=True))
+    q2 = stream_warc_records(warc_file_stream(spark, drop), sink, ckpt)
+    q2.awaitTermination(120)
+    after = spark.read.parquet(sink)
+    assert after.count() == len(got) + 2  # warcinfo + 1 response

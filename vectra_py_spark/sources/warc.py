@@ -159,6 +159,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     Per-FILE quarantine: a corrupt archive becomes a single row with
     ``error`` set and everything else NULL — the stage never fails."""
     raw = spark.read.format("binaryFile").load(path)
+    return explode_warc(raw)
+
+
+def explode_warc(raw: DataFrame) -> DataFrame:
+    """The (path, content) → records explode shared by the batch reader
+    and the streaming ingest (`streaming/warc.py`) — identical rows
+    either way, the package's streaming-twin discipline."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,6 +203,57 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield out
 
     return raw.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+
+
+_TEXT_TYPES = ("text/html", "application/xhtml", "text/plain")
+
+
+def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Response records with an HTML/plain-text content type → (uri,
+    text, doc_type) rows ready for
+    ``SparkDocumentIndex.upsert_documents_df`` — the crawl→corpus glue:
+    HTML renders through the same ``html_to_markdown`` the web fetcher
+    uses (doc_type 'md'), plain text passes through (doc_type 'txt').
+    Bytes decode as UTF-8 with replacement (crawl charsets lie; a
+    mojibake'd document is filterable downstream, a crashed stage is
+    not). Narrow ``mapInPandas``, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.sources.fetchers import html_to_markdown
+
+    text_like = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("url").isNotNull()
+        & F.col("content_type").isNotNull()
+        & (
+            F.col("content_type").startswith(_TEXT_TYPES[0])
+            | F.col("content_type").startswith(_TEXT_TYPES[1])
+            | F.col("content_type").startswith(_TEXT_TYPES[2])
+        )
+    ).select("url", "content_type", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"uri": [], "text": [], "doc_type": []}
+            for url, ctype, payload in zip(
+                pdf["url"], pdf["content_type"], pdf["payload"]
+            ):
+                raw = bytes(payload).decode("utf-8", "replace")
+                if ctype.startswith("text/plain"):
+                    text, dt = raw, "txt"
+                else:
+                    text, dt = html_to_markdown(raw, base_url=url), "md"
+                if len(text.strip()) < min_chars:
+                    continue
+                rows["uri"].append(url)
+                rows["text"].append(text)
+                rows["doc_type"].append(dt)
+            yield pd.DataFrame(rows)
+
+    return text_like.mapInPandas(
+        run, schema="uri STRING, text STRING, doc_type STRING"
+    )
 
 
 def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
