@@ -4023,8 +4023,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r4-vintage queries — minhash_lsh_neardup + minhash_probe first (named
 # in the verdict), the rest in CORRECTNESS_r04 recording order. The 4
 # r4 rows that didn't fit (salted_agg, shipping_priority,
-# promo_revenue, semantic_search) stay r4-vintage and MUST lead round
-# 8's rotation.
+# promo_revenue, semantic_search) stay r4-vintage; round 8's rotation
+# MUST lead with those 4 plus the 5 round-7 entries registered BELOW
+# the window awaiting first driver evidence (flac_roundtrip,
+# mp4_sample, media_probe, audio_pipeline, warc_extract) — 9 priority
+# slots, then the r5 block in CORRECTNESS_r05 recording order.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
     "mjpeg_sample",
