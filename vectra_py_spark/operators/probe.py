@@ -198,6 +198,11 @@ def _probe_payload(payload: bytes) -> dict:
         info = mp4_info(payload)
         return {"kind": "mp4", "width": info["width"],
                 "height": info["height"], "n_frames": info["n_frames"]}
+    if payload[:5] == b"%PDF-":
+        from vectra_py_spark.operators.pdf import pdf_info
+
+        info = pdf_info(payload)
+        return {"kind": "pdf", "n_frames": info["n_pages"]}
     # MP3 last: its sync is the weakest magic (0xFFEx or an ID3 tag)
     if payload[:3] == b"ID3" or (
         len(payload) > 1

@@ -205,7 +205,9 @@ def explode_warc(raw: DataFrame) -> DataFrame:
     return raw.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
 
 
-_TEXT_TYPES = ("text/html", "application/xhtml", "text/plain")
+_TEXT_TYPES = (
+    "text/html", "application/xhtml", "text/plain", "application/pdf"
+)
 
 
 def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
@@ -213,7 +215,11 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     text, doc_type) rows ready for
     ``SparkDocumentIndex.upsert_documents_df`` — the crawl→corpus glue:
     HTML renders through the same ``html_to_markdown`` the web fetcher
-    uses (doc_type 'md'), plain text passes through (doc_type 'txt').
+    uses (doc_type 'md'), plain text passes through (doc_type 'txt'),
+    and application/pdf records extract through the real PDF parser
+    (doc_type 'pdf'; unsupported/corrupt PDFs skip quietly — this glue
+    is a best-effort corpus builder, the strict path is
+    ``extract_pdf_text_df(on_error='quarantine')``).
     Bytes decode as UTF-8 with replacement (crawl charsets lie; a
     mojibake'd document is filterable downstream, a crashed stage is
     not). Narrow ``mapInPandas``, no shuffle."""
@@ -230,6 +236,7 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
             F.col("content_type").startswith(_TEXT_TYPES[0])
             | F.col("content_type").startswith(_TEXT_TYPES[1])
             | F.col("content_type").startswith(_TEXT_TYPES[2])
+            | F.col("content_type").startswith(_TEXT_TYPES[3])
         )
     ).select("url", "content_type", "payload")
 
@@ -239,11 +246,22 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
             for url, ctype, payload in zip(
                 pdf["url"], pdf["content_type"], pdf["payload"]
             ):
-                raw = bytes(payload).decode("utf-8", "replace")
-                if ctype.startswith("text/plain"):
-                    text, dt = raw, "txt"
+                if ctype.startswith("application/pdf"):
+                    from vectra_py_spark.operators.pdf import (
+                        pdf_extract_text,
+                    )
+
+                    try:
+                        text = "\n\n".join(pdf_extract_text(bytes(payload)))
+                    except ValueError:
+                        continue  # unsupported/corrupt PDFs skip quietly
+                    dt = "pdf"
                 else:
-                    text, dt = html_to_markdown(raw, base_url=url), "md"
+                    raw = bytes(payload).decode("utf-8", "replace")
+                    if ctype.startswith("text/plain"):
+                        text, dt = raw, "txt"
+                    else:
+                        text, dt = html_to_markdown(raw, base_url=url), "md"
                 if len(text.strip()) < min_chars:
                     continue
                 rows["uri"].append(url)
