@@ -1771,6 +1771,77 @@ def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_DOCS = 300
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-extraction e2e (`operators/pdf.py`): per doc, write a
+    real PDF (1 + doc_id%3 pages, 2 + (doc_id+p)%3 closed-form text
+    lines per page, FlateDecode on odd doc_ids) with the module's own
+    spec-valid writer, extract it back through the full parser (xref
+    scan → trailer → page tree → content-stream tokenizer), and report
+    per-page line and char counts. The oracle recomputes both in SQL
+    from the line-format arithmetic — object graph, stream decode, the
+    string lexer, and the T* line bookkeeping are value-checked
+    cross-engine. Registered below the driver window; rotates in r8.
+
+    Plan shape: pushed-down filter → one narrow ``mapInPandas``;
+    bounded per-row work, linear scale-out."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PDF_DOCS)
+        .select("doc_id")
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from vectra_py_spark.operators.pdf import encode_pdf, pdf_extract_text
+
+        for pdf_batch in batches:
+            out = {"doc_id": [], "page": [], "n_lines": [], "n_chars": []}
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                pages = [
+                    [
+                        f"doc {did} page {p} line {i}"
+                        for i in range(2 + (did + p) % 3)
+                    ]
+                    for p in range(1 + did % 3)
+                ]
+                texts = pdf_extract_text(
+                    encode_pdf(pages, compress=bool(did % 2))
+                )
+                for p, text in enumerate(texts):
+                    out["doc_id"].append(did)
+                    out["page"].append(p)
+                    out["n_lines"].append(text.count("\n") + 1)
+                    out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id BIGINT, page INT, n_lines INT, n_chars INT",
+    )
+
+
+def _sql_pdf_extract() -> str:
+    # line = 'doc ' + did + ' page ' + p + ' line ' + i → 18 + len(did)
+    # chars (p, i single digits by construction); page text joins with
+    # one newline per extra line
+    return f"""
+        SELECT doc_id,
+               CAST(p AS INT) AS page,
+               CAST(2 + (doc_id + p) % 3 AS INT) AS n_lines,
+               CAST((2 + (doc_id + p) % 3)
+                      * (18 + length(CAST(doc_id AS VARCHAR)))
+                    + (1 + (doc_id + p) % 3) AS INT) AS n_chars
+        FROM documents,
+             (SELECT unnest(range(0, 3)) AS p)
+        WHERE doc_id < {_PDF_DOCS} AND p < 1 + doc_id % 3
+    """
+
+
 _WARC_DOCS = 200
 
 
@@ -3942,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_probe": q_media_probe,
     "audio_pipeline": q_audio_pipeline,
     "warc_extract": q_warc_extract,
+    "pdf_extract": q_pdf_extract,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
     "ann_topk": q_ann_topk,
@@ -4218,6 +4290,7 @@ ORACLES: dict[str, str] = {
     "media_probe": _sql_media_probe(),
     "audio_pipeline": _sql_audio_pipeline(),
     "warc_extract": _sql_warc_extract(),
+    "pdf_extract": _sql_pdf_extract(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
