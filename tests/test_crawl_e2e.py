@@ -1,0 +1,142 @@
+"""Crawl-to-corpus end-to-end: one WARC drop containing HTML pages,
+PDFs, images, audio, video, and junk flows through the full pipeline —
+record explode → triage → media features → document extraction →
+dedup → quality → index ingest → retrieval — with every quarantine
+layer exercised. The integration story the individual operator tests
+compose into."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from vectra_py_spark.operators import multimodal as mm
+from vectra_py_spark.operators.avi import synth_avi
+from vectra_py_spark.operators.flac import synth_flac
+from vectra_py_spark.operators.mp4 import synth_mp4
+from vectra_py_spark.operators.pdf import synth_pdf
+from vectra_py_spark.operators.probe import probe_media
+from vectra_py_spark.sources.warc import (
+    read_warc,
+    synth_warc,
+    warc_documents,
+)
+
+
+def _crawl(seed: int):
+    """A small synthetic crawl: text pages (with one exact duplicate),
+    a PDF, mixed media, and one corrupt payload."""
+    img = mm.decode_ppm(mm.synth_ppm(24, 16))
+    html = (
+        f"<html><body><h1>Spark engines {seed}</h1>"
+        + "".join(f"<p>site {seed} paragraph {i} about distributed joins</p>"
+                  for i in range(6))
+        + "</body></html>"
+    ).encode()
+    return [
+        (f"http://site{seed}.org/a.html", html, "text/html"),
+        (f"http://site{seed}.org/dup.html", html, "text/html"),  # exact dup
+        (f"http://site{seed}.org/paper.pdf",
+         __import__(
+             "vectra_py_spark.operators.pdf", fromlist=["encode_pdf"]
+         ).encode_pdf(
+             [[f"site {seed} page {p} line {i}" for i in range(3)]
+              for p in range(2)]
+         ),
+         "application/pdf"),
+        (f"http://site{seed}.org/logo.jpg", mm.encode_jpeg(img),
+         "image/jpeg"),
+        (f"http://site{seed}.org/icon.png", mm.encode_png(img), "image/png"),
+        (f"http://site{seed}.org/anim.gif", mm.synth_gif(3, 24, 16),
+         "image/gif"),
+        (f"http://site{seed}.org/clip.flac", synth_flac(), "audio/flac"),
+        (f"http://site{seed}.org/promo.avi", synth_avi(3, 24, 16),
+         "video/avi"),
+        (f"http://site{seed}.org/promo.mp4", synth_mp4(3, 24, 16),
+         "video/mp4"),
+        (f"http://site{seed}.org/corrupt.jpg", b"\xff\xd8truncated",
+         "image/jpeg"),
+    ]
+
+
+def test_crawl_to_corpus_pipeline(spark):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "seg0.warc"), "wb") as f:
+        f.write(synth_warc(_crawl(0)))
+    with open(os.path.join(d, "seg1.warc.gz"), "wb") as f:
+        f.write(synth_warc(_crawl(1), compress=True))
+
+    records = read_warc(spark, d)
+    responses = records.filter("warc_type = 'response'")
+    assert responses.count() == 20
+
+    # 1) TRIAGE: header-only probe over every payload; the corrupt
+    #    JPEGs quarantine, everything else types correctly
+    media_shaped = responses.selectExpr(
+        "url AS media_id", "'media' AS modality", "payload AS data",
+        "map() AS meta",
+    )
+    probed = probe_media(media_shaped)
+    kinds = {
+        r.media_id: r.kind for r in probed.collect() if r.error is None
+    }
+    assert sorted(set(kinds.values())) == [
+        "avi", "flac", "gif", "jpeg", "mp4", "pdf", "png",
+    ]
+    bad = [r for r in probed.collect() if r.error is not None]
+    # corrupt jpgs + the html/txt payloads (not media) fail triage
+    assert {os.path.basename(r.media_id) for r in bad} >= {
+        "corrupt.jpg", "a.html", "dup.html",
+    }
+
+    # 2) MEDIA: feature-extract only the rows triage typed as media
+    typed = spark.createDataFrame(
+        [(k,) for k in kinds], "media_id string"
+    )
+    media_rows = media_shaped.join(typed, "media_id").filter(
+        "media_id NOT LIKE '%.pdf'"
+    )
+    feats = mm.extract_features(
+        media_rows, decoder="auto", on_error="quarantine"
+    ).collect()
+    assert len(feats) == 12  # 6 media files × 2 sites
+    assert all(r.decode_error is None for r in feats)
+
+    # 3) DOCUMENTS: html + pdf → text; exact dedup drops the dup page
+    docs = warc_documents(records)
+    got = docs.collect()
+    assert len(got) == 6  # (a.html, dup.html, paper.pdf) × 2 sites
+    from vectra_py_spark.operators.dedup import exact_dedup
+
+    docs_tbl = docs.selectExpr(
+        "uri", "text", "doc_type",
+        "abs(hash(uri)) AS doc_id", "'crawl' AS source",
+    )
+    groups = exact_dedup(docs_tbl)
+    # per site: the two identical html pages collapse, the pdf stands
+    assert groups.count() == 4
+    from pyspark.sql import functions as F
+
+    deduped = docs_tbl.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    assert deduped.count() == 4
+
+    # 4) QUALITY: the surviving texts score and none are empty
+    from vectra_py_spark.operators.text_analysis import analyze_text
+
+    scored = analyze_text(deduped).collect()
+    assert len(scored) == 4
+    assert all(r.n_words > 0 for r in scored)
+
+    # 5) INDEX + RETRIEVAL: survivors ingest and are queryable
+    from vectra_py_spark.document_index import SparkDocumentIndex
+
+    ix = SparkDocumentIndex(
+        spark, tempfile.mkdtemp() + "/ix", vector_dim=16
+    )
+    ix.create()
+    ix.upsert_documents_df(deduped, doc_type_col="doc_type")
+    res = ix.query_documents("distributed joins", max_documents=3)
+    assert res.count() >= 1
