@@ -159,3 +159,28 @@ def test_avi_and_mp4_carry_identical_frames():
     a = avi_frame_payloads(encode_avi_mjpeg(frames, 16, 16))
     m = mp4_frame_payloads(encode_mp4_mjpeg(frames, 16, 16))
     assert a == m == frames
+
+
+def test_video_resize_both_containers(spark):
+    """resize_media handles the video containers: every frame
+    resamples through the JPEG codec and the payload re-containers,
+    round-tripping through decode and the frame samplers."""
+    rng = np.random.default_rng(23)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (16, 24), np.uint8)) for _ in range(3)
+    ]
+    from vectra_py_spark.operators.avi import decode_avi, encode_avi_mjpeg
+
+    rows = [
+        ("v_avi", "video", bytearray(encode_avi_mjpeg(frames, 24, 16)), {}),
+        ("v_mp4", "video", bytearray(encode_mp4_mjpeg(frames, 24, 16)), {}),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    for name, dec in (("v_avi", decode_avi), ("v_mp4", decode_mp4)):
+        out = mm.resize_media(
+            df.filter(f"media_id = '{name}'"), 12, 8,
+            resizer=name.split("_")[1],
+        ).collect()[0]
+        arr = dec(bytes(out.data))
+        assert arr.shape == (3, 8, 12, 1)
+        assert out.meta["out_w"] == "12" and out.meta["out_h"] == "8"

@@ -820,6 +820,47 @@ def _gif_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_gif(np.ascontiguousarray(frames[:, rows][:, :, cols]))
 
 
+def _avi_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample for MJPEG-in-AVI: every frame decodes
+    through the JPEG codec, resamples, re-encodes, and re-containers —
+    resized payloads round-trip through :func:`decode_avi` and the
+    samplers."""
+    from vectra_py_spark.operators.avi import decode_avi, encode_avi_mjpeg
+
+    if not payload:
+        return b""
+    frames = decode_avi(payload)
+    n, h, w = frames.shape[:3]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = [
+        encode_jpeg(np.ascontiguousarray(f[rows][:, cols]).squeeze(-1)
+                    if f.shape[-1] == 1
+                    else np.ascontiguousarray(f[rows][:, cols]))
+        for f in frames
+    ]
+    return encode_avi_mjpeg(out, width, height)
+
+
+def _mp4_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Same per-frame resample for MJPEG-in-MP4."""
+    from vectra_py_spark.operators.mp4 import decode_mp4, encode_mp4_mjpeg
+
+    if not payload:
+        return b""
+    frames = decode_mp4(payload)
+    n, h, w = frames.shape[:3]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = [
+        encode_jpeg(np.ascontiguousarray(f[rows][:, cols]).squeeze(-1)
+                    if f.shape[-1] == 1
+                    else np.ascontiguousarray(f[rows][:, cols]))
+        for f in frames
+    ]
+    return encode_mp4_mjpeg(out, width, height)
+
+
 RESIZERS = {
     "fake": _fake_resize,
     "ppm": _ppm_resize,
@@ -827,6 +868,8 @@ RESIZERS = {
     "png": _png_resize,
     "jpeg": _jpeg_resize,
     "gif": _gif_resize,
+    "avi": _avi_resize,
+    "mp4": _mp4_resize,
 }
 
 
