@@ -116,6 +116,18 @@ def test_malformed_contract_and_fuzz():
             pdf_extract_text(mut)
         except ValueError:
             pass
+    # regression seeds from the round-7 extended fuzz pass: mutations
+    # that once escaped as AttributeError ('tuple'.get on a stream
+    # where a dict was expected) and TypeError ('in' on an int trailer)
+    small = synth_pdf(1, 1)
+    for seed in (10, 28, 49):
+        rng = np.random.default_rng(seed * 7919 + 13)
+        for mut in _mutations(small, rng, 25):
+            for f in (pdf_extract_text, pdf_info):
+                try:
+                    f(mut)
+                except ValueError:
+                    pass
 
 
 def test_spark_operator_and_probe(spark):

@@ -72,6 +72,16 @@ def test_parse_malformed_contract():
             parse_warc(mut)
         except ValueError:
             pass
+    # regression: gzip members whose deflate data is corrupt raise
+    # zlib.error inside gzip — must surface as ValueError (round-7
+    # extended fuzz finding)
+    gz = synth_warc(_pages()[:1], compress=True)
+    rng = np.random.default_rng(13)
+    for mut in _mutations(gz, rng, 60):
+        try:
+            parse_warc(mut)
+        except ValueError:
+            pass
 
 
 def test_read_warc_spark_and_pipeline_composition(spark):

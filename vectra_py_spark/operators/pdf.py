@@ -277,6 +277,8 @@ class _Pdf:
         if t >= 0:
             lex = _Lexer(payload, t + len(b"trailer"))
             self.trailer = lex.parse()
+            if not isinstance(self.trailer, dict):
+                raise ValueError("PDF trailer is not a dictionary")
         else:
             # PDF 1.5+ cross-reference streams carry the trailer dict in
             # the stream dict; find an object with /Type /XRef
@@ -459,7 +461,12 @@ def pdf_extract_text(payload: bytes) -> list[str]:
         pdf = _Pdf(payload)
         return [_page_text(pdf, p) for p in pdf.pages()]
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
-            RecursionError, OverflowError, MemoryError) as exc:
+            RecursionError, OverflowError, MemoryError,
+            AttributeError, TypeError) as exc:
+        # AttributeError/TypeError: corrupt files can put ANY object
+        # type where a dict/array was expected — found by the extended
+        # fuzz pass; structural type confusion is malformed input, not
+        # a crash
         raise ValueError(f"malformed PDF payload: {exc}") from exc
 
 
@@ -470,7 +477,8 @@ def pdf_info(payload: bytes) -> dict:
         version = payload[5:8].decode("latin-1", "replace")
         return {"version": version, "n_pages": len(pdf.pages())}
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
-            RecursionError, OverflowError, MemoryError) as exc:
+            RecursionError, OverflowError, MemoryError,
+            AttributeError, TypeError) as exc:
         raise ValueError(f"malformed PDF payload: {exc}") from exc
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 import tarfile
 import zipfile
 from collections.abc import Iterator
@@ -87,7 +88,9 @@ def parse_warc(payload: bytes) -> list[dict]:
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
-        except (OSError, EOFError) as exc:
+        except (OSError, EOFError, zlib.error) as exc:
+            # zlib.error: corrupt deflate data inside a well-formed gzip
+            # header — found by the extended fuzz pass
             raise ValueError(f"corrupt WARC gzip stream: {exc}") from exc
     if not payload.startswith(b"WARC/"):
         raise ValueError(
