@@ -4088,70 +4088,70 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-7 rotation (VERDICT r6 items 1, 4,
-# 5): the 2 queries NEW this round (first driver look — mjpeg_sample,
-# chunk_spans_simple), then the 2 r3-vintage entries the verdict
-# demanded lead (batch_topk, excess_suppliers), then 46 of the 50
-# r4-vintage queries — minhash_lsh_neardup + minhash_probe first (named
-# in the verdict), the rest in CORRECTNESS_r04 recording order. The 4
-# r4 rows that didn't fit (salted_agg, shipping_priority,
-# promo_revenue, semantic_search) stay r4-vintage; round 8's rotation
-# MUST lead with those 4 plus the 5 round-7 entries registered BELOW
-# the window awaiting first driver evidence (flac_roundtrip,
-# mp4_sample, media_probe, audio_pipeline, warc_extract) — 9 priority
-# slots, then the r5 block in CORRECTNESS_r05 recording order.
+# fresh driver row go first. Round-8 rotation (VERDICT r7 item 1):
+# the 4 r4-vintage rows that missed the r7 window (salted_agg,
+# shipping_priority, promo_revenue, semantic_search), then the 6
+# round-7 entries awaiting FIRST driver evidence (flac_roundtrip,
+# mp4_sample, media_probe, audio_pipeline, warc_extract, pdf_extract),
+# then 40 of the 49 still-registered r5-vintage queries in
+# CORRECTNESS_r05 recording order. The 9 r5 rows that didn't fit
+# (source_token_drift, temperature_mix, text_analysis,
+# top_users_per_type, topk_orders_enriched, vector_topk,
+# vector_topk_filtered, volume_anomalies, dsir_weights) stay
+# r5-vintage; round 9's rotation should lead with those 9 plus any
+# round-8 additions registered below the window.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    "mjpeg_sample",
-    "chunk_spans_simple",
-    "batch_topk",
-    "excess_suppliers",
-    "minhash_lsh_neardup",
-    "minhash_probe",
-    "gopher_quality",
-    "c4_line_stats",
-    "line_dedup",
-    "length_trim",
-    "unimax_mix",
-    "domain_mix",
-    "oov_rate",
-    "pq_topk",
-    "nfc_normalize",
-    "ivfpq_topk",
-    "curation_funnel",
-    "label_outliers",
-    "word_entropy",
-    "dup_rate_by_source",
-    "pq_rerank",
-    "corpus_diff",
-    "content_checksum",
-    "local_supplier_volume",
-    "bm25_probe",
-    "skew_report",
-    "embedding_coverage",
-    "tokenizer_fertility",
-    "span_cut",
-    "encoding_report",
-    "bm25_batch_probe",
-    "hybrid_probe",
-    "winnow_probe",
-    "winnow_contamination",
-    "soft_dedup_weights",
-    "neardup_weights",
-    "distinct_users",
-    "value_quantiles",
-    "revenue_by_region",
-    "multimodal_bytes",
-    "token_budget_batches",
-    "ann_topk",
-    "ivf_topk",
-    "train_split",
-    "stratified_sample",
-    "decontaminate",
-    "neardup_clusters",
-    "asof_enrich",
-    "range_join",
-    "epoch_mix",
+    "salted_agg",
+    "shipping_priority",
+    "promo_revenue",
+    "semantic_search",
+    "flac_roundtrip",
+    "mp4_sample",
+    "media_probe",
+    "audio_pipeline",
+    "warc_extract",
+    "pdf_extract",
+    "lsh_neardup_strict",
+    "lang_confusion",
+    "quality_calibration",
+    "ivf_cell_balance",
+    "typo_neardup_terms",
+    "source_overlap",
+    "bigram_lm_quality",
+    "bm25_topk",
+    "clean_corpus",
+    "concat_chunk",
+    "cross_source_dups",
+    "doc_fingerprint",
+    "document_ranking",
+    "dup_shingle_ratio",
+    "embedding_neardup",
+    "events_sessionize",
+    "events_sliding",
+    "events_windowed",
+    "exact_dedup",
+    "filter_nin",
+    "filter_or_in_gt",
+    "frequent_tokens",
+    "hybrid_search",
+    "incremental_dedup",
+    "index_stats",
+    "language_id",
+    "lm_quality",
+    "lm_quality_cut",
+    "ngram_diversity",
+    "ngram_jaccard_neardup",
+    "pii_scrub",
+    "point_lookup",
+    "pricing_summary",
+    "props_json_stats",
+    "repetition_signals",
+    "rrf_fusion",
+    "semantic_dedup",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "source_quota",
 ]
 
 QUERIES = {
