@@ -1,8 +1,11 @@
 """PDF text extraction: writer/reader round-trips (compressed and
-plain), string-syntax edge cases, declared gates (encryption, xref
-streams, composite fonts), the ValueError-only malformed contract +
-fuzz, the Spark per-page operator with quarantine, probe integration,
-and the WARC application/pdf glue."""
+plain, classic xref tables AND PDF 1.5 xref streams with predictor +
+object streams), incremental-update /Prev chains, hybrid /XRefStm
+files, the xref-first offset resolution that defeats in-stream 'N G
+obj' shadowing, declared gates (encryption, composite fonts), the
+ValueError-only malformed contract + fuzz, Flate-bomb quarantine, the
+Spark per-page operator with quarantine, probe integration, and the
+WARC application/pdf glue."""
 
 import os
 import tempfile
@@ -61,6 +64,172 @@ def test_string_syntax_edge_cases():
     )
     got = pdf_extract_text(body)
     assert got == ["Hello\n World\nnext"]
+
+
+def test_xref_stream_flavors_extract_identically():
+    """PDF 1.5 cross-reference streams (FlateDecode + PNG Up predictor
+    12) and compressed object streams must extract the exact same text
+    as the classic-table flavor — the invariant the pdf_extract oracle
+    leans on."""
+    pages = [[f"page {p} line {i}" for i in range(p + 2)] for p in range(3)]
+    ref = pdf_extract_text(encode_pdf(pages))
+    for compress in (False, True):
+        for objstm in (False, True):
+            b = encode_pdf(
+                pages, compress=compress, xref_stream=True, objstm=objstm
+            )
+            assert b.startswith(b"%PDF-1.5")
+            assert b"trailer" not in b  # really no classic table
+            assert pdf_extract_text(b) == ref
+            assert pdf_info(b)["n_pages"] == 3
+    # objstm without an xref stream has nowhere to put type-2 entries
+    with pytest.raises(ValueError, match="objstm"):
+        encode_pdf(pages, objstm=True)
+
+
+def test_incremental_update_prev_chain():
+    """An appended update section (newer xref with /Prev to the old
+    one) must win for the objects it redefines — newest-first claim
+    order through the chain. Object layout of encode_pdf: 1=font,
+    2=content stream, 3=page, 4=pages, 5=catalog."""
+    import re as _re
+
+    base = encode_pdf([["v1 text"]], compress=False)
+    assert pdf_extract_text(base) == ["v1 text"]
+    new_stream = b"BT /F1 12 Tf 14 TL 72 760 Td (v2 text) Tj ET"
+    upd = bytearray(base)
+    off2 = len(upd)
+    upd += (
+        b"2 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(new_stream), new_stream)
+    )
+    old_xref = int(_re.search(rb"startxref\s+(\d+)", base).group(1))
+    xref_at = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n2 1\n%010d 00000 n \n" % off2
+    upd += (
+        b"trailer\n<< /Size 6 /Root 5 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (old_xref, xref_at)
+    )
+    assert pdf_extract_text(bytes(upd)) == ["v2 text"]
+
+
+def test_hybrid_xrefstm_precedence():
+    """Hybrid-reference file (ISO 32000 §7.5.8.4): a classic table
+    whose trailer names an /XRefStm — the stream's entries must beat
+    both the table's and the /Prev chain's."""
+    import re as _re
+    import struct
+
+    base = encode_pdf([["v1 text"]], compress=False)
+    old_xref = int(_re.search(rb"startxref\s+(\d+)", base).group(1))
+    out = bytearray(base)
+    new_stream = b"BT /F1 12 Tf 14 TL 72 760 Td (v2 hybrid) Tj ET"
+    off2 = len(out)
+    out += (
+        b"2 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(new_stream), new_stream)
+    )
+    # xref stream object 6: entries for obj 2 (updated) and itself,
+    # no filter, no predictor — the minimal spec shape
+    xstm_at = len(out)
+    rows = struct.pack(">BIH", 1, off2, 0) + struct.pack(
+        ">BIH", 1, xstm_at, 0
+    )
+    out += (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Index [2 1 6 1] "
+        b"/Length %d >>\nstream\n" % len(rows)
+    ) + rows + b"\nendstream\nendobj\n"
+    # classic update table: does NOT list obj 2; trailer points at the
+    # xref stream via /XRefStm and at the original table via /Prev
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size 7 /Root 5 0 R /XRefStm %d /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (xstm_at, old_xref, xref_at)
+    )
+    assert pdf_extract_text(bytes(out)) == ["v2 hybrid"]
+
+
+def test_xref_first_resolution_defeats_instream_shadowing():
+    """ADVICE r7: byte sequences matching 'N G obj' inside stream
+    bodies must not shadow real objects. With an intact xref chain the
+    scan never runs, so text that literally contains '2 0 obj' (object
+    2 IS the content stream here) extracts correctly."""
+    tricky = "fake marker 2 0 obj endobj inside text"
+    for xref_stream in (False, True):
+        got = pdf_extract_text(
+            encode_pdf([[tricky]], compress=False, xref_stream=xref_stream)
+        )
+        assert got == [tricky]
+
+
+def test_flate_bomb_quarantines_not_oom():
+    """A crafted Flate bomb must raise ValueError at the inflate
+    ceiling (→ quarantine row under extract_pdf_text_df), never
+    allocate the expansion (ADVICE r7)."""
+    import vectra_py_spark.operators.pdf as P
+
+    bomb = zlib.compress(b"\x00" * (64 << 20))
+    payload = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + bomb
+        + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>\n"
+        b"endobj\ntrailer\n<< /Size 5 /Root 2 0 R >>\n%%EOF\n"
+    )
+    old = P.DECOMPRESS_CEILING
+    P.DECOMPRESS_CEILING = 1 << 20
+    try:
+        with pytest.raises(ValueError, match="bomb"):
+            pdf_extract_text(payload)
+    finally:
+        P.DECOMPRESS_CEILING = old
+    # truncated Flate data is malformed, not a crash
+    half = zlib.compress(b"BT (x) Tj ET")[:-4]
+    trunc = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(half)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + half
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError):
+        pdf_extract_text(trunc)
+
+
+def test_predictor_tiff_and_png_filters():
+    """_apply_predictor: TIFF horizontal differencing and every PNG
+    filter type reconstruct known vectors; bad shapes refuse."""
+    from vectra_py_spark.operators.pdf import _apply_predictor
+
+    # TIFF pred 2, 1 color, columns 4: rows of deltas accumulate
+    enc = bytes([1, 1, 1, 1, 5, 0, 0, 0])
+    assert _apply_predictor(enc, 2, 1, 8, 4) == bytes(
+        [1, 2, 3, 4, 5, 5, 5, 5]
+    )
+    # PNG Sub (1): row [tag=1, 3, 2, 2] → [3, 5, 7]
+    assert _apply_predictor(bytes([1, 3, 2, 2]), 10, 1, 8, 3) == bytes(
+        [3, 5, 7]
+    )
+    # PNG Up (2) over two rows
+    assert _apply_predictor(
+        bytes([0, 1, 2, 3, 2, 10, 10, 10]), 12, 1, 8, 3
+    ) == bytes([1, 2, 3, 11, 12, 13])
+    # PNG Average (3): row [tag=3, 10] then [tag=3, 10] with up=10
+    assert _apply_predictor(bytes([3, 10, 3, 10]), 12, 1, 8, 1) == bytes(
+        [10, 15]
+    )
+    # PNG Paeth (4) first row behaves like Sub
+    assert _apply_predictor(bytes([4, 7, 7]), 12, 1, 8, 2) == bytes(
+        [7, 14]
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        _apply_predictor(bytes([2, 0]), 12, 1, 8, 2)
+    with pytest.raises(ValueError, match="filter type"):
+        _apply_predictor(bytes([9, 0, 0]), 12, 1, 8, 2)
+    with pytest.raises(ValueError, match="8-bit"):
+        _apply_predictor(b"\x00" * 8, 12, 1, 16, 2)
 
 
 def test_declared_gates_refuse_loudly():
@@ -123,6 +292,21 @@ def test_malformed_contract_and_fuzz():
     for seed in (10, 28, 49):
         rng = np.random.default_rng(seed * 7919 + 13)
         for mut in _mutations(small, rng, 25):
+            for f in (pdf_extract_text, pdf_info):
+                try:
+                    f(mut)
+                except ValueError:
+                    pass
+    # the round-8 xref-stream/objstm paths obey the same contract —
+    # mutations hit the W-field unpacking, the PNG predictor, the
+    # ObjStm header walk, and the chain-validation fallback
+    for flavor_seed, kw in (
+        (881, dict(xref_stream=True)),
+        (882, dict(xref_stream=True, objstm=True)),
+    ):
+        flav = encode_pdf([["fuzz target", "two lines"]], **kw)
+        rng = np.random.default_rng(flavor_seed)
+        for mut in _mutations(flav, rng, 250):
             for f in (pdf_extract_text, pdf_info):
                 try:
                     f(mut)

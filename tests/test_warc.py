@@ -131,6 +131,52 @@ def test_read_warc_spark_and_pipeline_composition(spark):
     assert "# Title" in md and "Body text" in md
 
 
+def test_decompression_bomb_quarantines_not_oom():
+    """A gzip bomb must raise ValueError at the output ceiling
+    (→ quarantine row), never allocate the full expansion (ADVICE r7:
+    the old whole-archive gunzip contradicted the per-file quarantine
+    contract)."""
+    # ~64 MiB of zeros → a few-KiB gzip "archive"
+    bomb_gz = gzip.compress(b"WARC/1.0\r\n" + b"\x00" * (64 << 20))
+    with pytest.raises(ValueError, match="bomb"):
+        parse_warc(bomb_gz, max_bytes=1 << 20)
+    # the per-call cap overrides the module ceiling both ways
+    small = synth_warc(_pages(), compress=True)
+    with pytest.raises(ValueError, match="bomb"):
+        parse_warc(small, max_bytes=8)
+    assert parse_warc(small)  # the default still parses real archives
+    # module-wide ceiling is honored too
+    import vectra_py_spark.sources.warc as W
+
+    old = W.DECOMPRESS_CEILING
+    W.DECOMPRESS_CEILING = 1 << 20
+    try:
+        with pytest.raises(ValueError, match="bomb"):
+            parse_warc(bomb_gz)
+    finally:
+        W.DECOMPRESS_CEILING = old
+
+
+def test_read_media_archive_bomb_quarantines(spark):
+    import vectra_py_spark.sources.warc as W
+
+    d = tempfile.mkdtemp()
+    with zipfile.ZipFile(
+        os.path.join(d, "bomb.zip"), "w", zipfile.ZIP_DEFLATED
+    ) as z:
+        z.writestr("big.bin", b"\x00" * (64 << 20))
+    old = W.DECOMPRESS_CEILING
+    W.DECOMPRESS_CEILING = 1 << 20
+    try:
+        rows = read_media_archive(
+            spark.newSession(), d
+        ).collect()
+    finally:
+        W.DECOMPRESS_CEILING = old
+    assert len(rows) == 1
+    assert rows[0].error and "bomb" in rows[0].error
+
+
 def test_read_media_archive_zip_and_tar(spark):
     d = tempfile.mkdtemp()
     img = mm.encode_png(mm.decode_ppm(mm.synth_ppm(8, 8)))

@@ -2,19 +2,25 @@
 the Adobe PDF 1.7 reference): the remaining big corpus source a
 training-data pipeline meets after HTML (WARC) and plain dumps (JSONL).
 
-Honest scope, stated plainly: simple-font, non-encrypted PDFs with
-classic cross-reference TABLES (the format every tool can write and
-most corpus PDFs use). The parser walks the trailer → Root → Pages
-tree for real (indirect references, inheritance through Kids, multiple
-Contents streams, FlateDecode via stdlib zlib), and the content-stream
-tokenizer understands the full string syntax (escapes, octal, balanced
-parens, hex strings) and every text-showing operator (Tj ' \" TJ) plus
-the line-advance operators (Td TD T* TL) that give extracted text its
-line structure. What it does NOT do — CID/Type0 composite fonts
-(CJK subsetting), encryption, xref STREAMS (PDF 1.5 compressed xref),
-predictors — raises a clear ValueError naming the gap, never silently
-wrong text: the same declared-gate discipline as the MP3/H.264 codec
-gaps.
+Honest scope, stated plainly: simple-font, non-encrypted PDFs — BOTH
+cross-reference flavors. Object offsets resolve through the real
+startxref → xref chain first (classic tables, PDF 1.5+ cross-reference
+STREAMS with /W packing + FlateDecode + the TIFF/PNG row predictors,
+/Prev incremental-update chains, hybrid /XRefStm files, and type-2
+entries into compressed object streams /Type/ObjStm), every claimed
+offset validated against the object header actually present there; a
+full-payload scan is only the fallback for broken chains. The parser
+walks the trailer → Root → Pages tree for real (indirect references,
+inheritance through Kids, multiple Contents streams), and the
+content-stream tokenizer understands the full string syntax (escapes,
+octal, balanced parens, hex strings) and every text-showing operator
+(Tj ' \" TJ) plus the line-advance operators (Td TD T* TL) that give
+extracted text its line structure. What it does NOT do — CID/Type0
+composite fonts (CJK subsetting), encryption, non-Flate filters —
+raises a clear ValueError naming the gap, never silently wrong text:
+the same declared-gate discipline as the MP3/H.264 codec gaps.
+Flate expansion is capped (:data:`DECOMPRESS_CEILING`) so crafted
+bombs quarantine instead of failing the stage.
 
 Contract: malformed payloads raise :class:`ValueError`
 (fuzz-hardened). Scale shape: per-payload parse inside the worker
@@ -40,12 +46,30 @@ def _escape_pdf_string(s: str) -> bytes:
     )
 
 
-def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
-    """List of pages, each a list of text lines → a valid PDF 1.4 with
-    one Helvetica content stream per page (FlateDecode when
-    ``compress``) and a classic xref table."""
+def encode_pdf(
+    pages: list[list[str]],
+    compress: bool = True,
+    xref_stream: bool = False,
+    objstm: bool = False,
+) -> bytes:
+    """List of pages, each a list of text lines → a valid PDF with one
+    Helvetica content stream per page (FlateDecode when ``compress``).
+
+    Cross-reference flavor: a classic xref table (PDF 1.4) by default;
+    ``xref_stream=True`` writes a PDF 1.5 cross-reference STREAM
+    (/Type/XRef, W [1 4 2], FlateDecode + PNG Up predictor 12 — the
+    shape every modern generator emits) and, with ``objstm=True``, also
+    packs the non-stream objects (catalog, page tree, page dicts, font)
+    into a compressed object stream (/Type/ObjStm) addressed by type-2
+    xref entries. Both flavors extract to IDENTICAL text — the
+    round-trip tests and the ``pdf_extract`` oracle rely on that."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
+    if objstm and not xref_stream:
+        raise ValueError(
+            "objstm requires xref_stream (type-2 entries only exist in "
+            "cross-reference streams)"
+        )
     objs: list[bytes] = []  # 1-indexed
 
     def add(body: bytes) -> int:
@@ -92,20 +116,86 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     assert pages_id == pages_id_placeholder
     catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, catalog_id, xref_at)
+        )
+        return bytes(out)
+
+    import struct
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    compressed_nums: list[int] = []
+    objstm_num = None
+    if objstm:
+        # every non-stream object (dicts only — streams may not live in
+        # an ObjStm per ISO 32000 §7.5.7) moves into one object stream
+        stream_nums = set(content_ids)
+        compressed_nums = [
+            n for n in range(1, len(objs) + 1) if n not in stream_nums
+        ]
+        header_parts = []
+        data = bytearray()
+        for n in compressed_nums:
+            header_parts.append(b"%d %d" % (n, len(data)))
+            data += objs[n - 1] + b"\n"
+        header = b" ".join(header_parts) + b"\n"
+        payload = zlib.compress(header + bytes(data))
+        objstm_num = add(
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n"
+            % (len(compressed_nums), len(header), len(payload))
+            + payload + b"\nendstream"
+        )
+    xref_num = len(objs) + 1
+    comp_index = {n: j for j, n in enumerate(compressed_nums)}
+    offsets_by_num: dict[int, int] = {}
     for i, body in enumerate(objs, 1):
-        offsets.append(len(out))
+        if i in comp_index:
+            continue  # lives inside the ObjStm
+        offsets_by_num[i] = len(out)
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
+    rows: list[tuple[int, int, int]] = [(0, 0, 65535)]
+    for n in range(1, xref_num + 1):
+        if n in comp_index:
+            rows.append((2, objstm_num, comp_index[n]))
+        elif n == xref_num:
+            rows.append((1, xref_at, 0))
+        else:
+            rows.append((1, offsets_by_num[n], 0))
+    raw = b"".join(struct.pack(">BIH", t, a, g) for t, a, g in rows)
+    # PNG Up predictor (12), columns = 7 (W sums to 7) — the layout
+    # every real-world generator writes, so the reader's predictor path
+    # gets exercised by our own fixtures
+    width = 7
+    enc = bytearray()
+    prev = bytes(width)
+    for r in range(0, len(raw), width):
+        row = raw[r : r + width]
+        enc.append(2)
+        enc += bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        prev = row
+    payload = zlib.compress(bytes(enc))
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, catalog_id, xref_at)
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 "
+        b">> /Length %d >>\nstream\n"
+        % (xref_num, xref_num + 1, catalog_id, len(payload))
     )
+    out += payload + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
 
 
@@ -124,6 +214,107 @@ def synth_pdf(n_pages: int = 2, lines_per_page: int = 3) -> bytes:
 # ---------------------------------------------------------------------------
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b"\x00\t\n\x0c\r "
+
+# Per-stream inflate output ceiling: a crafted Flate bomb must raise
+# ValueError (→ quarantine row under extract_pdf_text_df) instead of
+# allocating the full expansion and surfacing as MemoryError — a failed
+# Spark stage (ADVICE r7). 256 MiB decompressed is far past any real
+# content/xref stream while bounded per task.
+DECOMPRESS_CEILING = 256 << 20
+
+# Exceptions a structurally corrupt payload can raise out of the lexer
+# and object walkers — normalized to ValueError at every boundary.
+_PARSE_ERRS = (
+    ValueError, IndexError, KeyError, TypeError, AttributeError,
+    OverflowError, RecursionError, UnicodeDecodeError, re.error,
+)
+
+
+def _inflate_capped(data: bytes, max_bytes: int) -> bytes:
+    """Incremental zlib inflate with an output ceiling; ValueError past
+    the cap or on a truncated stream (zlib.error propagates for the
+    caller to wrap — same contract as one-shot ``zlib.decompress``)."""
+    d = zlib.decompressobj()
+    out: list[bytes] = []
+    total = 0
+    buf = data
+    while True:
+        chunk = d.decompress(buf, 1 << 20)
+        total += len(chunk)
+        if total > max_bytes:
+            raise ValueError(
+                f"PDF Flate expansion exceeds {max_bytes} bytes "
+                "(decompression bomb?)"
+            )
+        out.append(chunk)
+        if d.eof:
+            return b"".join(out)
+        if not d.unconsumed_tail:
+            raise ValueError("truncated PDF Flate stream")
+        buf = d.unconsumed_tail
+
+
+def _apply_predictor(data: bytes, pred: int, colors: int, bpc: int,
+                     columns: int) -> bytes:
+    """Undo a /DecodeParms predictor over inflated bytes: 1 = none,
+    2 = TIFF horizontal differencing, 10–15 = the per-row-tagged PNG
+    filters (RFC 2083 §6 — every real xref stream uses Up, 12). Only
+    8-bit components are supported (all xref streams are); anything
+    else refuses by name."""
+    if pred == 1:
+        return data
+    if bpc != 8:
+        raise ValueError(
+            f"PDF predictor with BitsPerComponent={bpc} — 8-bit only"
+        )
+    if colors < 1 or columns < 1:
+        raise ValueError("bad PDF predictor Colors/Columns")
+    bpp = colors
+    rowlen = bpp * columns
+    if pred == 2:  # TIFF
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unsupported PDF predictor {pred}")
+    stride = rowlen + 1
+    if not data or len(data) % stride:
+        raise ValueError("PDF PNG-predicted data length mismatch")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} in PDF predictor")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 class _Lexer:
@@ -263,11 +454,216 @@ class _Lexer:
 
 
 class _Pdf:
+    """Object-graph reader. Offsets resolve startxref-first: the
+    cross-reference chain (classic tables AND xref streams, /Prev and
+    hybrid /XRefStm links, type-2 entries into object streams) is the
+    authoritative map, each claimed offset validated against the 'N G
+    obj' header actually present there; only when the chain is absent
+    or inconsistent does the reader fall back to a full-payload scan
+    (ADVICE r7: a bare last-match-wins scan let 'N G obj' byte
+    sequences inside stream bodies shadow real objects)."""
+
     def __init__(self, payload: bytes) -> None:
         if payload[:5] != b"%PDF-":
             raise ValueError(f"not a PDF payload: {payload[:8]!r}")
         self.d = payload
         self.objs: dict[int, int] = {}  # obj number → byte offset
+        self.compressed: dict[int, tuple[int, int]] = {}  # → (objstm, idx)
+        self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
+        self.trailer: dict | None = None
+        if not self._load_xref_chain():
+            self._scan_objects()
+        if not self.objs and not self.compressed:
+            raise ValueError("PDF contains no objects")
+        if self.trailer is None:
+            raise ValueError("PDF missing trailer")
+        if b"/Encrypt" in self.trailer:
+            raise ValueError("encrypted PDF — unsupported by design")
+
+    # -- cross-reference chain ---------------------------------------
+    def _load_xref_chain(self) -> bool:
+        d = self.d
+        sx = d.rfind(b"startxref")
+        if sx < 0:
+            return False
+        m = re.match(rb"\s*(\d+)", d[sx + 9 :])
+        if not m:
+            return False
+        objs: dict[int, int] = {}
+        compressed: dict[int, tuple[int, int]] = {}
+        claimed: set[int] = set()  # incl. free slots — newest wins
+        trailers: list[dict] = []
+        try:
+            ok = self._load_xref_at(
+                int(m.group(1)), objs, compressed, claimed, trailers, set()
+            )
+        except _PARSE_ERRS:
+            return False
+        if not ok or not trailers or not (objs or compressed):
+            return False
+        # validate every claimed offset: the declared object must
+        # actually sit there (whitespace-tolerant), else the chain lies
+        for num in list(objs):
+            lex = _Lexer(d, objs[num])
+            lex._skip_ws()
+            m2 = _OBJ_RE.match(d, lex.pos)
+            if not m2 or int(m2.group(1)) != num:
+                return False
+            objs[num] = lex.pos  # normalized past any leading ws
+        self.objs, self.compressed = objs, compressed
+        self.trailer = trailers[0]
+        return True
+
+    def _load_xref_at(self, off, objs, compressed, claimed, trailers,
+                      seen, depth=0) -> bool:
+        d = self.d
+        if off in seen or not 0 <= off < len(d) or depth > 64:
+            return False
+        seen.add(off)
+        lex = _Lexer(d, off)
+        lex._skip_ws()
+        local: list[tuple[int, int, bool]] = []
+        if d[lex.pos : lex.pos + 4] == b"xref":
+            tdict = self._read_xref_table(lex.pos + 4, local)
+        else:
+            tdict = self._read_xref_stream(
+                lex.pos, objs, compressed, claimed
+            )
+        if tdict is None:
+            return False
+        trailers.append(tdict)
+        # hybrid-reference files: the xref STREAM named by /XRefStm
+        # takes precedence over the classic table's own entries (spec
+        # §7.5.8.4) — visit it before merging them, then follow /Prev
+        x = tdict.get(b"/XRefStm")
+        if isinstance(x, int):
+            if not self._load_xref_at(
+                x, objs, compressed, claimed, trailers, seen, depth + 1
+            ):
+                return False
+        for num, eoff, in_use in local:
+            if num in claimed or num == 0:
+                continue
+            claimed.add(num)  # free slots claim too — deletions shadow
+            if in_use:
+                objs[num] = eoff
+        prev = tdict.get(b"/Prev")
+        if isinstance(prev, int):
+            if not self._load_xref_at(
+                prev, objs, compressed, claimed, trailers, seen, depth + 1
+            ):
+                return False
+        return True
+
+    def _read_xref_table(self, pos, local):
+        """Classic table: subsection headers 'start count' then 20-byte
+        entries (collected into ``local``), then the trailer dict."""
+        d = self.d
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*", d[pos:])
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            if count > 1 << 22:
+                return None
+            pos += m.end()
+            for i in range(count):
+                e = d[pos : pos + 20]
+                me = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", e)
+                if not me:
+                    return None
+                local.append(
+                    (start + i, int(me.group(1)), me.group(3) == b"n")
+                )
+                pos += 20
+        m = re.match(rb"\s*trailer", d[pos:])
+        if not m:
+            return None
+        tdict = _Lexer(d, pos + m.end()).parse()
+        if not isinstance(tdict, dict):
+            return None
+        return tdict
+
+    def _read_xref_stream(self, pos, objs, compressed, claimed):
+        """PDF 1.5 cross-reference stream: /Type/XRef, packed rows of
+        /W-sized fields (type, field2, field3), FlateDecode + optional
+        predictor. All dict values are direct per spec §7.5.8.2."""
+        d = self.d
+        m = _OBJ_RE.match(d, pos)
+        if not m:
+            return None
+        lex = _Lexer(d, m.end())
+        sd = lex.parse()
+        if not isinstance(sd, dict) or sd.get(b"/Type") != b"/XRef":
+            return None
+        raw = self._raw_stream_after(lex, sd)
+        if raw is None:
+            return None
+        data = self.stream_data(("stream", sd, raw))
+        w = sd.get(b"/W")
+        size = sd.get(b"/Size")
+        if not (
+            isinstance(w, list) and len(w) == 3
+            and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+            and isinstance(size, int) and size > 0
+        ):
+            return None
+        index = sd.get(b"/Index", [0, size])
+        if not (
+            isinstance(index, list) and len(index) % 2 == 0
+            and all(isinstance(x, int) and x >= 0 for x in index)
+        ):
+            return None
+        rowlen = sum(w)
+        if rowlen == 0:
+            return None
+        k = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            if count > 1 << 22:
+                return None
+            for i in range(count):
+                row = data[k : k + rowlen]
+                if len(row) < rowlen:
+                    return None
+                k += rowlen
+                p = 0
+                f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                p += w[0]
+                f2 = int.from_bytes(row[p : p + w[1]], "big")
+                p += w[1]
+                f3 = int.from_bytes(row[p : p + w[2]], "big")
+                num = start + i
+                if num in claimed or num == 0:
+                    continue
+                claimed.add(num)
+                if f1 == 1:
+                    objs[num] = f2
+                elif f1 == 2:
+                    compressed[num] = (f2, f3)
+                # f1 == 0 (free) and unknown types: slot stays claimed
+        return sd
+
+    def _raw_stream_after(self, lex: _Lexer, sd: dict):
+        """stream…endstream bytes following a just-parsed dict, or None.
+        /Length must be direct here (used before the xref map exists)."""
+        lex._skip_ws()
+        if self.d[lex.pos : lex.pos + 6] != b"stream":
+            return None
+        p = lex.pos + 6
+        if self.d[p : p + 2] == b"\r\n":
+            p += 2
+        elif self.d[p : p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = sd.get(b"/Length")
+        if not isinstance(length, int) or length < 0:
+            return None
+        raw = self.d[p : p + length]
+        return raw if len(raw) == length else None
+
+    # -- fallback: full-payload scan ----------------------------------
+    def _scan_objects(self) -> None:
+        payload = self.d
         for m in _OBJ_RE.finditer(payload):
             # keep the LAST definition (incremental updates append)
             self.objs[int(m.group(1))] = m.start()
@@ -280,29 +676,47 @@ class _Pdf:
             if not isinstance(self.trailer, dict):
                 raise ValueError("PDF trailer is not a dictionary")
         else:
-            # PDF 1.5+ cross-reference streams carry the trailer dict in
-            # the stream dict; find an object with /Type /XRef
-            self.trailer = None
-            for num in self.objs:
+            # PDF 1.5+: the trailer dict lives in the xref stream —
+            # the last /Type/XRef object wins (incremental updates)
+            for num in sorted(self.objs, key=self.objs.get):
                 try:
                     od = self.obj(num)
-                except ValueError:
+                except _PARSE_ERRS:
                     continue
-                if isinstance(od, dict) and od.get(b"/Type") == b"/XRef":
-                    raise ValueError(
-                        "PDF uses cross-reference STREAMS (PDF 1.5 "
-                        "compressed xref) — unsupported without a PDF "
-                        "library; classic xref tables only"
-                    )
-            raise ValueError("PDF missing trailer")
-        if b"/Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF — unsupported by design")
+                if (
+                    isinstance(od, tuple) and od[0] == "stream"
+                    and od[1].get(b"/Type") == b"/XRef"
+                ):
+                    self.trailer = od[1]
+            if self.trailer is None:
+                raise ValueError("PDF missing trailer")
+        # surface objects packed in object streams the scan can see
+        for num in list(self.objs):
+            try:
+                od = self.obj(num)
+                if not (
+                    isinstance(od, tuple) and od[0] == "stream"
+                    and self.deref(od[1].get(b"/Type")) == b"/ObjStm"
+                ):
+                    continue
+                pairs, _data, _first = self._objstm_table(num)
+            except _PARSE_ERRS:
+                continue
+            for idx, (onum, _ooff) in enumerate(pairs):
+                if onum not in self.objs and onum not in self.compressed:
+                    self.compressed[onum] = (num, idx)
 
+    # -- object access -------------------------------------------------
     def obj(self, num: int):
         off = self.objs.get(num)
         if off is None:
-            raise ValueError(f"PDF object {num} not found")
+            loc = self.compressed.get(num)
+            if loc is None:
+                raise ValueError(f"PDF object {num} not found")
+            return self._objstm_obj(loc[0], loc[1], num)
         m = _OBJ_RE.match(self.d, off)
+        if m is None:
+            raise ValueError(f"PDF object {num}: no header at offset {off}")
         lex = _Lexer(self.d, m.end())
         val = lex.parse()
         if isinstance(val, dict):
@@ -322,6 +736,47 @@ class _Pdf:
                 return ("stream", val, raw)
         return val
 
+    def _objstm_table(self, stm_num: int):
+        cached = self._objstm_cache.get(stm_num)
+        if cached is not None:
+            return cached
+        if stm_num in self.compressed:
+            raise ValueError("PDF ObjStm nested inside an ObjStm")
+        v = self.obj(stm_num)
+        if not (isinstance(v, tuple) and v[0] == "stream"):
+            raise ValueError(f"PDF object {stm_num} is not an ObjStm")
+        sd = v[1]
+        if self.deref(sd.get(b"/Type")) != b"/ObjStm":
+            raise ValueError(f"PDF object {stm_num} is not an ObjStm")
+        data = self.stream_data(v)
+        n = self.deref(sd.get(b"/N"))
+        first = self.deref(sd.get(b"/First"))
+        if not (isinstance(n, int) and isinstance(first, int)
+                and 0 <= n <= 1 << 20 and 0 <= first <= len(data)):
+            raise ValueError("PDF ObjStm with bad /N or /First")
+        lex = _Lexer(data)
+        pairs: list[tuple[int, int]] = []
+        for _ in range(n):
+            a, b = lex.parse(), lex.parse()
+            if not (isinstance(a, int) and isinstance(b, int) and b >= 0):
+                raise ValueError("PDF ObjStm header pair is not integers")
+            pairs.append((a, b))
+        out = (pairs, data, first)
+        self._objstm_cache[stm_num] = out
+        return out
+
+    def _objstm_obj(self, stm_num: int, idx: int, want: int):
+        pairs, data, first = self._objstm_table(stm_num)
+        if not 0 <= idx < len(pairs) or pairs[idx][0] != want:
+            # tolerate a lying index as long as the object IS there
+            for onum, ooff in pairs:
+                if onum == want:
+                    return _Lexer(data, first + ooff).parse()
+            raise ValueError(
+                f"PDF object {want} not present in ObjStm {stm_num}"
+            )
+        return _Lexer(data, first + pairs[idx][1]).parse()
+
     def deref(self, v):
         seen = 0
         while isinstance(v, tuple) and len(v) == 3 and v[0] == "ref":
@@ -340,21 +795,32 @@ class _Pdf:
         if filt is None:
             return raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.deref(sd.get(b"/DecodeParms", sd.get(b"/DP")))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(
+            filters
+        )
         data = raw
-        for f in filters:
+        for i, f in enumerate(filters):
             f = self.deref(f)
             if f == b"/FlateDecode":
-                if b"/DecodeParms" in sd and self.deref(sd[b"/DecodeParms"]):
-                    raise ValueError(
-                        "PDF FlateDecode with predictor DecodeParms — "
-                        "unsupported"
-                    )
                 try:
-                    data = zlib.decompress(data)
+                    data = _inflate_capped(data, DECOMPRESS_CEILING)
                 except zlib.error as exc:
                     raise ValueError(
                         f"corrupt PDF Flate stream: {exc}"
                     ) from exc
+                p = self.deref(parms_list[i]) if i < len(parms_list) else None
+                if isinstance(p, dict):
+                    pred = self.deref(p.get(b"/Predictor", 1))
+                    colors = self.deref(p.get(b"/Colors", 1))
+                    bpc = self.deref(p.get(b"/BitsPerComponent", 8))
+                    columns = self.deref(p.get(b"/Columns", 1))
+                    if not all(
+                        isinstance(x, int)
+                        for x in (pred, colors, bpc, columns)
+                    ):
+                        raise ValueError("PDF DecodeParms must be integers")
+                    data = _apply_predictor(data, pred, colors, bpc, columns)
             else:
                 raise ValueError(
                     f"unsupported PDF stream filter {f!r} — FlateDecode "
@@ -461,12 +927,15 @@ def pdf_extract_text(payload: bytes) -> list[str]:
         pdf = _Pdf(payload)
         return [_page_text(pdf, p) for p in pdf.pages()]
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
-            RecursionError, OverflowError, MemoryError,
+            RecursionError, OverflowError,
             AttributeError, TypeError) as exc:
         # AttributeError/TypeError: corrupt files can put ANY object
         # type where a dict/array was expected — found by the extended
         # fuzz pass; structural type confusion is malformed input, not
-        # a crash
+        # a crash. MemoryError deliberately NOT caught: the capped
+        # inflate bounds attacker-driven expansion, so an allocation
+        # failure here is genuine executor memory pressure and must
+        # not be misreported as data corruption (ADVICE r7).
         raise ValueError(f"malformed PDF payload: {exc}") from exc
 
 
@@ -477,7 +946,7 @@ def pdf_info(payload: bytes) -> dict:
         version = payload[5:8].decode("latin-1", "replace")
         return {"version": version, "n_pages": len(pdf.pages())}
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
-            RecursionError, OverflowError, MemoryError,
+            RecursionError, OverflowError,
             AttributeError, TypeError) as exc:
         raise ValueError(f"malformed PDF payload: {exc}") from exc
 

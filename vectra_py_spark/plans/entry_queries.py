@@ -1778,12 +1778,15 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text-extraction e2e (`operators/pdf.py`): per doc, write a
     real PDF (1 + doc_id%3 pages, 2 + (doc_id+p)%3 closed-form text
     lines per page, FlateDecode on odd doc_ids) with the module's own
-    spec-valid writer, extract it back through the full parser (xref
-    scan → trailer → page tree → content-stream tokenizer), and report
-    per-page line and char counts. The oracle recomputes both in SQL
-    from the line-format arithmetic — object graph, stream decode, the
-    string lexer, and the T* line bookkeeping are value-checked
-    cross-engine. Registered below the driver window; rotates in r8.
+    spec-valid writer, extract it back through the full parser, and
+    report per-page line and char counts. The CONTAINER flavor varies
+    by doc_id — classic xref table, PDF 1.5 cross-reference stream
+    (FlateDecode + PNG Up predictor) on doc_id%3==0, plus compressed
+    object streams (/Type/ObjStm, type-2 xref entries) on doc_id%6==0 —
+    while the oracle arithmetic is flavor-invariant, so the startxref
+    chain walk, the predictor, the ObjStm header parse, the trailer →
+    page tree walk, stream decode, the string lexer, and the T* line
+    bookkeeping are all value-checked cross-engine by the same SQL.
 
     Plan shape: pushed-down filter → one narrow ``mapInPandas``;
     bounded per-row work, linear scale-out."""
@@ -1810,7 +1813,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for p in range(1 + did % 3)
                 ]
                 texts = pdf_extract_text(
-                    encode_pdf(pages, compress=bool(did % 2))
+                    encode_pdf(
+                        pages,
+                        compress=bool(did % 2),
+                        xref_stream=did % 3 == 0,
+                        objstm=did % 6 == 0,
+                    )
                 )
                 for p, text in enumerate(texts):
                     out["doc_id"].append(did)

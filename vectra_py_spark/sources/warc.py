@@ -51,6 +51,15 @@ __all__ = [
     "ARCHIVE_SCHEMA",
 ]
 
+# Per-FILE decompressed-output ceiling. Crawl archives are adversarial
+# input by nature: a ~1000:1 gzip/Flate bomb must become a quarantine
+# row (ValueError), never a MemoryError that kills the whole Spark
+# stage. Common Crawl segments are ~1 GB compressed and bounded-ratio;
+# 4 GiB of decompressed output per file is far past anything legitimate
+# while staying well inside one executor-task's memory on any sane
+# cluster sizing. Override module-wide or per call via ``max_bytes``.
+DECOMPRESS_CEILING = 4 << 30
+
 WARC_SCHEMA = (
     "archive STRING, record_idx INT, warc_type STRING, url STRING, "
     "warc_date STRING, http_status INT, content_type STRING, "
@@ -79,15 +88,54 @@ def _split_headers(block: bytes) -> tuple[dict, bytes]:
     return headers, block[sep + 4 :]
 
 
-def parse_warc(payload: bytes) -> list[dict]:
+def _gunzip_capped(payload: bytes, max_bytes: int) -> bytes:
+    """Incremental multi-member gunzip with an output ceiling.
+
+    ``gzip.GzipFile(...).read()`` allocates the whole expansion before
+    returning, so a decompression bomb surfaces as MemoryError — a
+    failed Spark stage, not a quarantine row. Decompressing member by
+    member via ``zlib.decompressobj(wbits=47)`` lets us count output as
+    it is produced and raise ValueError the moment the ceiling is
+    crossed, with at most one 1 MiB chunk of overshoot allocated."""
+    out: list[bytes] = []
+    total = 0
+    data = payload
+    while data[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)  # gzip-wrapped member
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"WARC gzip expansion exceeds {max_bytes} bytes "
+                    "(decompression bomb?)"
+                )
+            out.append(chunk)
+            if d.eof:
+                data = d.unused_data
+                break
+            if not d.unconsumed_tail:
+                raise ValueError("truncated WARC gzip member")
+            data = d.unconsumed_tail
+    if data.strip(b"\x00"):
+        raise ValueError("trailing garbage after WARC gzip members")
+    return b"".join(out)
+
+
+def parse_warc(
+    payload: bytes, max_bytes: int | None = None
+) -> list[dict]:
     """WARC bytes (plain or gzip, incl. multi-member .warc.gz) → one
     dict per record: warc_type, url, warc_date, content_type, payload
     (the HTTP BODY for response records, the raw block otherwise),
     http_status (response records only). Structural corruption raises
-    ValueError."""
+    ValueError, as does gzip expansion past ``max_bytes`` (default
+    :data:`DECOMPRESS_CEILING`) — bombs quarantine, stages survive."""
     if payload[:2] == b"\x1f\x8b":
         try:
-            payload = gzip.GzipFile(fileobj=io.BytesIO(payload)).read()
+            payload = _gunzip_capped(
+                payload, DECOMPRESS_CEILING if max_bytes is None else max_bytes
+            )
         except (OSError, EOFError, zlib.error) as exc:
             # zlib.error: corrupt deflate data inside a well-formed gzip
             # header — found by the extended fuzz pass
@@ -198,8 +246,11 @@ def explode_warc(raw: DataFrame) -> DataFrame:
                 try:
                     for i, rec in enumerate(parse_warc(bytes(content))):
                         emit(fpath, i, rec=rec)
-                except ValueError as exc:
-                    emit(fpath, -1, err=str(exc))
+                except (ValueError, MemoryError) as exc:
+                    # MemoryError: the capped gunzip bounds expansion,
+                    # but a huge PLAIN archive can still fail to
+                    # allocate — quarantine the file, keep the stage
+                    emit(fpath, -1, err=str(exc) or type(exc).__name__)
             out = pd.DataFrame(rows)
             out["record_idx"] = out["record_idx"].astype("Int32")
             out["http_status"] = out["http_status"].astype("Int32")
@@ -284,16 +335,36 @@ def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
     probe_media/extract_features directly."""
     raw = spark.read.format("binaryFile").load(path)
 
+    def read_capped(fobj, budget: list[int], name: str) -> bytes:
+        # Chunked member read against a shared per-FILE output budget:
+        # ZIP/TAR size headers can lie (and .tar.gz inflates), so count
+        # actual bytes produced, never trust the directory entry.
+        parts: list[bytes] = []
+        while True:
+            chunk = fobj.read(1 << 20)
+            if not chunk:
+                return b"".join(parts)
+            budget[0] -= len(chunk)
+            if budget[0] < 0:
+                raise ValueError(
+                    f"archive expansion exceeds {DECOMPRESS_CEILING} "
+                    f"bytes at member {name!r} (decompression bomb?)"
+                )
+            parts.append(chunk)
+
     def members(content: bytes) -> list[tuple[str, bytes]]:
         buf = io.BytesIO(content)
+        budget = [DECOMPRESS_CEILING]
         if content[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(buf) as z:
-                    return [
-                        (nm, z.read(nm))
-                        for nm in z.namelist()
-                        if not nm.endswith("/")
-                    ]
+                    out = []
+                    for nm in z.namelist():
+                        if nm.endswith("/"):
+                            continue
+                        with z.open(nm) as f:
+                            out.append((nm, read_capped(f, budget, nm)))
+                    return out
             except (zipfile.BadZipFile, OSError, EOFError) as exc:
                 raise ValueError(f"corrupt ZIP archive: {exc}") from exc
         try:
@@ -302,7 +373,10 @@ def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
                 for m in t.getmembers():
                     if m.isfile():
                         f = t.extractfile(m)
-                        out.append((m.name, f.read() if f else b""))
+                        out.append(
+                            (m.name,
+                             read_capped(f, budget, m.name) if f else b"")
+                        )
                 return out
         except (tarfile.TarError, OSError, EOFError) as exc:
             raise ValueError(f"corrupt TAR archive: {exc}") from exc
@@ -320,12 +394,12 @@ def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
                         rows["payload"].append(data)
                         rows["n_bytes"].append(len(data))
                         rows["error"].append(None)
-                except ValueError as exc:
+                except (ValueError, MemoryError) as exc:
                     rows["archive"].append(fpath)
                     rows["member"].append(None)
                     rows["payload"].append(None)
                     rows["n_bytes"].append(0)
-                    rows["error"].append(str(exc))
+                    rows["error"].append(str(exc) or type(exc).__name__)
             yield pd.DataFrame(rows)
 
     return raw.select("path", "content").mapInPandas(
