@@ -248,6 +248,37 @@ def test_crc_and_malformed_contract():
         encode_flac(np.zeros((0, 1), np.int64))
 
 
+def test_8bit_flac_features_scale_by_stream_bit_depth():
+    """VERDICT r7: _flac_features used to divide by a hardcoded 32768
+    while decode_flac accepts 4–16-bit streams — an 8-bit clip's
+    features came out ~256× too small. Normalization must use
+    2^(bps-1) from STREAMINFO: the same waveform at 8-bit and at
+    16-bit (scaled ×256) yields IDENTICAL features, and the 8-bit FLAC
+    matches the 8-bit WAV path exactly (the docstring's own lossless
+    claim)."""
+    import wave as _wave
+    import io as _io
+
+    rng = np.random.default_rng(99)
+    x8 = rng.integers(-128, 128, size=400).astype(np.int64)
+    sr = 8000
+    fl8 = encode_flac(x8, sr, bits_per_sample=8)
+    fl16 = encode_flac(x8 * 256, sr, bits_per_sample=16)
+    f8 = mm._flac_features(fl8)
+    f16 = mm._flac_features(fl16)
+    assert f8 == pytest.approx(f16, rel=0, abs=0)
+    # and the identical clip through the 8-bit WAV decoder
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sr)
+        w.writeframes((x8 + 128).astype(np.uint8).tobytes())
+    assert mm._wav_features(buf.getvalue()) == pytest.approx(
+        f8, rel=0, abs=0
+    )
+
+
 def test_features_match_wav_exactly_and_sniff(spark):
     """Lossless means the SAME clip yields byte-identical curation
     features through the WAV and FLAC paths — and sniff/auto routes

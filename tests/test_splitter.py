@@ -213,3 +213,10 @@ def test_single_space_tokenizer_regime_is_sql_predictable():
         from vectra_py_spark.text.splitter import split_documents
 
         split_documents(None, tokenizer="nope")
+
+    # count-only tokenizer cannot supply overlap context — must refuse
+    # on the driver, not attach all-1 placeholder overlaps (ADVICE r7)
+    with pytest.raises(ValueError, match="count-only"):
+        from vectra_py_spark.text.splitter import split_documents
+
+        split_documents(None, tokenizer="space", chunk_overlap=8)

@@ -438,13 +438,16 @@ def _write_residual(bw: _BitWriter, res: list[int]) -> None:
 
 
 def encode_flac(
-    samples: np.ndarray, sample_rate: int = 8000, blocksize: int = 4096
+    samples: np.ndarray, sample_rate: int = 8000, blocksize: int = 4096,
+    bits_per_sample: int = 16,
 ) -> bytes:
     """int PCM samples of shape (n,) or (n, channels) → FLAC bytes.
     Channels are encoded independently with the best fixed predictor
     (order 0-2 by residual magnitude); lossless round-trip with
-    :func:`decode_flac` is the pinned contract. 16-bit range enforced
-    (the pipeline's PCM model, same as decode_wav)."""
+    :func:`decode_flac` is the pinned contract. ``bits_per_sample``
+    is 16 (the pipeline's PCM model, same as decode_wav) or 8 (the
+    other common corpus depth — exercises the decoder's and the
+    feature pass's bit-depth scaling)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
@@ -452,14 +455,18 @@ def encode_flac(
         raise ValueError(f"unsupported FLAC sample shape {samples.shape}")
     if not np.issubdtype(s.dtype, np.integer):
         raise ValueError(f"encode_flac needs integer PCM, got {s.dtype}")
-    if s.min() < -32768 or s.max() > 32767:
-        raise ValueError("encode_flac supports 16-bit PCM range only")
+    if bits_per_sample not in (8, 16):
+        raise ValueError(
+            f"encode_flac writes 8- or 16-bit PCM, got {bits_per_sample}"
+        )
+    bps = bits_per_sample
+    if s.min() < -(1 << (bps - 1)) or s.max() > (1 << (bps - 1)) - 1:
+        raise ValueError(f"samples exceed the {bps}-bit PCM range")
     if not 16 <= blocksize <= 32768:
         raise ValueError(f"blocksize must be 16..32768, got {blocksize}")
     if not 1 <= sample_rate < (1 << 20):
         raise ValueError(f"unsupported sample rate {sample_rate}")
     n, ch = s.shape
-    bps = 16
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -484,7 +491,7 @@ def encode_flac(
         bw.w(7, 4)  # blocksize: 16-bit at end
         bw.w(0, 4)  # sample rate: from STREAMINFO
         bw.w(ch - 1, 4)  # independent channels
-        bw.w(4, 3)  # 16-bit samples
+        bw.w({8: 1, 16: 4}[bps], 3)  # sample-size code (RFC 9639 §9.1.4)
         bw.w(0, 1)
         # UTF-8 frame number
         if fi < 0x80:
@@ -517,15 +524,16 @@ def encode_flac(
                 cost = sum(abs(v) for v in res)
                 if cost < best_cost:
                     best_order, best_res, best_cost = order, res, cost
+            mask = (1 << bps) - 1
             if best_order == 0 and len(set(x)) == 1:
                 bw2.w(0, 6)  # CONSTANT
                 bw2.w(0, 1)  # no wasted bits
-                bw2.w(x[0] & 0xFFFF, 16)
+                bw2.w(x[0] & mask, bps)
                 continue
             bw2.w(8 + best_order, 6)  # FIXED
             bw2.w(0, 1)  # no wasted bits
             for i in range(best_order):
-                bw2.w(x[i] & 0xFFFF, 16)
+                bw2.w(x[i] & mask, bps)
             _write_residual(bw2, best_res if best_order else x)
         bw2.align()
         frame = bw2.bytes()

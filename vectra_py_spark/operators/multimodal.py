@@ -192,14 +192,18 @@ def _audio_features(x: np.ndarray, sr: int, dim: int) -> list[float]:
 def _flac_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Compressed-audio decode → the same curation features as WAV
     (lossless, so a clip's features are identical in either container —
-    pinned in tests). Downmix by mean, normalize 16-bit PCM to
-    [-1, 1], same NULL contract."""
-    from vectra_py_spark.operators.flac import decode_flac
+    pinned in tests). Downmix by mean, normalize PCM to [-1, 1] by the
+    stream's OWN bit depth (2^(bps-1) from STREAMINFO — decode_flac
+    accepts 4–16-bit streams, so a hardcoded 16-bit divisor would make
+    an 8-bit clip's features silently ~256× too small; VERDICT r7),
+    same NULL contract."""
+    from vectra_py_spark.operators.flac import decode_flac, flac_info
 
     if not payload:
         return [0.0] * dim
     samples, sr = decode_flac(payload)
-    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    bps = flac_info(payload)["bits_per_sample"]
+    x = samples.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
     return _audio_features(x, sr, dim)
 
 

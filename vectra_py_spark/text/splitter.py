@@ -359,6 +359,14 @@ def split_documents(
         raise ValueError(
             f"unknown tokenizer {tokenizer!r}; one of {sorted(_TOKENIZERS)}"
         )
+    if tokenizer == "space" and chunk_overlap > 0:
+        # SingleSpaceTokenizer is count-only: its token lists are all-1
+        # placeholders, so overlap context attached from them would be
+        # meaningless. Refuse on the driver (ADVICE r7).
+        raise ValueError(
+            "tokenizer='space' is count-only and cannot supply overlap "
+            "context; use chunk_overlap=0 or tokenizer='bpe'"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-executor lazy init (tokenizer never pickled)
