@@ -85,6 +85,15 @@ def warm_serving(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Record box load at bench start (VERDICT r7 item 8): the per-query
+    # walls are very load-sensitive, and the driver's runs have shown
+    # uniform ~5-10% drift vs quiet-box runs. load_avg lets a reader
+    # separate load drift from plan regressions without re-deriving it
+    # from per-query uniformity.
+    try:
+        load_avg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_avg = None
     spark = get_spark("vectra-py-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -136,6 +145,7 @@ def main() -> None:
         "sf": sf,
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
+        "load_avg": load_avg,
         "notes": notes,
     }
     try:
@@ -163,6 +173,7 @@ def main() -> None:
         "sf": sf,
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
+        "load_avg": load_avg,
         "notes": {k: v for k, v in notes.items() if k in slowest},
     }
     print(json.dumps(compact), flush=True)

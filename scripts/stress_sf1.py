@@ -152,6 +152,7 @@ STRESS_QUERIES = [
     "media_probe",
     "audio_pipeline",
     "warc_extract",
+    "warc_documents",
     "pdf_extract",
 ]
 

@@ -75,7 +75,7 @@ def test_crawl_to_corpus_pipeline(spark):
     #    JPEGs quarantine, everything else types correctly
     media_shaped = responses.selectExpr(
         "url AS media_id", "'media' AS modality", "payload AS data",
-        "map() AS meta",
+        "CAST(map() AS MAP<STRING,STRING>) AS meta",
     )
     probed = probe_media(media_shaped)
     kinds = {
@@ -90,13 +90,18 @@ def test_crawl_to_corpus_pipeline(spark):
         "corrupt.jpg", "a.html", "dup.html",
     }
 
-    # 2) MEDIA: feature-extract only the rows triage typed as media
-    typed = spark.createDataFrame(
-        [(k,) for k in kinds], "media_id string"
-    )
-    media_rows = media_shaped.join(typed, "media_id").filter(
-        "media_id NOT LIKE '%.pdf'"
-    )
+    # 2) MEDIA: probe-before-decode FUSED — triage_media routes only
+    #    the decodable media kinds into the decoder, in one narrow
+    #    pass: no driver round-trip, no join, payloads never shuffle,
+    #    and the corrupt/html/pdf rows never reach a pixel decoder
+    #    (bytes-decoded saving quantified in BENCH.md)
+    from vectra_py_spark.operators.probe import triage_media
+
+    media_rows = triage_media(
+        media_shaped,
+        kinds={"jpeg", "png", "gif", "bmp", "ppm", "wav", "flac",
+               "avi", "mp4"},
+    ).drop("kind", "n_bytes")
     feats = mm.extract_features(
         media_rows, decoder="auto", on_error="quarantine"
     ).collect()

@@ -117,3 +117,59 @@ def test_probe_media_dataframe_quarantine(spark):
     assert got["junk"].kind is None and "unrecognized" in got["junk"].error
     assert got["empty"].error == "empty payload"
     assert got["jpeg"].n_bytes == len(cases["jpeg"])
+
+
+def test_triage_media_filters_before_decode(spark):
+    """Probe-before-decode (VERDICT r7 item 5): triage_media keeps
+    only probe-clean rows inside the bounds, passes the original
+    columns through untouched (payloads never shuffle), and the result
+    feeds extract_features directly — rejected payloads never reach a
+    decoder."""
+    from vectra_py_spark.operators.probe import triage_media
+
+    cases = _cases()
+    rows = [
+        (k, "media", bytearray(p), {"src": k}) for k, p in cases.items()
+    ]
+    rows.append(("junk", "media", bytearray(b"\x00\x01nothing"), {}))
+    rows.append(("empty", "media", None, {}))
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    # probe-clean only: junk/empty dropped, everything else flows
+    clean = triage_media(df)
+    got = {r.media_id: r for r in clean.collect()}
+    assert set(got) == set(cases)
+    assert got["jpeg"].kind == "jpeg"
+    assert got["jpeg"].n_bytes == len(cases["jpeg"])
+    assert dict(got["jpeg"].meta) == {"src": "jpeg"}  # passthrough
+
+    # bounds: modality allowlist + byte / frame caps compose
+    images = {
+        r.media_id
+        for r in triage_media(
+            df, kinds={"jpeg", "png", "gif", "bmp", "ppm"}
+        ).collect()
+    }
+    assert images == {"jpeg", "jpeg_prog", "png", "gif", "bmp", "ppm"}
+    few_bytes = triage_media(df, max_bytes=1).count()
+    assert few_bytes == 0
+    single_frame = {
+        r.media_id for r in triage_media(df, max_frames=1).collect()
+    }
+    assert "gif" not in single_frame and "mp4" not in single_frame
+    assert "jpeg" in single_frame and "png" in single_frame
+
+    # triaged rows feed the decoder with zero decode errors — routing
+    # by kind is the point: probe-clean MP3/PDF go to their own stages
+    # (mp3 decode is gated, pdf extracts text), everything else to the
+    # feature decoder
+    decodable = triage_media(
+        df,
+        kinds={"jpeg", "png", "gif", "bmp", "ppm", "wav", "flac",
+               "avi", "mp4"},
+    )
+    feats = mm.extract_features(
+        decodable.drop("kind", "n_bytes"), decoder="auto", on_error="fail"
+    )
+    assert feats.filter("features IS NULL").count() == 0
+    assert feats.count() == decodable.count()

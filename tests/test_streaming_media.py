@@ -95,3 +95,32 @@ def test_stream_features_match_batch_and_quarantine(spark):
         r for r in after.collect() if os.path.basename(r.media_id) == "f.bmp"
     ]
     assert len(newrow) == 1 and newrow[0].decode_error is None
+
+
+def test_stream_triage_before_decode(spark):
+    """triage=... turns probe-before-decode on as the stream's first
+    stage: corrupt and out-of-policy files never reach the decoder and
+    produce NO sink row (vs the quarantine-row contract when triage is
+    off). The crawl configuration (VERDICT r7 item 5)."""
+    drop = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    files = _drop_files(drop)
+
+    q = stream_media_features(
+        media_file_stream(spark, drop), sink, ckpt,
+        decoder="auto", on_error="quarantine",
+        # image+audio policy: video containers are out of scope here
+        triage={"kinds": {"jpeg", "png", "gif", "bmp", "ppm", "wav",
+                          "flac"}},
+    )
+    q.awaitTermination(120)
+    got = {
+        os.path.basename(r.media_id): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    # e.bin (probe-fails) and the video containers never decoded
+    expect = {n for n in files if n not in ("e.bin", "f.avi", "h.mp4")}
+    assert set(got) == expect
+    for r in got.values():
+        assert r.decode_error is None

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["probe_payload", "probe_media", "PROBE_SCHEMA"]
+__all__ = ["probe_payload", "probe_media", "triage_media", "PROBE_SCHEMA"]
 
 PROBE_SCHEMA = (
     "media_id STRING, kind STRING, width INT, height INT, n_frames INT, "
@@ -257,3 +257,76 @@ def probe_media(
             yield out
 
     return df.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+def triage_media(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    kinds: set[str] | None = None,
+    max_bytes: int | None = None,
+    max_frames: int | None = None,
+    max_duration_s: float | None = None,
+    min_width: int | None = None,
+    min_height: int | None = None,
+) -> DataFrame:
+    """Probe-before-decode, fused: header-walk every payload and pass
+    through ONLY the rows a decode stage should spend cycles on —
+    probe-clean (``error IS NULL``) and inside the given kind/size/
+    frame/duration/dimension bounds. The input columns flow through
+    unchanged with ``kind`` and ``n_bytes`` appended, so the result
+    feeds ``extract_features`` / ``extract_pdf_text_df`` directly.
+
+    This is the crawl pipeline's default first stage: a probe reads
+    tens of header bytes, a decode touches all of them, and crawl
+    corpora are dominated by payloads you do NOT want (corrupt files,
+    oversized videos, the wrong modality). Fusing probe + filter in
+    one narrow ``mapInPandas`` means payloads never enter a shuffle,
+    never hit a join, and rejected files never reach the decoder —
+    the bytes-decoded saving is quantified in BENCH.md.
+    """
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, kind STRING, n_bytes BIGINT"
+
+    def keep(info: dict, n_bytes: int) -> bool:
+        if kinds is not None and info.get("kind") not in kinds:
+            return False
+        if max_bytes is not None and n_bytes > max_bytes:
+            return False
+        if max_frames is not None and (info.get("n_frames") or 0) > max_frames:
+            return False
+        if max_duration_s is not None and (
+            info.get("duration_s") or 0.0
+        ) > max_duration_s:
+            return False
+        if min_width is not None and (info.get("width") or 0) < min_width:
+            return False
+        if min_height is not None and (info.get("height") or 0) < min_height:
+            return False
+        return True
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = []
+            kind_col = []
+            nbytes_col = []
+            for b in pdf[data_col]:
+                payload = bytes(b) if b is not None else b""
+                try:
+                    info = probe_payload(payload)
+                except ValueError:
+                    mask.append(False)
+                    continue
+                ok = keep(info, len(payload))
+                mask.append(ok)
+                if ok:
+                    kind_col.append(info["kind"])
+                    nbytes_col.append(len(payload))
+            out = pdf[mask].reset_index(drop=True)
+            out["kind"] = pd.Series(kind_col, dtype="string")
+            out["n_bytes"] = pd.Series(nbytes_col, dtype="int64")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1931,6 +1931,100 @@ GROUP BY doc_id, j, L
 """
 
 
+_WARCDOC_DOCS = 150
+
+
+def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl→corpus GLUE e2e (`sources/warc.py::warc_documents`): per
+    doc, synthesize a WARC archive holding an HTML page, a plain-text
+    note, and a REAL PDF (xref-stream flavor on even doc_ids), run it
+    through the actual production pipeline — ``explode_warc`` (the
+    binaryFile explode, fed from an in-plan (path, content) frame) →
+    ``warc_documents`` (HTTP peel → content-type routing →
+    ``html_to_markdown`` / text passthrough / ``pdf_extract_text``) —
+    and report (uri, doc_type, n_chars, first_line). The oracle
+    recomputes every output from the closed-form bodies, so the record
+    framing, the HTTP header peel, the markdown reduction, and the PDF
+    text join are value-checked cross-engine — the glue itself, not
+    just the byte math (VERDICT r7 item 4).
+
+    Plan shape: pushed-down filter → three chained narrow
+    ``mapInPandas`` stages (synth → explode → route), no shuffle;
+    payloads never leave the worker. At 100 TB the synth stage is a
+    real ``binaryFile`` scan and the rest is unchanged."""
+    from vectra_py_spark.sources.warc import explode_warc, warc_documents
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARCDOC_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from vectra_py_spark.operators.pdf import encode_pdf
+        from vectra_py_spark.sources.warc import synth_warc
+
+        for pdf_b in batches:
+            rows = {"path": [], "content": []}
+            for did in pdf_b["doc_id"]:
+                did = int(did)
+                html = (
+                    f"<html><body><h1>Doc {did}</h1>"
+                    f"<p>alpha beta {did}</p></body></html>"
+                ).encode()
+                plain = f"plain text body {did}".encode()
+                paper = encode_pdf(
+                    [[f"pdf line {did}"]], xref_stream=did % 2 == 0
+                )
+                pages = [
+                    (f"https://ex.test/{did}/page", html, "text/html"),
+                    (f"https://ex.test/{did}/notes", plain, "text/plain"),
+                    (f"https://ex.test/{did}/paper", paper,
+                     "application/pdf"),
+                ]
+                rows["path"].append(f"mem://{did}.warc")
+                rows["content"].append(
+                    synth_warc(pages, compress=bool(did % 2))
+                )
+            yield pd.DataFrame(rows)
+
+    raw = docs.mapInPandas(synth, schema="path STRING, content BINARY")
+    out = warc_documents(explode_warc(raw))
+    return out.select(
+        "uri",
+        "doc_type",
+        F.length("text").cast("int").alias("n_chars"),
+        F.split(F.col("text"), "\n").getItem(0).alias("first_line"),
+    )
+
+
+def _sql_warc_documents() -> str:
+    # closed forms (d = decimal width of doc_id):
+    #   md : '# Doc N\n\nalpha beta N'  → 19 + 2d chars, first line '# Doc N'
+    #   txt: 'plain text body N'        → 16 + d
+    #   pdf: 'pdf line N'               →  9 + d  (single page, single line)
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS s,
+         length(CAST(doc_id AS VARCHAR)) AS d
+  FROM documents WHERE doc_id < {_WARCDOC_DOCS}
+)
+SELECT 'https://ex.test/' || s || '/page' AS uri, 'md' AS doc_type,
+       CAST(19 + 2*d AS INT) AS n_chars, '# Doc ' || s AS first_line
+FROM ids
+UNION ALL
+SELECT 'https://ex.test/' || s || '/notes', 'txt',
+       CAST(16 + d AS INT), 'plain text body ' || s
+FROM ids
+UNION ALL
+SELECT 'https://ex.test/' || s || '/paper', 'pdf',
+       CAST(9 + d AS INT), 'pdf line ' || s
+FROM ids
+"""
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -4021,6 +4115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_probe": q_media_probe,
     "audio_pipeline": q_audio_pipeline,
     "warc_extract": q_warc_extract,
+    "warc_documents": q_warc_documents,
     "pdf_extract": q_pdf_extract,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
@@ -4097,19 +4192,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
 # fresh driver row go first. Round-8 rotation (VERDICT r7 item 1):
+# the round-8 addition needing FIRST driver evidence
+# (warc_documents — the crawl→corpus glue oracle, VERDICT r7 item 4),
 # the 4 r4-vintage rows that missed the r7 window (salted_agg,
 # shipping_priority, promo_revenue, semantic_search), then the 6
 # round-7 entries awaiting FIRST driver evidence (flac_roundtrip,
 # mp4_sample, media_probe, audio_pipeline, warc_extract, pdf_extract),
-# then 40 of the 49 still-registered r5-vintage queries in
-# CORRECTNESS_r05 recording order. The 9 r5 rows that didn't fit
-# (source_token_drift, temperature_mix, text_analysis,
+# then 39 of the 49 still-registered r5-vintage queries in
+# CORRECTNESS_r05 recording order. The 10 r5 rows that didn't fit
+# (source_quota, source_token_drift, temperature_mix, text_analysis,
 # top_users_per_type, topk_orders_enriched, vector_topk,
 # vector_topk_filtered, volume_anomalies, dsir_weights) stay
-# r5-vintage; round 9's rotation should lead with those 9 plus any
-# round-8 additions registered below the window.
+# r5-vintage; round 9's rotation should lead with those 10 plus any
+# further round-8 additions registered below the window.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
+    "warc_documents",
     "salted_agg",
     "shipping_priority",
     "promo_revenue",
@@ -4159,7 +4257,6 @@ _CHECK_FIRST: list[str] = [
     "semantic_dedup",
     "simhash_fingerprint",
     "simhash_neardup",
-    "source_quota",
 ]
 
 QUERIES = {
@@ -4298,6 +4395,7 @@ ORACLES: dict[str, str] = {
     "media_probe": _sql_media_probe(),
     "audio_pipeline": _sql_audio_pipeline(),
     "warc_extract": _sql_warc_extract(),
+    "warc_documents": _sql_warc_documents(),
     "pdf_extract": _sql_pdf_extract(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(

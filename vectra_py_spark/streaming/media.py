@@ -73,12 +73,29 @@ def stream_media_features(
     decoder: str = "auto",
     on_error: str = "quarantine",
     available_now: bool = True,
+    triage: dict | None = None,
 ) -> StreamingQuery:
     """Start the feature-extraction stream: each micro-batch runs the
     batch `extract_features` operator (same decode path, same schema —
     plus ``decode_error`` under quarantine) and appends to a parquet
     sink. Exactly-once per batch id via the checkpoint; re-running
-    after a crash never re-decodes a completed batch."""
+    after a crash never re-decodes a completed batch.
+
+    ``triage`` enables probe-before-decode, the crawl default: a dict
+    of `operators/probe.py::triage_media` bounds (``{}`` for
+    probe-clean-only, or e.g. ``{"max_bytes": 50_000_000,
+    "max_duration_s": 600}``) applied as a header-only first stage so
+    corrupt / oversized / out-of-policy payloads never reach the
+    decoder. With triage on, rejected files produce NO sink row (they
+    were never decoded); leave it None to keep the quarantine-row-per-
+    corrupt-file contract. Bytes-decoded saved is quantified in
+    BENCH.md."""
+    if triage is not None:
+        from vectra_py_spark.operators.probe import triage_media
+
+        stream_df = triage_media(stream_df, **triage).drop(
+            "kind", "n_bytes"
+        )
     feats = extract_features(stream_df, decoder=decoder, on_error=on_error)
     writer = (
         feats.writeStream.format("parquet")
