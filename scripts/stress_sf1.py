@@ -153,6 +153,7 @@ STRESS_QUERIES = [
     "audio_pipeline",
     "warc_extract",
     "warc_documents",
+    "media_triage",
     "pdf_extract",
 ]
 

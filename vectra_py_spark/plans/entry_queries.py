@@ -1619,33 +1619,9 @@ def q_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import numpy as np
-        import pandas as pd
-
-        from vectra_py_spark.operators.avi import encode_avi_mjpeg
-
-        for pdf in batches:
-            ids: list[str] = []
-            payloads: list[bytes] = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n = 2 + did % 5
-                w = 8 + (did % 5) * 3
-                h = 8 + (did % 7) * 2
-                frames = [
-                    mm.encode_jpeg(
-                        np.full((h, w), (did * 31 + i * 17) % 256, np.uint8),
-                        quality=85,
-                        progressive=bool((did + i) % 2),
-                    )
-                    for i in range(n)
-                ]
-                ids.append(str(did))
-                payloads.append(encode_avi_mjpeg(frames, w, h))
-            yield pd.DataFrame({"media_id": ids, "data": payloads})
-
-    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = docs.mapInPandas(
+        _probe_synth, schema="media_id STRING, data BINARY"
+    )
     sampled = mm.sample_avi_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -2153,6 +2129,74 @@ GROUP BY p.doc_id
 _PROBE_DOCS = 300
 
 
+def _probe_synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Shared synth stage for `media_probe` / `media_triage`: per
+    doc_id, one payload whose FORMAT cycles with doc_id%10 through all
+    ten supported containers with doc_id-derived dims/frame counts —
+    every field closed-form so both oracles recompute them in SQL."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pandas as pd
+
+    from vectra_py_spark.operators.avi import synth_avi
+    from vectra_py_spark.operators.flac import encode_flac
+    from vectra_py_spark.operators.mp3 import synth_mp3
+    from vectra_py_spark.operators.mp4 import synth_mp4
+
+    def wav_n(n: int) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(bytes(2 * n))
+        return buf.getvalue()
+
+    for pdf in batches:
+        ids: list[str] = []
+        payloads: list[bytes] = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            w = 8 + (did % 5) * 3
+            h = 8 + (did % 7) * 2
+            img = np.full((h, w), (did * 37 + 11) % 256, np.uint8)
+            kind = did % 10
+            if kind == 0:
+                p = mm.encode_jpeg(img, quality=85)
+            elif kind == 1:
+                p = mm.encode_png(img)
+            elif kind == 2:
+                p = mm.encode_gif(
+                    np.stack([np.stack([img] * 3, axis=2)]
+                             * (2 + did % 4))
+                )
+            elif kind == 3:
+                p = mm.encode_bmp(np.stack([img] * 3, axis=2))
+            elif kind == 4:
+                p = (f"P6\n{w} {h}\n255\n").encode() + bytes(
+                    np.stack([img] * 3, axis=2).tobytes()
+                )
+            elif kind == 5:
+                p = wav_n(400 + did % 100)
+            elif kind == 6:
+                p = synth_avi(2 + did % 5, w, h)
+            elif kind == 7:
+                p = synth_mp4(2 + did % 5, w, h)
+            elif kind == 8:
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                p = encode_flac(
+                    (did * 7 + i * 13) % 65536 - 32768, 8000, blocksize=64
+                )
+            else:
+                p = synth_mp3(10 + did % 10)
+            ids.append(str(did))
+            payloads.append(p)
+        yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only media TRIAGE e2e (`operators/probe.py`): per doc,
     synthesize a payload whose FORMAT cycles with doc_id%10 through all
@@ -2249,6 +2293,71 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_frames"), F.lit(-1)).alias("n_frames"),
         F.coalesce(F.col("sample_rate"), F.lit(-1)).alias("sample_rate"),
     )
+
+
+_TRIAGE_KINDS = ("jpeg", "png", "gif", "bmp", "ppm", "wav", "flac")
+_TRIAGE_MAX_FRAMES = 79
+
+
+def q_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-before-decode POLICY e2e (`operators/probe.py::
+    triage_media`, round 8): the same ten-format synth stage as
+    `media_probe`, then the REAL fused triage operator with a policy
+    that exercises every decision branch — a kind allowlist (drops
+    avi/mp4/mp3) and a frame bound that SPLITS a kind by doc_id
+    (max_frames=79 keeps every image/gif, drops every wav (400+
+    frames), and cuts FLAC's 64+doc_id%32 range in half). The oracle
+    recomputes which (doc_id, kind) rows survive from the closed
+    forms, so the keep/drop semantics of the crawl pipeline's first
+    stage are value-checked cross-engine.
+
+    Plan shape: pushed-down filter → two chained narrow
+    ``mapInPandas`` stages (synth → fused probe+filter); payloads
+    never shuffle, bounded per-row work, linear scale-out."""
+    from vectra_py_spark.operators.probe import triage_media
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PROBE_DOCS)
+        .select("doc_id")
+    )
+    media = docs.mapInPandas(
+        _probe_synth, schema="media_id STRING, data BINARY"
+    )
+    kept = triage_media(
+        media,
+        kinds=set(_TRIAGE_KINDS),
+        max_frames=_TRIAGE_MAX_FRAMES,
+    )
+    return kept.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "kind",
+    )
+
+
+def _sql_media_triage() -> str:
+    kinds = ", ".join(f"'{k}'" for k in _TRIAGE_KINDS)
+    return f"""
+        SELECT doc_id, kind FROM (
+          SELECT doc_id,
+                 CASE doc_id % 10
+                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+                   WHEN 3 THEN 'bmp' WHEN 4 THEN 'ppm' WHEN 5 THEN 'wav'
+                   WHEN 6 THEN 'avi' WHEN 7 THEN 'mp4' WHEN 8 THEN 'flac'
+                   ELSE 'mp3' END AS kind,
+                 CASE doc_id % 10
+                   WHEN 2 THEN 2 + doc_id % 4
+                   WHEN 5 THEN 400 + doc_id % 100
+                   WHEN 6 THEN 2 + doc_id % 5
+                   WHEN 7 THEN 2 + doc_id % 5
+                   WHEN 8 THEN 64 + doc_id % 32
+                   WHEN 9 THEN 10 + doc_id % 10
+                   ELSE 1 END AS n_frames
+          FROM documents
+          WHERE doc_id < {_PROBE_DOCS}
+        )
+        WHERE kind IN ({kinds}) AND n_frames <= {_TRIAGE_MAX_FRAMES}
+    """
 
 
 def _sql_media_probe() -> str:
@@ -4113,6 +4222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mjpeg_sample": q_mjpeg_sample,
     "mp4_sample": q_mp4_sample,
     "media_probe": q_media_probe,
+    "media_triage": q_media_triage,
     "audio_pipeline": q_audio_pipeline,
     "warc_extract": q_warc_extract,
     "warc_documents": q_warc_documents,
@@ -4192,22 +4302,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
 # fresh driver row go first. Round-8 rotation (VERDICT r7 item 1):
-# the round-8 addition needing FIRST driver evidence
-# (warc_documents — the crawl→corpus glue oracle, VERDICT r7 item 4),
-# the 4 r4-vintage rows that missed the r7 window (salted_agg,
+# the two round-8 additions needing FIRST driver evidence
+# (warc_documents — the crawl→corpus glue oracle, VERDICT r7 item 4 —
+# and media_triage — the probe-before-decode policy, item 5), the 4
+# r4-vintage rows that missed the r7 window (salted_agg,
 # shipping_priority, promo_revenue, semantic_search), then the 6
 # round-7 entries awaiting FIRST driver evidence (flac_roundtrip,
 # mp4_sample, media_probe, audio_pipeline, warc_extract, pdf_extract),
-# then 39 of the 49 still-registered r5-vintage queries in
-# CORRECTNESS_r05 recording order. The 10 r5 rows that didn't fit
-# (source_quota, source_token_drift, temperature_mix, text_analysis,
-# top_users_per_type, topk_orders_enriched, vector_topk,
+# then 38 of the 49 still-registered r5-vintage queries in
+# CORRECTNESS_r05 recording order. The 11 r5 rows that didn't fit
+# (simhash_neardup, source_quota, source_token_drift, temperature_mix,
+# text_analysis, top_users_per_type, topk_orders_enriched, vector_topk,
 # vector_topk_filtered, volume_anomalies, dsir_weights) stay
-# r5-vintage; round 9's rotation should lead with those 10 plus any
+# r5-vintage; round 9's rotation should lead with those 11 plus any
 # further round-8 additions registered below the window.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
     "warc_documents",
+    "media_triage",
     "salted_agg",
     "shipping_priority",
     "promo_revenue",
@@ -4256,7 +4368,6 @@ _CHECK_FIRST: list[str] = [
     "rrf_fusion",
     "semantic_dedup",
     "simhash_fingerprint",
-    "simhash_neardup",
 ]
 
 QUERIES = {
@@ -4393,6 +4504,7 @@ ORACLES: dict[str, str] = {
     "mjpeg_sample": _sql_mjpeg_sample(),
     "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
     "media_probe": _sql_media_probe(),
+    "media_triage": _sql_media_triage(),
     "audio_pipeline": _sql_audio_pipeline(),
     "warc_extract": _sql_warc_extract(),
     "warc_documents": _sql_warc_documents(),
