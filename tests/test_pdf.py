@@ -232,6 +232,118 @@ def test_predictor_tiff_and_png_filters():
         _apply_predictor(b"\x00" * 8, 12, 1, 16, 2)
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Test-side TIFF/PDF LZW encoder (clear, 9→12-bit codes, EOD) —
+    round-trips the reader's _lzw_decode."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)  # clear
+    w = b""
+    for b in data:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w])
+        table[c] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_extra_stream_filters_round_trip():
+    """The non-Flate filters real corpora carry: LZWDecode (with and
+    without a predictor via DecodeParms), ASCIIHexDecode,
+    ASCII85Decode, RunLengthDecode — each exercised through a full
+    document round-trip by rewriting the writer's content stream."""
+    import base64
+
+    pages = [["filter test line one", "and line two"]]
+    ref = pdf_extract_text(encode_pdf(pages))
+    plain = encode_pdf(pages, compress=False)
+    # the uncompressed writer emits '/Length N >>\nstream\n<ops>'
+    import re as _re
+
+    m = _re.search(rb"/Length (\d+) >>\nstream\n", plain)
+    start = m.end()
+    length = int(m.group(1))
+    ops = plain[start : start + length]
+
+    def rebuild(encoded: bytes, filt: bytes) -> bytes:
+        return (
+            plain[: m.start()]
+            + filt
+            + b" /Length " + str(len(encoded)).encode()
+            + b" >>\nstream\n" + encoded
+            + plain[start + length :]
+        )
+
+    cases = [
+        (_lzw_encode(ops), b"/Filter /LZWDecode"),
+        (base64.b16encode(ops) + b">", b"/Filter /ASCIIHexDecode"),
+        (base64.a85encode(ops) + b"~>", b"/Filter /ASCII85Decode"),
+    ]
+    # RunLength: naive all-literal runs
+    rl = bytearray()
+    for i in range(0, len(ops), 127):
+        chunk = ops[i : i + 127]
+        rl += bytes([len(chunk) - 1]) + chunk
+    rl.append(128)
+    cases.append((bytes(rl), b"/Filter /RunLengthDecode"))
+    # filter CHAIN: ASCIIHex over Flate
+    fl = zlib.compress(ops)
+    cases.append((
+        base64.b16encode(fl) + b">",
+        b"/Filter [/ASCIIHexDecode /FlateDecode]",
+    ))
+    for encoded, filt in cases:
+        doc = rebuild(encoded, filt)
+        assert pdf_extract_text(doc) == ref, filt
+    # note: rebuild() splices AFTER the original stream bytes, so the
+    # classic xref offsets shift and the chain-validation fallback scan
+    # is what resolves objects here — also a real-corpus condition
+
+    # LZW EarlyChange=0 via DecodeParms
+    doc = rebuild(
+        _lzw_encode(ops, early_change=0),
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    )
+    assert pdf_extract_text(doc) == ref
+
+    # long input forces LZW code-width bumps both ways
+    big = (b"the quick brown fox " * 400) + bytes(range(256)) * 8
+    from vectra_py_spark.operators.pdf import _lzw_decode
+
+    for ec in (0, 1):
+        assert _lzw_decode(_lzw_encode(big, ec), 1 << 24, ec) == big
+    # expansion caps hold for the byte-expanding filters
+    with pytest.raises(ValueError, match="exceeds"):
+        _lzw_decode(_lzw_encode(b"\x00" * 4096), 100)
+    from vectra_py_spark.operators.pdf import _runlength_decode
+
+    with pytest.raises(ValueError, match="exceeds"):
+        _runlength_decode(b"\xff\x00" * 200, 100)
+
+
 def test_declared_gates_refuse_loudly():
     p = synth_pdf(1, 1)
     enc = p.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)
@@ -241,10 +353,10 @@ def test_declared_gates_refuse_loudly():
     t0 = p.replace(b"/Subtype /Type1", b"/Subtype /Type0", 1)
     with pytest.raises(ValueError, match="Type0"):
         pdf_extract_text(t0)
-    # exotic filter
-    lzw = p.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode", 1)
-    with pytest.raises(ValueError, match="LZWDecode"):
-        pdf_extract_text(lzw)
+    # exotic filter (image codecs stay out of scope)
+    dct = p.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode", 1)
+    with pytest.raises(ValueError, match="DCTDecode"):
+        pdf_extract_text(dct)
     # xref stream marker
     xs = (
         b"%PDF-1.5\n1 0 obj\n<< /Type /XRef /Length 0 >>\nstream\n"

@@ -15,10 +15,15 @@ inheritance through Kids, multiple Contents streams), and the
 content-stream tokenizer understands the full string syntax (escapes,
 octal, balanced parens, hex strings) and every text-showing operator
 (Tj ' \" TJ) plus the line-advance operators (Td TD T* TL) that give
-extracted text its line structure. What it does NOT do — CID/Type0
-composite fonts (CJK subsetting), encryption, non-Flate filters —
-raises a clear ValueError naming the gap, never silently wrong text:
-the same declared-gate discipline as the MP3/H.264 codec gaps.
+extracted text its line structure. Stream filters cover what text
+streams actually use: FlateDecode, LZWDecode (TIFF-style, EarlyChange
+honored), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, chained
+filter arrays, and the TIFF/PNG DecodeParms predictors. What it does
+NOT do — CID/Type0 composite fonts (CJK subsetting), encryption, and
+the image codecs (DCTDecode/JPXDecode/CCITT/JBIG2, which never carry
+text) — raises a clear ValueError naming the gap, never silently
+wrong text: the same declared-gate discipline as the MP3/H.264 codec
+gaps.
 Flate expansion is capped (:data:`DECOMPRESS_CEILING`) so crafted
 bombs quarantine instead of failing the stage.
 
@@ -252,6 +257,131 @@ def _inflate_capped(data: bytes, max_bytes: int) -> bytes:
         if not d.unconsumed_tail:
             raise ValueError("truncated PDF Flate stream")
         buf = d.unconsumed_tail
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace
+    ignored, '>' is EOD, an odd trailing digit is padded with 0."""
+    end = data.find(b">")
+    body = data[:end] if end >= 0 else data
+    hexs = re.sub(rb"\s", b"", body)
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", hexs):
+        raise ValueError("non-hex byte in ASCIIHexDecode stream")
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): 5 chars '!'..'u' → 4 bytes base-85,
+    'z' shorthand for four zero bytes, '~>' EOD, partial final group
+    keeps n−1 bytes."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data[:end] if end >= 0 else data)
+    if body.startswith(b"<~"):  # btoa-style leader some writers emit
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"bad ASCII85 byte {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("single trailing ASCII85 digit")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes, max_bytes: int) -> bytes:
+    """/RunLengthDecode (§7.4.5): L in 0..127 copies L+1 literals,
+    L in 129..255 repeats the next byte 257−L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        L = data[i]
+        i += 1
+        if L == 128:
+            return bytes(out)
+        if L < 128:
+            chunk = data[i : i + L + 1]
+            if len(chunk) != L + 1:
+                raise ValueError("truncated RunLengthDecode literal run")
+            out += chunk
+            i += L + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLengthDecode repeat run")
+            out += data[i : i + 1] * (257 - L)
+            i += 1
+        if len(out) > max_bytes:
+            raise ValueError(
+                f"RunLengthDecode expansion exceeds {max_bytes} bytes"
+            )
+    raise ValueError("RunLengthDecode stream missing EOD (128)")
+
+
+def _lzw_decode(data: bytes, max_bytes: int, early_change: int = 1) -> bytes:
+    """/LZWDecode (§7.4.4): TIFF-style LZW — 9→12-bit codes MSB-first,
+    256 = clear table, 257 = EOD, code width bumps at table size
+    4094/2046/1022 (… −1 when EarlyChange, the default)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW code before any literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} past table")
+            out += entry
+            if len(out) > max_bytes:
+                raise ValueError(
+                    f"LZWDecode expansion exceeds {max_bytes} bytes"
+                )
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    raise ValueError("LZWDecode stream missing EOD (257)")
 
 
 def _apply_predictor(data: bytes, pred: int, colors: int, bpc: int,
@@ -802,30 +932,42 @@ class _Pdf:
         data = raw
         for i, f in enumerate(filters):
             f = self.deref(f)
-            if f == b"/FlateDecode":
+            p = self.deref(parms_list[i]) if i < len(parms_list) else None
+            p = p if isinstance(p, dict) else {}
+            if f in (b"/FlateDecode", b"/Fl"):
                 try:
                     data = _inflate_capped(data, DECOMPRESS_CEILING)
                 except zlib.error as exc:
                     raise ValueError(
                         f"corrupt PDF Flate stream: {exc}"
                     ) from exc
-                p = self.deref(parms_list[i]) if i < len(parms_list) else None
-                if isinstance(p, dict):
-                    pred = self.deref(p.get(b"/Predictor", 1))
-                    colors = self.deref(p.get(b"/Colors", 1))
-                    bpc = self.deref(p.get(b"/BitsPerComponent", 8))
-                    columns = self.deref(p.get(b"/Columns", 1))
-                    if not all(
-                        isinstance(x, int)
-                        for x in (pred, colors, bpc, columns)
-                    ):
-                        raise ValueError("PDF DecodeParms must be integers")
-                    data = _apply_predictor(data, pred, colors, bpc, columns)
+            elif f in (b"/LZWDecode", b"/LZW"):
+                early = self.deref(p.get(b"/EarlyChange", 1))
+                if early not in (0, 1):
+                    raise ValueError("PDF LZW EarlyChange must be 0 or 1")
+                data = _lzw_decode(data, DECOMPRESS_CEILING, early)
+            elif f in (b"/ASCIIHexDecode", b"/AHx"):
+                data = _asciihex_decode(data)
+            elif f in (b"/ASCII85Decode", b"/A85"):
+                data = _ascii85_decode(data)
+            elif f in (b"/RunLengthDecode", b"/RL"):
+                data = _runlength_decode(data, DECOMPRESS_CEILING)
             else:
                 raise ValueError(
-                    f"unsupported PDF stream filter {f!r} — FlateDecode "
-                    "or none"
+                    f"unsupported PDF stream filter {f!r} — Flate/LZW/"
+                    "ASCIIHex/ASCII85/RunLength or none"
                 )
+            if f in (b"/FlateDecode", b"/Fl", b"/LZWDecode", b"/LZW") and p:
+                pred = self.deref(p.get(b"/Predictor", 1))
+                colors = self.deref(p.get(b"/Colors", 1))
+                bpc = self.deref(p.get(b"/BitsPerComponent", 8))
+                columns = self.deref(p.get(b"/Columns", 1))
+                if not all(
+                    isinstance(x, int)
+                    for x in (pred, colors, bpc, columns)
+                ):
+                    raise ValueError("PDF DecodeParms must be integers")
+                data = _apply_predictor(data, pred, colors, bpc, columns)
         return data
 
     def pages(self) -> list[dict]:
