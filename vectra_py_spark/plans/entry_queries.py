@@ -1619,9 +1619,33 @@ def q_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    media = docs.mapInPandas(
-        _probe_synth, schema="media_id STRING, data BINARY"
-    )
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.avi import encode_avi_mjpeg
+
+        for pdf in batches:
+            ids: list[str] = []
+            payloads: list[bytes] = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 5
+                w = 8 + (did % 5) * 3
+                h = 8 + (did % 7) * 2
+                frames = [
+                    mm.encode_jpeg(
+                        np.full((h, w), (did * 31 + i * 17) % 256, np.uint8),
+                        quality=85,
+                        progressive=bool((did + i) % 2),
+                    )
+                    for i in range(n)
+                ]
+                ids.append(str(did))
+                payloads.append(encode_avi_mjpeg(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
     sampled = mm.sample_avi_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1936,7 +1960,7 @@ def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    def synth_archives(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
 
         from vectra_py_spark.operators.pdf import encode_pdf
@@ -1966,7 +1990,7 @@ def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    raw = docs.mapInPandas(synth, schema="path STRING, content BINARY")
+    raw = docs.mapInPandas(synth_archives, schema="path STRING, content BINARY")
     out = warc_documents(explode_warc(raw))
     return out.select(
         "uri",
@@ -2218,70 +2242,9 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import io
-        import wave as wave_mod
-
-        import numpy as np
-        import pandas as pd
-
-        from vectra_py_spark.operators.avi import synth_avi
-        from vectra_py_spark.operators.flac import encode_flac
-        from vectra_py_spark.operators.mp3 import synth_mp3
-        from vectra_py_spark.operators.mp4 import synth_mp4
-
-        def wav_n(n: int) -> bytes:
-            buf = io.BytesIO()
-            with wave_mod.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(8000)
-                w.writeframes(bytes(2 * n))
-            return buf.getvalue()
-
-        for pdf in batches:
-            ids: list[str] = []
-            payloads: list[bytes] = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w = 8 + (did % 5) * 3
-                h = 8 + (did % 7) * 2
-                img = np.full((h, w), (did * 37 + 11) % 256, np.uint8)
-                kind = did % 10
-                if kind == 0:
-                    p = mm.encode_jpeg(img, quality=85)
-                elif kind == 1:
-                    p = mm.encode_png(img)
-                elif kind == 2:
-                    p = mm.encode_gif(
-                        np.stack([np.stack([img] * 3, axis=2)]
-                                 * (2 + did % 4))
-                    )
-                elif kind == 3:
-                    p = mm.encode_bmp(np.stack([img] * 3, axis=2))
-                elif kind == 4:
-                    p = (f"P6\n{w} {h}\n255\n").encode() + bytes(
-                        np.stack([img] * 3, axis=2).tobytes()
-                    )
-                elif kind == 5:
-                    p = wav_n(400 + did % 100)
-                elif kind == 6:
-                    p = synth_avi(2 + did % 5, w, h)
-                elif kind == 7:
-                    p = synth_mp4(2 + did % 5, w, h)
-                elif kind == 8:
-                    n = 64 + did % 32
-                    i = np.arange(n, dtype=np.int64)
-                    p = encode_flac(
-                        (did * 7 + i * 13) % 65536 - 32768, 8000, blocksize=64
-                    )
-                else:
-                    p = synth_mp3(10 + did % 10)
-                ids.append(str(did))
-                payloads.append(p)
-            yield pd.DataFrame({"media_id": ids, "data": payloads})
-
-    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = docs.mapInPandas(
+        _probe_synth, schema="media_id STRING, data BINARY"
+    )
     from vectra_py_spark.operators.probe import probe_media
 
     probed = probe_media(media)
