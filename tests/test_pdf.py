@@ -344,6 +344,101 @@ def test_extra_stream_filters_round_trip():
         _runlength_decode(b"\xff\x00" * 200, 100)
 
 
+def _patch_font(doc: bytes, font_body: bytes, extra_obj: bytes = b"") -> bytes:
+    """Swap the writer's Helvetica font dict for a custom one (and
+    optionally append an extra object, e.g. a ToUnicode CMap stream —
+    the chain-validation fallback scan picks it up)."""
+    old = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    assert doc.count(old) == 1
+    return doc.replace(old, font_body) + extra_obj
+
+
+def test_font_encodings_decode_correctly():
+    """Simple-font character decoding (round 8): /WinAnsiEncoding and
+    /MacRomanEncoding route through the stdlib codecs, /Differences
+    glyph names resolve via the AGL subset and uniXXXX, and an unknown
+    glyph becomes a VISIBLE replacement — never silently wrong text."""
+    base = encode_pdf([["ab\x93cd\x94"]], compress=False)
+    # default (no /Encoding): latin-1 passthrough, \x93 stays \x93
+    assert pdf_extract_text(base) == ["ab\x93cd\x94"]
+    win = _patch_font(
+        base,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    )
+    assert pdf_extract_text(win) == ["ab“cd”"]  # cp1252 quotes
+    mac = _patch_font(
+        encode_pdf([["x\x8ay"]], compress=False),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /MacRomanEncoding >>",
+    )
+    assert pdf_extract_text(mac) == ["xäy"]  # mac_roman 0x8A = ä
+
+    diff = _patch_font(
+        encode_pdf([["AB C"]], compress=False),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+        b"[65 /adieresis /emdash 67 /uni2020 68 /notaglyphname] >> >>",
+    )
+    assert pdf_extract_text(diff) == ["ä— †"]
+    # unknown glyph name → visible replacement, not a wrong letter
+    diff2 = _patch_font(
+        encode_pdf([["AB"]], compress=False),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Differences [65 /notaglyphname] >> >>",
+    )
+    assert pdf_extract_text(diff2) == ["�B"]
+
+
+def test_tounicode_cmap_wins():
+    """/ToUnicode bfchar + bfrange (both forms) override /Encoding per
+    code; unmapped codes fall back to the encoding table. A second,
+    CMap-less font selected mid-page via Tf reverts the decoder."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <41> <00E4> <20> <0020> endbfchar\n"
+        b"1 beginbfrange <42> <44> <0100> endbfrange\n"
+        b"1 beginbfrange <45> <46> [<2460> <246000310032>] endbfrange\n"
+        b"endcmap end end"
+    )
+    extra = (
+        b"99 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+    )
+    doc = _patch_font(
+        encode_pdf([["ABCDEF gh"]], compress=False),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/ToUnicode 99 0 R >>",
+        extra_obj=extra,
+    )
+    # A→ä, B..D→Ā Ā+1 Ā+2, E→①, F→multi-char "①12"-style target,
+    # space via bfchar, g/h unmapped → latin-1 fallback
+    assert pdf_extract_text(doc) == [
+        "äĀāĂ①①\x31\x32 gh"
+    ]
+    # two fonts: F1 carries the CMap, F2 (no CMap) reverts to latin-1.
+    # Build a page that switches fonts between two shows.
+    body = b"BT /F1 12 Tf (A) Tj /F2 12 Tf (A) Tj ET"
+    doc2 = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/ToUnicode 9 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\n"
+        b"endobj\n"
+        b"3 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 5 0 R /Resources << /Font "
+        b"<< /F1 1 0 R /F2 2 0 R >> >> /Contents 3 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Catalog /Pages 5 0 R >>\nendobj\n"
+        b"9 0 obj\n<< /Length 44 >>\nstream\n"
+        b"1 beginbfchar <41> <00E4> endbfchar endcmap\nendstream\nendobj\n"
+        b"trailer\n<< /Size 10 /Root 6 0 R >>\n%%EOF\n"
+    )
+    assert pdf_extract_text(doc2) == ["äA"]
+
+
 def test_declared_gates_refuse_loudly():
     p = synth_pdf(1, 1)
     enc = p.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)

@@ -997,6 +997,206 @@ class _Pdf:
         return out
 
 
+# ---------------------------------------------------------------------------
+# Simple-font character decoding: /Encoding (base codecs + /Differences
+# glyph names) and /ToUnicode CMaps. Without this, a WinAnsi or
+# Differences-encoded font would extract silently wrong characters —
+# the one failure mode this module promises not to have.
+# ---------------------------------------------------------------------------
+def _build_agl() -> dict[str, str]:
+    """Compact Adobe-Glyph-List subset: ASCII names, the common
+    publishing glyphs, and the accented-Latin family generated from
+    Unicode names (AGL composes them as letter+accent, e.g.
+    'adieresis')."""
+    import unicodedata
+
+    agl = {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&",
+        "quotesingle": "'", "parenleft": "(", "parenright": ")",
+        "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+        "period": ".", "slash": "/", "colon": ":", "semicolon": ";",
+        "less": "<", "equal": "=", "greater": ">", "question": "?",
+        "at": "@", "bracketleft": "[", "backslash": "\\",
+        "bracketright": "]", "asciicircum": "^", "underscore": "_",
+        "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+        "asciitilde": "~",
+        "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+        "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "fi": "ﬁ", "fl": "ﬂ", "florin": "ƒ",
+        "fraction": "⁄", "guilsinglleft": "‹",
+        "guilsinglright": "›", "guillemotleft": "«",
+        "guillemotright": "»", "perthousand": "‰",
+        "trademark": "™", "copyright": "©",
+        "registered": "®", "degree": "°",
+        "plusminus": "±", "multiply": "×", "divide": "÷",
+        "Euro": "€", "cent": "¢", "sterling": "£",
+        "yen": "¥", "currency": "¤", "section": "§",
+        "paragraph": "¶", "exclamdown": "¡",
+        "questiondown": "¿", "germandbls": "ß",
+        "ae": "æ", "AE": "Æ", "oe": "œ", "OE": "Œ",
+        "oslash": "ø", "Oslash": "Ø", "thorn": "þ",
+        "Thorn": "Þ", "eth": "ð", "Eth": "Ð",
+        "mu": "µ", "periodcentered": "·",
+        "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+        "brokenbar": "¦", "logicalnot": "¬",
+        "ordfeminine": "ª", "ordmasculine": "º",
+        "onequarter": "¼", "onehalf": "½",
+        "threequarters": "¾", "onesuperior": "¹",
+        "twosuperior": "²", "threesuperior": "³",
+        "minus": "−", "nbspace": " ", "macron": "¯",
+        "acute": "´", "cedilla": "¸", "dieresis": "¨",
+        "circumflex": "ˆ", "tilde": "˜", "caron": "ˇ",
+        "breve": "˘", "dotaccent": "˙", "ring": "˚",
+        "ogonek": "˛", "hungarumlaut": "˝",
+    }
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        agl[ch] = ch
+        agl[ch.upper()] = ch.upper()
+        for gname, uname in (
+            ("grave", "GRAVE"), ("acute", "ACUTE"),
+            ("circumflex", "CIRCUMFLEX"), ("tilde", "TILDE"),
+            ("dieresis", "DIAERESIS"), ("ring", "RING ABOVE"),
+            ("cedilla", "CEDILLA"), ("macron", "MACRON"),
+            ("breve", "BREVE"), ("ogonek", "OGONEK"),
+            ("caron", "CARON"), ("hungarumlaut", "DOUBLE ACUTE"),
+            ("slash", "STROKE"), ("dotaccent", "DOT ABOVE"),
+        ):
+            for case, cs in ((ch, "SMALL"), (ch.upper(), "CAPITAL")):
+                try:
+                    agl[f"{case}{gname}"] = unicodedata.lookup(
+                        f"LATIN {cs} LETTER {ch.upper()} WITH {uname}"
+                    )
+                except KeyError:
+                    pass
+    return agl
+
+
+_AGL = _build_agl()
+_UNI_RE = re.compile(r"uni([0-9A-Fa-f]{4})$")
+_U_RE = re.compile(r"u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_char(name: bytes) -> str:
+    n = name[1:].decode("latin-1")
+    hit = _AGL.get(n)
+    if hit is not None:
+        return hit
+    m = _UNI_RE.fullmatch(n) or _U_RE.fullmatch(n)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return "�"  # visible unknown beats silently wrong
+
+
+def _encoding_table(pdf: "_Pdf", fd: dict) -> list[str]:
+    """256-entry byte→char table from /Encoding: WinAnsi is cp1252 and
+    MacRoman is mac_roman (both stdlib codecs), default latin-1;
+    /Differences overrides per code with AGL / uniXXXX glyph names."""
+    enc = pdf.deref(fd.get(b"/Encoding"))
+    base = enc if isinstance(enc, bytes) else (
+        pdf.deref(enc.get(b"/BaseEncoding")) if isinstance(enc, dict)
+        else None
+    )
+    codec = {
+        b"/WinAnsiEncoding": "cp1252",
+        b"/MacRomanEncoding": "mac_roman",
+    }.get(base, "latin-1")
+    table = []
+    for b in range(256):
+        try:
+            table.append(bytes([b]).decode(codec))
+        except UnicodeDecodeError:  # cp1252 undefined slots
+            table.append("�")
+    if isinstance(enc, dict):
+        diffs = pdf.deref(enc.get(b"/Differences"))
+        if isinstance(diffs, list):
+            code = -1
+            for el in diffs:
+                el = pdf.deref(el)
+                if isinstance(el, int):
+                    code = el
+                elif isinstance(el, bytes) and el.startswith(b"/"):
+                    if 0 <= code <= 255:
+                        table[code] = _glyph_to_char(el)
+                    code += 1
+    return table
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap → byte→str map (simple fonts: 1-byte codes,
+    UTF-16BE targets). bfchar pairs and bfrange spans (both the
+    base-increment and the array form)."""
+    out: dict[int, str] = {}
+
+    def utf16(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace")
+
+    for sect in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        lex = _Lexer(sect.group(1))
+        try:
+            while True:
+                lex._skip_ws()
+                if lex.pos >= len(lex.d):
+                    break
+                src, dst = lex.parse(), lex.parse()
+                if (isinstance(src, bytes) and isinstance(dst, bytes)
+                        and len(src) == 1):
+                    out[src[0]] = utf16(dst)
+        except _PARSE_ERRS:
+            continue
+    for sect in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        lex = _Lexer(sect.group(1))
+        try:
+            while True:
+                lex._skip_ws()
+                if lex.pos >= len(lex.d):
+                    break
+                lo, hi, dst = lex.parse(), lex.parse(), lex.parse()
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)
+                        and len(lo) == 1 and len(hi) == 1
+                        and lo[0] <= hi[0]):
+                    continue
+                if isinstance(dst, list):
+                    for i, d in enumerate(dst):
+                        if isinstance(d, bytes) and lo[0] + i <= hi[0]:
+                            out[lo[0] + i] = utf16(d)
+                elif isinstance(dst, bytes) and dst:
+                    start = int.from_bytes(dst, "big")
+                    for c in range(lo[0], hi[0] + 1):
+                        out[c] = utf16(
+                            (start + c - lo[0]).to_bytes(len(dst), "big")
+                        )
+        except _PARSE_ERRS:
+            continue
+    return out
+
+
+def _font_decoder(pdf: "_Pdf", fd: dict):
+    """Font dict → bytes→str decoder. /ToUnicode (the authoritative
+    map modern generators write) wins per code; /Encoding fills the
+    gaps; latin-1 is the base default."""
+    table = _encoding_table(pdf, fd)
+    cmap: dict[int, str] = {}
+    tu = fd.get(b"/ToUnicode")
+    if tu is not None:
+        try:
+            cmap = _parse_tounicode(pdf.stream_data(pdf.deref(tu)))
+        except (ValueError, *_PARSE_ERRS):
+            cmap = {}
+    if cmap:
+        return lambda bs: "".join(
+            cmap[b] if b in cmap else table[b] for b in bs
+        )
+    return lambda bs: "".join(table[b] for b in bs)
+
+
 def _page_text(pdf: _Pdf, page: dict) -> str:
     contents = pdf.deref(page.get(b"/Contents"))
     if contents is None:
@@ -1005,22 +1205,30 @@ def _page_text(pdf: _Pdf, page: dict) -> str:
     data = b"".join(pdf.stream_data(c) for c in parts)
     # check the page's fonts are simple (composite fonts would make the
     # string bytes CID codes, not characters — refuse, never mojibake)
+    # and build each font's byte→char decoder from /ToUnicode and
+    # /Encoding (+/Differences); Tf tracking below selects it
     res = pdf.deref(page.get(b"/Resources")) or {}
     fonts = pdf.deref(res.get(b"/Font")) if isinstance(res, dict) else None
+    latin1 = (lambda bs: bs.decode("latin-1"))
+    decoders: dict[bytes, object] = {}
     if isinstance(fonts, dict):
-        for fobj in fonts.values():
+        for fname, fobj in fonts.items():
             fd = pdf.deref(fobj)
-            if isinstance(fd, dict) and fd.get(b"/Subtype") == b"/Type0":
+            if not isinstance(fd, dict):
+                continue
+            if fd.get(b"/Subtype") == b"/Type0":
                 raise ValueError(
                     "PDF uses a composite (Type0/CID) font — text bytes "
                     "are CID codes; unsupported without a PDF library"
                 )
+            decoders[fname] = _font_decoder(pdf, fd)
     lex = _Lexer(data)
     stack: list = []
     lines: list[str] = [""]
+    cur_decode = [latin1]
 
     def show(sbytes: bytes) -> None:
-        lines[-1] += sbytes.decode("latin-1")
+        lines[-1] += cur_decode[0](sbytes)
 
     while True:
         lex._skip_ws()
@@ -1050,6 +1258,12 @@ def _page_text(pdf: _Pdf, page: dict) -> str:
                             lines.append("")
                     except (TypeError, ValueError):
                         pass
+            elif op == b"Tf" and len(stack) >= 2:
+                name = stack[-2]
+                if isinstance(name, bytes) and name in decoders:
+                    cur_decode[0] = decoders[name]
+                else:
+                    cur_decode[0] = latin1
             elif op == b"BT":
                 if lines[-1]:
                     lines.append("")
