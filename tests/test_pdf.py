@@ -32,7 +32,7 @@ def test_roundtrip_compressed_and_plain():
         assert got[1] == "second page only line"
         assert got[2] == ""
     info = pdf_info(synth_pdf(4, 2))
-    assert info == {"version": "1.4", "n_pages": 4}
+    assert info["version"] == "1.4" and info["n_pages"] == 4
 
 
 def test_string_syntax_edge_cases():
@@ -437,6 +437,59 @@ def test_tounicode_cmap_wins():
         b"trailer\n<< /Size 10 /Root 6 0 R >>\n%%EOF\n"
     )
     assert pdf_extract_text(doc2) == ["äA"]
+
+
+def test_tj_kerning_space_heuristic():
+    """TeX-style generators split words across TJ array elements with a
+    large negative kerning adjustment standing in for the space —
+    extraction must reinsert it (the classic 'foobar' failure)."""
+    body = (
+        b"BT /F1 12 Tf [(foo) -250 (bar)] TJ T* "
+        b"[(kern) -50 (ing)] TJ T* [(wide) -1200 (gap)] TJ ET"
+    )
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>\n"
+        b"endobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 4 0 R >>\n%%EOF\n"
+    )
+    assert pdf_extract_text(doc) == [
+        "foo bar\nkerning\nwide gap"
+    ]
+
+
+def test_pdf_info_document_metadata():
+    """pdf_info surfaces /Info title/author/producer (PDFDocEncoding
+    and UTF-16BE-with-BOM both), None when absent."""
+    base = synth_pdf(1, 1)
+    info = pdf_info(base)
+    assert info["title"] is None and info["producer"] is None
+    # attach /Info via a spec-correct incremental update: new object +
+    # update xref section + trailer with /Prev
+    import re as _re
+
+    title16 = b"\xfe\xff" + "Tïtle".encode("utf-16-be")
+    old_xref = int(_re.search(rb"startxref\s+(\d+)", base).group(1))
+    doc = bytearray(base)
+    info_at = len(doc)
+    doc += (
+        b"77 0 obj\n<< /Title (" + title16
+        + b") /Producer (TestWriter 1.0) >>\nendobj\n"
+    )
+    xref_at = len(doc)
+    doc += b"xref\n0 1\n0000000000 65535 f \n77 1\n%010d 00000 n \n" % info_at
+    doc += (
+        b"trailer\n<< /Size 78 /Root 5 0 R /Info 77 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (old_xref, xref_at)
+    )
+    got = pdf_info(bytes(doc))
+    assert got["producer"] == "TestWriter 1.0"
+    assert got["title"] == "Tïtle"
+    assert got["n_pages"] == 1
 
 
 def test_declared_gates_refuse_loudly():

@@ -1246,6 +1246,14 @@ def _page_text(pdf: _Pdf, page: dict) -> str:
                 for el in stack[-1]:
                     if isinstance(el, bytes):
                         show(el)
+                    elif isinstance(el, (int, float)) and el <= -180:
+                        # kerning-as-space: TeX-style generators split
+                        # words across TJ elements and encode the
+                        # inter-word gap as a large negative adjustment
+                        # (thousandths of an em; one space is ~250).
+                        # Without this, "foo bar" extracts as "foobar".
+                        if lines[-1] and not lines[-1].endswith(" "):
+                            lines[-1] += " "
             elif op in (b"Td", b"TD", b"T"):
                 # T* arrives as kw b"T" + a literal '*' byte; Td/TD with
                 # a negative y advance also mean "next line"
@@ -1295,12 +1303,40 @@ def pdf_extract_text(payload: bytes) -> list[str]:
         raise ValueError(f"malformed PDF payload: {exc}") from exc
 
 
+def _docinfo_str(v) -> str | None:
+    """/Info values are PDFDocEncoded (≈latin-1) or UTF-16BE with BOM."""
+    if not isinstance(v, bytes):
+        return None
+    if v[:2] == b"\xfe\xff":
+        return v[2:].decode("utf-16-be", "replace")
+    return v.decode("latin-1", "replace")
+
+
 def pdf_info(payload: bytes) -> dict:
-    """Header-level probe: version + page count (no text decode)."""
+    """Header-level probe: version + page count (no text decode), plus
+    the /Info document metadata a corpus curation pass filters on
+    (title/author/producer/creator — None when absent)."""
     try:
         pdf = _Pdf(payload)
         version = payload[5:8].decode("latin-1", "replace")
-        return {"version": version, "n_pages": len(pdf.pages())}
+        meta = {"title": None, "author": None, "producer": None,
+                "creator": None}
+        info = pdf.trailer.get(b"/Info")
+        if info is not None:
+            try:
+                idict = pdf.deref(info)
+            except _PARSE_ERRS:
+                idict = None
+            if isinstance(idict, dict):
+                for key, field in ((b"/Title", "title"),
+                                   (b"/Author", "author"),
+                                   (b"/Producer", "producer"),
+                                   (b"/Creator", "creator")):
+                    try:
+                        meta[field] = _docinfo_str(pdf.deref(idict.get(key)))
+                    except _PARSE_ERRS:
+                        pass
+        return {"version": version, "n_pages": len(pdf.pages()), **meta}
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
             RecursionError, OverflowError,
             AttributeError, TypeError) as exc:
