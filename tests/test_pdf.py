@@ -492,6 +492,55 @@ def test_pdf_info_document_metadata():
     assert got["n_pages"] == 1
 
 
+def test_form_xobject_text_extracted():
+    """Text inside Form XObjects (Do operator) must extract — real
+    documents (letterheads, stamps, pdftk overlays) carry text there.
+    The form's own /Resources resolve its fonts; a form without
+    /Resources inherits the page's; self-referencing forms refuse at
+    the depth limit instead of looping."""
+    form_body = b"BT /F9 10 Tf (from the form) Tj ET"
+    page_body = b"BT /F1 12 Tf (page text) Tj ET /X1 Do"
+    doc = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Differences [102 /emdash] >> >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(page_body)).encode()
+        + b" >>\nstream\n" + page_body + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /XObject /Subtype /Form /Resources "
+        b"<< /Font << /F9 1 0 R >> >> /Length "
+        + str(len(form_body)).encode()
+        + b" >>\nstream\n" + form_body + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 5 0 R /Resources << /Font "
+        b"<< /F1 6 0 R >> /XObject << /X1 3 0 R >> >> /Contents 2 0 R "
+        b">>\nendobj\n"
+        b"5 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b">>\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 7 0 R >>\n"
+        b"7 0 obj\n<< /Type /Catalog /Pages 5 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 8 /Root 7 0 R >>\n%%EOF\n"
+    )
+    # form font F9 maps 'f' (102) -> emdash via Differences, proving
+    # the FORM's resources (not the page's) decode its text
+    assert pdf_extract_text(doc) == ["page text\n—rom the —orm"]
+
+    # self-referencing form → ValueError at the depth limit, no hang
+    loop_body = b"/X1 Do"
+    loop = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /XObject /Subtype /Form /Length "
+        + str(len(loop_body)).encode()
+        + b" >>\nstream\n" + loop_body + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Type /Page /Parent 3 0 R /Resources "
+        b"<< /XObject << /X1 1 0 R >> >> /Contents 1 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 4 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="nesting"):
+        pdf_extract_text(loop)
+
+
 def test_declared_gates_refuse_loudly():
     p = synth_pdf(1, 1)
     enc = p.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)

@@ -205,6 +205,36 @@ def test_read_media_archive_zip_and_tar(spark):
     assert len(errs) == 1 and "junk.zip" in errs[0].archive
 
 
+def test_warc_documents_honors_declared_charset(spark):
+    """A Content-Type charset= parameter drives the text decode:
+    iso-8859-1 bytes stop mojibaking, utf-16 decodes, a bogus charset
+    falls back to UTF-8-replace (headers lie; stages survive)."""
+    import os as _os
+    import tempfile as _tf
+
+    from vectra_py_spark.sources.warc import warc_documents
+
+    latin = "café ñandú"
+    pages = [
+        ("http://ex.org/l1", latin.encode("iso-8859-1"),
+         "text/plain; charset=ISO-8859-1"),
+        ("http://ex.org/u16", latin.encode("utf-16"),
+         'text/plain; charset="utf-16"'),
+        ("http://ex.org/bogus", latin.encode("iso-8859-1"),
+         "text/plain; charset=not-a-codec"),
+        ("http://ex.org/plain", latin.encode("utf-8"), "text/plain"),
+    ]
+    d = _tf.mkdtemp()
+    with open(_os.path.join(d, "cs.warc"), "wb") as f:
+        f.write(synth_warc(pages))
+    got = {r.uri: r.text for r in
+           warc_documents(read_warc(spark, d)).collect()}
+    assert got["http://ex.org/l1"] == latin
+    assert got["http://ex.org/u16"] == latin
+    assert got["http://ex.org/plain"] == latin
+    assert "�" in got["http://ex.org/bogus"]  # utf-8 fallback, visible
+
+
 def test_warc_documents_glue_and_index_ingest(spark):
     """The crawl→corpus glue: response records become (uri, text,
     doc_type) rows and flow into SparkDocumentIndex.upsert_documents_df

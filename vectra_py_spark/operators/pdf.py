@@ -1197,19 +1197,10 @@ def _font_decoder(pdf: "_Pdf", fd: dict):
     return lambda bs: "".join(table[b] for b in bs)
 
 
-def _page_text(pdf: _Pdf, page: dict) -> str:
-    contents = pdf.deref(page.get(b"/Contents"))
-    if contents is None:
-        return ""
-    parts = contents if isinstance(contents, list) else [contents]
-    data = b"".join(pdf.stream_data(c) for c in parts)
-    # check the page's fonts are simple (composite fonts would make the
-    # string bytes CID codes, not characters — refuse, never mojibake)
-    # and build each font's byte→char decoder from /ToUnicode and
-    # /Encoding (+/Differences); Tf tracking below selects it
-    res = pdf.deref(page.get(b"/Resources")) or {}
+def _build_decoders(pdf: _Pdf, res: dict) -> dict[bytes, object]:
+    """Per-font byte→char decoders for a resource dict; refuses
+    composite fonts (CID codes, not characters — never mojibake)."""
     fonts = pdf.deref(res.get(b"/Font")) if isinstance(res, dict) else None
-    latin1 = (lambda bs: bs.decode("latin-1"))
     decoders: dict[bytes, object] = {}
     if isinstance(fonts, dict):
         for fname, fobj in fonts.items():
@@ -1222,9 +1213,37 @@ def _page_text(pdf: _Pdf, page: dict) -> str:
                     "are CID codes; unsupported without a PDF library"
                 )
             decoders[fname] = _font_decoder(pdf, fd)
+    return decoders
+
+
+def _page_text(pdf: _Pdf, page: dict) -> str:
+    contents = pdf.deref(page.get(b"/Contents"))
+    if contents is None:
+        return ""
+    parts = contents if isinstance(contents, list) else [contents]
+    data = b"".join(pdf.stream_data(c) for c in parts)
+    res = pdf.deref(page.get(b"/Resources")) or {}
+    lines: list[str] = [""]
+    _walk_content(pdf, data, res if isinstance(res, dict) else {}, lines)
+    return "\n".join(line for line in lines if line != "") if any(
+        lines
+    ) else ""
+
+
+def _walk_content(pdf: _Pdf, data: bytes, res: dict, lines: list[str],
+                  depth: int = 0) -> None:
+    """Tokenize one content stream into ``lines``, recursing into Form
+    XObjects on the ``Do`` operator (real documents — letterheads,
+    stamped pages, pdftk output — carry text there; skipping them is
+    silent text loss). Fonts resolve against THIS stream's resource
+    dict (a form's own /Resources, else the parent's)."""
+    if depth > 8:
+        raise ValueError("PDF Form XObject nesting too deep")
+    decoders = _build_decoders(pdf, res)
+    xobjs = pdf.deref(res.get(b"/XObject")) if isinstance(res, dict) else None
+    latin1 = (lambda bs: bs.decode("latin-1"))
     lex = _Lexer(data)
     stack: list = []
-    lines: list[str] = [""]
     cur_decode = [latin1]
 
     def show(sbytes: bytes) -> None:
@@ -1272,15 +1291,27 @@ def _page_text(pdf: _Pdf, page: dict) -> str:
                     cur_decode[0] = decoders[name]
                 else:
                     cur_decode[0] = latin1
+            elif op == b"Do" and stack:
+                name = stack[-1]
+                if (isinstance(name, bytes) and isinstance(xobjs, dict)
+                        and name in xobjs):
+                    xo = pdf.deref(xobjs[name])
+                    if (isinstance(xo, tuple) and xo[0] == "stream"
+                            and pdf.deref(xo[1].get(b"/Subtype"))
+                            == b"/Form"):
+                        xres = pdf.deref(xo[1].get(b"/Resources"))
+                        _walk_content(
+                            pdf, pdf.stream_data(xo),
+                            xres if isinstance(xres, dict) else res,
+                            lines, depth + 1,
+                        )
+                    # /Image XObjects carry no text — skipped
             elif op == b"BT":
                 if lines[-1]:
                     lines.append("")
             stack.clear()
         else:
             stack.append(tok)
-    return "\n".join(line for line in lines if line != "") if any(
-        lines
-    ) else ""
 
 
 def pdf_extract_text(payload: bytes) -> list[str]:

@@ -264,6 +264,26 @@ _TEXT_TYPES = (
 )
 
 
+_CHARSET_RE = __import__("re").compile(
+    r"charset\s*=\s*\"?'?([A-Za-z0-9_.:+-]+)", __import__("re").I
+)
+
+
+def _charset_of(content_type: str) -> str:
+    """Codec named by a Content-Type charset parameter, if Python can
+    resolve it; UTF-8 otherwise (crawl headers lie — with errors=
+    'replace' a wrong-but-resolvable charset still cannot crash)."""
+    m = _CHARSET_RE.search(content_type or "")
+    if m:
+        import codecs
+
+        try:
+            return codecs.lookup(m.group(1)).name
+        except LookupError:
+            pass
+    return "utf-8"
+
+
 def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     """Response records with an HTML/plain-text content type → (uri,
     text, doc_type) rows ready for
@@ -274,9 +294,11 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     (doc_type 'pdf'; unsupported/corrupt PDFs skip quietly — this glue
     is a best-effort corpus builder, the strict path is
     ``extract_pdf_text_df(on_error='quarantine')``).
-    Bytes decode as UTF-8 with replacement (crawl charsets lie; a
-    mojibake'd document is filterable downstream, a crashed stage is
-    not). Narrow ``mapInPandas``, no shuffle."""
+    Text decodes by the Content-Type ``charset=`` parameter when one
+    is declared and resolvable, else UTF-8 — always with replacement
+    (crawl charsets lie; a mojibake'd document is filterable
+    downstream, a crashed stage is not). Narrow ``mapInPandas``, no
+    shuffle."""
     from pyspark.sql import functions as F
 
     from vectra_py_spark.sources.fetchers import html_to_markdown
@@ -311,7 +333,9 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
                         continue  # unsupported/corrupt PDFs skip quietly
                     dt = "pdf"
                 else:
-                    raw = bytes(payload).decode("utf-8", "replace")
+                    raw = bytes(payload).decode(
+                        _charset_of(ctype), "replace"
+                    )
                     if ctype.startswith("text/plain"):
                         text, dt = raw, "txt"
                     else:
