@@ -1,6 +1,7 @@
 """Ingest sources and table layout: local files, web pages,
 HTML→markdown conversion, JSONL/CSV corpus dumps
-(:mod:`.textcorpus`), bucketed tables (:mod:`.bucketed`), and
+(:mod:`.textcorpus`), WARC crawl archives + ZIP/TAR media bundles
+(:mod:`.warc`), bucketed tables (:mod:`.bucketed`), and
 small-file compaction (:mod:`.maintenance`)."""
 
 from vectra_py_spark.sources.bucketed import read_table, write_bucketed
@@ -11,6 +12,12 @@ from vectra_py_spark.sources.fetchers import (
     html_to_markdown,
 )
 from vectra_py_spark.sources.maintenance import compact_parquet
+from vectra_py_spark.sources.warc import (
+    parse_warc,
+    read_media_archive,
+    read_warc,
+    warc_documents,
+)
 from vectra_py_spark.sources.textcorpus import (
     corrupt_splitout,
     read_csv_documents,
@@ -30,4 +37,8 @@ __all__ = [
     "read_csv_documents",
     "corrupt_splitout",
     "write_jsonl",
+    "parse_warc",
+    "read_warc",
+    "read_media_archive",
+    "warc_documents",
 ]

@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "parse_warc",
     "read_warc",
+    "explode_warc",
+    "warc_documents",
     "read_media_archive",
     "synth_warc",
     "WARC_SCHEMA",
