@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Extended fuzz campaign over every byte-level parser in the repo:
+all ten media codecs (direct + auto dispatch), probe_payload, the WARC
+record parser (plain + gzip), and PDF extraction across every
+container/filter/font flavor. The contract under test is uniform —
+decode correctly or raise ValueError, NOTHING else escapes — because
+every quarantine layer (`on_error='quarantine'`, per-file WARC rows,
+`extract_pdf_text_df`) catches exactly ValueError; any other exception
+type is a failed Spark stage at crawl scale.
+
+Usage: python scripts/fuzz_campaign.py [mutations_per_target]
+Prints one JSON line; non-ValueError escapes list (target, exc_type,
+seed, index) tuples for regression pinning.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import sys
+import time
+import zlib
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import numpy as np  # noqa: E402
+
+from test_codec_fuzz import _mutations, _valid_payloads  # noqa: E402
+from test_pdf import _lzw_encode  # noqa: E402
+from vectra_py_spark.operators import multimodal as mm  # noqa: E402
+from vectra_py_spark.operators.pdf import (  # noqa: E402
+    encode_pdf,
+    pdf_extract_text,
+    pdf_info,
+)
+from vectra_py_spark.operators.probe import probe_payload  # noqa: E402
+from vectra_py_spark.sources.warc import parse_warc, synth_warc  # noqa: E402
+
+
+def _pdf_flavors() -> dict[str, bytes]:
+    pages = [["campaign line one", "two"], ["page two"]]
+    plain = encode_pdf(pages, compress=False)
+    m = re.search(rb"/Length (\d+) >>\nstream\n", plain)
+    start, length = m.end(), int(m.group(1))
+    ops = plain[start : start + length]
+
+    def rebuild(encoded: bytes, filt: bytes) -> bytes:
+        return (
+            plain[: m.start()] + filt + b" /Length "
+            + str(len(encoded)).encode() + b" >>\nstream\n" + encoded
+            + plain[start + length :]
+        )
+
+    cmap = (b"2 beginbfchar <41> <00E4> <20> <0020> endbfchar\n"
+            b"1 beginbfrange <42> <44> <0100> endbfrange\nendcmap")
+    fonty = plain.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences "
+        b"[65 /adieresis] >> /ToUnicode 99 0 R >>",
+    ) + (b"99 0 obj\n<< /Length " + str(len(cmap)).encode()
+         + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n")
+    form_body = b"BT /F1 10 Tf (formed) Tj ET"
+    formed = plain.replace(
+        b"/Contents 2 0 R >>",
+        b"/Contents 2 0 R /XObject << /X1 88 0 R >> >>", 1,
+    ) + (b"88 0 obj\n<< /Type /XObject /Subtype /Form /Length "
+         + str(len(form_body)).encode() + b" >>\nstream\n" + form_body
+         + b"\nendstream\nendobj\n")
+    return {
+        "pdf_classic": encode_pdf(pages),
+        "pdf_plain": plain,
+        "pdf_xstream": encode_pdf(pages, xref_stream=True),
+        "pdf_objstm": encode_pdf(pages, xref_stream=True, objstm=True),
+        "pdf_lzw": rebuild(_lzw_encode(ops), b"/Filter /LZWDecode"),
+        "pdf_a85": rebuild(
+            base64.a85encode(ops) + b"~>", b"/Filter /ASCII85Decode"
+        ),
+        "pdf_ahx_flate": rebuild(
+            base64.b16encode(zlib.compress(ops)) + b">",
+            b"/Filter [/ASCIIHexDecode /FlateDecode]",
+        ),
+        "pdf_fonts": fonty,
+        "pdf_form": formed,
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    t0 = time.time()
+    escapes: list[tuple] = []
+    checked = 0
+
+    def drive(target: str, payload: bytes, fns) -> None:
+        nonlocal checked
+        seed = zlib.crc32((target + "-campaign-r8").encode())
+        rng = np.random.default_rng(seed)
+        for i, mut in enumerate(_mutations(payload, rng, n)):
+            for f in fns:
+                checked += 1
+                try:
+                    f(mut)
+                except ValueError:
+                    pass
+                except Exception as exc:  # noqa: BLE001 — the contract
+                    escapes.append(
+                        (target, type(exc).__name__, seed, i, str(exc)[:120])
+                    )
+
+    for kind, payload in _valid_payloads().items():
+        decoder = "jpeg" if kind == "jpeg_prog" else kind
+        fns = [mm.DECODERS[decoder], mm.DECODERS["auto"], probe_payload]
+        drive(kind, payload, fns)
+    for name, payload in _pdf_flavors().items():
+        drive(name, payload, [pdf_extract_text, pdf_info, probe_payload])
+    warc = synth_warc(
+        [("http://x/a", b"hello body", "text/plain"),
+         ("http://x/b", b"<html><p>hi</p></html>", "text/html")]
+    )
+    drive("warc_plain", warc, [parse_warc])
+    drive("warc_gz", synth_warc(
+        [("http://x/a", b"hello body", "text/plain")], compress=True
+    ), [parse_warc])
+
+    print(json.dumps({
+        "mutations_per_target": n,
+        "targets": 10 + len(_pdf_flavors()) + 2,
+        "total_calls": checked,
+        "wall_s": round(time.time() - t0, 1),
+        "escapes": escapes[:50],
+        "n_escapes": len(escapes),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -541,6 +541,28 @@ def test_form_xobject_text_extracted():
         pdf_extract_text(loop)
 
 
+def test_read_pdf_documents_source(spark):
+    """Folder-of-PDFs → (uri, text, doc_type) rows, corrupt files
+    skipped quietly — the drop-of-PDFs ingestion shape, symmetric with
+    warc_documents; flows into upsert_documents_df."""
+    from vectra_py_spark.operators.pdf import read_pdf_documents
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "a.pdf"), "wb") as f:
+        f.write(encode_pdf([["doc a line"]]))
+    with open(os.path.join(d, "b.pdf"), "wb") as f:
+        f.write(encode_pdf([["doc b page 1"], ["doc b page 2"]],
+                           xref_stream=True, objstm=True))
+    with open(os.path.join(d, "junk.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4 not really")
+    got = {os.path.basename(r.uri): r for r in
+           read_pdf_documents(spark, d).collect()}
+    assert set(got) == {"a.pdf", "b.pdf"}
+    assert got["a.pdf"].text == "doc a line"
+    assert got["b.pdf"].text == "doc b page 1\n\ndoc b page 2"
+    assert got["b.pdf"].doc_type == "pdf"
+
+
 def test_declared_gates_refuse_loudly():
     p = synth_pdf(1, 1)
     enc = p.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)

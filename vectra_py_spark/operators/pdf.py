@@ -38,7 +38,10 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["encode_pdf", "pdf_extract_text", "pdf_info", "synth_pdf"]
+__all__ = [
+    "encode_pdf", "pdf_extract_text", "pdf_info", "synth_pdf",
+    "extract_pdf_text_df", "read_pdf_documents",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -1416,4 +1419,46 @@ def extract_pdf_text_df(
 
     return df.mapInPandas(
         run, schema="media_id STRING, page INT, text STRING, error STRING"
+    )
+
+
+def read_pdf_documents(
+    spark,
+    path: str,
+    min_chars: int = 1,
+):
+    """Directory/glob of PDF files → (uri, text, doc_type='pdf') rows
+    ready for ``SparkDocumentIndex.upsert_documents_df`` — the drop-of-
+    PDFs ingestion shape, symmetric with the WARC glue
+    (`sources/warc.py::warc_documents`). Pages join with blank lines;
+    unsupported/corrupt files skip quietly (best-effort corpus builder
+    — the strict per-page path is :func:`extract_pdf_text_df` with
+    ``on_error='quarantine'``). One narrow ``mapInPandas`` over the
+    ``binaryFile`` scan: file count is the parallelism unit, payloads
+    never shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_batch in batches:
+            rows = {"uri": [], "text": [], "doc_type": []}
+            for fpath, content in zip(
+                pdf_batch["path"], pdf_batch["content"]
+            ):
+                try:
+                    text = "\n\n".join(pdf_extract_text(bytes(content)))
+                except ValueError:
+                    continue
+                if len(text.strip()) < min_chars:
+                    continue
+                rows["uri"].append(str(fpath))
+                rows["text"].append(text)
+                rows["doc_type"].append("pdf")
+            yield pd.DataFrame(rows)
+
+    return raw.select("path", "content").mapInPandas(
+        run, schema="uri STRING, text STRING, doc_type STRING"
     )
