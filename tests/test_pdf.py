@@ -565,10 +565,13 @@ def test_read_pdf_documents_source(spark):
 
 def test_declared_gates_refuse_loudly():
     p = synth_pdf(1, 1)
+    # encryption is now SUPPORTED (test_pdf_crypto.py) — but a broken
+    # /Encrypt pointing at a missing object still refuses cleanly
     enc = p.replace(b"/Root", b"/Encrypt 9 0 R /Root", 1)
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="object 9 not found"):
         pdf_extract_text(enc)
-    # composite font
+    # composite font without Identity-H + /ToUnicode (full Type0
+    # support is in test_type0_identity_h_roundtrip)
     t0 = p.replace(b"/Subtype /Type1", b"/Subtype /Type0", 1)
     with pytest.raises(ValueError, match="Type0"):
         pdf_extract_text(t0)
@@ -692,3 +695,65 @@ def test_warc_pdf_glue(spark):
     assert docs["http://ex.org/paper.pdf"].doc_type == "pdf"
     assert "Page 0 line 0" in docs["http://ex.org/paper.pdf"].text
     assert "Page 1 line 0" in docs["http://ex.org/paper.pdf"].text
+
+
+def test_type0_identity_h_roundtrip():
+    """Composite Type0/Identity-H fonts — 2-byte CIDs decoded through
+    the /ToUnicode CMap — across every xref/compression flavor, with
+    non-latin and astral-plane text (the content type1 cannot carry).
+    CIDs are dense 1-based indexes, NOT code points, so a passing
+    round-trip proves the CMap path and not an identity shortcut."""
+    from vectra_py_spark.operators.pdf import _parse_tounicode
+
+    pages = [
+        ["Hello CID world", "second line"],
+        ["日本語テキスト", "mixed ascii 字"],
+        ["astral 𝕏 plane", ""],
+    ]
+    want = [
+        "Hello CID world\nsecond line",
+        "日本語テキスト\nmixed ascii 字",
+        "astral 𝕏 plane",
+    ]
+    for xref_stream in (False, True):
+        for objstm in ((False, True) if xref_stream else (False,)):
+            for compress in (False, True):
+                b = encode_pdf(
+                    pages, compress=compress, xref_stream=xref_stream,
+                    objstm=objstm, font="type0",
+                )
+                assert pdf_extract_text(b) == want
+                assert pdf_info(b)["n_pages"] == 3
+    raw = encode_pdf(pages, compress=False, font="type0")
+    assert b"(Hello" not in raw  # really CID hex strings, not latin-1
+    assert b"/Identity-H" in raw and b"/CIDFontType2" in raw
+    # multi-byte bfrange forms: base-increment and array, 2-byte codes
+    cmap = _parse_tounicode(
+        b"2 beginbfrange\n"
+        b"<0101> <0103> <0041>\n"
+        b"<0201> <0202> [<00580059> <005A>]\n"
+        b"endbfrange"
+    )
+    assert cmap[b"\x01\x01"] == "A" and cmap[b"\x01\x03"] == "C"
+    assert cmap[b"\x02\x01"] == "XY" and cmap[b"\x02\x02"] == "Z"
+
+
+def test_type0_gates_refuse_what_they_must():
+    """Type0 WITHOUT /ToUnicode (CIDs = glyph indexes) and predefined
+    CMap /Encoding names refuse by name — same-length byte surgery so
+    xref offsets stay valid. An unknown CID decodes as visible U+FFFD,
+    never silently wrong text; an odd trailing byte likewise."""
+    raw = encode_pdf([["abc xyz"]], compress=False, font="type0")
+    no_tu = raw.replace(b"/ToUnicode", b"/TuUnicode")
+    with pytest.raises(ValueError, match="ToUnicode"):
+        pdf_extract_text(no_tu)
+    pre = raw.replace(b"/Encoding /Identity-H", b"/Encoding /UniJIS-Qaa")
+    assert len(pre) == len(raw)
+    with pytest.raises(ValueError, match="unsupported /Encoding"):
+        pdf_extract_text(pre)
+    # CID past the CMap → U+FFFD ("abc xyz" has 6 distinct chars → CIDs
+    # 1..6; 00FF is unmapped); odd tail byte → trailing U+FFFD
+    hexed = raw.replace(b"<000200030004", b"<00FF00030004", 1)
+    assert len(hexed) == len(raw)
+    got = pdf_extract_text(hexed)
+    assert got[0].startswith("�") and got[0].endswith("xyz")

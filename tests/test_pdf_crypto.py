@@ -1,0 +1,215 @@
+"""PDF standard-security-handler crypto: AES against the FIPS-197
+Appendix C vectors, RC4 against its published vectors, record
+round-trips for every handler generation (R2/R3/R4-AESV2/R5/R6), full
+encrypted-document extraction round-trips across font and xref
+flavors, and the refusal gates (real user password, non-Standard
+handler, unknown /V//R, split crypt-filter layouts)."""
+
+import numpy as np
+import pytest
+
+from vectra_py_spark.operators.pdf import (
+    encode_pdf,
+    pdf_extract_text,
+    pdf_info,
+)
+from vectra_py_spark.operators.pdf_crypto import (
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    aes_ecb_encrypt_block,
+    compute_o,
+    compute_u,
+    hash_2b,
+    make_v5_records,
+    object_key,
+    rc4,
+    std_file_key,
+    v5_file_key,
+    verify_user_password,
+    verify_v5_password,
+)
+
+_FIPS_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
+
+
+def test_aes_fips197_appendix_c_vectors():
+    for klen, want in (
+        (16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (32, "8ea2b7ca516745bfeafc49904b496089"),
+    ):
+        ct = aes_ecb_encrypt_block(bytes(range(klen)), _FIPS_PT)
+        assert ct.hex() == want
+
+
+def test_rc4_published_vectors():
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex().upper() == (
+        "45A01F645FC35B383552544B9BF5"
+    )
+    # involution: same keystream both directions
+    assert rc4(b"k", rc4(b"k", b"data")) == b"data"
+
+
+def test_aes_cbc_roundtrip_and_padding_contract():
+    key = bytes(range(32))
+    for n in (0, 1, 15, 16, 17, 255):
+        data = (bytes(range(256)) * 2)[:n]
+        ct = aes_cbc_encrypt(key, bytes(16), data)
+        assert len(ct) % 16 == 0 and ct[:16] == bytes(16)
+        assert aes_cbc_decrypt(key, ct) == data
+    with pytest.raises(ValueError, match="too short"):
+        aes_cbc_decrypt(key, b"\x00" * 17)
+    # corrupt padding byte → ValueError, not garbage text
+    ct = bytearray(aes_cbc_encrypt(key, bytes(16), b"hello"))
+    ct[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, bytes(ct))
+
+
+def test_handler_record_roundtrips_all_revisions():
+    """Writer-side O/U(/OE/UE) records verify with the reader-side
+    algorithms for every supported revision — independent code paths
+    of the same spec."""
+    for r, length in ((2, 40), (3, 128), (4, 128)):
+        o = compute_o(b"owner", b"", r if r != 4 else 3, length)
+        key = std_file_key(b"", o, -4, b"fileid01", r, length)
+        u = compute_u(key, b"fileid01", r)
+        assert verify_user_password(b"", o, u, -4, b"fileid01", r, length) == key
+        assert (
+            verify_user_password(b"pw", o, u, -4, b"fileid01", r, length)
+            is None
+        )
+    fk = v5_file_key(7, b"seed")
+    for r in (5, 6):
+        recs = make_v5_records(fk, b"", b"owner", -4, r=r)
+        assert verify_v5_password(
+            b"", recs["O"], recs["U"], recs["OE"], recs["UE"], r
+        ) == fk
+        # the OWNER password also opens (algorithm 2.A second branch)
+        assert verify_v5_password(
+            b"owner", recs["O"], recs["U"], recs["OE"], recs["UE"], r
+        ) == fk
+        assert verify_v5_password(
+            b"nope", recs["O"], recs["U"], recs["OE"], recs["UE"], r
+        ) is None
+    # R6 hardened hash differs from the plain SHA-256 of R5
+    assert hash_2b(b"x", b"salt8888", b"", 6) != hash_2b(
+        b"x", b"salt8888", b"", 5
+    )
+    # per-object keys differ per object and per aes flag
+    k = object_key(b"0123456789abcdef", 3, 0, aes=False)
+    assert k != object_key(b"0123456789abcdef", 4, 0, aes=False)
+    assert k != object_key(b"0123456789abcdef", 3, 0, aes=True)
+
+
+_PAGES = [["secret alpha", "beta line"], ["page two text"]]
+_WANT = ["secret alpha\nbeta line", "page two text"]
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4", "aesv2", "aesv3"])
+def test_encrypted_document_roundtrip(mode):
+    """Every handler generation, over both fonts and both xref
+    flavors (with ObjStm where legal): plaintext must not appear in
+    the payload; extraction must be exact; pdf_info must see through
+    the encryption (it walks the page tree via decrypted objects)."""
+    for font in ("type1", "type0"):
+        for xref_stream, objstm in ((False, False), (True, True)):
+            b = encode_pdf(
+                _PAGES, xref_stream=xref_stream, objstm=objstm,
+                font=font, encrypt="owner-secret", encrypt_mode=mode,
+            )
+            assert b"secret alpha" not in b
+            assert pdf_extract_text(b) == _WANT
+            assert pdf_info(b)["n_pages"] == 2
+
+
+def test_encrypted_uncompressed_strings_are_ciphertext():
+    """compress=False leaves raw content streams — they must STILL be
+    unreadable (stream-level encryption), and the type0 CIDSystemInfo
+    literal strings must be ciphertext hex, not (Adobe)."""
+    b = encode_pdf(
+        _PAGES, compress=False, font="type0",
+        encrypt="owner-secret", encrypt_mode="aesv2",
+    )
+    assert b"secret alpha" not in b and b"(Adobe)" not in b
+    assert pdf_extract_text(b) == _WANT
+
+
+def test_password_protected_refuses():
+    """A document whose user password is NOT empty must refuse by
+    name — simulated by corrupting /U in place (same length, so all
+    offsets stay valid)."""
+    for mode in ("rc4", "aesv3"):
+        b = encode_pdf(_PAGES, encrypt="o", encrypt_mode=mode)
+        i = b.index(b"/U <") + 4  # first hex digit of the /U record
+        corrupted = bytearray(b)
+        corrupted[i] = ord("0") if b[i : i + 1] != b"0" else ord("1")
+        with pytest.raises(ValueError, match="password-protected"):
+            pdf_extract_text(bytes(corrupted))
+
+
+def test_unsupported_encryption_refuses_by_name():
+    b = encode_pdf(_PAGES, encrypt="o", encrypt_mode="rc4")
+    # non-Standard handler (same-length surgery)
+    ns = b.replace(b"/Filter /Standard", b"/Filter /Standarf")
+    with pytest.raises(ValueError, match="non-Standard"):
+        pdf_extract_text(ns)
+    # unknown revision pairing
+    vr = b.replace(b"/V 2 /R 3", b"/V 2 /R 9")
+    with pytest.raises(ValueError, match="unsupported PDF encryption"):
+        pdf_extract_text(vr)
+    # split /Identity crypt-filter layout (V4)
+    b4 = encode_pdf(_PAGES, encrypt="o", encrypt_mode="aesv2")
+    ident = b4.replace(b"/StrF /StdCF", b"/StrF /Identi")
+    with pytest.raises(ValueError, match="crypt-filter layout"):
+        pdf_extract_text(ident)
+    # unknown /CFM
+    cfm = b4.replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    with pytest.raises(ValueError, match="crypt-filter method"):
+        pdf_extract_text(cfm)
+
+
+def test_encrypted_fuzz_valueerror_only():
+    """Seeded mutations over an encrypted document: the ValueError-
+    only malformed contract holds with the crypto layer in the loop
+    (bad padding, truncated ciphertext, corrupted records)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_codec_fuzz import _mutations
+
+    for mode in ("rc4", "aesv2", "aesv3"):
+        base = encode_pdf([["fuzz seed text"]], encrypt="o",
+                          encrypt_mode=mode)
+        rng = np.random.default_rng(hash(mode) % (2**32))
+        for mut in _mutations(base, rng, 120):
+            try:
+                pdf_extract_text(mut)
+            except ValueError:
+                pass
+
+
+def test_quarantine_flow_with_encrypted_pdfs(spark):
+    """extract_pdf_text_df: a good encrypted PDF extracts; a password-
+    protected one quarantines with the named error."""
+    from vectra_py_spark.operators.pdf import extract_pdf_text_df
+
+    good = encode_pdf(_PAGES, encrypt="o", encrypt_mode="aesv2")
+    i = good.index(b"/U <") + 4
+    bad = bytearray(good)
+    bad[i] = ord("0") if good[i : i + 1] != b"0" else ord("1")
+    df = spark.createDataFrame(
+        [("g", bytearray(good)), ("b", bytes(bad))],
+        "media_id string, data binary",
+    )
+    rows = {
+        (r.media_id, r.page): r
+        for r in extract_pdf_text_df(df, on_error="quarantine").collect()
+    }
+    assert rows[("g", 0)].text == _WANT[0]
+    assert rows[("g", 1)].text == _WANT[1]
+    assert rows[("b", -1)].error and "password-protected" in rows[
+        ("b", -1)
+    ].error

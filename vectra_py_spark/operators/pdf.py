@@ -2,8 +2,15 @@
 the Adobe PDF 1.7 reference): the remaining big corpus source a
 training-data pipeline meets after HTML (WARC) and plain dumps (JSONL).
 
-Honest scope, stated plainly: simple-font, non-encrypted PDFs — BOTH
-cross-reference flavors. Object offsets resolve through the real
+Honest scope, stated plainly: PDFs with simple fonts OR
+Type0/Identity-H composite fonts carrying a /ToUnicode CMap (the shape
+every modern generator emits for embedded subsets) — BOTH
+cross-reference flavors, plaintext or encrypted with the standard
+security handler (RC4 40/128-bit V1/V2, crypt-filter V4 /AESV2 and
+/V2, and AES-256 V5 R5/R6 — ``pdf_crypto.py``, validated against
+FIPS-197 / published RC4 vectors) when the user password is empty,
+i.e. the common owner-password-only protection; a real user password
+refuses as password-protected. Object offsets resolve through the real
 startxref → xref chain first (classic tables, PDF 1.5+ cross-reference
 STREAMS with /W packing + FlateDecode + the TIFF/PNG row predictors,
 /Prev incremental-update chains, hybrid /XRefStm files, and type-2
@@ -18,12 +25,17 @@ octal, balanced parens, hex strings) and every text-showing operator
 extracted text its line structure. Stream filters cover what text
 streams actually use: FlateDecode, LZWDecode (TIFF-style, EarlyChange
 honored), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, chained
-filter arrays, and the TIFF/PNG DecodeParms predictors. What it does
-NOT do — CID/Type0 composite fonts (CJK subsetting), encryption, and
-the image codecs (DCTDecode/JPXDecode/CCITT/JBIG2, which never carry
-text) — raises a clear ValueError naming the gap, never silently
-wrong text: the same declared-gate discipline as the MP3/H.264 codec
-gaps.
+filter arrays, and the TIFF/PNG DecodeParms predictors. Character
+decoding covers /Encoding (WinAnsi/MacRoman/Differences) and
+/ToUnicode CMaps for simple fonts, and 2-byte-CID /ToUnicode for
+Type0/Identity-H. What it does NOT do — Type0 fonts WITHOUT
+/ToUnicode or with predefined/embedded CMap encodings (CIDs are then
+glyph indexes, undecodable without parsing the font program),
+password-protected documents (non-empty user password), non-Standard
+security handlers, and the image codecs (DCTDecode/JPXDecode/CCITT/
+JBIG2, which never carry text) — raises a clear ValueError naming the
+gap, never silently wrong text: the same declared-gate discipline as
+the MP3/H.264 codec gaps.
 Flate expansion is capped (:data:`DECOMPRESS_CEILING`) so crafted
 bombs quarantine instead of failing the stage.
 
@@ -54,14 +66,69 @@ def _escape_pdf_string(s: str) -> bytes:
     )
 
 
+def _tounicode_cmap(cid_of: dict[str, int]) -> bytes:
+    """Spec-shaped (§9.10.3) ToUnicode CMap for a 2-byte-CID font:
+    codespace <0000>–<FFFF>, bfchar blocks capped at 100 entries."""
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /SynthToUni def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    items = sorted(cid_of.items(), key=lambda kv: kv[1])
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        out.append(b"%d beginbfchar" % len(chunk))
+        for ch, cid in chunk:
+            out.append(
+                b"<%04X> <%s>"
+                % (cid, ch.encode("utf-16-be").hex().upper().encode())
+            )
+        out.append(b"endbfchar")
+    out += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(out)
+
+
 def encode_pdf(
     pages: list[list[str]],
     compress: bool = True,
     xref_stream: bool = False,
     objstm: bool = False,
+    font: str = "type1",
+    encrypt: str | None = None,
+    encrypt_mode: str = "aesv2",
 ) -> bytes:
     """List of pages, each a list of text lines → a valid PDF with one
-    Helvetica content stream per page (FlateDecode when ``compress``).
+    content stream per page (FlateDecode when ``compress``).
+
+    Font flavor: ``font='type1'`` (default) shows latin-1 text through
+    a standard Helvetica; ``font='type0'`` writes a composite
+    Type0/Identity-H font — a CIDFontType2 descendant plus a /ToUnicode
+    CMap, text shown as 2-byte big-endian CIDs in hex strings, the
+    exact shape modern generators emit for embedded subsets (and the
+    only way to carry non-latin text). CIDs are assigned densely
+    (1-based, char-sorted), deliberately NOT equal to code points, so a
+    round-trip proves the /ToUnicode path and not an identity shortcut.
+
+    Encryption flavor: ``encrypt='ownerpw'`` protects the document with
+    the standard security handler — owner password set, user password
+    EMPTY (the overwhelmingly common "no password to read, protected
+    against edits" shape). ``encrypt_mode`` picks the handler
+    generation: ``'rc4-40'`` (V1/R2), ``'rc4'`` (V2/R3/128-bit),
+    ``'aesv2'`` (V4/R4 crypt filters, AES-128 — the Acrobat 7+
+    default) or ``'aesv3'`` (V5/R6, AES-256, PDF 2.0). All strings and
+    streams are encrypted per spec (the cross-reference stream and the
+    /Encrypt dictionary's own records excepted); /ID and all salts/IVs
+    derive deterministically so fixtures are reproducible.
 
     Cross-reference flavor: a classic xref table (PDF 1.4) by default;
     ``xref_stream=True`` writes a PDF 1.5 cross-reference STREAM
@@ -69,7 +136,7 @@ def encode_pdf(
     shape every modern generator emits) and, with ``objstm=True``, also
     packs the non-stream objects (catalog, page tree, page dicts, font)
     into a compressed object stream (/Type/ObjStm) addressed by type-2
-    xref entries. Both flavors extract to IDENTICAL text — the
+    xref entries. All flavors extract to IDENTICAL text — the
     round-trip tests and the ``pdf_extract`` oracle rely on that."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
@@ -78,34 +145,129 @@ def encode_pdf(
             "objstm requires xref_stream (type-2 entries only exist in "
             "cross-reference streams)"
         )
+    if font not in ("type1", "type0"):
+        raise ValueError(f"font must be type1|type0, got {font!r}")
+    type0 = font == "type0"
     objs: list[bytes] = []  # 1-indexed
+    stream_ids: set[int] = set()  # objects that may not enter an ObjStm
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
 
+    id0 = b""
+    if encrypt is not None:
+        import hashlib as _hl
+
+        from vectra_py_spark.operators import pdf_crypto as pc
+
+        if encrypt_mode not in ("rc4-40", "rc4", "aesv2", "aesv3"):
+            raise ValueError(
+                "encrypt_mode must be rc4-40|rc4|aesv2|aesv3, got "
+                f"{encrypt_mode!r}"
+            )
+        id0 = _hl.md5(
+            repr(pages).encode() + encrypt_mode.encode()
+        ).digest()
+        opw = encrypt.encode("latin-1", "replace")
+        perm = -4  # all usage permitted; protection is against edits
+        if encrypt_mode == "aesv3":
+            fkey = pc.v5_file_key(len(pages), id0)
+            v5 = pc.make_v5_records(fkey, b"", opw, perm, r=6)
+        else:
+            enc_r, enc_v, enc_len = {
+                "rc4-40": (2, 1, 40),
+                "rc4": (3, 2, 128),
+                "aesv2": (4, 4, 128),
+            }[encrypt_mode]
+            o_rec = pc.compute_o(opw, b"", enc_r, enc_len)
+            fkey = pc.std_file_key(b"", o_rec, perm, id0, enc_r, enc_len)
+            u_rec = pc.compute_u(fkey, id0, enc_r)
+
+        def enc_bytes(num: int, data: bytes) -> bytes:
+            if encrypt_mode == "aesv3":
+                okey = fkey
+            elif encrypt_mode == "aesv2":
+                okey = pc.object_key(fkey, num, 0, aes=True)
+            else:
+                return pc.rc4(
+                    pc.object_key(fkey, num, 0, aes=False), data
+                )
+            iv = _hl.md5(b"vectra-iv:%d:" % num + id0).digest()
+            return pc.aes_cbc_encrypt(okey, iv, data)
+
+    def enc_stream(payload: bytes) -> bytes:
+        """Encrypt a stream payload with the key of the object about
+        to be added (object numbers are assigned sequentially, so the
+        upcoming number is len(objs)+1). Cross-reference streams never
+        route through here."""
+        if encrypt is None:
+            return payload
+        return enc_bytes(len(objs) + 1, payload)
+
+    def lit_str(s: bytes) -> bytes:
+        """A literal string for the object about to be added —
+        encrypted to a hex string when the handler is on, UNLESS the
+        object will ride inside an object stream (strings there are
+        covered by the ObjStm's own stream encryption, §7.5.7)."""
+        if encrypt is None or objstm:
+            return b"(" + _escape_pdf_string(s.decode("latin-1")) + b")"
+        return b"<" + enc_bytes(len(objs) + 1, s).hex().encode() + b">"
+
     page_ids = []
     content_ids = []
-    font_id = add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    if type0:
+        chars = sorted({c for lines in pages for ln in lines for c in ln})
+        cid_of = {c: i + 1 for i, c in enumerate(chars)}
+        tu = _tounicode_cmap(cid_of)
+        tu_filt = b""
+        if compress:
+            tu = zlib.compress(tu)
+            tu_filt = b"/Filter /FlateDecode "
+        tu = enc_stream(tu)
+        tu_id = add(
+            b"<< " + tu_filt + b"/Length " + str(len(tu)).encode()
+            + b" >>\nstream\n" + tu + b"\nendstream"
+        )
+        stream_ids.add(tu_id)
+        desc_id = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID"
+            b" /CIDSystemInfo << /Registry " + lit_str(b"Adobe")
+            + b" /Ordering " + lit_str(b"Identity")
+            + b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        font_id = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+            b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            b" /ToUnicode %d 0 R >>" % (desc_id, tu_id)
+        )
+    else:
+        font_id = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     pages_id_placeholder = None
     for lines in pages:
         ops = [b"BT /F1 12 Tf 14 TL 72 760 Td"]
         for i, line in enumerate(lines):
             if i:
                 ops.append(b"T*")
-            ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
+            if type0:
+                hexs = "".join("%04X" % cid_of[c] for c in line)
+                ops.append(b"<" + hexs.encode("ascii") + b"> Tj")
+            else:
+                ops.append(b"(" + _escape_pdf_string(line) + b") Tj")
         ops.append(b"ET")
         stream = b" ".join(ops)
         filt = b""
         if compress:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
+        stream = enc_stream(stream)
         content_ids.append(add(
             b"<< " + filt + b"/Length " + str(len(stream)).encode()
             + b" >>\nstream\n" + stream + b"\nendstream"
         ))
+    stream_ids.update(content_ids)
     pages_id_placeholder = len(objs) + len(pages) + 1
     for cid in content_ids:
         page_ids.append(add(
@@ -124,6 +286,41 @@ def encode_pdf(
     assert pages_id == pages_id_placeholder
     catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
+    trailer_extra = b""
+    if encrypt is not None:
+        def hx(b: bytes) -> bytes:
+            return b"<" + b.hex().encode() + b">"
+
+        if encrypt_mode == "aesv3":
+            ebody = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
+                b" /O %s /U %s /OE %s /UE %s /Perms %s"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (perm, hx(v5["O"]), hx(v5["U"]), hx(v5["OE"]),
+                   hx(v5["UE"]), hx(v5["Perms"]))
+            )
+        elif encrypt_mode == "aesv2":
+            ebody = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d"
+                b" /O %s /U %s /CF << /StdCF << /CFM /AESV2 /AuthEvent"
+                b" /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (perm, hx(o_rec), hx(u_rec))
+            )
+        else:
+            ebody = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
+                b" /O %s /U %s >>"
+                % (enc_v, enc_r, enc_len, perm, hx(o_rec), hx(u_rec))
+            )
+        encrypt_id = add(ebody)
+        # the encryption dictionary may not live in an ObjStm (§7.5.7)
+        stream_ids.add(encrypt_id)
+        idhex = hx(id0)
+        trailer_extra = b" /Encrypt %d 0 R /ID [%s %s]" % (
+            encrypt_id, idhex, idhex,
+        )
+
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0]
@@ -136,8 +333,9 @@ def encode_pdf(
         for off in offsets[1:]:
             out += b"%010d 00000 n \n" % off
         out += (
-            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, catalog_id, xref_at)
+            b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n"
+            b"%%%%EOF\n"
+            % (len(objs) + 1, catalog_id, trailer_extra, xref_at)
         )
         return bytes(out)
 
@@ -149,9 +347,8 @@ def encode_pdf(
     if objstm:
         # every non-stream object (dicts only — streams may not live in
         # an ObjStm per ISO 32000 §7.5.7) moves into one object stream
-        stream_nums = set(content_ids)
         compressed_nums = [
-            n for n in range(1, len(objs) + 1) if n not in stream_nums
+            n for n in range(1, len(objs) + 1) if n not in stream_ids
         ]
         header_parts = []
         data = bytearray()
@@ -160,6 +357,7 @@ def encode_pdf(
             data += objs[n - 1] + b"\n"
         header = b" ".join(header_parts) + b"\n"
         payload = zlib.compress(header + bytes(data))
+        payload = enc_stream(payload)
         objstm_num = add(
             b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
             b"/Length %d >>\nstream\n"
@@ -197,10 +395,11 @@ def encode_pdf(
         prev = row
     payload = zlib.compress(bytes(enc))
     out += (
-        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] "
+        b"%d 0 obj\n<< /Type /XRef /Size %d /Root %d 0 R%s /W [1 4 2] "
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 "
         b">> /Length %d >>\nstream\n"
-        % (xref_num, xref_num + 1, catalog_id, len(payload))
+        % (xref_num, xref_num + 1, catalog_id, trailer_extra,
+           len(payload))
     )
     out += payload + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
@@ -451,11 +650,18 @@ def _apply_predictor(data: bytes, pred: int, colors: int, bpc: int,
 
 
 class _Lexer:
-    """Minimal PDF object lexer over a bytes window."""
+    """Minimal PDF object lexer over a bytes window. ``decrypt`` is
+    applied to STRING productions only (literal and hex) — exactly the
+    tokens the standard security handler encrypts; names/numbers/
+    keywords share the bytes type with strings in this representation,
+    so decrypting at the two string-production sites (rather than
+    walking parsed values afterwards) is what keeps ciphertext that
+    happens to start with '/' from being mistaken for a name."""
 
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    def __init__(self, data: bytes, pos: int = 0, decrypt=None) -> None:
         self.d = data
         self.pos = pos
+        self.decrypt = decrypt
 
     def _skip_ws(self) -> None:
         d, n = self.d, len(self.d)
@@ -513,7 +719,8 @@ class _Lexer:
             if len(hexs) % 2:
                 hexs += b"0"
             self.pos = end + 1
-            return bytes.fromhex(hexs.decode("ascii"))
+            s = bytes.fromhex(hexs.decode("ascii"))
+            return self.decrypt(s) if self.decrypt else s
         # number / reference / keyword
         m = re.match(rb"[-+]?\d*\.?\d+", d[self.pos :])
         if m:
@@ -579,7 +786,10 @@ class _Lexer:
                 depth -= 1
                 self.pos += 1
                 if depth == 0:
-                    return bytes(out)
+                    return (
+                        self.decrypt(bytes(out)) if self.decrypt
+                        else bytes(out)
+                    )
                 out.append(c)
             else:
                 out.append(c)
@@ -604,6 +814,8 @@ class _Pdf:
         self.compressed: dict[int, tuple[int, int]] = {}  # → (objstm, idx)
         self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
         self.trailer: dict | None = None
+        self._crypt: tuple[str, bytes] | None = None  # (mode, file key)
+        self._encrypt_num: int | None = None
         if not self._load_xref_chain():
             self._scan_objects()
         if not self.objs and not self.compressed:
@@ -611,7 +823,119 @@ class _Pdf:
         if self.trailer is None:
             raise ValueError("PDF missing trailer")
         if b"/Encrypt" in self.trailer:
-            raise ValueError("encrypted PDF — unsupported by design")
+            self._init_crypt(self.trailer[b"/Encrypt"])
+
+    # -- standard security handler -------------------------------------
+    def _init_crypt(self, enc_ref) -> None:
+        """Set up decryption from the /Encrypt dictionary (ISO 32000
+        standard security handler): RC4 V1/V2 (R2/R3), crypt-filter V4
+        with /AESV2 or /V2-RC4 (R4), and AES-256 V5 (R5/R6). Only the
+        empty user password opens — the overwhelmingly common
+        owner-password-only protection; a real user password refuses
+        as password-protected (we cannot and should not guess)."""
+        from vectra_py_spark.operators import pdf_crypto as pc
+
+        if isinstance(enc_ref, tuple) and enc_ref[0] == "ref":
+            self._encrypt_num = enc_ref[1]
+        ed = self.deref(enc_ref)
+        if not isinstance(ed, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        filt = self.deref(ed.get(b"/Filter"))
+        if filt != b"/Standard":
+            raise ValueError(
+                f"PDF uses a non-Standard security handler {filt!r} — "
+                "unsupported"
+            )
+        v = self.deref(ed.get(b"/V", 0))
+        r = self.deref(ed.get(b"/R"))
+        o = self.deref(ed.get(b"/O"))
+        u = self.deref(ed.get(b"/U"))
+        p = self.deref(ed.get(b"/P"))
+        length = self.deref(ed.get(b"/Length", 40))
+        if not (isinstance(o, bytes) and isinstance(u, bytes)
+                and isinstance(p, int) and isinstance(r, int)
+                and isinstance(v, int) and isinstance(length, int)):
+            raise ValueError("PDF /Encrypt entries have wrong types")
+        ids = self.deref(self.trailer.get(b"/ID"))
+        id0 = self.deref(ids[0]) if (
+            isinstance(ids, list) and ids
+        ) else b""
+        if not isinstance(id0, bytes):
+            raise ValueError("PDF /ID is not a string pair")
+        em = self.deref(ed.get(b"/EncryptMetadata", True))
+        em = bool(em) if isinstance(em, (bool, int)) else True
+        if v in (1, 2) and r in (2, 3):
+            key = pc.verify_user_password(
+                b"", o, u, p, id0, r, length if v == 2 else 40
+            )
+            mode = "rc4"
+        elif v == 4 and r == 4:
+            mode = self._crypt_filter_mode(ed)
+            key = pc.verify_user_password(
+                b"", o, u, p, id0, r, length, em
+            )
+        elif v == 5 and r in (5, 6):
+            oe = self.deref(ed.get(b"/OE"))
+            ue = self.deref(ed.get(b"/UE"))
+            if not (isinstance(oe, bytes) and isinstance(ue, bytes)):
+                raise ValueError("PDF V5 /OE and /UE records missing")
+            key = pc.verify_v5_password(b"", o, u, oe, ue, r)
+            mode = "aesv3"
+        else:
+            raise ValueError(
+                f"unsupported PDF encryption /V {v} /R {r}"
+            )
+        if key is None:
+            raise ValueError(
+                "password-protected PDF — cannot decrypt without the "
+                "user password"
+            )
+        self._crypt = (mode, key)
+
+    def _crypt_filter_mode(self, ed: dict) -> str:
+        """V4 crypt filters: both /StmF and /StrF must name the same
+        /StdCF whose /CFM is /AESV2 or /V2 (RC4) — the only layouts
+        real writers emit; split or /Identity layouts refuse."""
+        stmf = self.deref(ed.get(b"/StmF", b"/Identity"))
+        strf = self.deref(ed.get(b"/StrF", b"/Identity"))
+        if stmf != b"/StdCF" or strf != b"/StdCF":
+            raise ValueError(
+                f"unsupported PDF crypt-filter layout /StmF {stmf!r} "
+                f"/StrF {strf!r} — only /StdCF for both is supported"
+            )
+        cf = self.deref(ed.get(b"/CF"))
+        stdcf = self.deref(cf.get(b"/StdCF")) if isinstance(
+            cf, dict
+        ) else None
+        cfm = self.deref(stdcf.get(b"/CFM")) if isinstance(
+            stdcf, dict
+        ) else None
+        if cfm == b"/AESV2":
+            return "aesv2"
+        if cfm == b"/V2":
+            return "rc4"
+        raise ValueError(
+            f"unsupported PDF crypt-filter method {cfm!r} — only "
+            "/AESV2 and /V2 are supported"
+        )
+
+    def _decryptor(self, num: int, gen: int):
+        """String/stream decrypt callable for object ``num`` — None
+        when the document is plaintext or for the /Encrypt dictionary
+        itself (its strings are never encrypted, spec §7.6.2)."""
+        if self._crypt is None or num == self._encrypt_num:
+            return None
+        from vectra_py_spark.operators import pdf_crypto as pc
+
+        mode, key = self._crypt
+        if mode == "rc4":
+            okey = pc.object_key(key, num, gen, aes=False)
+            return lambda s: pc.rc4(okey, s)
+        if mode == "aesv2":
+            okey = pc.object_key(key, num, gen, aes=True)
+        else:  # aesv3: the file key is used directly (spec §7.6.4.2)
+            okey = key
+        return lambda s: pc.aes_cbc_decrypt(okey, s)
 
     # -- cross-reference chain ---------------------------------------
     def _load_xref_chain(self) -> bool:
@@ -850,7 +1174,8 @@ class _Pdf:
         m = _OBJ_RE.match(self.d, off)
         if m is None:
             raise ValueError(f"PDF object {num}: no header at offset {off}")
-        lex = _Lexer(self.d, m.end())
+        dec = self._decryptor(num, int(m.group(2)))
+        lex = _Lexer(self.d, m.end(), decrypt=dec)
         val = lex.parse()
         if isinstance(val, dict):
             lex._skip_ws()
@@ -866,6 +1191,11 @@ class _Pdf:
                 raw = self.d[p : p + length]
                 if len(raw) != length:
                     raise ValueError("PDF stream truncated")
+                if dec is not None and val.get(b"/Type") != b"/XRef":
+                    # stream bytes decrypt with the object's key;
+                    # cross-reference streams are never encrypted
+                    # (spec §7.5.8.2)
+                    raw = dec(raw)
                 return ("stream", val, raw)
         return val
 
@@ -1132,11 +1462,13 @@ def _encoding_table(pdf: "_Pdf", fd: dict) -> list[str]:
     return table
 
 
-def _parse_tounicode(data: bytes) -> dict[int, str]:
-    """/ToUnicode CMap → byte→str map (simple fonts: 1-byte codes,
-    UTF-16BE targets). bfchar pairs and bfrange spans (both the
-    base-increment and the array form)."""
-    out: dict[int, str] = {}
+def _parse_tounicode(data: bytes) -> dict[bytes, str]:
+    """/ToUnicode CMap → code-bytes→str map, UTF-16BE targets. The
+    source hex string's BYTE LENGTH is the code width (spec §9.10.3):
+    1 byte for simple fonts, 2 for Type0/Identity CIDs — widths 1–4
+    accepted. bfchar pairs and bfrange spans (both the base-increment
+    and the array form)."""
+    out: dict[bytes, str] = {}
 
     def utf16(b: bytes) -> str:
         return b.decode("utf-16-be", "replace")
@@ -1150,8 +1482,8 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                     break
                 src, dst = lex.parse(), lex.parse()
                 if (isinstance(src, bytes) and isinstance(dst, bytes)
-                        and len(src) == 1):
-                    out[src[0]] = utf16(dst)
+                        and 1 <= len(src) <= 4):
+                    out[src] = utf16(dst)
         except _PARSE_ERRS:
             continue
     for sect in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
@@ -1163,18 +1495,25 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                     break
                 lo, hi, dst = lex.parse(), lex.parse(), lex.parse()
                 if not (isinstance(lo, bytes) and isinstance(hi, bytes)
-                        and len(lo) == 1 and len(hi) == 1
-                        and lo[0] <= hi[0]):
+                        and len(lo) == len(hi) and 1 <= len(lo) <= 4):
+                    continue
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                # cap span size: a crafted <00000000> <FFFFFFFF> range
+                # must not allocate 4G entries
+                if not lo_i <= hi_i <= lo_i + (1 << 16):
                     continue
                 if isinstance(dst, list):
                     for i, d in enumerate(dst):
-                        if isinstance(d, bytes) and lo[0] + i <= hi[0]:
-                            out[lo[0] + i] = utf16(d)
+                        if isinstance(d, bytes) and lo_i + i <= hi_i:
+                            out[(lo_i + i).to_bytes(len(lo), "big")] = (
+                                utf16(d)
+                            )
                 elif isinstance(dst, bytes) and dst:
                     start = int.from_bytes(dst, "big")
-                    for c in range(lo[0], hi[0] + 1):
-                        out[c] = utf16(
-                            (start + c - lo[0]).to_bytes(len(dst), "big")
+                    for c in range(lo_i, hi_i + 1):
+                        out[c.to_bytes(len(lo), "big")] = utf16(
+                            (start + c - lo_i).to_bytes(len(dst), "big")
                         )
         except _PARSE_ERRS:
             continue
@@ -1186,7 +1525,7 @@ def _font_decoder(pdf: "_Pdf", fd: dict):
     map modern generators write) wins per code; /Encoding fills the
     gaps; latin-1 is the base default."""
     table = _encoding_table(pdf, fd)
-    cmap: dict[int, str] = {}
+    cmap: dict[bytes, str] = {}
     tu = fd.get(b"/ToUnicode")
     if tu is not None:
         try:
@@ -1195,14 +1534,51 @@ def _font_decoder(pdf: "_Pdf", fd: dict):
             cmap = {}
     if cmap:
         return lambda bs: "".join(
-            cmap[b] if b in cmap else table[b] for b in bs
+            cmap.get(bs[i : i + 1], table[bs[i]]) for i in range(len(bs))
         )
     return lambda bs: "".join(table[b] for b in bs)
 
 
+def _type0_decoder(pdf: "_Pdf", fd: dict):
+    """Composite (Type0) font → bytes→str decoder. Supported regime:
+    /Encoding /Identity-H (or -V) — text bytes are 2-byte big-endian
+    CIDs, the shape every modern generator (word processors, browsers,
+    TeX engines) emits for embedded font subsets — WITH the /ToUnicode
+    CMap those generators write precisely so extraction works. Without
+    /ToUnicode the CIDs are glyph indexes into the embedded font
+    program, genuinely undecodable without font parsing — refuse by
+    name rather than emit mojibake; predefined CMap names (/UniJIS-…)
+    and embedded CMap streams likewise refuse."""
+    enc = pdf.deref(fd.get(b"/Encoding"))
+    if enc not in (b"/Identity-H", b"/Identity-V"):
+        raise ValueError(
+            f"PDF Type0 font with unsupported /Encoding {enc!r} — only "
+            "the Identity-H/V composite encodings are supported"
+        )
+    tu = fd.get(b"/ToUnicode")
+    if tu is None:
+        raise ValueError(
+            "PDF Type0/Identity font without /ToUnicode — CIDs are "
+            "glyph indexes; unsupported without the embedded font program"
+        )
+    cmap = _parse_tounicode(pdf.stream_data(pdf.deref(tu)))
+
+    def dec(bs: bytes) -> str:
+        tail = ""
+        if len(bs) % 2:  # odd trailing byte: visible unknown
+            bs, tail = bs[:-1], "�"
+        return "".join(
+            cmap.get(bs[i : i + 2], "�") for i in range(0, len(bs), 2)
+        ) + tail
+
+    return dec
+
+
 def _build_decoders(pdf: _Pdf, res: dict) -> dict[bytes, object]:
-    """Per-font byte→char decoders for a resource dict; refuses
-    composite fonts (CID codes, not characters — never mojibake)."""
+    """Per-font byte→char decoders for a resource dict. Simple fonts
+    decode via /Encoding + /ToUnicode; Type0/Identity composite fonts
+    via their 2-byte-CID /ToUnicode map (other composite regimes refuse
+    loudly — never mojibake)."""
     fonts = pdf.deref(res.get(b"/Font")) if isinstance(res, dict) else None
     decoders: dict[bytes, object] = {}
     if isinstance(fonts, dict):
@@ -1211,11 +1587,9 @@ def _build_decoders(pdf: _Pdf, res: dict) -> dict[bytes, object]:
             if not isinstance(fd, dict):
                 continue
             if fd.get(b"/Subtype") == b"/Type0":
-                raise ValueError(
-                    "PDF uses a composite (Type0/CID) font — text bytes "
-                    "are CID codes; unsupported without a PDF library"
-                )
-            decoders[fname] = _font_decoder(pdf, fd)
+                decoders[fname] = _type0_decoder(pdf, fd)
+            else:
+                decoders[fname] = _font_decoder(pdf, fd)
     return decoders
 
 
@@ -1319,7 +1693,7 @@ def _walk_content(pdf: _Pdf, data: bytes, res: dict, lines: list[str],
 
 def pdf_extract_text(payload: bytes) -> list[str]:
     """PDF bytes → one extracted-text string per page. Unsupported
-    constructs (encryption, xref streams, composite fonts, exotic
+    constructs (encryption, non-Identity composite encodings, exotic
     filters) refuse with a ValueError naming the gap."""
     try:
         pdf = _Pdf(payload)
