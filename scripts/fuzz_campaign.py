@@ -86,6 +86,16 @@ def _pdf_flavors() -> dict[str, bytes]:
         ),
         "pdf_fonts": fonty,
         "pdf_form": formed,
+        "pdf_type0": encode_pdf(pages, font="type0"),
+        "pdf_rc4": encode_pdf(pages, encrypt="o", encrypt_mode="rc4"),
+        "pdf_rc4_40": encode_pdf(pages, encrypt="o", encrypt_mode="rc4-40"),
+        "pdf_aesv2": encode_pdf(
+            pages, font="type0", encrypt="o", encrypt_mode="aesv2"
+        ),
+        "pdf_aesv3": encode_pdf(
+            pages, encrypt="o", encrypt_mode="aesv3",
+            xref_stream=True, objstm=True,
+        ),
     }
 
 
@@ -122,13 +132,25 @@ def main() -> None:
          ("http://x/b", b"<html><p>hi</p></html>", "text/html")]
     )
     drive("warc_plain", warc, [parse_warc])
+    from vectra_py_spark.operators.office import (
+        encode_docx, encode_epub, encode_odt, encode_pptx,
+        office_extract_text,
+    )
+    office_targets = {
+        "docx": encode_docx(["campaign line one", "two\tthree"]),
+        "pptx": encode_pptx([["slide one"], ["slide two"]]),
+        "odt": encode_odt(["campaign line one"]),
+        "epub": encode_epub([("t", "<p>campaign body</p>")]),
+    }
+    for name, payload in office_targets.items():
+        drive(name, payload, [office_extract_text, probe_payload])
     drive("warc_gz", synth_warc(
         [("http://x/a", b"hello body", "text/plain")], compress=True
     ), [parse_warc])
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 2,
+        "targets": 10 + len(_pdf_flavors()) + 4 + 2,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

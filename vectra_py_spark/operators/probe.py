@@ -203,6 +203,25 @@ def _probe_payload(payload: bytes) -> dict:
 
         info = pdf_info(payload)
         return {"kind": "pdf", "n_frames": info["n_pages"]}
+    if payload[:4] == b"PK\x03\x04":
+        # ZIP-based documents: kind from marker members alone (a
+        # central-directory read — no XML parse, stays header-cheap)
+        from vectra_py_spark.operators.office import _SLIDE_RE, _open_zip
+
+        with _open_zip(payload) as zf:
+            names = zf.namelist()
+        n_slides = sum(1 for n in names if _SLIDE_RE.match(n))
+        if "word/document.xml" in names:
+            return {"kind": "docx"}
+        if n_slides:
+            return {"kind": "pptx", "n_frames": n_slides}
+        if "META-INF/container.xml" in names:
+            return {"kind": "epub"}
+        if "content.xml" in names:
+            return {"kind": "odt"}
+        raise ValueError(
+            "ZIP payload is not a recognized document format"
+        )
     # MP3 last: its sync is the weakest magic (0xFFEx or an ID3 tag)
     if payload[:3] == b"ID3" or (
         len(payload) > 1

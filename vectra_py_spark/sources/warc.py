@@ -262,7 +262,14 @@ def explode_warc(raw: DataFrame) -> DataFrame:
 
 
 _TEXT_TYPES = (
-    "text/html", "application/xhtml", "text/plain", "application/pdf"
+    "text/html", "application/xhtml", "text/plain", "application/pdf",
+    # ZIP-based document formats (operators/office.py)
+    "application/vnd.openxmlformats-officedocument.wordprocessingml"
+    ".document",
+    "application/vnd.openxmlformats-officedocument.presentationml"
+    ".presentation",
+    "application/vnd.oasis.opendocument.text",
+    "application/epub+zip",
 )
 
 
@@ -292,10 +299,13 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     ``SparkDocumentIndex.upsert_documents_df`` — the crawl→corpus glue:
     HTML renders through the same ``html_to_markdown`` the web fetcher
     uses (doc_type 'md'), plain text passes through (doc_type 'txt'),
-    and application/pdf records extract through the real PDF parser
-    (doc_type 'pdf'; unsupported/corrupt PDFs skip quietly — this glue
-    is a best-effort corpus builder, the strict path is
-    ``extract_pdf_text_df(on_error='quarantine')``).
+    application/pdf records extract through the real PDF parser
+    (doc_type 'pdf'), and the ZIP-based document types — DOCX, PPTX,
+    ODT, EPUB — extract through ``operators/office.py`` (doc_type
+    matching the format; unsupported/corrupt documents skip quietly —
+    this glue is a best-effort corpus builder, the strict paths are
+    ``extract_pdf_text_df`` / ``extract_office_text_df`` with
+    ``on_error='quarantine'``).
     Text decodes by the Content-Type ``charset=`` parameter when one
     is declared and resolvable, else UTF-8 — always with replacement
     (crawl charsets lie; a mojibake'd document is filterable
@@ -303,19 +313,18 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     shuffle."""
     from pyspark.sql import functions as F
 
+    from vectra_py_spark.operators.office import OFFICE_MIME_TYPES
     from vectra_py_spark.sources.fetchers import html_to_markdown
 
+    type_pred = F.col("content_type").startswith(_TEXT_TYPES[0])
+    for t in _TEXT_TYPES[1:]:
+        type_pred = type_pred | F.col("content_type").startswith(t)
     text_like = records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.col("url").isNotNull()
         & F.col("content_type").isNotNull()
-        & (
-            F.col("content_type").startswith(_TEXT_TYPES[0])
-            | F.col("content_type").startswith(_TEXT_TYPES[1])
-            | F.col("content_type").startswith(_TEXT_TYPES[2])
-            | F.col("content_type").startswith(_TEXT_TYPES[3])
-        )
+        & type_pred
     ).select("url", "content_type", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -334,6 +343,17 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
                     except ValueError:
                         continue  # unsupported/corrupt PDFs skip quietly
                     dt = "pdf"
+                elif any(
+                    ctype.startswith(t) for t in OFFICE_MIME_TYPES
+                ):
+                    from vectra_py_spark.operators.office import (
+                        office_extract_text,
+                    )
+
+                    try:
+                        dt, text = office_extract_text(bytes(payload))
+                    except ValueError:
+                        continue  # corrupt/legacy-binary docs skip
                 else:
                     raw = bytes(payload).decode(
                         _charset_of(ctype), "replace"
