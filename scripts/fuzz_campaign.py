@@ -133,10 +133,14 @@ def main() -> None:
     )
     drive("warc_plain", warc, [parse_warc])
     from vectra_py_spark.operators.office import (
-        encode_docx, encode_epub, encode_odt, encode_pptx,
+        encode_docx, encode_epub, encode_odt, encode_pptx, encode_xlsx,
         office_extract_text,
     )
+    from vectra_py_spark.operators.rtf import encode_rtf
+
     office_targets = {
+        "xlsx": encode_xlsx([[["campaign", "1"], ["cells", "2.5"]]]),
+        "rtf": encode_rtf(["campaign café 日本語", "second para"]),
         "docx": encode_docx(["campaign line one", "two\tthree"]),
         "pptx": encode_pptx([["slide one"], ["slide two"]]),
         "odt": encode_odt(["campaign line one"]),
@@ -150,7 +154,7 @@ def main() -> None:
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 4 + 2,
+        "targets": 10 + len(_pdf_flavors()) + 6 + 2,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

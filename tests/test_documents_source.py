@@ -1,0 +1,106 @@
+"""Folder-of-anything ingestion (`sources/documents.py`): magic-byte
+dispatch across every supported format in one directory, HTML vs
+plain-text sniffing, binary-garbage skipping, end-to-end into a
+document index."""
+
+import os
+import tempfile
+
+import pytest
+
+from vectra_py_spark.sources.documents import (
+    extract_any_document,
+    read_documents,
+)
+
+
+def test_extract_any_document_dispatch():
+    from vectra_py_spark.operators.office import encode_docx
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    assert extract_any_document(encode_pdf([["pdf body"]])) == (
+        "pdf", "pdf body"
+    )
+    assert extract_any_document(encode_docx(["docx body"])) == (
+        "docx", "docx body"
+    )
+    assert extract_any_document(encode_rtf(["rtf body"])) == (
+        "rtf", "rtf body"
+    )
+    kind, text = extract_any_document(
+        b"<!DOCTYPE html><html><body><h1>Title</h1><p>para</p></body>"
+        b"</html>"
+    )
+    assert kind == "md" and "# Title" in text and "para" in text
+    assert extract_any_document(b"just plain notes\n") == (
+        "txt", "just plain notes\n"
+    )
+    # OLE routes to the office gate (named refusal), binary garbage to
+    # the magic gate — both ValueError
+    with pytest.raises(ValueError, match="OLE"):
+        extract_any_document(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1rest")
+    with pytest.raises(ValueError, match="binary payload"):
+        extract_any_document(bytes(range(256)) * 16)
+
+
+def test_read_documents_mixed_folder(spark):
+    from vectra_py_spark.operators.office import encode_epub, encode_xlsx
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    d = tempfile.mkdtemp()
+    fixtures = {
+        "a.pdf": encode_pdf([["pdf page text"]]),
+        # encrypted PDFs open transparently (owner-password-only)
+        "enc.pdf": encode_pdf(
+            [["secret pdf text"]], encrypt="o", encrypt_mode="aesv2"
+        ),
+        "b.epub": encode_epub([("c", "<p>epub chapter</p>")]),
+        "c.rtf": encode_rtf(["rtf memo"]),
+        "d.xlsx": encode_xlsx([[["sheet", "cells"]]]),
+        "e.html": b"<html><body><p>web page para</p></body></html>",
+        "f.txt": b"plain text file",
+        "junk.bin": bytes(range(256)) * 8,
+    }
+    for name, data in fixtures.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+    docs = {
+        os.path.basename(r.uri): r
+        for r in read_documents(spark, d).collect()
+    }
+    assert set(docs) == {
+        "a.pdf", "enc.pdf", "b.epub", "c.rtf", "d.xlsx", "e.html",
+        "f.txt",
+    }
+    assert docs["a.pdf"].doc_type == "pdf"
+    assert docs["enc.pdf"].text == "secret pdf text"
+    assert docs["b.epub"].doc_type == "epub"
+    assert docs["c.rtf"].text == "rtf memo"
+    assert docs["d.xlsx"].text == "sheet\tcells"
+    assert docs["e.html"].doc_type == "md"
+    assert "web page para" in docs["e.html"].text
+    assert docs["f.txt"].doc_type == "txt"
+
+
+def test_folder_to_index_e2e(spark):
+    """The one-call path a user actually runs: folder → read_documents
+    → upsert_documents_df → retrieval sees the content."""
+    from vectra_py_spark.document_index import SparkDocumentIndex
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "memo.rtf"), "wb") as f:
+        f.write(encode_rtf(["the quarterly revenue memo discusses targets"]))
+    with open(os.path.join(d, "note.txt"), "wb") as f:
+        f.write(b"an unrelated note about gardening and tomato plants")
+    ix_path = os.path.join(tempfile.mkdtemp(), "ix")
+    ix = SparkDocumentIndex(spark, ix_path, vector_dim=32)
+    ix.create()
+    ix.upsert_documents_df(read_documents(spark, d))
+    got = ix.query_documents(
+        "quarterly revenue targets", max_documents=1
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["uri"].endswith("memo.rtf")

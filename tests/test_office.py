@@ -16,6 +16,8 @@ import pytest
 from vectra_py_spark.operators.office import (
     MEMBER_CEILING,
     docx_extract_text,
+    encode_xlsx,
+    xlsx_extract_text,
     encode_docx,
     encode_epub,
     encode_odt,
@@ -45,6 +47,29 @@ def test_pptx_roundtrip_slide_order():
     got = pptx_extract_text(p)
     assert got == [f"slide {i} title\nbody {i}" for i in range(11)]
     assert office_extract_text(p)[0] == "pptx"
+
+
+def test_xlsx_roundtrip():
+    """Sheets in numeric order, rows as tab-joined lines; shared
+    strings (incl. the rich-run <r><t> shape the writer alternates),
+    literal numerics, and a dangling sst reference degrading to
+    empty — never a crash."""
+    sheets = [
+        [["Name", "Qty", "Note"],
+         ["alpha", "3", "first row"],
+         ["beta", "4.5", "日本語"]],
+        [["second sheet cell"]],
+    ]
+    x = encode_xlsx(sheets)
+    assert xlsx_extract_text(x) == [
+        "Name\tQty\tNote\nalpha\t3\tfirst row\nbeta\t4.5\t日本語",
+        "second sheet cell",
+    ]
+    assert office_extract_text(x)[0] == "xlsx"
+    # dangling shared-string index → empty cell, not IndexError
+    bad = x.replace(b't="s"><v>0<', b't="s"><v>9<', 1)
+    flat = xlsx_extract_text(bad)[0]
+    assert flat.startswith("\tQty") or "\t" in flat
 
 
 def test_odt_roundtrip():
@@ -114,6 +139,7 @@ def test_malformed_contract_fuzz():
     for base in (
         encode_docx(["fuzz seed"]),
         encode_pptx([["fuzz seed"]]),
+        encode_xlsx([[["fuzz", "seed"], ["1", "2"]]]),
         encode_odt(["fuzz seed"]),
         encode_epub([("t", "<p>fuzz seed</p>")]),
     ):
@@ -155,6 +181,8 @@ def test_probe_triage_kinds():
     p = probe_payload(encode_pptx([["a"], ["b"], ["c"]]))
     assert p["kind"] == "pptx" and p["n_frames"] == 3
     assert probe_payload(encode_odt(["x"]))["kind"] == "odt"
+    px = probe_payload(encode_xlsx([[["a"]], [["b"]]]))
+    assert px["kind"] == "xlsx" and px["n_frames"] == 2
     assert probe_payload(
         encode_epub([("t", "<p>x</p>")])
     )["kind"] == "epub"

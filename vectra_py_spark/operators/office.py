@@ -1,9 +1,10 @@
 """Office / e-book document text extraction — pure stdlib, from the
-public container specs: DOCX and PPTX (OOXML, ECMA-376 — ZIP +
-WordprocessingML/PresentationML parts), ODT (OASIS OpenDocument —
+public container specs: DOCX, PPTX and XLSX (OOXML, ECMA-376 — ZIP +
+WordprocessingML/PresentationML/SpreadsheetML parts), ODT (OASIS OpenDocument —
 ZIP + content.xml), and EPUB (OCF/OPF — ZIP + spine-ordered XHTML
 chapters rendered through the same ``html_to_markdown`` the web
-fetcher and WARC glue use). Together with PDF (operators/pdf.py),
+fetcher and WARC glue use); ``office_extract_text`` also dispatches
+RTF payloads to :mod:`.rtf`. Together with PDF (operators/pdf.py),
 HTML (sources/fetchers.py) and WARC (sources/warc.py) this closes the
 document-format family a crawl-scale corpus actually contains.
 
@@ -32,11 +33,13 @@ from xml.etree import ElementTree as ET
 __all__ = [
     "docx_extract_text",
     "pptx_extract_text",
+    "xlsx_extract_text",
     "odt_extract_text",
     "epub_extract_markdown",
     "office_extract_text",
     "encode_docx",
     "encode_pptx",
+    "encode_xlsx",
     "encode_odt",
     "encode_epub",
     "extract_office_text_df",
@@ -57,8 +60,12 @@ OFFICE_MIME_TYPES = {
     ".wordprocessingml.document": "docx",
     "application/vnd.openxmlformats-officedocument"
     ".presentationml.presentation": "pptx",
+    "application/vnd.openxmlformats-officedocument"
+    ".spreadsheetml.sheet": "xlsx",
     "application/vnd.oasis.opendocument.text": "odt",
     "application/epub+zip": "epub",
+    "application/rtf": "rtf",
+    "text/rtf": "rtf",
 }
 
 
@@ -238,6 +245,81 @@ def odt_extract_text(payload: bytes) -> str:
 
 
 # ---------------------------------------------------------------------------
+# XLSX (SpreadsheetML)
+# ---------------------------------------------------------------------------
+_SHEET_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = _parse_xml(
+        _read_member(zf, "xl/sharedStrings.xml"), "xl/sharedStrings.xml"
+    )
+    out = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        # plain <t> or rich-text runs <r><t>…: concatenating every
+        # descendant t covers both
+        out.append("".join(
+            el.text or "" for el in si.iter() if _local(el.tag) == "t"
+        ))
+    return out
+
+
+def xlsx_extract_text(payload: bytes) -> list[str]:
+    """XLSX bytes → one text string per worksheet (numeric member
+    order — the order every real generator writes), rows as
+    tab-joined cell lines. Shared strings (plain and rich-run),
+    inline strings, and literal/formula-cached values all land;
+    numbers print as stored."""
+    with _open_zip(payload) as zf:
+        sheets = sorted(
+            (int(m.group(1)), n)
+            for n in zf.namelist()
+            if (m := _SHEET_RE.match(n))
+        )
+        if not sheets:
+            raise ValueError("XLSX contains no xl/worksheets/sheetN.xml")
+        sst = _shared_strings(zf)
+        out = []
+        for _num, name in sheets:
+            root = _parse_xml(_read_member(zf, name), name)
+            lines = []
+            for row in root.iter():
+                if _local(row.tag) != "row":
+                    continue
+                cells = []
+                for c in row:
+                    if _local(c.tag) != "c":
+                        continue
+                    ctype = c.get("t", "n")
+                    text = ""
+                    if ctype == "inlineStr":
+                        text = "".join(
+                            el.text or "" for el in c.iter()
+                            if _local(el.tag) == "t"
+                        )
+                    else:
+                        v = next(
+                            (el for el in c if _local(el.tag) == "v"),
+                            None,
+                        )
+                        if v is not None:
+                            text = v.text or ""
+                            if ctype == "s":
+                                try:
+                                    text = sst[int(text)]
+                                except (ValueError, IndexError):
+                                    text = ""  # dangling sst ref
+                    cells.append(text)
+                lines.append("\t".join(cells))
+            out.append("\n".join(lines))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # EPUB (OCF container → OPF spine → XHTML chapters → markdown)
 # ---------------------------------------------------------------------------
 def epub_extract_markdown(payload: bytes) -> list[str]:
@@ -290,21 +372,27 @@ def epub_extract_markdown(payload: bytes) -> list[str]:
 # Auto-detect
 # ---------------------------------------------------------------------------
 def office_extract_text(payload: bytes) -> tuple[str, str]:
-    """Auto-detect the ZIP-based document kind and extract: returns
-    (doc_type, text) with doc_type in docx|pptx|odt|epub. EPUB/PPTX
-    chapters/slides join with blank lines."""
+    """Auto-detect the document kind and extract: returns (doc_type,
+    text) with doc_type in docx|pptx|xlsx|odt|epub|rtf.
+    EPUB/PPTX/XLSX chapters/slides/sheets join with blank lines."""
+    if payload[:5] == b"{\\rtf":
+        from vectra_py_spark.operators.rtf import rtf_extract_text
+
+        return "rtf", rtf_extract_text(payload)
     with _open_zip(payload) as zf:
         names = set(zf.namelist())
     if "word/document.xml" in names:
         return "docx", docx_extract_text(payload)
     if any(_SLIDE_RE.match(n) for n in names):
         return "pptx", "\n\n".join(pptx_extract_text(payload))
+    if "xl/workbook.xml" in names:
+        return "xlsx", "\n\n".join(xlsx_extract_text(payload))
     if "META-INF/container.xml" in names:
         return "epub", "\n\n".join(epub_extract_markdown(payload))
     if "content.xml" in names:
         return "odt", odt_extract_text(payload)
     raise ValueError(
-        "ZIP payload is none of docx/pptx/odt/epub (no recognized "
+        "ZIP payload is none of docx/pptx/xlsx/odt/epub (no recognized "
         "marker member)"
     )
 
@@ -417,6 +505,94 @@ def encode_pptx(slides: list[list[str]]) -> bytes:
         'ion/xml"/>' + "".join(overrides) + "</Types>"
     ).encode()
     return _zip_bytes([("[Content_Types].xml", ctypes)] + members)
+
+
+_S_NS = (
+    "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+)
+
+
+def _col_name(j: int) -> str:
+    out = ""
+    j += 1
+    while j:
+        j, rem = divmod(j - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def encode_xlsx(sheets: list[list[list[str]]]) -> bytes:
+    """Per-sheet grids (rows of string cells) → a minimal valid XLSX.
+    Numeric-looking cells store literally; strings go through
+    sharedStrings, alternating plain <t> and rich-run <r><t> shapes so
+    the reader's run concatenation is exercised."""
+    if not sheets:
+        raise ValueError("encode_xlsx needs at least one sheet")
+    strings: list[str] = []
+    sidx: dict[str, int] = {}
+    members: list[tuple[str, bytes]] = []
+    for i, rows in enumerate(sheets, 1):
+        rws = []
+        for r, row in enumerate(rows, 1):
+            cells = []
+            for j, val in enumerate(row):
+                ref = f"{_col_name(j)}{r}"
+                if re.fullmatch(r"-?\d+(\.\d+)?", val):
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+                else:
+                    if val not in sidx:
+                        sidx[val] = len(strings)
+                        strings.append(val)
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{sidx[val]}</v></c>'
+                    )
+            rws.append(f'<row r="{r}">{"".join(cells)}</row>')
+        sheet = (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_S_NS}"><sheetData>{"".join(rws)}'
+            f"</sheetData></worksheet>"
+        ).encode()
+        members.append((f"xl/worksheets/sheet{i}.xml", sheet))
+    sis = []
+    for k, s in enumerate(strings):
+        t = f'<t xml:space="preserve">{_xml_escape(s)}</t>'
+        sis.append(
+            f"<si>{t}</si>" if k % 2 == 0 else f"<si><r>{t}</r></si>"
+        )
+    sst = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_S_NS}" count="{len(strings)}" '
+        f'uniqueCount="{len(strings)}">{"".join(sis)}</sst>'
+    ).encode()
+    wb_sheets = "".join(
+        f'<sheet name="Sheet{i}" sheetId="{i}" r:id="rId{i}"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    workbook = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_S_NS}" xmlns:r="http://schemas.openxmlform'
+        f'ats.org/officeDocument/2006/relationships"><sheets>{wb_sheets}'
+        f"</sheets></workbook>"
+    ).encode()
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
+        f'"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        f'worksheet+xml"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" ContentType="applicat'
+        'ion/xml"/><Override PartName="/xl/workbook.xml" ContentType="'
+        'application/vnd.openxmlformats-officedocument.spreadsheetml.s'
+        'heet.main+xml"/>' + overrides + "</Types>"
+    ).encode()
+    return _zip_bytes(
+        [("[Content_Types].xml", ctypes),
+         ("xl/workbook.xml", workbook),
+         ("xl/sharedStrings.xml", sst)] + members
+    )
 
 
 def encode_odt(paragraphs: list[str]) -> bytes:

@@ -203,6 +203,8 @@ def _probe_payload(payload: bytes) -> dict:
 
         info = pdf_info(payload)
         return {"kind": "pdf", "n_frames": info["n_pages"]}
+    if payload[:5] == b"{\\rtf":
+        return {"kind": "rtf"}
     if payload[:4] == b"PK\x03\x04":
         # ZIP-based documents: kind from marker members alone (a
         # central-directory read — no XML parse, stays header-cheap)
@@ -213,6 +215,12 @@ def _probe_payload(payload: bytes) -> dict:
         n_slides = sum(1 for n in names if _SLIDE_RE.match(n))
         if "word/document.xml" in names:
             return {"kind": "docx"}
+        if "xl/workbook.xml" in names:
+            from vectra_py_spark.operators.office import _SHEET_RE
+
+            return {"kind": "xlsx", "n_frames": sum(
+                1 for n in names if _SHEET_RE.match(n)
+            )}
         if n_slides:
             return {"kind": "pptx", "n_frames": n_slides}
         if "META-INF/container.xml" in names:

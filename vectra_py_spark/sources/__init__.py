@@ -1,10 +1,15 @@
 """Ingest sources and table layout: local files, web pages,
 HTML→markdown conversion, JSONL/CSV corpus dumps
 (:mod:`.textcorpus`), WARC crawl archives + ZIP/TAR media bundles
-(:mod:`.warc`), bucketed tables (:mod:`.bucketed`), and
-small-file compaction (:mod:`.maintenance`)."""
+(:mod:`.warc`), folder-of-anything document ingestion dispatching on
+magic bytes (:mod:`.documents`), bucketed tables (:mod:`.bucketed`),
+and small-file compaction (:mod:`.maintenance`)."""
 
 from vectra_py_spark.sources.bucketed import read_table, write_bucketed
+from vectra_py_spark.sources.documents import (
+    extract_any_document,
+    read_documents,
+)
 from vectra_py_spark.sources.fetchers import (
     FileFetcher,
     WebFetcher,
@@ -41,4 +46,6 @@ __all__ = [
     "read_warc",
     "read_media_archive",
     "warc_documents",
+    "extract_any_document",
+    "read_documents",
 ]

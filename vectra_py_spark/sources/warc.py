@@ -263,14 +263,9 @@ def explode_warc(raw: DataFrame) -> DataFrame:
 
 _TEXT_TYPES = (
     "text/html", "application/xhtml", "text/plain", "application/pdf",
-    # ZIP-based document formats (operators/office.py)
-    "application/vnd.openxmlformats-officedocument.wordprocessingml"
-    ".document",
-    "application/vnd.openxmlformats-officedocument.presentationml"
-    ".presentation",
-    "application/vnd.oasis.opendocument.text",
-    "application/epub+zip",
 )
+# document formats (DOCX/PPTX/XLSX/ODT/EPUB/RTF) join the routing set
+# from operators/office.py::OFFICE_MIME_TYPES — one source of truth
 
 
 _CHARSET_RE = __import__("re").compile(
@@ -316,8 +311,9 @@ def warc_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     from vectra_py_spark.operators.office import OFFICE_MIME_TYPES
     from vectra_py_spark.sources.fetchers import html_to_markdown
 
-    type_pred = F.col("content_type").startswith(_TEXT_TYPES[0])
-    for t in _TEXT_TYPES[1:]:
+    routed = _TEXT_TYPES + tuple(OFFICE_MIME_TYPES)
+    type_pred = F.col("content_type").startswith(routed[0])
+    for t in routed[1:]:
         type_pred = type_pred | F.col("content_type").startswith(t)
     text_like = records.filter(
         (F.col("warc_type") == "response")
