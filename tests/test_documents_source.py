@@ -104,3 +104,57 @@ def test_folder_to_index_e2e(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["uri"].endswith("memo.rtf")
+
+
+def test_streaming_documents_twin(spark):
+    """The continuous-ingest twin: availableNow drain over a drop
+    folder must produce EXACTLY the batch read_documents rows
+    (same extractor), and a second drain after new files arrive must
+    process only the new ones (exactly-once per batch id)."""
+    from vectra_py_spark.sources.documents import read_documents
+    from vectra_py_spark.streaming.documents import (
+        document_file_stream,
+        stream_documents,
+    )
+
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    drop = tempfile.mkdtemp()
+    sink = os.path.join(tempfile.mkdtemp(), "sink")
+    ckpt = os.path.join(tempfile.mkdtemp(), "ckpt")
+    with open(os.path.join(drop, "a.pdf"), "wb") as f:
+        f.write(encode_pdf([["streamed pdf text"]]))
+    with open(os.path.join(drop, "b.rtf"), "wb") as f:
+        f.write(encode_rtf(["streamed rtf text"]))
+    with open(os.path.join(drop, "junk.bin"), "wb") as f:
+        f.write(bytes(range(256)) * 8)
+
+    q = stream_documents(
+        document_file_stream(spark, drop), sink, ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        os.path.basename(r.uri): r for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        os.path.basename(r.uri): r
+        for r in read_documents(spark, drop).collect()
+    }
+    assert set(got) == set(want) == {"a.pdf", "b.rtf"}
+    for k in got:
+        assert got[k].text == want[k].text
+        assert got[k].doc_type == want[k].doc_type
+
+    # second drop: only the new file lands (no re-extraction)
+    with open(os.path.join(drop, "c.txt"), "wb") as f:
+        f.write(b"late arrival text")
+    q2 = stream_documents(
+        document_file_stream(spark, drop), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 3
+    assert sorted(os.path.basename(r.uri) for r in rows) == [
+        "a.pdf", "b.rtf", "c.txt"
+    ]

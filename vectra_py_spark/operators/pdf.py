@@ -51,8 +51,8 @@ import re
 import zlib
 
 __all__ = [
-    "encode_pdf", "pdf_extract_text", "pdf_info", "synth_pdf",
-    "extract_pdf_text_df", "read_pdf_documents",
+    "encode_pdf", "pdf_extract_text", "pdf_info", "pdf_probe",
+    "synth_pdf", "extract_pdf_text_df", "read_pdf_documents",
 ]
 
 
@@ -806,7 +806,14 @@ class _Pdf:
     (ADVICE r7: a bare last-match-wins scan let 'N G obj' byte
     sequences inside stream bodies shadow real objects)."""
 
-    def __init__(self, payload: bytes) -> None:
+    def __init__(self, payload: bytes, init_crypt: bool = True) -> None:
+        """``init_crypt=False`` skips password verification and key
+        derivation — the structural walk (xref chain, page tree,
+        object counts) stays fully usable because the handler
+        encrypts only STRINGS and stream bytes, never names/numbers/
+        dict structure. That is what keeps probe-triage of an AES-256
+        document header-cheap: the R6 key stretch (~100 ms/hash by
+        design) only runs when text is actually wanted."""
         if payload[:5] != b"%PDF-":
             raise ValueError(f"not a PDF payload: {payload[:8]!r}")
         self.d = payload
@@ -822,7 +829,7 @@ class _Pdf:
             raise ValueError("PDF contains no objects")
         if self.trailer is None:
             raise ValueError("PDF missing trailer")
-        if b"/Encrypt" in self.trailer:
+        if b"/Encrypt" in self.trailer and init_crypt:
             self._init_crypt(self.trailer[b"/Encrypt"])
 
     # -- standard security handler -------------------------------------
@@ -1745,6 +1752,50 @@ def pdf_info(payload: bytes) -> dict:
                     except _PARSE_ERRS:
                         pass
         return {"version": version, "n_pages": len(pdf.pages()), **meta}
+    except (IndexError, KeyError, re.error, UnicodeDecodeError,
+            RecursionError, OverflowError,
+            AttributeError, TypeError) as exc:
+        raise ValueError(f"malformed PDF payload: {exc}") from exc
+
+
+def pdf_probe(payload: bytes) -> dict:
+    """Header-cheap triage: version, page count and ENCRYPTION FLAVOR
+    without password verification or key derivation — the AES-256 R6
+    key stretch (~100 ms/hash by spec design) never runs here, so a
+    probe-before-decode policy can route or skip encrypted documents
+    for free. ``n_pages`` is None when the page tree itself is
+    unreachable without decryption (encrypted object streams);
+    ``encryption`` is rc4|aesv2|aesv3|unknown, None when plaintext.
+    Password-protected documents PROBE fine (that is the point) —
+    only text extraction refuses."""
+    try:
+        pdf = _Pdf(payload, init_crypt=False)
+        version = payload[5:8].decode("latin-1", "replace")
+        try:
+            n_pages = len(pdf.pages())
+        except (ValueError, *_PARSE_ERRS):
+            n_pages = None
+        enc_ref = pdf.trailer.get(b"/Encrypt")
+        method = None
+        if enc_ref is not None:
+            method = "unknown"
+            try:
+                ed = pdf.deref(enc_ref)
+                if isinstance(ed, dict):
+                    v = pdf.deref(ed.get(b"/V", 0))
+                    if v in (1, 2):
+                        method = "rc4"
+                    elif v == 4:
+                        try:
+                            method = pdf._crypt_filter_mode(ed)
+                        except ValueError:
+                            method = "unknown"
+                    elif v == 5:
+                        method = "aesv3"
+            except _PARSE_ERRS:
+                pass
+        return {"version": version, "n_pages": n_pages,
+                "encrypted": enc_ref is not None, "encryption": method}
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
             RecursionError, OverflowError,
             AttributeError, TypeError) as exc:

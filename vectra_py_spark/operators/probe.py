@@ -199,9 +199,13 @@ def _probe_payload(payload: bytes) -> dict:
         return {"kind": "mp4", "width": info["width"],
                 "height": info["height"], "n_frames": info["n_frames"]}
     if payload[:5] == b"%PDF-":
-        from vectra_py_spark.operators.pdf import pdf_info
+        # pdf_probe, NOT pdf_info: triage must stay header-cheap, and
+        # pdf_info runs password verification (the AES-256 R6 key
+        # stretch). Password-protected PDFs probe fine; extraction is
+        # where they refuse.
+        from vectra_py_spark.operators.pdf import pdf_probe
 
-        info = pdf_info(payload)
+        info = pdf_probe(payload)
         return {"kind": "pdf", "n_frames": info["n_pages"]}
     if payload[:5] == b"{\\rtf":
         return {"kind": "rtf"}

@@ -9,6 +9,10 @@ state).
 
 from vectra_py_spark.streaming.asof import streaming_asof_enrich
 from vectra_py_spark.streaming.bm25_ingest import stream_bm25_index
+from vectra_py_spark.streaming.documents import (
+    document_file_stream,
+    stream_documents,
+)
 from vectra_py_spark.streaming.events import (
     event_time_col,
     sessionize,
@@ -27,6 +31,8 @@ from vectra_py_spark.streaming.media import (
 __all__ = [
     "media_file_stream",
     "stream_media_features",
+    "document_file_stream",
+    "stream_documents",
     "streaming_asof_enrich",
     "event_time_col",
     "sessionize",
