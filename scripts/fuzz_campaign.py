@@ -136,9 +136,15 @@ def main() -> None:
         encode_docx, encode_epub, encode_odt, encode_pptx, encode_xlsx,
         office_extract_text,
     )
+    from vectra_py_spark.operators.doc import encode_doc
+    from vectra_py_spark.operators.ppt import encode_ppt
     from vectra_py_spark.operators.rtf import encode_rtf
+    from vectra_py_spark.operators.xls import encode_xls
 
     office_targets = {
+        "doc": encode_doc(["campaign legacy body", "café 日本語"]),
+        "ppt": encode_ppt([["campaign deck", "café 日本語"]]),
+        "xls": encode_xls([[["campaign", "1.5", "日本"]]], sst_split=True),
         "xlsx": encode_xlsx([[["campaign", "1"], ["cells", "2.5"]]]),
         "rtf": encode_rtf(["campaign café 日本語", "second para"]),
         "docx": encode_docx(["campaign line one", "two\tthree"]),
@@ -154,7 +160,7 @@ def main() -> None:
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 6 + 2,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 2,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

@@ -8,9 +8,12 @@ RTF payloads to :mod:`.rtf`. Together with PDF (operators/pdf.py),
 HTML (sources/fetchers.py) and WARC (sources/warc.py) this closes the
 document-format family a crawl-scale corpus actually contains.
 
-Honest scope: the ZIP-based generations only. Legacy binary Office
-(pre-2007 .doc/.ppt/.xls — OLE compound files, magic D0 CF 11 E0) and
-password-protected OOXML (also OLE-wrapped) refuse by name; XML parts
+Honest scope: the ZIP-based generations here, plus the FULL legacy
+trio via ``office_extract_text`` dispatch over the real [MS-CFB]
+container (:mod:`.cfb`): Word .doc piece tables (:mod:`.doc`),
+PowerPoint .ppt text atoms (:mod:`.ppt`), Excel .xls BIFF8 SST/cells
+(:mod:`.xls`). Password-protected OOXML (OLE-wrapped) and encrypted
+legacy files refuse by name; XML parts
 carrying a DTD (<!DOCTYPE/<!ENTITY — entity-expansion bombs) refuse
 rather than parse; per-member decompression is budget-capped so ZIP
 bombs quarantine instead of OOMing the stage (same contract as the
@@ -66,6 +69,9 @@ OFFICE_MIME_TYPES = {
     "application/epub+zip": "epub",
     "application/rtf": "rtf",
     "text/rtf": "rtf",
+    "application/msword": "doc",
+    "application/vnd.ms-powerpoint": "ppt",
+    "application/vnd.ms-excel": "xls",
 }
 
 
@@ -379,6 +385,29 @@ def office_extract_text(payload: bytes) -> tuple[str, str]:
         from vectra_py_spark.operators.rtf import rtf_extract_text
 
         return "rtf", rtf_extract_text(payload)
+    if payload[:8] == _OLE_MAGIC:
+        from vectra_py_spark.operators.cfb import CfbReader
+
+        names = set(CfbReader(payload).stream_names())
+        if "WordDocument" in names:
+            from vectra_py_spark.operators.doc import doc_extract_text
+
+            return "doc", doc_extract_text(payload)
+        if "PowerPoint Document" in names:
+            from vectra_py_spark.operators.ppt import ppt_extract_text
+
+            return "ppt", ppt_extract_text(payload)
+        if "Workbook" in names or "Book" in names:
+            from vectra_py_spark.operators.xls import xls_extract_text
+
+            return "xls", "\n\n".join(xls_extract_text(payload))
+        if "EncryptedPackage" in names:
+            raise ValueError(
+                "password-protected OOXML (OLE-wrapped) — unsupported"
+            )
+        raise ValueError(
+            "unrecognized OLE document (no Word/PowerPoint/Excel stream)"
+        )
     with _open_zip(payload) as zf:
         names = set(zf.namelist())
     if "word/document.xml" in names:

@@ -209,6 +209,19 @@ def _probe_payload(payload: bytes) -> dict:
         return {"kind": "pdf", "n_frames": info["n_pages"]}
     if payload[:5] == b"{\\rtf":
         return {"kind": "rtf"}
+    if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        from vectra_py_spark.operators.cfb import CfbReader
+
+        names = set(CfbReader(payload).stream_names())
+        if "WordDocument" in names:
+            return {"kind": "doc"}
+        if "PowerPoint Document" in names:
+            return {"kind": "ppt"}
+        if "Workbook" in names or "Book" in names:
+            return {"kind": "xls"}
+        raise ValueError(
+            "OLE payload is not a Word/PowerPoint/Excel document"
+        )
     if payload[:4] == b"PK\x03\x04":
         # ZIP-based documents: kind from marker members alone (a
         # central-directory read — no XML parse, stays header-cheap)

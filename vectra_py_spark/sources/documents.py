@@ -7,6 +7,7 @@ drops lie about names) to the same extractors:
 
 - ``%PDF-``       → operators/pdf.py        (doc_type 'pdf')
 - ``PK\\x03\\x04``  → operators/office.py   ('docx'/'pptx'/'xlsx'/'odt'/'epub')
+- OLE ``D0CF11E0`` → operators/doc|ppt|xls  ('doc'/'ppt'/'xls' legacy trio)
 - ``{\\rtf``       → operators/rtf.py        ('rtf')
 - decodes as text → html_to_markdown when it looks like markup
   ('md'), else passthrough ('txt'); undecodable/binary-garbage files
