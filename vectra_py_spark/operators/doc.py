@@ -192,13 +192,18 @@ def encode_doc(paragraphs: list[str]) -> bytes:
         if comp:
             body += chars.encode("cp1252")
             fc_raw = (fc_byte * 2) | 0x40000000
+            units = len(chars)
         else:
             if fc_byte % 2:  # UTF-16 pieces must be 2-byte aligned
                 body += b"\x00"
                 fc_byte += 1
-            body += chars.encode("utf-16-le")
+            raw = chars.encode("utf-16-le")
+            body += raw
             fc_raw = fc_byte
-        cp += len(chars)
+            # CPs count UTF-16 code UNITS, not characters — astral
+            # chars are 2 CPs (hypothesis-found)
+            units = len(raw) // 2
+        cp += units
         plc_cps.append(cp)
         plc_pcds.append(
             struct.pack("<HIH", 0, fc_raw, 0)

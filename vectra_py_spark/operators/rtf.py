@@ -78,8 +78,18 @@ def rtf_extract_text(payload: bytes) -> str:
     uc, skipping = 1, False
     pending_skip = 0  # chars to drop after \uN (the \ucN fallback)
     byte_run = bytearray()  # accumulated \'hh / raw bytes, one decode
+    pending_high = [None]   # a \uN high surrogate awaiting its low
+
+    def settle_high() -> None:
+        # a high surrogate not followed by its low half is a lone
+        # half-pair: visible unknown, emitted in document order
+        if pending_high[0] is not None:
+            pending_high[0] = None
+            if not skipping:
+                out.append("�")
 
     def flush() -> None:
+        settle_high()
         if byte_run:
             out.append(byte_run.decode(codec, "replace"))
             byte_run.clear()
@@ -160,7 +170,20 @@ def rtf_extract_text(payload: bytes) -> str:
                     cp = int(num)
                     if cp < 0:
                         cp += 65536
-                    if 0 <= cp <= 0x10FFFF and not (
+                    if 0xD800 <= cp <= 0xDBFF:
+                        # high surrogate: real RTF writes astral chars
+                        # as \uHIGH\uLOW pairs (hypothesis-found)
+                        settle_high()
+                        pending_high[0] = cp
+                    elif (0xDC00 <= cp <= 0xDFFF
+                          and pending_high[0] is not None):
+                        hi = pending_high[0]
+                        pending_high[0] = None
+                        emit(chr(
+                            0x10000 + ((hi - 0xD800) << 10)
+                            + (cp - 0xDC00)
+                        ))
+                    elif 0 <= cp <= 0xFFFF and not (
                         0xD800 <= cp <= 0xDFFF
                     ):
                         emit(chr(cp))
@@ -215,10 +238,14 @@ def encode_rtf(paragraphs: list[str], codepage: int = 1252) -> bytes:
                     b = ch.encode(codec)
                     body.append("".join(f"\\'{x:02x}" for x in b))
                 except UnicodeEncodeError:
-                    cp = ord(ch)
-                    if cp > 32767:
-                        cp -= 65536
-                    body.append(f"\\u{cp}?")
+                    # astral chars go as surrogate \uHIGH\uLOW pairs,
+                    # each unit signed-16 per spec
+                    units = ch.encode("utf-16-be")
+                    for k in range(0, len(units), 2):
+                        u = int.from_bytes(units[k : k + 2], "big")
+                        if u > 32767:
+                            u -= 65536
+                        body.append(f"\\u{u}?")
     return (
         "{\\rtf1\\ansi\\ansicpg%d\\deff0"
         "{\\fonttbl{\\f0\\fswiss Helvetica;}}"

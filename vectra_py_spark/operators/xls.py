@@ -280,11 +280,11 @@ def encode_xls(
     def sst_string(s: str) -> bytes:
         try:
             raw = s.encode("latin-1")
-            return struct.pack("<HB", len(s), 0x00) + raw
+            return struct.pack("<HB", len(raw), 0x00) + raw
         except UnicodeEncodeError:
-            return struct.pack("<HB", len(s), 0x01) + s.encode(
-                "utf-16-le"
-            )
+            raw = s.encode("utf-16-le")
+            # cch counts UTF-16 code UNITS — astral chars are 2
+            return struct.pack("<HB", len(raw) // 2, 0x01) + raw
 
     blobs = [sst_string(s) for s in strings]
     head = struct.pack("<II", len(strings), len(strings))
