@@ -64,3 +64,37 @@ def test_cli_export_verb(spark, capsys, tmp_path):
     assert manifest["total_rows"] == 6 and manifest["n_shards"] == 4
     rows = spark.read.parquet(out).count()
     assert rows == 6
+
+
+def test_cli_ingest_folder_verb(spark, capsys, tmp_path):
+    """ingest-folder: one verb turns a mixed drop directory into a
+    queryable index — magic-byte dispatch, not extensions."""
+    from vectra_py_spark.operators.doc import encode_doc
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    idx = str(tmp_path / "idx")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "memo.rtf").write_bytes(
+        encode_rtf(["quarterly revenue memo discusses targets"])
+    )
+    (drop / "paper.pdf").write_bytes(
+        encode_pdf([["gardening tips for tomato plants"]])
+    )
+    # extension lies: a legacy .doc named .txt still lands as doc
+    (drop / "legacy.txt").write_bytes(
+        encode_doc(["ancient word processor text"])
+    )
+    (drop / "junk.bin").write_bytes(bytes(range(256)) * 8)
+    run(capsys, "--index", idx, "create")
+    out = run(capsys, "--index", idx, "ingest-folder", str(drop))[-1]
+    assert out["ingested"] == 3
+    assert out["by_type"] == {"rtf": 1, "pdf": 1, "doc": 1}
+    stats = run(capsys, "--index", idx, "stats")[-1]
+    assert stats["documents"] == 3
+    hits = run(
+        capsys, "--index", idx, "query", "quarterly revenue targets",
+        "--format", "chunks", "--document-count", "1",
+    )
+    assert hits and hits[0]["uri"].endswith("memo.rtf")

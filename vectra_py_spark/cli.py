@@ -45,6 +45,16 @@ def _build_parser() -> argparse.ArgumentParser:
     add.add_argument("--uri", action="append", default=[], help="file path or URL")
     add.add_argument("--list", dest="uri_list", help="file with one URI per line")
 
+    ing = sub.add_parser(
+        "ingest-folder",
+        help="bulk-ingest a directory of mixed documents (pdf / docx / "
+        "pptx / xlsx / odt / epub / rtf / doc / ppt / xls / html / txt, "
+        "dispatched on magic bytes) straight into the index — the "
+        "distributed twin of repeated `add` calls",
+    )
+    ing.add_argument("path", help="directory or glob of document files")
+    ing.add_argument("--min-chars", type=int, default=1)
+
     rem = sub.add_parser("remove", help="delete a document by uri")
     rem.add_argument("--uri", required=True)
 
@@ -152,6 +162,22 @@ def main(argv: list[str] | None = None) -> int:
                     docs.append({"uri": u, "text": text, "doc_type": doc_type})
         ids = idx.upsert_documents(docs)
         print(json.dumps({"added": len(ids)}))
+    elif args.verb == "ingest-folder":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.sources.documents import read_documents
+
+        docs_df = read_documents(spark, args.path, min_chars=args.min_chars)
+        counts = {
+            r["doc_type"]: r["n"]
+            for r in docs_df.groupBy("doc_type")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        idx.upsert_documents_df(docs_df)
+        print(json.dumps({
+            "ingested": int(sum(counts.values())),
+            "by_type": counts,
+        }, sort_keys=True))
     elif args.verb == "remove":
         idx.delete_document(args.uri)
         print(json.dumps({"removed": args.uri}))
