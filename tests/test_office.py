@@ -276,3 +276,33 @@ def test_warc_office_glue(spark):
     )
     assert docs["http://ex.org/book.epub"].doc_type == "epub"
     assert "book chapter text" in docs["http://ex.org/book.epub"].text
+
+
+def test_review_gates_odt_depth_and_padded_dtd():
+    """Review findings: deep ODT nesting must quarantine as
+    ValueError (not RecursionError, which would fail the stage), and
+    a DOCTYPE pushed past any prefix window by comment padding must
+    still refuse."""
+    buf = io.BytesIO()
+    deep = (
+        b'<?xml version="1.0"?>'
+        b'<office:document-content xmlns:office="urn:oasis:names:tc:'
+        b'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:'
+        b'tc:opendocument:xmlns:text:1.0"><office:body><office:text>'
+        b"<text:p>" + b"<text:span>" * 5000 + b"x"
+        + b"</text:span>" * 5000 + b"</text:p>"
+        b"</office:text></office:body></office:document-content>"
+    )
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", deep)
+    with pytest.raises(ValueError, match="nesting too deep"):
+        odt_extract_text(buf.getvalue())
+    buf = io.BytesIO()
+    padded = (
+        b"<!--" + b"x" * 5000 + b"-->"
+        b'<!DOCTYPE d [<!ENTITY a "b">]><d>&a;</d>'
+    )
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", padded)
+    with pytest.raises(ValueError, match="DTD"):
+        docx_extract_text(buf.getvalue())

@@ -288,3 +288,70 @@ def test_pdf_probe_is_header_cheap_triage():
     assert probe_payload(bytes(bad)) == {"kind": "pdf", "n_frames": 2}
     with pytest.raises(ValueError, match="password-protected"):
         pdf_extract_text(bytes(bad))
+
+
+def test_hash_2b_matches_reference_loop_semantics():
+    """The R6 hardened hash must exit on ``last byte of E <=
+    completed_rounds - 32`` (ISO 32000-2 Algorithm 2.B) — an
+    off-by-one here diverges from conforming readers on ~1-2% of
+    inputs and round-trip tests can't see it because writer and
+    reader share the function (review finding). Compare against an
+    independently-written reference loop over random inputs."""
+    import hashlib
+
+    from vectra_py_spark.operators.pdf_crypto import (
+        aes_cbc_nopad_encrypt,
+    )
+
+    def reference(pw, salt, udata):
+        pw = pw[:127]
+        k = hashlib.sha256(pw + salt + udata).digest()
+        count = 0
+        while True:
+            k1 = (pw + k + udata) * 64
+            e = aes_cbc_nopad_encrypt(k[:16], k[16:32], k1)
+            k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+                sum(e[:16]) % 3
+            ](e).digest()
+            count += 1
+            if count >= 64 and e[-1] <= count - 32:
+                return k[:32]
+
+    rng = np.random.default_rng(20260815)
+    for _ in range(120):
+        pw = bytes(rng.integers(0, 256, rng.integers(0, 20)))
+        salt = bytes(rng.integers(0, 256, 8))
+        assert hash_2b(pw, salt, b"", 6) == reference(pw, salt, b"")
+    # Algorithm 2.A step (a): passwords truncate to 127 bytes, so a
+    # longer password must verify identically to its truncation
+    long_pw = b"x" * 300
+    fk = v5_file_key(9, b"truncseed")
+    recs = make_v5_records(fk, b"", long_pw, -4, r=6)
+    assert verify_v5_password(
+        long_pw[:127], recs["O"], recs["U"], recs["OE"], recs["UE"], 6
+    ) == fk
+    assert verify_v5_password(
+        long_pw, recs["O"], recs["U"], recs["OE"], recs["UE"], 6
+    ) == fk
+
+
+def test_pdf_probe_rejects_corrupt_plaintext_page_tree():
+    """A PLAINTEXT document with a broken page tree must raise from
+    pdf_probe (→ probe quarantine row), not probe as a clean PDF that
+    passes triage (review finding); only ENCRYPTED trees degrade to
+    n_pages=None."""
+    from vectra_py_spark.operators.pdf import pdf_probe
+    from vectra_py_spark.operators.probe import probe_payload
+
+    b = encode_pdf(_PAGES)
+    broken = b.replace(b"/Type /Pages", b"/Type /Pagez", 1)
+    with pytest.raises(ValueError):
+        pdf_probe(broken)
+    with pytest.raises(ValueError):
+        probe_payload(broken)
+    # encrypted + ObjStm: tree unreachable without the key → None,
+    # still probes (that IS the cheap-triage point)
+    bo = encode_pdf(_PAGES, encrypt="o", encrypt_mode="aesv2",
+                    xref_stream=True, objstm=True)
+    info = pdf_probe(bo)
+    assert info["encrypted"] and info["n_pages"] is None

@@ -114,3 +114,19 @@ def test_warc_rtf_glue(spark):
     assert set(docs) == {"http://ex.org/memo.rtf"}
     assert docs["http://ex.org/memo.rtf"].doc_type == "rtf"
     assert docs["http://ex.org/memo.rtf"].text == "rtf memo body"
+
+
+def test_review_findings_uc_clamp_and_uppercase_words():
+    """Review findings: a negative \\ucN must not make the fallback
+    skip negative-truthy and silently eat all following text, and
+    control words with UPPERCASE letters (legal per the spec grammar)
+    must not leak word residue into the output."""
+    got = rtf_extract_text(b"{\\rtf1\\ansi\\uc-1\\u65 Hello world}")
+    assert got == "AHello world"
+    got = rtf_extract_text(
+        b"{\\rtf1\\ansi Hello \\XeTeXcharclass5 world}"
+    )
+    assert got == "Hello world"
+    # uppercase destination-style word in a group: unknown → ignored
+    got = rtf_extract_text(b"{\\rtf1 a{\\UPPER b}c}")
+    assert got == "abc"

@@ -167,13 +167,21 @@ def main(argv: list[str] | None = None) -> int:
 
         from vectra_py_spark.sources.documents import read_documents
 
-        docs_df = read_documents(spark, args.path, min_chars=args.min_chars)
-        counts = {
-            r["doc_type"]: r["n"]
-            for r in docs_df.groupBy("doc_type")
-            .agg(F.count("*").alias("n")).collect()
-        }
-        idx.upsert_documents_df(docs_df)
+        # persist: the counts action and the upsert both consume the
+        # frame — without it the binaryFile scan + extraction (incl.
+        # any PDF decryption) runs TWICE per file
+        docs_df = read_documents(
+            spark, args.path, min_chars=args.min_chars
+        ).persist()
+        try:
+            counts = {
+                r["doc_type"]: r["n"]
+                for r in docs_df.groupBy("doc_type")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            idx.upsert_documents_df(docs_df)
+        finally:
+            docs_df.unpersist()
         print(json.dumps({
             "ingested": int(sum(counts.values())),
             "by_type": counts,

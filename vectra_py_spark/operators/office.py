@@ -134,7 +134,9 @@ def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
 
 
 def _parse_xml(data: bytes, what: str) -> ET.Element:
-    if _DTD_RE.search(data[:4096]):
+    # scan the WHOLE part, not a prefix: comment padding pushed a
+    # DOCTYPE past a 4096-byte window and bypassed the gate (review)
+    if _DTD_RE.search(data):
         raise ValueError(
             f"{what} carries a DTD (<!DOCTYPE/<!ENTITY) — refusing to "
             "parse (entity-expansion bomb risk)"
@@ -213,7 +215,11 @@ def pptx_extract_text(payload: bytes) -> list[str]:
 # ---------------------------------------------------------------------------
 # ODT (OpenDocument text)
 # ---------------------------------------------------------------------------
-def _odt_text(el: ET.Element) -> str:
+def _odt_text(el: ET.Element, depth: int = 0) -> str:
+    if depth > 256:
+        # deep nesting must quarantine (ValueError), not blow the
+        # Python stack as RecursionError (review)
+        raise ValueError("ODT element nesting too deep")
     ln = _local(el.tag)
     if ln == "tab":
         lead = "\t"
@@ -230,7 +236,7 @@ def _odt_text(el: ET.Element) -> str:
         lead = ""
     parts = [lead, el.text or ""]
     for ch in el:
-        parts.append(_odt_text(ch))
+        parts.append(_odt_text(ch, depth + 1))
         parts.append(ch.tail or "")
     return "".join(parts)
 

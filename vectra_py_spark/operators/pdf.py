@@ -1771,11 +1771,19 @@ def pdf_probe(payload: bytes) -> dict:
     try:
         pdf = _Pdf(payload, init_crypt=False)
         version = payload[5:8].decode("latin-1", "replace")
+        enc_ref = pdf.trailer.get(b"/Encrypt")
         try:
             n_pages = len(pdf.pages())
         except (ValueError, *_PARSE_ERRS):
+            if enc_ref is None:
+                # a PLAINTEXT document with a broken page tree is
+                # malformed, full stop — swallowing it here would turn
+                # probe quarantine rows into clean-looking PDFs that
+                # pass triage and waste a decode (review); only an
+                # ENCRYPTED tree (page dicts inside encrypted ObjStms)
+                # legitimately needs the key we did not derive
+                raise
             n_pages = None
-        enc_ref = pdf.trailer.get(b"/Encrypt")
         method = None
         if enc_ref is not None:
             method = "unknown"

@@ -416,11 +416,18 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 # ISO 32000-2 §7.6.4.3.3/4 and §7.6.4.4.9 (algorithms 2.A / 2.B).
 # ---------------------------------------------------------------------------
 def hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int = 6) -> bytes:
-    """Algorithm 2.B (R6) — or plain SHA-256 for R5."""
+    """Algorithm 2.B (R6) — or plain SHA-256 for R5. The password is
+    truncated to 127 UTF-8 bytes first (Algorithm 2.A step a) and the
+    loop exit compares the last byte of E against
+    ``completed_rounds - 32`` — both places where an off-by-one
+    silently diverges from conforming readers (found in review; the
+    round-trip tests can't catch it because writer and reader share
+    this function)."""
+    pw = pw[:127]
     k = hashlib.sha256(pw + salt + udata).digest()
     if r == 5:
         return k
-    i = 0
+    completed = 0
     while True:
         k1 = (pw + k + udata) * 64
         e = aes_cbc_nopad_encrypt(k[:16], k[16:32], k1)
@@ -428,9 +435,9 @@ def hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int = 6) -> bytes:
         k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
             e
         ).digest()
-        if i >= 63 and e[-1] <= i - 32:
+        completed += 1
+        if completed >= 64 and e[-1] <= completed - 32:
             return k[:32]
-        i += 1
 
 
 def verify_v5_password(
@@ -441,6 +448,7 @@ def verify_v5_password(
     48 bytes: hash(32) + validation salt(8) + key salt(8)."""
     if len(u) < 48 or len(o) < 48:
         raise ValueError("PDF V5 /U and /O records must be 48 bytes")
+    pw = pw[:127]  # Algorithm 2.A step (a)
     # user password
     if hash_2b(pw, u[32:40], b"", r) == u[:32]:
         ikey = hash_2b(pw, u[40:48], b"", r)

@@ -52,7 +52,10 @@ _EMITS = {
     b"_": "-",
 }
 
-_CW_RE = re.compile(rb"([a-z]+)(-?\d+)? ?", re.S)
+# Control words are ASCII LETTER sequences — BOTH cases are legal
+# (\XeTeX-style custom words); lowercase-only parsing leaked word
+# residue into extracted text (review).
+_CW_RE = re.compile(rb"([A-Za-z]+)(-?\d+)? ?", re.S)
 
 
 def _codec_for(cpg: int) -> str:
@@ -147,7 +150,8 @@ def rtf_extract_text(payload: bytes) -> str:
                 # document text; the whole group skips per spec
                 skipping = True
                 pos += 2
-            elif not (0x61 <= nxt <= 0x7A):  # control SYMBOL
+            elif not (0x61 <= nxt <= 0x7A
+                      or 0x41 <= nxt <= 0x5A):  # control SYMBOL
                 sym = d[pos + 1 : pos + 2]
                 emit(_EMITS.get(sym, ""))
                 pos += 2
@@ -162,7 +166,10 @@ def rtf_extract_text(payload: bytes) -> str:
                 if word in _SKIP_DESTS or word == b"fldinst":
                     skipping = True
                 elif word == b"uc":
-                    uc = int(num or 1)
+                    # clamp: a negative \ucN would make the skip
+                    # counter negative-truthy and silently eat ALL
+                    # following text (review)
+                    uc = max(0, int(num or 1))
                 elif word == b"ansicpg" and num:
                     flush()
                     codec = _codec_for(int(num))
