@@ -306,3 +306,28 @@ def test_review_gates_odt_depth_and_padded_dtd():
         zf.writestr("word/document.xml", padded)
     with pytest.raises(ValueError, match="DTD"):
         docx_extract_text(buf.getvalue())
+
+
+def test_encrypted_odt_and_drm_epub_refuse_by_name():
+    """ODF manifests declaring encryption-data and EPUB DRM
+    (encryption.xml) refuse with named errors, not confusing XML
+    parse failures on ciphertext."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr(
+            "META-INF/manifest.xml",
+            '<manifest:manifest xmlns:manifest="urn:x"><manifest:file-'
+            'entry manifest:full-path="content.xml"><manifest:'
+            "encryption-data/></manifest:file-entry></manifest:manifest>",
+        )
+        zf.writestr("content.xml", b"\x8b\x1f\x00 ciphertext blob")
+    with pytest.raises(ValueError, match="encrypted ODT"):
+        odt_extract_text(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", "<container/>")
+        zf.writestr("META-INF/encryption.xml", "<encryption/>")
+    with pytest.raises(ValueError, match="DRM/encrypted EPUB"):
+        epub_extract_markdown(buf.getvalue())

@@ -242,8 +242,19 @@ def _odt_text(el: ET.Element, depth: int = 0) -> str:
 
 
 def odt_extract_text(payload: bytes) -> str:
-    """ODT bytes → text, one line per text:p / text:h paragraph."""
+    """ODT bytes → text, one line per text:p / text:h paragraph.
+    Encrypted documents (ODF manifests with encryption-data entries —
+    the content is a Blowfish/AES blob, not XML) refuse by name
+    instead of surfacing as a confusing XML parse error."""
     with _open_zip(payload) as zf:
+        names = zf.namelist()
+        if "META-INF/manifest.xml" in names and b"encryption-data" in (
+            _read_member(zf, "META-INF/manifest.xml")
+        ):
+            raise ValueError(
+                "encrypted ODT (manifest declares encryption-data) — "
+                "unsupported"
+            )
         root = _parse_xml(
             _read_member(zf, "content.xml"), "content.xml"
         )
@@ -343,6 +354,11 @@ def epub_extract_markdown(payload: bytes) -> list[str]:
     from vectra_py_spark.sources.fetchers import html_to_markdown
 
     with _open_zip(payload) as zf:
+        if "META-INF/encryption.xml" in zf.namelist():
+            raise ValueError(
+                "DRM/encrypted EPUB (META-INF/encryption.xml present) "
+                "— unsupported"
+            )
         container = _parse_xml(
             _read_member(zf, "META-INF/container.xml"),
             "META-INF/container.xml",
