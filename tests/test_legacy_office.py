@@ -69,6 +69,79 @@ def test_xls_roundtrip_and_continue_rule():
     ) == ["1234567\t3.25\ttext"]
 
 
+def test_doc_ccptext_cut_is_in_cp_space():
+    """ccpText counts UTF-16 code units; after an astral char (2 CPs,
+    1 Python char) the main-document cut must not shift and bleed
+    header/footnote furniture into the output (ADVICE r8)."""
+    import struct as st
+
+    from vectra_py_spark.operators.cfb import CfbReader, encode_cfb
+    from vectra_py_spark.operators.doc import (
+        _CCP_TEXT_AT,
+        doc_extract_text,
+        encode_doc,
+    )
+
+    # full text stream = main body 'a😀b' (4 CPs) + header furniture
+    # 'HDR' (real files park headers past ccpText in the same stream)
+    payload = encode_doc(["a\U0001f600bHDR"])
+    cfb = CfbReader(payload)
+    wd = bytearray(cfb.stream("WordDocument"))
+    st.pack_into("<i", wd, _CCP_TEXT_AT, 4)  # main body only
+    patched = encode_cfb([
+        ("WordDocument", bytes(wd)),
+        ("0Table", cfb.stream("0Table")),
+    ])
+    # char-space slicing would give 'a😀bH' (4 chars); CP-space is right
+    assert doc_extract_text(patched) == "a\U0001f600b"
+
+
+def test_xls_nested_chart_substream_cells_do_not_leak():
+    """Cell records inside a nested substream (embedded charts open
+    their own BOF/EOF at depth 2) must NOT be attributed to the
+    enclosing sheet's grid ([MS-XLS] 2.1.7.20 — ADVICE r8)."""
+    import struct as st
+
+    from vectra_py_spark.operators import xls as xm
+    from vectra_py_spark.operators.cfb import encode_cfb
+
+    # SST: ["keep", "leak"]; sheet grid holds only "keep"; the chart
+    # substream nested inside the sheet carries a LABELSST → "leak"
+    # and a NUMBER record that must both be ignored.
+    def s(v: str) -> bytes:
+        raw = v.encode("latin-1")
+        return st.pack("<HB", len(raw), 0x00) + raw
+
+    sst = xm._rec(xm._SST, st.pack("<II", 2, 2) + s("keep") + s("leak"))
+    cell_keep = xm._rec(xm._LABELSST, st.pack("<HHHI", 0, 0, 0, 0))
+    chart = (
+        xm._bof(0x0020)
+        + xm._rec(xm._LABELSST, st.pack("<HHHI", 1, 0, 0, 1))
+        + xm._rec(xm._NUMBER, st.pack("<HHHd", 2, 0, 0, 42.0))
+        + xm._rec(xm._EOF, b"")
+    )
+    sheet = xm._bof(0x0010) + cell_keep + chart + xm._rec(xm._EOF, b"")
+
+    def boundsheet(pos: int) -> bytes:
+        raw = b"Sheet1"
+        return xm._rec(
+            xm._BOUNDSHEET, st.pack("<IHBB", pos, 0, len(raw), 0) + raw
+        )
+
+    for _ in range(2):
+        globals_stream = (
+            xm._bof(0x0005) + boundsheet(0) + sst + xm._rec(xm._EOF, b"")
+        )
+        globals_stream = (
+            xm._bof(0x0005)
+            + boundsheet(len(globals_stream))
+            + sst
+            + xm._rec(xm._EOF, b"")
+        )
+    payload = encode_cfb([("Workbook", globals_stream + sheet)])
+    assert xls_extract_text(payload) == ["keep"]
+
+
 def test_xls_rk_values():
     """RK packed-number decode: all four flag combinations against
     the [MS-XLS] 2.5.217 semantics."""

@@ -136,7 +136,13 @@ def _doc_extract(payload: bytes) -> str:
         raise ValueError(".doc PlcPcd has impossible size")
     n = (lcb - 4) // 12
     cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
-    parts: list[str] = []
+    # ccpText counts CPs — UTF-16 code UNITS, the same unit the PlcPcd
+    # CP axis uses — so the main-document cut must happen in CP space
+    # BEFORE decoding: an astral pair is 2 CPs but 1 Python char, and
+    # slicing the decoded string would shift the cut past it, bleeding
+    # header/footnote text into the output (ADVICE r8).
+    pieces: list[tuple[bool, bytes, int]] = []  # (unicode?, raw, cp_count)
+    total_cp = 0
     for i in range(n):
         count = cps[i + 1] - cps[i]
         if count < 0 or count > 1 << 28:
@@ -147,16 +153,27 @@ def _doc_extract(payload: bytes) -> str:
             raw = wd[fc // 2 : fc // 2 + count]
             if len(raw) < count:
                 raise ValueError(".doc compressed piece truncated")
-            parts.append(raw.decode("cp1252", "replace"))
-        else:                    # UTF-16LE at fc
+            pieces.append((False, raw, count))
+        else:                    # UTF-16LE at fc, 1 CP = 1 code unit
             raw = wd[fc : fc + 2 * count]
             if len(raw) < 2 * count:
                 raise ValueError(".doc unicode piece truncated")
-            parts.append(raw.decode("utf-16-le", "replace"))
-    text = "".join(parts)
-    if not 0 <= ccp_text <= len(text):
-        ccp_text = len(text)  # tolerate a lying FIB; keep everything
-    return _normalize(text[:ccp_text])
+            pieces.append((True, raw, count))
+        total_cp += count
+    if not 0 <= ccp_text <= total_cp:
+        ccp_text = total_cp  # tolerate a lying FIB; keep everything
+    parts: list[str] = []
+    remaining = ccp_text
+    for is_uni, raw, count in pieces:
+        if remaining <= 0:
+            break
+        take = min(count, remaining)
+        if is_uni:
+            parts.append(raw[: 2 * take].decode("utf-16-le", "replace"))
+        else:
+            parts.append(raw[:take].decode("cp1252", "replace"))
+        remaining -= take
+    return _normalize("".join(parts))
 
 
 # ---------------------------------------------------------------------------

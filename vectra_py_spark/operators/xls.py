@@ -189,16 +189,16 @@ def _xls_extract(payload: bytes) -> list[str]:
             depth = max(0, depth - 1)
         elif rtype == _SST:
             sst_frags = [body]
-        elif rtype == _LABELSST and sheets and depth:
+        elif rtype == _LABELSST and sheets and depth == 1:
             row, col, _ixfe, isst = struct.unpack_from("<HHHI", body, 0)
             if isst >= len(sst):
                 raise ValueError(".xls LABELSST past the SST")
             sheets[-1][(row, col)] = sst[isst]
-        elif rtype == _NUMBER and sheets and depth:
+        elif rtype == _NUMBER and sheets and depth == 1:
             row, col, _ixfe = struct.unpack_from("<HHH", body, 0)
             (num,) = struct.unpack_from("<d", body, 6)
             sheets[-1][(row, col)] = _fmt_num(num)
-        elif rtype == _RK and sheets and depth:
+        elif rtype == _RK and sheets and depth == 1:
             row, col, _ixfe, raw = struct.unpack_from("<HHHI", body, 0)
             sheets[-1][(row, col)] = _fmt_num(_rk_value(raw))
     if sst_frags is not None:  # SST was the last record

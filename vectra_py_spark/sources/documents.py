@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["read_documents", "extract_any_document"]
+__all__ = ["read_documents", "extract_documents_df", "extract_any_document"]
 
 _HTML_RE = re.compile(
     r"<\s*(?:!doctype\s+html|html|head|body|div|p|h[1-6])[\s>]", re.I
@@ -64,14 +64,15 @@ def extract_any_document(payload: bytes) -> tuple[str, str]:
     return "txt", text
 
 
-def read_documents(spark, path: str, min_chars: int = 1):
-    """Directory/glob of mixed document files → (uri, text, doc_type)
-    rows; unsupported/corrupt files skip quietly."""
+def extract_documents_df(df, min_chars: int = 1):
+    """(path, content) binary rows → (uri, text, doc_type) via the
+    magic-byte dispatch — the extraction stage of :func:`read_documents`
+    factored out so any (path, content) frame (a ``binaryFile`` scan, a
+    streaming source, an in-plan synthesized frame) runs the identical
+    production path. Narrow ``mapInPandas``, payloads never shuffle."""
     from collections.abc import Iterator
 
     import pandas as pd
-
-    raw = spark.read.format("binaryFile").load(path)
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for batch in batches:
@@ -88,6 +89,13 @@ def read_documents(spark, path: str, min_chars: int = 1):
                 rows["doc_type"].append(kind)
             yield pd.DataFrame(rows)
 
-    return raw.select("path", "content").mapInPandas(
+    return df.select("path", "content").mapInPandas(
         run, schema="uri STRING, text STRING, doc_type STRING"
     )
+
+
+def read_documents(spark, path: str, min_chars: int = 1):
+    """Directory/glob of mixed document files → (uri, text, doc_type)
+    rows; unsupported/corrupt files skip quietly."""
+    raw = spark.read.format("binaryFile").load(path)
+    return extract_documents_df(raw, min_chars=min_chars)

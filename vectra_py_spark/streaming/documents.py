@@ -14,9 +14,6 @@ shuffle.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -50,26 +47,13 @@ def extract_documents_stream(
     stream_df: DataFrame, min_chars: int = 1
 ) -> DataFrame:
     """(path, content) stream → (uri, text, doc_type) stream through
-    the batch extractor — works on static frames too (the equivalence
-    test relies on that)."""
-    from vectra_py_spark.sources.documents import extract_any_document
+    the batch extractor — literally the batch operator
+    (``sources/documents.py::extract_documents_df``; mapInPandas is
+    streaming-transparent), so batch and stream cannot drift. Works on
+    static frames too (the equivalence test relies on that)."""
+    from vectra_py_spark.sources.documents import extract_documents_df
 
-    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for batch in batches:
-            rows = {"uri": [], "text": [], "doc_type": []}
-            for fpath, content in zip(batch["path"], batch["content"]):
-                try:
-                    kind, text = extract_any_document(bytes(content))
-                except ValueError:
-                    continue
-                if len(text.strip()) < min_chars:
-                    continue
-                rows["uri"].append(str(fpath))
-                rows["text"].append(text)
-                rows["doc_type"].append(kind)
-            yield pd.DataFrame(rows)
-
-    return stream_df.mapInPandas(run, schema=DOC_ROW_SCHEMA)
+    return extract_documents_df(stream_df, min_chars=min_chars)
 
 
 def stream_documents(
