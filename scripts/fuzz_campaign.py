@@ -87,6 +87,9 @@ def _pdf_flavors() -> dict[str, bytes]:
         "pdf_fonts": fonty,
         "pdf_form": formed,
         "pdf_type0": encode_pdf(pages, font="type0"),
+        "pdf_type0_fontprog": encode_pdf(
+            pages, font="type0", to_unicode=False
+        ),
         "pdf_rc4": encode_pdf(pages, encrypt="o", encrypt_mode="rc4"),
         "pdf_rc4_40": encode_pdf(pages, encrypt="o", encrypt_mode="rc4-40"),
         "pdf_aesv2": encode_pdf(
@@ -157,10 +160,17 @@ def main() -> None:
     drive("warc_gz", synth_warc(
         [("http://x/a", b"hello body", "text/plain")], compress=True
     ), [parse_warc])
+    from vectra_py_spark.operators.truetype import (
+        cmap_gid_to_unicode, encode_truetype_cmap,
+    )
+
+    drive("truetype_cmap", encode_truetype_cmap(
+        {ord("a"): 1, 0x4E2D: 7, 0x1F600: 9}
+    ), [cmap_gid_to_unicode])
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 2,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 3,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

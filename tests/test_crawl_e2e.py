@@ -45,6 +45,22 @@ def _crawl(seed: int):
               for p in range(2)]
          ),
          "application/pdf"),
+        (f"http://site{seed}.org/brief.pdf",
+         __import__(
+             "vectra_py_spark.operators.pdf", fromlist=["encode_pdf"]
+         ).encode_pdf(
+             [[f"aes128 brief {seed}"]],
+             encrypt="owner-secret", encrypt_mode="aesv2",
+         ),
+         "application/pdf"),
+        (f"http://site{seed}.org/locked.pdf",
+         __import__(
+             "vectra_py_spark.operators.pdf", fromlist=["encode_pdf"]
+         ).encode_pdf(
+             [[f"aes256 locked {seed}"]],
+             encrypt="owner-secret", encrypt_mode="aesv3",
+         ),
+         "application/pdf"),
         (f"http://site{seed}.org/logo.jpg", mm.encode_jpeg(img),
          "image/jpeg"),
         (f"http://site{seed}.org/icon.png", mm.encode_png(img), "image/png"),
@@ -69,7 +85,7 @@ def test_crawl_to_corpus_pipeline(spark):
 
     records = read_warc(spark, d)
     responses = records.filter("warc_type = 'response'")
-    assert responses.count() == 20
+    assert responses.count() == 24
 
     # 1) TRIAGE: header-only probe over every payload; the corrupt
     #    JPEGs quarantine, everything else types correctly
@@ -108,10 +124,61 @@ def test_crawl_to_corpus_pipeline(spark):
     assert len(feats) == 12  # 6 media files × 2 sites
     assert all(r.decode_error is None for r in feats)
 
-    # 3) DOCUMENTS: html + pdf → text; exact dedup drops the dup page
-    docs = warc_documents(records)
+    # 2.5) ENCRYPTION POLICY: probe-before-decrypt lane split. The
+    #    AES-256 R6 key stretch is ~418 ms/doc BY SPEC DESIGN; at
+    #    crawl scale those documents must be routed to a budgeted
+    #    lane (or skipped) BEFORE any key derivation runs. pdf_probe
+    #    reports the flavor at ~0.2 ms without deriving a key, so the
+    #    policy stage is ~2000× cheaper than one blind R6 decrypt
+    #    (decrypt-ms saved quantified in BENCH.md).
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.pdf import (
+        extract_pdf_text_df,
+        pdf_triage_lanes,
+    )
+
+    pdf_rows = responses.filter("url LIKE '%.pdf'").selectExpr(
+        "url AS media_id", "payload AS data"
+    )
+    lanes = pdf_triage_lanes(pdf_rows)
+    by_lane = {
+        r.media_id: (r.lane, r.encryption) for r in lanes.collect()
+    }
+    for seed in (0, 1):
+        assert by_lane[f"http://site{seed}.org/paper.pdf"] == (
+            "fast", None)
+        assert by_lane[f"http://site{seed}.org/brief.pdf"] == (
+            "fast", "aesv2")
+        assert by_lane[f"http://site{seed}.org/locked.pdf"] == (
+            "budgeted", "aesv3")
+    # the budgeted lane still decodes when the budget allows — the
+    # policy defers cost, it does not lose documents
+    budgeted_payloads = pdf_rows.join(
+        lanes.filter("lane = 'budgeted'").select("media_id"), "media_id"
+    )
+    budgeted_text = extract_pdf_text_df(budgeted_payloads).collect()
+    assert sorted(r.text for r in budgeted_text) == [
+        "aes256 locked 0", "aes256 locked 1",
+    ]
+
+    # 3) DOCUMENTS: html + fast-lane pdfs → text; the budgeted lane is
+    #    excluded from the bulk pass (the skip disposition); exact
+    #    dedup drops the dup page
+    docs = warc_documents(
+        records.join(
+            F.broadcast(
+                lanes.filter("lane != 'fast'")
+                .selectExpr("media_id AS url")
+            ),
+            "url",
+            "left_anti",
+        )
+    )
     got = docs.collect()
-    assert len(got) == 6  # (a.html, dup.html, paper.pdf) × 2 sites
+    # (a.html, dup.html, paper.pdf, brief.pdf) × 2 sites
+    assert len(got) == 8
+    assert not any("locked" in r.uri for r in got)
     from vectra_py_spark.operators.dedup import exact_dedup
 
     docs_tbl = docs.selectExpr(
@@ -119,20 +186,19 @@ def test_crawl_to_corpus_pipeline(spark):
         "abs(hash(uri)) AS doc_id", "'crawl' AS source",
     )
     groups = exact_dedup(docs_tbl)
-    # per site: the two identical html pages collapse, the pdf stands
-    assert groups.count() == 4
-    from pyspark.sql import functions as F
+    # per site: the two identical html pages collapse, the pdfs stand
+    assert groups.count() == 6
 
     deduped = docs_tbl.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
     )
-    assert deduped.count() == 4
+    assert deduped.count() == 6
 
     # 4) QUALITY: the surviving texts score and none are empty
     from vectra_py_spark.operators.text_analysis import analyze_text
 
     scored = analyze_text(deduped).collect()
-    assert len(scored) == 4
+    assert len(scored) == 6
     assert all(r.n_words > 0 for r in scored)
 
     # 5) INDEX + RETRIEVAL: survivors ingest and are queryable

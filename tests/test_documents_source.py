@@ -117,18 +117,29 @@ def test_streaming_documents_twin(spark):
         stream_documents,
     )
 
+    from vectra_py_spark.operators.doc import encode_doc
+    from vectra_py_spark.operators.office import encode_docx
     from vectra_py_spark.operators.pdf import encode_pdf
     from vectra_py_spark.operators.rtf import encode_rtf
+    from vectra_py_spark.operators.xls import encode_xls
 
     drop = tempfile.mkdtemp()
     sink = os.path.join(tempfile.mkdtemp(), "sink")
     ckpt = os.path.join(tempfile.mkdtemp(), "ckpt")
-    with open(os.path.join(drop, "a.pdf"), "wb") as f:
-        f.write(encode_pdf([["streamed pdf text"]]))
-    with open(os.path.join(drop, "b.rtf"), "wb") as f:
-        f.write(encode_rtf(["streamed rtf text"]))
-    with open(os.path.join(drop, "junk.bin"), "wb") as f:
-        f.write(bytes(range(256)) * 8)
+    # mixed drop incl. office/legacy payloads — continuous drops of
+    # mixed documents get the same guarantee as WARC (VERDICT r8
+    # item 6); extensions deliberately lie (magic-byte dispatch)
+    first_drop = {
+        "a.pdf": encode_pdf([["streamed pdf text"]]),
+        "b.rtf": encode_rtf(["streamed rtf text"]),
+        "report.dat": encode_docx(["streamed docx para"]),
+        "legacy.bin": encode_doc(["streamed legacy doc text"]),
+        "grid.blob": encode_xls([[["streamed", "xls cells"]]]),
+        "junk.bin": bytes(range(256)) * 8,
+    }
+    for name, data in first_drop.items():
+        with open(os.path.join(drop, name), "wb") as f:
+            f.write(data)
 
     q = stream_documents(
         document_file_stream(spark, drop), sink, ckpt
@@ -141,10 +152,15 @@ def test_streaming_documents_twin(spark):
         os.path.basename(r.uri): r
         for r in read_documents(spark, drop).collect()
     }
-    assert set(got) == set(want) == {"a.pdf", "b.rtf"}
+    assert set(got) == set(want) == {
+        "a.pdf", "b.rtf", "report.dat", "legacy.bin", "grid.blob",
+    }
     for k in got:
         assert got[k].text == want[k].text
         assert got[k].doc_type == want[k].doc_type
+    assert got["report.dat"].doc_type == "docx"
+    assert got["legacy.bin"].doc_type == "doc"
+    assert got["grid.blob"].text == "streamed\txls cells"
 
     # second drop: only the new file lands (no re-extraction)
     with open(os.path.join(drop, "c.txt"), "wb") as f:
@@ -154,7 +170,8 @@ def test_streaming_documents_twin(spark):
     )
     q2.awaitTermination(120)
     rows = spark.read.parquet(sink).collect()
-    assert len(rows) == 3
+    assert len(rows) == 6
     assert sorted(os.path.basename(r.uri) for r in rows) == [
-        "a.pdf", "b.rtf", "c.txt"
+        "a.pdf", "b.rtf", "c.txt", "grid.blob", "legacy.bin",
+        "report.dat",
     ]

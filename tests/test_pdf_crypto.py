@@ -125,6 +125,23 @@ def test_encrypted_document_roundtrip(mode):
             assert pdf_info(b)["n_pages"] == 2
 
 
+def test_encrypted_objstm_survives_broken_xref_scan_fallback():
+    """Encrypted document + ObjStm packing + a BROKEN xref chain: the
+    fallback scan's ObjStm surfacing runs before key derivation, so it
+    must be re-run after _init_crypt or every ObjStm-packed object
+    (catalog, page tree, font) becomes a 'not found' refusal even
+    though the empty-user-password key decrypts them fine (ADVICE r8)."""
+    for mode in ("rc4", "aesv2"):
+        b = encode_pdf(
+            _PAGES, xref_stream=True, objstm=True,
+            encrypt="owner-secret", encrypt_mode=mode,
+        )
+        # sever the startxref tail → no offset chain → full-payload scan
+        broken = b[: b.rfind(b"startxref")]
+        assert pdf_extract_text(broken) == _WANT, mode
+        assert pdf_info(broken)["n_pages"] == 2, mode
+
+
 def test_encrypted_uncompressed_strings_are_ciphertext():
     """compress=False leaves raw content streams — they must STILL be
     unreadable (stream-level encryption), and the type0 CIDSystemInfo
@@ -213,6 +230,45 @@ def test_quarantine_flow_with_encrypted_pdfs(spark):
     assert rows[("b", -1)].error and "password-protected" in rows[
         ("b", -1)
     ].error
+
+
+def test_pdf_triage_lanes_policy(spark):
+    """pdf_triage_lanes: plaintext and cheap-crypto docs go 'fast',
+    AES-256 goes 'budgeted' (no key derivation runs — the probe stays
+    header-cheap), malformed goes 'quarantine' with the named error;
+    custom budget_flavors widen the budgeted lane."""
+    from vectra_py_spark.operators.pdf import pdf_triage_lanes
+
+    rows = [
+        ("plain", bytearray(encode_pdf(_PAGES))),
+        ("rc4", bytearray(encode_pdf(
+            _PAGES, encrypt="o", encrypt_mode="rc4"))),
+        ("aes128", bytearray(encode_pdf(
+            _PAGES, encrypt="o", encrypt_mode="aesv2"))),
+        ("aes256", bytearray(encode_pdf(
+            _PAGES, encrypt="o", encrypt_mode="aesv3"))),
+        ("broken", bytearray(b"%PDF-1.4 not really")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    got = {r.media_id: r for r in pdf_triage_lanes(df).collect()}
+    assert got["plain"].lane == "fast" and got["plain"].encryption is None
+    assert got["rc4"].lane == "fast" and got["rc4"].encryption == "rc4"
+    assert (got["aes128"].lane, got["aes128"].encryption) == (
+        "fast", "aesv2")
+    assert (got["aes256"].lane, got["aes256"].encryption) == (
+        "budgeted", "aesv3")
+    assert got["aes256"].n_pages == 2  # classic xref: tree still walks
+    assert got["broken"].lane == "quarantine" and got["broken"].error
+    # widen the budget: treat every encrypted doc as budgeted
+    wide = {
+        r.media_id: r.lane
+        for r in pdf_triage_lanes(
+            df, budget_flavors=("rc4", "aesv2", "aesv3")
+        ).collect()
+    }
+    assert wide == {"plain": "fast", "rc4": "budgeted",
+                    "aes128": "budgeted", "aes256": "budgeted",
+                    "broken": "quarantine"}
 
 
 def test_numpy_aes_path_equals_scalar():
@@ -322,6 +378,26 @@ def test_hash_2b_matches_reference_loop_semantics():
         pw = bytes(rng.integers(0, 256, rng.integers(0, 20)))
         salt = bytes(rng.integers(0, 256, 8))
         assert hash_2b(pw, salt, b"", 6) == reference(pw, salt, b"")
+    # pinned digests for fixed inputs (ADVICE r8: the loop above
+    # shares its structure with hash_2b, so it guards regressions but
+    # not the derivation itself; these values are frozen outputs of
+    # the FIPS-197-validated implementation — any future change to the
+    # exit test, the hash rotation, or the K1 repetition breaks them)
+    for pw, salt, udata, want in (
+        (b"", bytes(range(8)), b"",
+         "1403c04eb647d2e60452dfc4eb0a5e0c"
+         "f322e8a83a759eabbd17d498a93ba041"),
+        (b"password", b"\x01\x02\x03\x04\x05\x06\x07\x08", b"",
+         "22d08d1860cb92edcadda1451a4aebb4"
+         "9c1873722bbfca2aef1a7e5f51e69935"),
+        (b"owner", b"saltsalt", bytes(range(48)),
+         "94719cf805d1ad642d5e4b10a4f8dec2"
+         "44248f53b0d6d63470e246329b18f0b8"),
+        (b"x" * 127, b"\xff" * 8, b"U" * 48,
+         "5828602a6c8bcc2dd0bd0388c3007a1d"
+         "be1a0de7906e80d4d673b69992a9287d"),
+    ):
+        assert hash_2b(pw, salt, udata, 6).hex() == want
     # Algorithm 2.A step (a): passwords truncate to 127 bytes, so a
     # longer password must verify identically to its truncation
     long_pw = b"x" * 300

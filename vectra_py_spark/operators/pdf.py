@@ -28,14 +28,23 @@ honored), ASCIIHexDecode, ASCII85Decode, RunLengthDecode, chained
 filter arrays, and the TIFF/PNG DecodeParms predictors. Character
 decoding covers /Encoding (WinAnsi/MacRoman/Differences) and
 /ToUnicode CMaps for simple fonts, and 2-byte-CID /ToUnicode for
-Type0/Identity-H. What it does NOT do — Type0 fonts WITHOUT
-/ToUnicode or with predefined/embedded CMap encodings (CIDs are then
-glyph indexes, undecodable without parsing the font program),
-password-protected documents (non-empty user password), non-Standard
-security handlers, and the image codecs (DCTDecode/JPXDecode/CCITT/
-JBIG2, which never carry text) — raises a clear ValueError naming the
-gap, never silently wrong text: the same declared-gate discipline as
-the MP3/H.264 codec gaps.
+Type0/Identity-H; when a Type0/Identity font has NO /ToUnicode (the
+common CJK-subset shape) extraction walks the EMBEDDED TrueType
+program instead — CID → glyph via /CIDToGIDMap (/Identity or stream),
+glyph → Unicode by inverting the font's own sfnt ``cmap`` table
+(``operators/truetype.py``, formats 0/4/12) — which is exactly what a
+conforming viewer's copy-paste does there (round 9; previously a
+named refusal). What it does NOT do — Type0 fonts with PREDEFINED
+CMap encodings (/UniJIS-UCS2-H, /GBK-EUC-H, …: their code→CID tables
+are published Adobe DATA FILES, thousands of mappings each, not
+derivable structure — bundling them is the reactivation path, exactly
+the MP3-decode discipline; embedded CMap STREAMS likewise refuse),
+Type0-without-/ToUnicode whose font program is CFF (/FontFile3 — no
+sfnt cmap to invert), password-protected documents (non-empty user
+password), non-Standard security handlers, and the image codecs
+(DCTDecode/JPXDecode/CCITT/JBIG2, which never carry text) — raises a
+clear ValueError naming the gap, never silently wrong text: the same
+declared-gate discipline as the MP3/H.264 codec gaps.
 Flate expansion is capped (:data:`DECOMPRESS_CEILING`) so crafted
 bombs quarantine instead of failing the stage.
 
@@ -48,11 +57,13 @@ shuffle.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = [
     "encode_pdf", "pdf_extract_text", "pdf_info", "pdf_probe",
-    "synth_pdf", "extract_pdf_text_df", "read_pdf_documents",
+    "synth_pdf", "extract_pdf_text_df", "pdf_triage_lanes",
+    "read_pdf_documents",
 ]
 
 
@@ -106,6 +117,7 @@ def encode_pdf(
     font: str = "type1",
     encrypt: str | None = None,
     encrypt_mode: str = "aesv2",
+    to_unicode: bool = True,
 ) -> bytes:
     """List of pages, each a list of text lines → a valid PDF with one
     content stream per page (FlateDecode when ``compress``).
@@ -118,6 +130,11 @@ def encode_pdf(
     only way to carry non-latin text). CIDs are assigned densely
     (1-based, char-sorted), deliberately NOT equal to code points, so a
     round-trip proves the /ToUnicode path and not an identity shortcut.
+    ``to_unicode=False`` (type0 only) writes the CJK-subset shape that
+    OMITS /ToUnicode and instead embeds a real TrueType program
+    (/FontFile2, operators/truetype.py) whose own cmap is the only
+    bridge back to text — the fixture for the font-program extraction
+    path.
 
     Encryption flavor: ``encrypt='ownerpw'`` protects the document with
     the standard security handler — owner password set, user password
@@ -219,27 +236,60 @@ def encode_pdf(
     if type0:
         chars = sorted({c for lines in pages for ln in lines for c in ln})
         cid_of = {c: i + 1 for i, c in enumerate(chars)}
-        tu = _tounicode_cmap(cid_of)
-        tu_filt = b""
-        if compress:
-            tu = zlib.compress(tu)
-            tu_filt = b"/Filter /FlateDecode "
-        tu = enc_stream(tu)
-        tu_id = add(
-            b"<< " + tu_filt + b"/Length " + str(len(tu)).encode()
-            + b" >>\nstream\n" + tu + b"\nendstream"
-        )
-        stream_ids.add(tu_id)
+        if to_unicode:
+            tu = _tounicode_cmap(cid_of)
+            tu_filt = b""
+            if compress:
+                tu = zlib.compress(tu)
+                tu_filt = b"/Filter /FlateDecode "
+            tu = enc_stream(tu)
+            tu_id = add(
+                b"<< " + tu_filt + b"/Length " + str(len(tu)).encode()
+                + b" >>\nstream\n" + tu + b"\nendstream"
+            )
+            stream_ids.add(tu_id)
+            desc_extra = b""
+        else:
+            # the CJK-subset shape: NO /ToUnicode — the only bridge
+            # back to text is the embedded TrueType program's own
+            # cmap (code point → glyph, glyph == CID here because
+            # /CIDToGIDMap is /Identity); extraction must walk the
+            # font program (operators/truetype.py)
+            from vectra_py_spark.operators.truetype import (
+                encode_truetype_cmap,
+            )
+
+            ttf = encode_truetype_cmap(
+                {ord(c): cid for c, cid in cid_of.items()}
+            )
+            ff_filt = b""
+            if compress:
+                ttf = zlib.compress(ttf)
+                ff_filt = b"/Filter /FlateDecode "
+            ttf = enc_stream(ttf)
+            ff_id = add(
+                b"<< " + ff_filt + b"/Length " + str(len(ttf)).encode()
+                + b" >>\nstream\n" + ttf + b"\nendstream"
+            )
+            stream_ids.add(ff_id)
+            fdesc_id = add(
+                b"<< /Type /FontDescriptor /FontName /SynthCID"
+                b" /Flags 4 /FontFile2 %d 0 R >>" % ff_id
+            )
+            desc_extra = b" /FontDescriptor %d 0 R" % fdesc_id
         desc_id = add(
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID"
             b" /CIDSystemInfo << /Registry " + lit_str(b"Adobe")
             + b" /Ordering " + lit_str(b"Identity")
-            + b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
+            + b" /Supplement 0 >> /CIDToGIDMap /Identity"
+            + desc_extra + b" >>"
         )
         font_id = add(
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
             b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
-            b" /ToUnicode %d 0 R >>" % (desc_id, tu_id)
+            % desc_id
+            + (b" /ToUnicode %d 0 R" % tu_id if to_unicode else b"")
+            + b" >>"
         )
     else:
         font_id = add(
@@ -823,7 +873,8 @@ class _Pdf:
         self.trailer: dict | None = None
         self._crypt: tuple[str, bytes] | None = None  # (mode, file key)
         self._encrypt_num: int | None = None
-        if not self._load_xref_chain():
+        scanned = not self._load_xref_chain()
+        if scanned:
             self._scan_objects()
         if not self.objs and not self.compressed:
             raise ValueError("PDF contains no objects")
@@ -831,6 +882,14 @@ class _Pdf:
             raise ValueError("PDF missing trailer")
         if b"/Encrypt" in self.trailer and init_crypt:
             self._init_crypt(self.trailer[b"/Encrypt"])
+            if scanned and self._crypt is not None:
+                # the scan's ObjStm surfacing ran before the file key
+                # existed, so it inflated still-encrypted bytes and
+                # surfaced nothing — re-run it now that stream bytes
+                # decrypt (ADVICE r8); drop any garbage table a
+                # coincidental inflate might have cached
+                self._objstm_cache.clear()
+                self._surface_scanned_objstms()
 
     # -- standard security handler -------------------------------------
     def _init_crypt(self, enc_ref) -> None:
@@ -1155,6 +1214,13 @@ class _Pdf:
             if self.trailer is None:
                 raise ValueError("PDF missing trailer")
         # surface objects packed in object streams the scan can see
+        self._surface_scanned_objstms()
+
+    def _surface_scanned_objstms(self) -> None:
+        """Register type-2 entries for every ObjStm the scan found.
+        On an encrypted document this must run (again) AFTER
+        _init_crypt — stream bytes only decrypt once the file key
+        exists."""
         for num in list(self.objs):
             try:
                 od = self.obj(num)
@@ -1546,16 +1612,91 @@ def _font_decoder(pdf: "_Pdf", fd: dict):
     return lambda bs: "".join(table[b] for b in bs)
 
 
+def _type0_font_program_cmap(pdf: "_Pdf", fd: dict) -> dict[bytes, str]:
+    """Recover a 2-byte-CID → str map from the EMBEDDED FONT PROGRAM
+    when the generator omitted /ToUnicode: CID → glyph index via
+    /CIDToGIDMap (/Identity or the 2-byte-BE stream form), glyph →
+    Unicode by inverting the font's own sfnt ``cmap`` table
+    (operators/truetype.py) — exactly what a conforming viewer's
+    copy-paste falls back to. Only TrueType programs (/FontFile2)
+    carry an sfnt cmap; CFF (/FontFile3) refuses by name."""
+    from vectra_py_spark.operators import truetype as tt
+
+    dfs = pdf.deref(fd.get(b"/DescendantFonts"))
+    if not (isinstance(dfs, list) and dfs):
+        raise ValueError("PDF Type0 font without /DescendantFonts")
+    desc = pdf.deref(dfs[0])
+    if not isinstance(desc, dict):
+        raise ValueError("PDF Type0 descendant font is not a dictionary")
+    fdesc = pdf.deref(desc.get(b"/FontDescriptor"))
+    ff2 = fdesc.get(b"/FontFile2") if isinstance(fdesc, dict) else None
+    if ff2 is None:
+        has_cff = isinstance(fdesc, dict) and (
+            b"/FontFile3" in fdesc or b"/FontFile" in fdesc
+        )
+        raise ValueError(
+            "PDF Type0/Identity font without /ToUnicode and without an "
+            "embedded TrueType program ("
+            + ("CFF/Type1 font programs carry no sfnt cmap"
+               if has_cff else "no /FontFile2")
+            + ") — CIDs are unrecoverable; unsupported"
+        )
+    gid2uni = tt.cmap_gid_to_unicode(pdf.stream_data(pdf.deref(ff2)))
+
+    c2g_raw = pdf.deref(desc.get(b"/CIDToGIDMap", b"/Identity"))
+    if c2g_raw == b"/Identity":
+        table = None
+    elif isinstance(c2g_raw, tuple) and c2g_raw[0] == "stream":
+        table = pdf.stream_data(c2g_raw)
+        if len(table) > 2 << 16:
+            raise ValueError("PDF CIDToGIDMap stream impossibly large")
+    else:
+        raise ValueError(
+            f"PDF /CIDToGIDMap {c2g_raw!r} is neither /Identity nor a "
+            "stream"
+        )
+
+    # The decoder sees raw bytes, so materialize the CID→str map up
+    # front: for /Identity the CID equals the GID; for the stream form
+    # walk the bounded table (CIDs past its end map to glyph 0 per
+    # spec — i.e. drop out).
+    out: dict[bytes, str] = {}
+    if table is None:
+        for gid, ch in gid2uni.items():
+            if 0 <= gid <= 0xFFFF:
+                out[struct.pack(">H", gid)] = ch
+    else:
+        for cid in range(len(table) // 2):
+            gid = (table[2 * cid] << 8) | table[2 * cid + 1]
+            ch = gid2uni.get(gid)
+            if ch is not None:
+                key = struct.pack(">H", cid)
+                if key not in out:
+                    out[key] = ch
+    if not out:
+        raise ValueError(
+            "embedded font program cmap yields no decodable CIDs"
+        )
+    return out
+
+
 def _type0_decoder(pdf: "_Pdf", fd: dict):
-    """Composite (Type0) font → bytes→str decoder. Supported regime:
+    """Composite (Type0) font → bytes→str decoder. Supported regimes:
     /Encoding /Identity-H (or -V) — text bytes are 2-byte big-endian
     CIDs, the shape every modern generator (word processors, browsers,
-    TeX engines) emits for embedded font subsets — WITH the /ToUnicode
-    CMap those generators write precisely so extraction works. Without
-    /ToUnicode the CIDs are glyph indexes into the embedded font
-    program, genuinely undecodable without font parsing — refuse by
-    name rather than emit mojibake; predefined CMap names (/UniJIS-…)
-    and embedded CMap streams likewise refuse."""
+    TeX engines) emits for embedded font subsets — with the CID→text
+    bridge coming from, in priority order:
+
+    1. the /ToUnicode CMap (authoritative when present), or
+    2. the embedded TrueType program's own ``cmap`` table via
+       /CIDToGIDMap (:func:`_type0_font_program_cmap`) — the common
+       CJK-subset shape that omits /ToUnicode (round 9; previously a
+       named refusal).
+
+    Predefined CMap encodings (/UniJIS-UCS2-H, /GBK-EUC-H, …) still
+    refuse by name: their code→CID tables are published Adobe data
+    files, not derivable structure — see the scope note in the module
+    docstring."""
     enc = pdf.deref(fd.get(b"/Encoding"))
     if enc not in (b"/Identity-H", b"/Identity-V"):
         raise ValueError(
@@ -1564,11 +1705,9 @@ def _type0_decoder(pdf: "_Pdf", fd: dict):
         )
     tu = fd.get(b"/ToUnicode")
     if tu is None:
-        raise ValueError(
-            "PDF Type0/Identity font without /ToUnicode — CIDs are "
-            "glyph indexes; unsupported without the embedded font program"
-        )
-    cmap = _parse_tounicode(pdf.stream_data(pdf.deref(tu)))
+        cmap = _type0_font_program_cmap(pdf, fd)
+    else:
+        cmap = _parse_tounicode(pdf.stream_data(pdf.deref(tu)))
 
     def dec(bs: bytes) -> str:
         tail = ""
@@ -1852,6 +1991,65 @@ def extract_pdf_text_df(
 
     return df.mapInPandas(
         run, schema="media_id STRING, page INT, text STRING, error STRING"
+    )
+
+
+def pdf_triage_lanes(
+    df,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    budget_flavors: tuple = ("aesv3",),
+):
+    """Probe-before-decrypt POLICY stage: one header-cheap
+    :func:`pdf_probe` per payload (no password verification, no key
+    derivation) → (media_id, lane, encryption, n_pages, error) with
+
+    - lane='fast'       plaintext or cheap crypto (RC4 / AES-128: the
+                        per-object key is a single MD5/AES-CBC, ~µs)
+    - lane='budgeted'   ``encryption`` ∈ ``budget_flavors`` — AES-256
+                        R6 by default, whose Algorithm 2.B key stretch
+                        is ~418 ms/doc BY SPEC DESIGN (anti
+                        brute-force); a 100 TB crawl routes these to a
+                        rate-limited lane or skips them outright
+                        instead of letting 1% of documents eat 99% of
+                        extraction wall
+    - lane='quarantine' probe itself refused (malformed)
+
+    The probe is ~2000× cheaper than an R6 decrypt (BENCH.md), so the
+    split costs nothing measurable. Join the winners back to the
+    payloads and feed each lane to :func:`extract_pdf_text_df` at its
+    own budget. Narrow ``mapInPandas``, payloads never shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    flavors = set(budget_flavors)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_batch in batches:
+            rows = {"media_id": [], "lane": [], "encryption": [],
+                    "n_pages": [], "error": []}
+            for mid, b in zip(pdf_batch[id_col], pdf_batch[data_col]):
+                payload = bytes(b) if b is not None else b""
+                try:
+                    info = pdf_probe(payload)
+                    enc = info["encryption"]
+                    lane = "budgeted" if enc in flavors else "fast"
+                    err = None
+                except ValueError as exc:
+                    enc, lane, err = None, "quarantine", str(exc)
+                    info = {"n_pages": None}
+                rows["media_id"].append(str(mid))
+                rows["lane"].append(lane)
+                rows["encryption"].append(enc)
+                rows["n_pages"].append(info["n_pages"])
+                rows["error"].append(err)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="media_id STRING, lane STRING, encryption STRING, "
+               "n_pages INT, error STRING",
     )
 
 

@@ -1783,10 +1783,15 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id — classic xref table, PDF 1.5 cross-reference stream
     (FlateDecode + PNG Up predictor) on doc_id%3==0, plus compressed
     object streams (/Type/ObjStm, type-2 xref entries) on doc_id%6==0 —
+    and so does the FONT flavor (round 9): Type0/Identity-H WITH
+    /ToUnicode on doc_id%5==1, Type0 WITHOUT /ToUnicode on doc_id%5==0
+    (text recoverable only through the embedded TrueType program's
+    cmap — the operators/truetype.py path), standard Type1 otherwise —
     while the oracle arithmetic is flavor-invariant, so the startxref
     chain walk, the predictor, the ObjStm header parse, the trailer →
-    page tree walk, stream decode, the string lexer, and the T* line
-    bookkeeping are all value-checked cross-engine by the same SQL.
+    page tree walk, stream decode, the string lexer, BOTH CID→text
+    bridges, and the T* line bookkeeping are all value-checked
+    cross-engine by the same SQL.
 
     Plan shape: pushed-down filter → one narrow ``mapInPandas``;
     bounded per-row work, linear scale-out."""
@@ -1818,6 +1823,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         compress=bool(did % 2),
                         xref_stream=did % 3 == 0,
                         objstm=did % 6 == 0,
+                        font="type0" if did % 5 < 2 else "type1",
+                        to_unicode=did % 5 != 0,
                     )
                 )
                 for p, text in enumerate(texts):
