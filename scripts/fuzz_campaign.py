@@ -90,6 +90,9 @@ def _pdf_flavors() -> dict[str, bytes]:
         "pdf_type0_fontprog": encode_pdf(
             pages, font="type0", to_unicode=False
         ),
+        "pdf_type0_cff": encode_pdf(
+            pages, font="type0", to_unicode=False, font_program="cff"
+        ),
         "pdf_rc4": encode_pdf(pages, encrypt="o", encrypt_mode="rc4"),
         "pdf_rc4_40": encode_pdf(pages, encrypt="o", encrypt_mode="rc4-40"),
         "pdf_aesv2": encode_pdf(
@@ -167,10 +170,17 @@ def main() -> None:
     drive("truetype_cmap", encode_truetype_cmap(
         {ord("a"): 1, 0x4E2D: 7, 0x1F600: 9}
     ), [cmap_gid_to_unicode])
+    from vectra_py_spark.operators.cff import (
+        cff_gid_to_unicode, encode_cff_charset,
+    )
+
+    drive("cff_charset", encode_cff_charset(
+        ["a", "Z", "uni4E2D", "adieresis", "u1F600"]
+    ), [cff_gid_to_unicode])
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 3,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

@@ -155,6 +155,10 @@ STRESS_QUERIES = [
     "warc_documents",
     "media_triage",
     "pdf_extract",
+    # round-9: office/legacy extraction e2e (nine encoders + dispatch
+    # per doc; doc_id-bounded synth but the extract stage scales with
+    # matching rows — same narrow-mapInPandas contract)
+    "office_documents",
 ]
 
 

@@ -154,6 +154,47 @@ def test_encrypted_uncompressed_strings_are_ciphertext():
     assert pdf_extract_text(b) == _WANT
 
 
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4", "aesv2", "aesv3"])
+def test_password_ladder_opens_protected_documents(mode):
+    """Round 9: a SUPPLIED password opens real user-password-protected
+    documents — tried as user (Algorithm 6 / 2.A) then owner
+    (Algorithm 7 / 2.A owner leg), empty-user fallback preserved; a
+    wrong password refuses with the 'wrong password' message."""
+    from vectra_py_spark.operators.pdf import extract_pdf_text_df  # noqa: F401
+
+    b = encode_pdf(
+        _PAGES, encrypt="owner-secret", encrypt_mode=mode,
+        user_password="hunter2",
+    )
+    with pytest.raises(ValueError, match="without the"):
+        pdf_extract_text(b)
+    with pytest.raises(ValueError, match="wrong password"):
+        pdf_extract_text(b, password="nope")
+    assert pdf_extract_text(b, password="hunter2") == _WANT
+    assert pdf_extract_text(b, password="owner-secret") == _WANT
+    assert pdf_info(b, password="hunter2")["n_pages"] == 2
+    # a password supplied against an EMPTY-user-password doc falls
+    # back to the empty user password (the viewer ladder)
+    b2 = encode_pdf(_PAGES, encrypt="o", encrypt_mode=mode)
+    assert pdf_extract_text(b2, password="whatever") == _WANT
+
+
+def test_password_df_operator(spark):
+    from vectra_py_spark.operators.pdf import extract_pdf_text_df
+
+    b = encode_pdf(
+        [["locked row"]], encrypt="own", encrypt_mode="rc4",
+        user_password="pw1",
+    )
+    df = spark.createDataFrame(
+        [("d", bytearray(b))], "media_id string, data binary"
+    )
+    rows = extract_pdf_text_df(df, password="pw1").collect()
+    assert [r.text for r in rows] == ["locked row"]
+    bad = extract_pdf_text_df(df, on_error="quarantine").collect()
+    assert bad[0].error and "password" in bad[0].error
+
+
 def test_password_protected_refuses():
     """A document whose user password is NOT empty must refuse by
     name — simulated by corrupting /U in place (same length, so all

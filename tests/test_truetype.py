@@ -158,16 +158,21 @@ def test_pdf_cidtogid_stream_variant():
 
 
 def test_pdf_refusals_stay_named():
-    """CFF font programs and absent font programs refuse by name; the
-    predefined-CMap gate is unchanged."""
+    """Absent/Type1 font programs refuse by name; an sfnt-flavored
+    /FontFile3 (OpenType with TrueType outlines) extracts through the
+    same cmap path; the predefined-CMap gate is unchanged."""
     from vectra_py_spark.operators.pdf import encode_pdf, pdf_extract_text
 
     b = encode_pdf([["abc"]], font="type0", to_unicode=False,
                    compress=False)
     with pytest.raises(ValueError, match="FontFile2"):
         pdf_extract_text(b.replace(b"/FontFile2", b"/FontFileX"))
-    with pytest.raises(ValueError, match="sfnt cmap"):
-        pdf_extract_text(b.replace(b"/FontFile2", b"/FontFile3"))
+    # /FontFile3 carrying an sfnt payload routes through the cmap path
+    assert pdf_extract_text(
+        b.replace(b"/FontFile2", b"/FontFile3")
+    ) == ["abc"]
+    with pytest.raises(ValueError, match="Type1 /FontFile"):
+        pdf_extract_text(b.replace(b"/FontFile2", b"/FontFile "))
     with pytest.raises(ValueError, match="unsupported /Encoding"):
         pdf_extract_text(
             b.replace(b"/Identity-H", b"/UniJIS-H ")

@@ -29,19 +29,24 @@ filter arrays, and the TIFF/PNG DecodeParms predictors. Character
 decoding covers /Encoding (WinAnsi/MacRoman/Differences) and
 /ToUnicode CMaps for simple fonts, and 2-byte-CID /ToUnicode for
 Type0/Identity-H; when a Type0/Identity font has NO /ToUnicode (the
-common CJK-subset shape) extraction walks the EMBEDDED TrueType
-program instead — CID → glyph via /CIDToGIDMap (/Identity or stream),
-glyph → Unicode by inverting the font's own sfnt ``cmap`` table
-(``operators/truetype.py``, formats 0/4/12) — which is exactly what a
+common CJK-subset shape) extraction walks the EMBEDDED FONT PROGRAM
+instead — CID → glyph via /CIDToGIDMap (/Identity or stream), then
+glyph → Unicode by inverting the TrueType program's own sfnt ``cmap``
+table (/FontFile2 or sfnt-flavored /FontFile3,
+``operators/truetype.py``, formats 0/4/12) or, for bare-CFF
+/FontFile3 (/Type1C), through the CFF charset's glyph NAMES
+(``operators/cff.py`` + the AGL resolver) — which is exactly what a
 conforming viewer's copy-paste does there (round 9; previously a
 named refusal). What it does NOT do — Type0 fonts with PREDEFINED
 CMap encodings (/UniJIS-UCS2-H, /GBK-EUC-H, …: their code→CID tables
 are published Adobe DATA FILES, thousands of mappings each, not
 derivable structure — bundling them is the reactivation path, exactly
 the MP3-decode discipline; embedded CMap STREAMS likewise refuse),
-Type0-without-/ToUnicode whose font program is CFF (/FontFile3 — no
-sfnt cmap to invert), password-protected documents (non-empty user
-password), non-Standard security handlers, and the image codecs
+CID-keyed CFF programs (charset carries CIDs, not names — the same
+data-file boundary), password-protected documents whose password was
+NOT supplied (``password=`` walks the user→owner→empty ladder, round
+9; guessing is out of scope), non-Standard security handlers, and the
+image codecs
 (DCTDecode/JPXDecode/CCITT/JBIG2, which never carry text) — raises a
 clear ValueError naming the gap, never silently wrong text: the same
 declared-gate discipline as the MP3/H.264 codec gaps.
@@ -118,6 +123,8 @@ def encode_pdf(
     encrypt: str | None = None,
     encrypt_mode: str = "aesv2",
     to_unicode: bool = True,
+    font_program: str = "truetype",
+    user_password: str = "",
 ) -> bytes:
     """List of pages, each a list of text lines → a valid PDF with one
     content stream per page (FlateDecode when ``compress``).
@@ -131,10 +138,13 @@ def encode_pdf(
     (1-based, char-sorted), deliberately NOT equal to code points, so a
     round-trip proves the /ToUnicode path and not an identity shortcut.
     ``to_unicode=False`` (type0 only) writes the CJK-subset shape that
-    OMITS /ToUnicode and instead embeds a real TrueType program
-    (/FontFile2, operators/truetype.py) whose own cmap is the only
-    bridge back to text — the fixture for the font-program extraction
-    path.
+    OMITS /ToUnicode and instead embeds a real font program whose own
+    tables are the only bridge back to text — the fixture for the
+    font-program extraction path. ``font_program`` picks the flavor:
+    ``'truetype'`` (/FontFile2, sfnt cmap — operators/truetype.py) or
+    ``'cff'`` (/FontFile3 /Type1C, charset glyph names —
+    operators/cff.py; names are standard-SID ASCII where possible,
+    uniXXXX/uXXXXXX custom strings otherwise).
 
     Encryption flavor: ``encrypt='ownerpw'`` protects the document with
     the standard security handler — owner password set, user password
@@ -187,18 +197,19 @@ def encode_pdf(
             repr(pages).encode() + encrypt_mode.encode()
         ).digest()
         opw = encrypt.encode("latin-1", "replace")
+        upw = user_password.encode("utf-8")
         perm = -4  # all usage permitted; protection is against edits
         if encrypt_mode == "aesv3":
             fkey = pc.v5_file_key(len(pages), id0)
-            v5 = pc.make_v5_records(fkey, b"", opw, perm, r=6)
+            v5 = pc.make_v5_records(fkey, upw, opw, perm, r=6)
         else:
             enc_r, enc_v, enc_len = {
                 "rc4-40": (2, 1, 40),
                 "rc4": (3, 2, 128),
                 "aesv2": (4, 4, 128),
             }[encrypt_mode]
-            o_rec = pc.compute_o(opw, b"", enc_r, enc_len)
-            fkey = pc.std_file_key(b"", o_rec, perm, id0, enc_r, enc_len)
+            o_rec = pc.compute_o(opw, upw, enc_r, enc_len)
+            fkey = pc.std_file_key(upw, o_rec, perm, id0, enc_r, enc_len)
             u_rec = pc.compute_u(fkey, id0, enc_r)
 
         def enc_bytes(num: int, data: bytes) -> bytes:
@@ -251,30 +262,54 @@ def encode_pdf(
             desc_extra = b""
         else:
             # the CJK-subset shape: NO /ToUnicode — the only bridge
-            # back to text is the embedded TrueType program's own
-            # cmap (code point → glyph, glyph == CID here because
-            # /CIDToGIDMap is /Identity); extraction must walk the
-            # font program (operators/truetype.py)
-            from vectra_py_spark.operators.truetype import (
-                encode_truetype_cmap,
-            )
+            # back to text is the embedded font program's own tables
+            # (glyph == CID here because /CIDToGIDMap is /Identity);
+            # extraction must walk the font program
+            if font_program == "truetype":
+                from vectra_py_spark.operators.truetype import (
+                    encode_truetype_cmap,
+                )
 
-            ttf = encode_truetype_cmap(
-                {ord(c): cid for c, cid in cid_of.items()}
-            )
+                prog = encode_truetype_cmap(
+                    {ord(c): cid for c, cid in cid_of.items()}
+                )
+                ff_key, ff_sub = b"/FontFile2", b""
+            elif font_program == "cff":
+                from vectra_py_spark.operators.cff import (
+                    _ASCII_NAMES,
+                    encode_cff_charset,
+                )
+
+                def gname(c: str) -> str:
+                    o = ord(c)
+                    if 32 <= o <= 126:
+                        return _ASCII_NAMES[o - 32]
+                    return ("uni%04X" if o <= 0xFFFF else "u%06X") % o
+
+                # glyph gid == cid; cid_of is 1-based and char-sorted
+                prog = encode_cff_charset(
+                    [gname(c) for c in sorted(cid_of, key=cid_of.get)]
+                )
+                ff_key, ff_sub = b"/FontFile3", b"/Subtype /Type1C "
+            else:
+                raise ValueError(
+                    f"font_program must be truetype|cff, got "
+                    f"{font_program!r}"
+                )
             ff_filt = b""
             if compress:
-                ttf = zlib.compress(ttf)
+                prog = zlib.compress(prog)
                 ff_filt = b"/Filter /FlateDecode "
-            ttf = enc_stream(ttf)
+            prog = enc_stream(prog)
             ff_id = add(
-                b"<< " + ff_filt + b"/Length " + str(len(ttf)).encode()
-                + b" >>\nstream\n" + ttf + b"\nendstream"
+                b"<< " + ff_sub + ff_filt + b"/Length "
+                + str(len(prog)).encode()
+                + b" >>\nstream\n" + prog + b"\nendstream"
             )
             stream_ids.add(ff_id)
             fdesc_id = add(
                 b"<< /Type /FontDescriptor /FontName /SynthCID"
-                b" /Flags 4 /FontFile2 %d 0 R >>" % ff_id
+                b" /Flags 4 " + ff_key + b" %d 0 R >>" % ff_id
             )
             desc_extra = b" /FontDescriptor %d 0 R" % fdesc_id
         desc_id = add(
@@ -856,14 +891,27 @@ class _Pdf:
     (ADVICE r7: a bare last-match-wins scan let 'N G obj' byte
     sequences inside stream bodies shadow real objects)."""
 
-    def __init__(self, payload: bytes, init_crypt: bool = True) -> None:
+    def __init__(
+        self,
+        payload: bytes,
+        init_crypt: bool = True,
+        password: bytes | str = b"",
+    ) -> None:
         """``init_crypt=False`` skips password verification and key
         derivation — the structural walk (xref chain, page tree,
         object counts) stays fully usable because the handler
         encrypts only STRINGS and stream bytes, never names/numbers/
         dict structure. That is what keeps probe-triage of an AES-256
         document header-cheap: the R6 key stretch (~100 ms/hash by
-        design) only runs when text is actually wanted."""
+        design) only runs when text is actually wanted.
+
+        ``password`` opens password-protected documents (round 9):
+        tried as the USER password then the OWNER password (Algorithms
+        6/7 for R2-R4, 2.A for R5/R6), falling back to the empty user
+        password — the same ladder a viewer walks. A ``str`` password
+        is UTF-8-encoded (exact for V5; for R≤4 the bytes are tried as
+        given, which matches for the ASCII passwords real documents
+        use)."""
         if payload[:5] != b"%PDF-":
             raise ValueError(f"not a PDF payload: {payload[:8]!r}")
         self.d = payload
@@ -873,6 +921,9 @@ class _Pdf:
         self.trailer: dict | None = None
         self._crypt: tuple[str, bytes] | None = None  # (mode, file key)
         self._encrypt_num: int | None = None
+        if isinstance(password, str):
+            password = password.encode("utf-8")
+        self._password = password
         scanned = not self._load_xref_chain()
         if scanned:
             self._scan_objects()
@@ -895,10 +946,11 @@ class _Pdf:
     def _init_crypt(self, enc_ref) -> None:
         """Set up decryption from the /Encrypt dictionary (ISO 32000
         standard security handler): RC4 V1/V2 (R2/R3), crypt-filter V4
-        with /AESV2 or /V2-RC4 (R4), and AES-256 V5 (R5/R6). Only the
-        empty user password opens — the overwhelmingly common
-        owner-password-only protection; a real user password refuses
-        as password-protected (we cannot and should not guess)."""
+        with /AESV2 or /V2-RC4 (R4), and AES-256 V5 (R5/R6). Opens
+        with the supplied password (user-then-owner ladder) or the
+        empty user password — the overwhelmingly common
+        owner-password-only protection; anything else refuses as
+        password-protected (we cannot and should not guess)."""
         from vectra_py_spark.operators import pdf_crypto as pc
 
         if isinstance(enc_ref, tuple) and enc_ref[0] == "ref":
@@ -930,22 +982,43 @@ class _Pdf:
             raise ValueError("PDF /ID is not a string pair")
         em = self.deref(ed.get(b"/EncryptMetadata", True))
         em = bool(em) if isinstance(em, (bool, int)) else True
+        # password ladder (round 9): the supplied password as USER
+        # then OWNER, falling back to the empty user password — what a
+        # viewer's open dialog effectively does
+        pws = [self._password] if self._password else []
+        if b"" not in pws:
+            pws.append(b"")
+        key = None
         if v in (1, 2) and r in (2, 3):
-            key = pc.verify_user_password(
-                b"", o, u, p, id0, r, length if v == 2 else 40
-            )
+            eff_len = length if v == 2 else 40
+            for pw in pws:
+                key = pc.verify_user_password(
+                    pw, o, u, p, id0, r, eff_len
+                ) or (pw and pc.verify_owner_password(
+                    pw, o, u, p, id0, r, eff_len
+                )) or None
+                if key:
+                    break
             mode = "rc4"
         elif v == 4 and r == 4:
             mode = self._crypt_filter_mode(ed)
-            key = pc.verify_user_password(
-                b"", o, u, p, id0, r, length, em
-            )
+            for pw in pws:
+                key = pc.verify_user_password(
+                    pw, o, u, p, id0, r, length, em
+                ) or (pw and pc.verify_owner_password(
+                    pw, o, u, p, id0, r, length, em
+                )) or None
+                if key:
+                    break
         elif v == 5 and r in (5, 6):
             oe = self.deref(ed.get(b"/OE"))
             ue = self.deref(ed.get(b"/UE"))
             if not (isinstance(oe, bytes) and isinstance(ue, bytes)):
                 raise ValueError("PDF V5 /OE and /UE records missing")
-            key = pc.verify_v5_password(b"", o, u, oe, ue, r)
+            for pw in pws:  # 2.A tries user then owner itself
+                key = pc.verify_v5_password(pw, o, u, oe, ue, r)
+                if key:
+                    break
             mode = "aesv3"
         else:
             raise ValueError(
@@ -953,6 +1026,8 @@ class _Pdf:
             )
         if key is None:
             raise ValueError(
+                "password-protected PDF — wrong password supplied"
+                if self._password else
                 "password-protected PDF — cannot decrypt without the "
                 "user password"
             )
@@ -1630,18 +1705,29 @@ def _type0_font_program_cmap(pdf: "_Pdf", fd: dict) -> dict[bytes, str]:
         raise ValueError("PDF Type0 descendant font is not a dictionary")
     fdesc = pdf.deref(desc.get(b"/FontDescriptor"))
     ff2 = fdesc.get(b"/FontFile2") if isinstance(fdesc, dict) else None
-    if ff2 is None:
-        has_cff = isinstance(fdesc, dict) and (
-            b"/FontFile3" in fdesc or b"/FontFile" in fdesc
-        )
+    ff3 = fdesc.get(b"/FontFile3") if isinstance(fdesc, dict) else None
+    if ff2 is not None:
+        gid2uni = tt.cmap_gid_to_unicode(pdf.stream_data(pdf.deref(ff2)))
+    elif ff3 is not None:
+        # /FontFile3: bare CFF (/Type1C — glyph NAMES via the charset,
+        # operators/cff.py) or a full sfnt (/OpenType — has a cmap).
+        # CID-keyed CFF (/CIDFontType0C) refuses inside the CFF reader.
+        prog = pdf.stream_data(pdf.deref(ff3))
+        if prog[:4] in (b"\x00\x01\x00\x00", b"OTTO", b"true"):
+            gid2uni = tt.cmap_gid_to_unicode(prog)
+        else:
+            from vectra_py_spark.operators.cff import cff_gid_to_unicode
+
+            gid2uni = cff_gid_to_unicode(prog)
+    else:
         raise ValueError(
             "PDF Type0/Identity font without /ToUnicode and without an "
-            "embedded TrueType program ("
-            + ("CFF/Type1 font programs carry no sfnt cmap"
-               if has_cff else "no /FontFile2")
+            "embedded font program ("
+            + ("Type1 /FontFile carries neither an sfnt cmap nor a CFF "
+               "charset" if isinstance(fdesc, dict)
+               and b"/FontFile" in fdesc else "no /FontFile2//FontFile3")
             + ") — CIDs are unrecoverable; unsupported"
         )
-    gid2uni = tt.cmap_gid_to_unicode(pdf.stream_data(pdf.deref(ff2)))
 
     c2g_raw = pdf.deref(desc.get(b"/CIDToGIDMap", b"/Identity"))
     if c2g_raw == b"/Identity":
@@ -1837,12 +1923,16 @@ def _walk_content(pdf: _Pdf, data: bytes, res: dict, lines: list[str],
             stack.append(tok)
 
 
-def pdf_extract_text(payload: bytes) -> list[str]:
-    """PDF bytes → one extracted-text string per page. Unsupported
-    constructs (encryption, non-Identity composite encodings, exotic
-    filters) refuse with a ValueError naming the gap."""
+def pdf_extract_text(
+    payload: bytes, password: bytes | str = b""
+) -> list[str]:
+    """PDF bytes → one extracted-text string per page. ``password``
+    opens password-protected documents (user-then-owner ladder, empty
+    fallback). Unsupported constructs (wrong password, non-Identity
+    composite encodings, exotic filters) refuse with a ValueError
+    naming the gap."""
     try:
-        pdf = _Pdf(payload)
+        pdf = _Pdf(payload, password=password)
         return [_page_text(pdf, p) for p in pdf.pages()]
     except (IndexError, KeyError, re.error, UnicodeDecodeError,
             RecursionError, OverflowError,
@@ -1866,12 +1956,13 @@ def _docinfo_str(v) -> str | None:
     return v.decode("latin-1", "replace")
 
 
-def pdf_info(payload: bytes) -> dict:
+def pdf_info(payload: bytes, password: bytes | str = b"") -> dict:
     """Header-level probe: version + page count (no text decode), plus
     the /Info document metadata a corpus curation pass filters on
-    (title/author/producer/creator — None when absent)."""
+    (title/author/producer/creator — None when absent). ``password``
+    as in :func:`pdf_extract_text`."""
     try:
-        pdf = _Pdf(payload)
+        pdf = _Pdf(payload, password=password)
         version = payload[5:8].decode("latin-1", "replace")
         meta = {"title": None, "author": None, "producer": None,
                 "creator": None}
@@ -1954,13 +2045,16 @@ def extract_pdf_text_df(
     data_col: str = "data",
     id_col: str = "media_id",
     on_error: str = "fail",
+    password: str = "",
 ):
     """Binary PDF payloads → one row per page: (media_id, page, text
     [, error under quarantine]) — the same contract shape as
     ``extract_features``: 'fail' propagates the first ValueError,
     'quarantine' keeps a single error row per bad payload (page -1,
-    NULL text) and the stage flows on. Narrow ``mapInPandas``, no
-    shuffle, payloads stay in the worker."""
+    NULL text) and the stage flows on. ``password`` applies to every
+    payload (the per-corpus password of a protected drop; the empty
+    user password remains the fallback per payload). Narrow
+    ``mapInPandas``, no shuffle, payloads stay in the worker."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1975,7 +2069,9 @@ def extract_pdf_text_df(
             for mid, b in zip(pdf_batch[id_col], pdf_batch[data_col]):
                 payload = bytes(b) if b is not None else b""
                 try:
-                    for p, text in enumerate(pdf_extract_text(payload)):
+                    for p, text in enumerate(
+                        pdf_extract_text(payload, password=password)
+                    ):
                         rows["media_id"].append(str(mid))
                         rows["page"].append(p)
                         rows["text"].append(text)

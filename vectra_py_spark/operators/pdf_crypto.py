@@ -400,6 +400,39 @@ def verify_user_password(
     return key if got_ok else None
 
 
+def verify_owner_password(
+    pw: bytes,
+    o: bytes,
+    u: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length: int,
+    encrypt_metadata: bool = True,
+) -> bytes | None:
+    """Algorithm 7: file key if ``pw`` is the OWNER password, else
+    None — the RC4 rounds of Algorithm 3 are inverted (same keys,
+    reverse order; RC4 is an involution) to recover the PADDED user
+    password, which then runs through Algorithm 6. Feeding the
+    already-padded 32 bytes back in is sound because padding is
+    ``(pw + PAD)[:32]`` — a fixed point at 32 bytes."""
+    key = hashlib.md5(_pad_password(pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    n = 5 if r == 2 else max(5, min(16, length // 8))
+    data = o[:32]
+    if r == 2:
+        user_padded = rc4(key[:n], data)
+    else:
+        for i in range(19, -1, -1):
+            data = rc4(bytes(b ^ i for b in key[:n]), data)
+        user_padded = data
+    return verify_user_password(
+        user_padded, o, u, p, id0, r, length, encrypt_metadata
+    )
+
+
 def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1: the per-object key (R2–R4; V5 uses the file key
     directly)."""

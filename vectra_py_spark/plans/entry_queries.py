@@ -1784,9 +1784,11 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FlateDecode + PNG Up predictor) on doc_id%3==0, plus compressed
     object streams (/Type/ObjStm, type-2 xref entries) on doc_id%6==0 —
     and so does the FONT flavor (round 9): Type0/Identity-H WITH
-    /ToUnicode on doc_id%5==1, Type0 WITHOUT /ToUnicode on doc_id%5==0
-    (text recoverable only through the embedded TrueType program's
-    cmap — the operators/truetype.py path), standard Type1 otherwise —
+    /ToUnicode on doc_id%5==1; Type0 WITHOUT /ToUnicode on doc_id%5==0,
+    where text is recoverable only through the embedded font program —
+    TrueType /FontFile2 sfnt cmap (operators/truetype.py) on
+    doc_id%10==0, bare-CFF /FontFile3 charset glyph names
+    (operators/cff.py) on doc_id%10==5; standard Type1 otherwise —
     while the oracle arithmetic is flavor-invariant, so the startxref
     chain walk, the predictor, the ObjStm header parse, the trailer →
     page tree walk, stream decode, the string lexer, BOTH CID→text
@@ -1825,6 +1827,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         objstm=did % 6 == 0,
                         font="type0" if did % 5 < 2 else "type1",
                         to_unicode=did % 5 != 0,
+                        font_program="cff" if did % 10 == 5
+                        else "truetype",
                     )
                 )
                 for p, text in enumerate(texts):
