@@ -2181,6 +2181,107 @@ FROM ids
 """
 
 
+_URL_DOCS = 400
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup e2e
+    (`functions/urls.py::canonical_url` / ``url_dedup`` — pure
+    Catalyst, whole-stage codegen, zero Python): per doc, synthesize
+    the SAME logical URL in two spellings — a messy variant (case 6
+    rotation: scheme/host case + www + default port + trackers +
+    trailing slash + shuffled params + fragments) and its clean twin —
+    run the real normalizer + one-aggregate dedup, and report
+    (canonical_url, n_variants, keep_url). The oracle recomputes the
+    canonical form, the collapse count (always 2), and the bytewise-min
+    survivor from closed forms, so every normalization rule AND the
+    survivor aggregate are value-checked cross-engine.
+
+    Plan shape: projection (codegen) → one hash aggregate; at 100 TB
+    this is the cheap pre-fetch dedup a crawl frontier runs, one
+    shuffle on the canonical key."""
+    from vectra_py_spark.functions.urls import url_dedup
+
+    s = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 10).cast("string")
+    m = F.col("doc_id") % 6
+    host = F.concat(F.lit("ex"), h, F.lit(".com"))
+
+    def pick(*variants):
+        expr = F.lit(None)
+        for case, v in reversed(list(enumerate(variants))):
+            expr = F.when(m == case, v).otherwise(expr)
+        return expr
+
+    messy = pick(
+        F.concat(F.lit("HTTP://WWW.Ex"), h, F.lit(".COM:80/a"), s,
+                 F.lit("/?utm_source=x&b=2&a=1#f")),
+        F.concat(F.lit("https://Ex"), h, F.lit(".com:443/p"), s),
+        F.concat(F.lit("https://"), host, F.lit("/q"), s, F.lit("/")),
+        F.concat(F.lit("http://"), host, F.lit("/r"), s,
+                 F.lit("?gclid=1&x=2")),
+        F.concat(F.lit("https://www.ex"), h, F.lit(".com/s"), s,
+                 F.lit("?b=2&a=1")),
+        F.concat(F.lit("http://"), host, F.lit(":8080/t"), s,
+                 F.lit("#z")),
+    )
+    clean = pick(
+        F.concat(F.lit("http://"), host, F.lit("/a"), s,
+                 F.lit("?a=1&b=2")),
+        F.concat(F.lit("https://"), host, F.lit("/p"), s),
+        F.concat(F.lit("https://"), host, F.lit("/q"), s),
+        F.concat(F.lit("http://"), host, F.lit("/r"), s,
+                 F.lit("?x=2")),
+        F.concat(F.lit("https://"), host, F.lit("/s"), s,
+                 F.lit("?a=1&b=2")),
+        F.concat(F.lit("http://"), host, F.lit(":8080/t"), s),
+    )
+    urls = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _URL_DOCS)
+        .select(F.explode(F.array(messy, clean)).alias("url"))
+    )
+    return url_dedup(urls).select(
+        "canonical_url",
+        F.col("n_variants").cast("int").alias("n_variants"),
+        "keep_url",
+    )
+
+
+def _sql_url_canonical() -> str:
+    # closed forms: canonical == the clean twin; survivor = bytewise
+    # min(messy, clean) — uppercase beats lowercase for m∈{0,1}, the
+    # tracker query sorts first for m=3, the prefix wins for m∈{2,5},
+    # 'e' < 'w' for m=4
+    return f"""
+WITH ids AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         CAST(doc_id % 10 AS VARCHAR) AS h, doc_id % 6 AS m
+  FROM documents WHERE doc_id < {_URL_DOCS}
+)
+SELECT
+  CASE m
+    WHEN 0 THEN 'http://ex' || h || '.com/a' || s || '?a=1&b=2'
+    WHEN 1 THEN 'https://ex' || h || '.com/p' || s
+    WHEN 2 THEN 'https://ex' || h || '.com/q' || s
+    WHEN 3 THEN 'http://ex' || h || '.com/r' || s || '?x=2'
+    WHEN 4 THEN 'https://ex' || h || '.com/s' || s || '?a=1&b=2'
+    ELSE 'http://ex' || h || '.com:8080/t' || s
+  END AS canonical_url,
+  CAST(2 AS INT) AS n_variants,
+  CASE m
+    WHEN 0 THEN 'HTTP://WWW.Ex' || h || '.COM:80/a' || s
+                || '/?utm_source=x&b=2&a=1#f'
+    WHEN 1 THEN 'https://Ex' || h || '.com:443/p' || s
+    WHEN 2 THEN 'https://ex' || h || '.com/q' || s
+    WHEN 3 THEN 'http://ex' || h || '.com/r' || s || '?gclid=1&x=2'
+    WHEN 4 THEN 'https://ex' || h || '.com/s' || s || '?a=1&b=2'
+    ELSE 'http://ex' || h || '.com:8080/t' || s
+  END AS keep_url
+FROM ids
+"""
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -4346,6 +4447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_extract": q_warc_extract,
     "warc_documents": q_warc_documents,
     "office_documents": q_office_documents,
+    "url_canonical": q_url_canonical,
     "pdf_extract": q_pdf_extract,
     "flac_roundtrip": q_flac_roundtrip,
     "token_budget_batches": q_token_budget_batches,
@@ -4422,23 +4524,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
 # fresh driver row go first. Round-9 rotation (VERDICT r8 item 1,
-# executed verbatim): the one round-9 addition needing FIRST driver
+# executed verbatim): the two round-9 additions needing FIRST driver
 # evidence (office_documents — the office/legacy extractor family's
-# first cross-engine row, VERDICT r8 item 2; the only new entry, well
-# inside the ≤2 budget), then the 11 r5-vintage rows the r8 window
-# couldn't fit (two of which — vector_topk / vector_topk_filtered —
-# are the SURVEY §3.1 flagship path), then the first 38 of the 50
-# r6-vintage queries in CORRECTNESS_r06 recording order. The 12 r6
-# rows that didn't fit (dml_insert, dml_upsert, dml_delete,
+# first cross-engine row, VERDICT r8 item 2 — and url_canonical — the
+# crawl URL normalizer/dedup; both ≤2-budget slots used), then the 11
+# r5-vintage rows the r8 window couldn't fit (two of which —
+# vector_topk / vector_topk_filtered — are the SURVEY §3.1 flagship
+# path), then the first 37 of the 50 r6-vintage queries in
+# CORRECTNESS_r06 recording order. The 13 r6 rows that didn't fit
+# (big_spenders, dml_insert, dml_upsert, dml_delete,
 # min_cost_supplier, forecast_revenue, product_profit, important_stock,
 # shipmode_priority, customer_distribution, top_supplier,
 # supplier_part_counts, small_qty_revenue) stay r6-vintage; round 10's
-# rotation should lead with those 12 plus any round-9 additions
-# registered below the window. Staleness SLO: see COVERAGE.md —
-# no entry's newest evidence older than N-3 rounds.
+# rotation should lead with those 13 plus any round-10 additions.
+# Staleness SLO: see COVERAGE.md — no entry's newest evidence older
+# than N-3 rounds.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
     "office_documents",
+    "url_canonical",
     "simhash_neardup",
     "source_quota",
     "source_token_drift",
@@ -4487,7 +4591,6 @@ _CHECK_FIRST: list[str] = [
     "viewers_not_purchasers",
     "daily_rolling",
     "late_ship_priority",
-    "big_spenders",
 ]
 
 QUERIES = {
@@ -4629,6 +4732,7 @@ ORACLES: dict[str, str] = {
     "warc_extract": _sql_warc_extract(),
     "warc_documents": _sql_warc_documents(),
     "office_documents": _sql_office_documents(),
+    "url_canonical": _sql_url_canonical(),
     "pdf_extract": _sql_pdf_extract(),
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
