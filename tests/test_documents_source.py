@@ -106,6 +106,59 @@ def test_folder_to_index_e2e(spark):
     assert got[0]["uri"].endswith("memo.rtf")
 
 
+def test_read_archive_documents(spark):
+    """TAR/ZIP bundles of mixed documents → extracted rows: the
+    packed-small-files ingest path. Covers .tar.gz autodetect, ZIP,
+    bang-convention URIs, junk-member skip and corrupt-archive
+    quarantine (archive dropped, others unaffected)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from vectra_py_spark.operators.office import encode_docx
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+    from vectra_py_spark.sources.documents import read_archive_documents
+
+    d = tempfile.mkdtemp()
+    members = {
+        "inner/a.pdf": encode_pdf([["packed pdf text"]]),
+        "b.rtf": encode_rtf(["packed rtf memo"]),
+        "c.docx": encode_docx(["packed docx para"]),
+        "notes.txt": b"packed plain notes",
+        "junk.bin": bytes(range(256)) * 8,
+    }
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as t:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    with open(os.path.join(d, "bundle.tar.gz"), "wb") as f:
+        f.write(tbuf.getvalue())
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("z.txt", b"zipped text file")
+    with open(os.path.join(d, "bundle.zip"), "wb") as f:
+        f.write(zbuf.getvalue())
+    with open(os.path.join(d, "broken.tar"), "wb") as f:
+        f.write(b"\x00not a tar at all" * 40)
+
+    rows = {
+        r.uri.split("!", 1)[1]: r
+        for r in read_archive_documents(spark, d).collect()
+    }
+    assert set(rows) == {
+        "inner/a.pdf", "b.rtf", "c.docx", "notes.txt", "z.txt",
+    }
+    assert rows["inner/a.pdf"].text == "packed pdf text"
+    assert rows["inner/a.pdf"].doc_type == "pdf"
+    assert rows["b.rtf"].text == "packed rtf memo"
+    assert rows["c.docx"].doc_type == "docx"
+    assert rows["z.txt"].text == "zipped text file"
+    assert all("!" in r.uri for r in rows.values())
+
+
 def test_streaming_documents_twin(spark):
     """The continuous-ingest twin: availableNow drain over a drop
     folder must produce EXACTLY the batch read_documents rows

@@ -1,0 +1,179 @@
+"""Host link graph + PageRank (`operators/linkgraph.py`): Catalyst
+outlink/host classification, edge aggregation, degree stats, power
+iteration vs an independent dense numpy reference, and full-URL
+outlink resolution (urljoin semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectra_py_spark.operators.linkgraph import (
+    host_degrees,
+    host_edges,
+    host_graph,
+    host_pagerank,
+    outlinks_df,
+)
+
+PAGE = """
+<html><body>
+<a href="https://other.example/page">abs</a>
+<a href="HTTP://WWW.Upper.Example/x">case+www</a>
+<a href="//proto.example/y">protocol-relative</a>
+<a href="/root-relative">same host</a>
+<a href="sibling.html">relative</a>
+<a href="mailto:x@example.com">mail</a>
+<a href="javascript:void(0)">js</a>
+<a href="urn:isbn:123">other scheme</a>
+<a href="#frag">fragment only</a>
+<a href='https://single.example/q'>single quotes</a>
+</body></html>
+"""
+
+
+def test_host_edges_classification(spark):
+    df = spark.createDataFrame(
+        [("https://www.src.example/dir/page.html", PAGE)],
+        ["url", "text"],
+    )
+    got = sorted(
+        (r.src, r.dst) for r in host_edges(df).collect()
+    )
+    # self-loops (root-relative, relative, bare fragment) dropped by
+    # default; mailto/javascript/urn dropped always
+    assert got == [
+        ("src.example", "other.example"),
+        ("src.example", "proto.example"),
+        ("src.example", "single.example"),
+        ("src.example", "upper.example"),
+    ]
+    with_self = sorted(
+        (r.src, r.dst)
+        for r in host_edges(df, drop_self=False).collect()
+    )
+    # root-relative + relative + fragment-only → three self edges
+    assert with_self.count(("src.example", "src.example")) == 3
+
+
+def test_host_graph_weights(spark):
+    html = (
+        '<a href="https://a.example/1">x</a>'
+        '<a href="https://a.example/2">y</a>'
+        '<a href="https://b.example/">z</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://s.example/", html), ("https://s.example/p2", html)],
+        ["url", "text"],
+    )
+    got = {
+        (r.src, r.dst): r.n_links for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("s.example", "a.example"): 4,
+        ("s.example", "b.example"): 2,
+    }
+
+
+def test_host_degrees(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)],
+        ["src", "dst", "n_links"],
+    )
+    got = {r.host: r for r in host_degrees(edges).collect()}
+    assert got["a"].out_degree == 2 and got["a"].in_degree == 0
+    assert got["a"].out_links == 4
+    assert got["c"].in_degree == 2 and got["c"].in_links == 3
+    assert got["c"].out_degree == 0
+    assert got["b"].out_degree == 1 and got["b"].in_degree == 1
+
+
+def _ref_pagerank(hosts, edges, d, iters):
+    """Independent dense power iteration, same semantics: weighted
+    split, uniform teleport, dangling mass recovered as 1 - flowed."""
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t, w in edges:
+        W[idx[s], idx[t]] += w
+    out_w = W.sum(axis=1)
+    P = np.divide(
+        W, out_w[:, None], out=np.zeros_like(W), where=out_w[:, None] > 0
+    )
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = r @ P
+        flowed = contrib.sum()
+        r = (1 - d) / n + d * (contrib + (1 - flowed) / n)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_host_pagerank_matches_dense_reference(spark):
+    # includes a dangling node (d) and a weighted multi-edge
+    edges = [
+        ("a", "b", 2.0),
+        ("a", "c", 1.0),
+        ("b", "c", 1.0),
+        ("c", "a", 1.0),
+        ("c", "d", 3.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    got = {
+        r.host: r.rank
+        for r in host_pagerank(df, damping=0.85, iterations=12).collect()
+    }
+    want = _ref_pagerank(
+        ["a", "b", "c", "d"], edges, d=0.85, iters=12
+    )
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], rel=1e-9)
+    # rank mass is conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # the hub pointed at by everything outranks the dangling sink's
+    # teleport-only floor
+    assert got["c"] > got["d"] > 0
+
+
+def test_host_pagerank_unweighted_and_validation(spark):
+    edges = [("a", "b", 100.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    w = {
+        r.host: r.rank
+        for r in host_pagerank(df, iterations=3).collect()
+    }
+    u = {
+        r.host: r.rank
+        for r in host_pagerank(df, iterations=3, weighted=False).collect()
+    }
+    assert w["b"] > w["c"]  # weight-proportional split
+    assert u["b"] == pytest.approx(u["c"], rel=1e-12)  # uniform split
+    with pytest.raises(ValueError, match="damping"):
+        host_pagerank(df, damping=1.5)
+    with pytest.raises(ValueError, match="iterations"):
+        host_pagerank(df, iterations=0)
+
+
+def test_outlinks_df_urljoin_semantics(spark):
+    html = (
+        '<a href="../up/x.html">dots</a>'
+        '<a href="sib.html?q=1">relative</a>'
+        '<a href="/abs/path">root</a>'
+        '<a href="//cdn.example/lib.js">proto-rel</a>'
+        '<a href="https://ext.example/e">absolute</a>'
+        '<a href="mailto:a@b">skip</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://h.example/a/b/page.html", html)], ["url", "text"]
+    )
+    got = sorted(r.outlink for r in outlinks_df(df).collect())
+    assert got == [
+        "https://cdn.example/lib.js",
+        "https://ext.example/e",
+        "https://h.example/a/b/sib.html?q=1",
+        "https://h.example/a/up/x.html",
+        "https://h.example/abs/path",
+    ]
+    assert all(
+        r.src_url == "https://h.example/a/b/page.html"
+        for r in outlinks_df(df).collect()
+    )

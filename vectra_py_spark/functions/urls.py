@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "url_dedup"]
+__all__ = ["canonical_url", "url_dedup", "host_of"]
 
 # prefixes (trailing '_' meaningful) and exact names to strip
 _TRACKER_PREFIXES = ("utm_",)
@@ -85,6 +85,15 @@ def canonical_url(url: Column | str) -> Column:
             ),
         )
     )
+
+
+def host_of(url: Column | str) -> Column:
+    """URL column → canonical host (lowercase, leading ``www.``
+    dropped, NULL for unparseable input) — the grouping key the
+    host-level link graph and per-host crawl policies share."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
 
 
 def url_dedup(df, url_col: str = "url", keep: str = "min"):

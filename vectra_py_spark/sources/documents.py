@@ -22,7 +22,13 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["read_documents", "extract_documents_df", "extract_any_document"]
+__all__ = [
+    "read_documents",
+    "extract_documents_df",
+    "extract_any_document",
+    "archive_documents",
+    "read_archive_documents",
+]
 
 _HTML_RE = re.compile(
     r"<\s*(?:!doctype\s+html|html|head|body|div|p|h[1-6])[\s>]", re.I
@@ -99,3 +105,37 @@ def read_documents(spark, path: str, min_chars: int = 1):
     rows; unsupported/corrupt files skip quietly."""
     raw = spark.read.format("binaryFile").load(path)
     return extract_documents_df(raw, min_chars=min_chars)
+
+
+def archive_documents(df, min_chars: int = 1):
+    """Exploded-archive rows (``read_media_archive``'s ARCHIVE_SCHEMA:
+    archive, member, payload, n_bytes, error) → (uri, text, doc_type)
+    through the same magic-byte dispatch as :func:`read_documents` —
+    the glue that makes "pack millions of small documents into TAR/ZIP"
+    (the listing-bound fix BENCH.md recommends) a one-call ingest path,
+    exactly as ``warc_documents`` is for crawl archives. Member URIs
+    use the ``archive!member`` bang convention. Quarantined archives
+    (error rows) and non-document members skip quietly."""
+    from pyspark.sql import functions as F
+
+    files = df.filter(
+        F.col("error").isNull() & F.col("payload").isNotNull()
+    ).select(
+        F.concat_ws("!", "archive", "member").alias("path"),
+        F.col("payload").alias("content"),
+    )
+    return extract_documents_df(files, min_chars=min_chars)
+
+
+def read_archive_documents(spark, path: str, min_chars: int = 1):
+    """Directory/glob of TAR (incl. .tar.gz/.tgz/.tar.bz2/.tar.xz) and
+    ZIP bundles of mixed documents → (uri, text, doc_type) rows.
+    Archive count is the parallelism unit — at corpus scale this is
+    the supported shape for billions of small files (one binaryFile
+    listing over thousands of archives instead of a listing over the
+    files themselves)."""
+    from vectra_py_spark.sources.warc import read_media_archive
+
+    return archive_documents(
+        read_media_archive(spark, path), min_chars=min_chars
+    )
