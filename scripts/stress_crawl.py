@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scale stress for the crawl acquisition layer (round 9): times
+host-graph construction, PageRank, full-URL outlink extraction,
+boilerplate removal, and the frontier composition at 1x and 10x page
+counts in one session and reports the scaling ratio. A scale-correct
+operator is near-linear in pages (extraction) or in edges (graph ops);
+PageRank iterations are fixed-count, so its cost tracks the edge list,
+which the host-graph aggregate keeps orders of magnitude smaller than
+the page corpus.
+
+Usage: python scripts/stress_crawl.py
+Output: one JSON line; paste the numbers into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from vectra_py_spark.operators.boilerplate import main_content_df  # noqa: E402
+from vectra_py_spark.operators.linkgraph import (  # noqa: E402
+    crawl_frontier,
+    host_graph,
+    host_pagerank,
+    outlinks_df,
+)
+from vectra_py_spark.session import get_spark  # noqa: E402
+
+N_PAGES_1X = 2_000
+N_HOSTS_1X = 120
+LINKS_PER_PAGE = 12
+
+PROSE = (
+    "It was the considered view of the committee that the proposal "
+    "should be adopted in full and that the budget which came with it "
+    "ought to be approved by all of the members who were present. "
+)
+
+
+def synth_pages(spark, n_pages: int, n_hosts: int, seed: int = 7):
+    """Deterministic synthetic web: pages across n_hosts with a
+    Zipf-ish link distribution (low host ids attract more links) and
+    realistic chrome around the prose."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_pages):
+        h = i % n_hosts
+        url = f"https://h{h}.example/p{i}"
+        targets = rng.zipf(1.6, LINKS_PER_PAGE) % n_hosts
+        links = "".join(
+            f'<a href="https://h{t}.example/p{rng.integers(n_pages)}">x</a>'
+            for t in targets
+        )
+        nav = (
+            '<nav><a href="/">Home</a><a href="/a">About</a>'
+            '<a href="/c">Contact</a></nav>'
+        )
+        paras = "".join(
+            f"<p>{PROSE}page {i} para {j}</p>" for j in range(4)
+        )
+        rows.append((url, f"<html><body>{nav}{paras}<div>{links}</div>"
+                          f"<footer>Copyright</footer></body></html>"))
+    return spark.createDataFrame(rows, ["url", "text"])
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    n = fn()
+    return round(time.monotonic() - t0, 3), n
+
+
+def run_scale(spark, n_pages: int, n_hosts: int) -> dict:
+    pages = synth_pages(spark, n_pages, n_hosts).cache()
+    pages.count()
+    crawled = pages.select("url").sample(0.5, seed=1).cache()
+    crawled.count()
+    out = {}
+    out["outlinks_s"], out["outlinks_rows"] = timed(
+        lambda: outlinks_df(pages).count()
+    )
+    edges = host_graph(pages).cache()
+    out["host_graph_s"], out["edges"] = timed(edges.count)
+    out["pagerank_s"], out["hosts"] = timed(
+        lambda: host_pagerank(edges, iterations=10).count()
+    )
+    out["boilerplate_s"], _ = timed(
+        lambda: main_content_df(pages).agg(
+            {"n_blocks_kept": "sum"}
+        ).collect()[0][0]
+    )
+    out["frontier_s"], out["frontier_rows"] = timed(
+        lambda: crawl_frontier(
+            pages, crawled, per_host_limit=50
+        ).count()
+    )
+    pages.unpersist()
+    crawled.unpersist()
+    edges.unpersist()
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="stress-crawl")
+    run_scale(spark, 200, 20)  # JVM/codegen warmup, discarded
+    r1 = run_scale(spark, N_PAGES_1X, N_HOSTS_1X)
+    r10 = run_scale(spark, N_PAGES_1X * 10, N_HOSTS_1X * 10)
+    ratios = {
+        k: round(r10[k] / max(r1[k], 1e-9), 2)
+        for k in r1
+        if k.endswith("_s")
+    }
+    print(json.dumps({
+        "metric": "crawl_layer_stress",
+        "pages_1x": N_PAGES_1X,
+        "r1x": r1,
+        "r10x": r10,
+        "vs_10x_time_ratio": ratios,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
