@@ -48,6 +48,7 @@ __all__ = [
     "host_degrees",
     "outlinks_df",
     "crawl_frontier",
+    "warc_host_graph",
 ]
 
 # one capture group: the href value, either quote style
@@ -230,6 +231,25 @@ def host_pagerank(
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def warc_host_graph(records: DataFrame) -> DataFrame:
+    """WARC record rows (``read_warc``'s WARC_SCHEMA) → the weighted
+    host edge list, directly: HTML response records are selected and
+    decoded IN CATALYST (``decode(payload,'UTF-8')`` replaces
+    malformed sequences rather than failing — crawl charsets lie) and
+    flow straight into :func:`host_graph`. This is the WAT-style
+    derivation: link structure extracted from an archive without the
+    payloads ever entering a shuffle."""
+    html = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("error").isNull()
+        & F.col("url").isNotNull()
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        "url", F.decode(F.col("payload"), "UTF-8").alias("text")
+    )
+    return host_graph(html)
 
 
 def crawl_frontier(

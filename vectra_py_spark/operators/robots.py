@@ -42,6 +42,7 @@ __all__ = [
     "crawl_delay",
     "filter_robots_df",
     "parse_sitemap",
+    "sitemap_entries_df",
 ]
 
 
@@ -238,6 +239,43 @@ def filter_robots_df(
             yield out
 
     return joined.mapInPandas(run, schema=schema)
+
+
+def sitemap_entries_df(df, xml_col: str = "payload", src_col: str = "url"):
+    """Fetched sitemap payloads (e.g. WARC records or fetcher rows) →
+    one row per entry: (sitemap_url, kind, loc, lastmod), where
+    kind='sitemap' rows are child indexes the caller feeds back to the
+    fetcher and kind='url' rows are frontier seeds. Malformed XML
+    quarantines as a kind='error' row carrying the message. Narrow
+    mapInPandas; the sitemap set is host-sized."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"sitemap_url": [], "kind": [], "loc": [], "lastmod": []}
+            for src, xml in zip(pdf[src_col], pdf[xml_col]):
+                try:
+                    entries = parse_sitemap(
+                        bytes(xml) if isinstance(xml, (bytes, bytearray, memoryview))
+                        else str(xml)
+                    )
+                except ValueError as exc:
+                    rows["sitemap_url"].append(str(src))
+                    rows["kind"].append("error")
+                    rows["loc"].append(None)
+                    rows["lastmod"].append(str(exc))
+                    continue
+                for e in entries:
+                    rows["sitemap_url"].append(str(src))
+                    rows["kind"].append(e["kind"])
+                    rows["loc"].append(e["loc"])
+                    rows["lastmod"].append(e["lastmod"])
+            yield pd.DataFrame(rows)
+
+    return df.select(src_col, xml_col).mapInPandas(
+        run,
+        schema="sitemap_url STRING, kind STRING, loc STRING, lastmod STRING",
+    )
 
 
 def parse_sitemap(xml_text: str | bytes) -> list[dict]:

@@ -4537,6 +4537,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # shipmode_priority, customer_distribution, top_supplier,
 # supplier_part_counts, small_qty_revenue) stay r6-vintage; round 10's
 # rotation should lead with those 13 plus any round-10 additions.
+# Round-10 new-entry candidates (built + unit-tested in r9, kept out
+# of the registry to honor the ≤2-additions budget): recrawl_priority
+# (sources/cdx.py — deterministic closed form over a synthesized
+# capture history), host_pagerank (operators/linkgraph.py — fixed-N
+# power iteration, SQL twin = unrolled CTE chain), main_content_df
+# (operators/boilerplate.py — closed-form synthetic pages).
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------

@@ -1,13 +1,23 @@
 """Ingest sources and table layout: local files, web pages,
 HTML→markdown conversion, JSONL/CSV corpus dumps
 (:mod:`.textcorpus`), WARC crawl archives + ZIP/TAR media bundles
-(:mod:`.warc`), folder-of-anything document ingestion dispatching on
+(:mod:`.warc`), CDX(J) crawl indexes for selective range reads
+(:mod:`.cdx`), folder-of-anything document ingestion dispatching on
 magic bytes (:mod:`.documents`), bucketed tables (:mod:`.bucketed`),
 and small-file compaction (:mod:`.maintenance`)."""
 
 from vectra_py_spark.sources.bucketed import read_table, write_bucketed
+from vectra_py_spark.sources.cdx import (
+    cdx_select,
+    fetch_cdx_records,
+    index_warc,
+    read_cdx,
+    surt_key,
+)
 from vectra_py_spark.sources.documents import (
+    archive_documents,
     extract_any_document,
+    read_archive_documents,
     read_documents,
 )
 from vectra_py_spark.sources.fetchers import (
@@ -48,4 +58,11 @@ __all__ = [
     "warc_documents",
     "extract_any_document",
     "read_documents",
+    "archive_documents",
+    "read_archive_documents",
+    "read_cdx",
+    "cdx_select",
+    "fetch_cdx_records",
+    "index_warc",
+    "surt_key",
 ]
