@@ -178,9 +178,50 @@ def main() -> None:
         ["a", "Z", "uni4E2D", "adieresis", "u1F600"]
     ), [cff_gid_to_unicode])
 
+    # round-9 crawl-layer parsers. The text-input parsers are wrapped
+    # through latin-1 (total: every byte string decodes) so byte
+    # mutations exercise them; robots/boilerplate parsing is
+    # total-by-design (never raises), so ANY exception is an escape
+    # there, while the cdx/sitemap codecs keep the ValueError contract.
+    from vectra_py_spark.operators.boilerplate import extract_main_text
+    from vectra_py_spark.operators.robots import parse_robots, parse_sitemap
+    from vectra_py_spark.sources.cdx import (
+        format_cdxj_line, index_warc, parse_cdxj_line, surt_key,
+    )
+
+    def _txt(f):
+        return lambda b: f(b.decode("latin-1"))
+
+    cdxj_seed = format_cdxj_line({
+        "surt": "org,example)/a", "ts": "20260101120000",
+        "url": "https://example.org/a?x=1", "mime": "text/html",
+        "status": 200, "digest": "sha1:AAAA", "filename": "seg.warc.gz",
+        "offset": 345, "length": 678,
+    }).encode()
+    drive("cdxj_line", cdxj_seed, [_txt(parse_cdxj_line)])
+    drive("surt", b"https://www.Sub.Example.org:8443/Path/x?b=2&a=1",
+          [_txt(surt_key)])
+    drive("warc_index", synth_warc(
+        [("http://x/a", b"hello", "text/html")], compress=True
+    ), [lambda b: index_warc(b, "f.warc.gz")])
+    drive("sitemap", (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://e/a</loc><lastmod>2026-01-01</lastmod></url>"
+        b"</urlset>"
+    ), [parse_sitemap])
+    drive("robots", (
+        b"User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+        b"Crawl-delay: 2\nUser-agent: bot\nDisallow: /*.pdf$\n"
+    ), [_txt(lambda s: parse_robots(s).allowed("/private/x"))])
+    drive("boilerplate", (
+        b"<html><body><nav><a href='/'>Home</a></nav><h1>T</h1>"
+        b"<p>the quick brown committee of the and was to in it</p>"
+        b"</body></html>"
+    ), [_txt(extract_main_text)])
+
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 6,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

@@ -124,6 +124,20 @@ def test_cdx_spark_path_end_to_end(spark):
     assert len(rows) == 1 and rows[0].error is not None
 
 
+def test_index_warc_corrupt_deflate_is_valueerror():
+    """Fuzz-campaign regression (round 9, seed family warc_index):
+    corrupt deflate bytes behind a WELL-FORMED gzip header leaked
+    zlib.error through index_warc — the quarantine layers catch
+    exactly ValueError, so anything else is a failed stage."""
+    payload = bytearray(synth_warc(
+        [("https://a.example/x", b"body", "text/html")], compress=True
+    ))
+    for i in range(12, min(40, len(payload))):
+        payload[i] ^= 0xA5  # shred the deflate stream, keep the header
+    with pytest.raises(ValueError):
+        index_warc(bytes(payload), "f.warc.gz")
+
+
 def test_cdx_select_latest_only(spark):
     rows = [
         ("org,a)/p", "20250101000000", "https://a/p", "text/html", 200,

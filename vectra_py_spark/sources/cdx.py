@@ -199,7 +199,14 @@ def index_warc(payload: bytes, filename: str) -> list[str]:
             total = 0
             buf = data
             while True:
-                chunk = d.decompress(buf, 1 << 20)
+                try:
+                    chunk = d.decompress(buf, 1 << 20)
+                except zlib.error as exc:
+                    # corrupt deflate inside a well-formed gzip header
+                    # must quarantine like every other parser
+                    raise ValueError(
+                        f"corrupt gzip member at offset {pos}: {exc}"
+                    ) from exc
                 total += len(chunk)
                 if total > DECOMPRESS_CEILING:
                     raise ValueError("gzip member exceeds ceiling")
