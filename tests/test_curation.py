@@ -578,3 +578,25 @@ def test_nfc_normalize_keeps_null_text_rows(spark):
     assert len(out) == 2                      # NULL row not dropped
     assert out[2].norm_hash is None and out[2].changed is None
     assert out[1].changed and out[1].n_chars_norm == 4  # NFC composed
+
+
+def test_fix_mojibake(spark):
+    """Mojibake repair: cp1252-decoded UTF-8 is reversed; clean text,
+    genuine Latin-1 accents, CJK, and replacement-producing inputs
+    pass through untouched."""
+    from vectra_py_spark.operators.curation import fix_mojibake
+
+    rows = [
+        ("a", "cafÃ© et naÃ¯ve"),                # latin-range mojibake
+        ("b", "itâ€™s a â€œquoteâ€\x9d here"),  # cp1252 punctuation mojibake
+        ("c", "clean plain text"),               # untouched
+        ("d", "café already correct"),           # accents, no artifact
+        ("e", "日本語テキスト"),                  # CJK: not cp1252-safe
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r for r in fix_mojibake(df).collect()}
+    assert got["a"].text == "café et naïve" and got["a"].was_repaired
+    assert got["b"].text == "it’s a “quote” here" and got["b"].was_repaired
+    for k in ("c", "d", "e"):
+        assert got[k].text == dict(rows)[k]
+        assert not got[k].was_repaired

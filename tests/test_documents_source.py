@@ -159,6 +159,70 @@ def test_read_archive_documents(spark):
     assert all("!" in r.uri for r in rows.values())
 
 
+def test_streaming_archive_documents_twin(spark):
+    """Continuous packed-corpus drops: availableNow drain over an
+    archive drop folder must produce EXACTLY the batch
+    read_archive_documents rows, and a second drain after a new
+    bundle arrives must walk only the new archive (exactly-once per
+    batch id)."""
+    import io
+    import tarfile
+    import zipfile
+
+    from vectra_py_spark.operators.rtf import encode_rtf
+    from vectra_py_spark.sources.documents import read_archive_documents
+    from vectra_py_spark.streaming.archives import (
+        archive_file_stream,
+        stream_archive_documents,
+    )
+
+    drop = tempfile.mkdtemp()
+    sink = os.path.join(tempfile.mkdtemp(), "sink")
+    ckpt = os.path.join(tempfile.mkdtemp(), "ckpt")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as t:
+        data = encode_rtf(["streamed archive rtf"])
+        info = tarfile.TarInfo("m.rtf")
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+        info = tarfile.TarInfo("n.txt")
+        info.size = 13
+        t.addfile(info, io.BytesIO(b"streamed text"))
+    with open(os.path.join(drop, "b1.tar.gz"), "wb") as f:
+        f.write(tbuf.getvalue())
+    with open(os.path.join(drop, "broken.tar"), "wb") as f:
+        f.write(b"\x00garbage" * 50)  # quarantines in-stream
+
+    q = stream_archive_documents(
+        archive_file_stream(spark, drop), sink, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r.uri.split("!", 1)[1]: r for r in spark.read.parquet(sink).collect()}
+    want = {
+        r.uri.split("!", 1)[1]: r
+        for r in read_archive_documents(spark, drop).collect()
+    }
+    assert set(got) == set(want) == {"m.rtf", "n.txt"}
+    for k in got:
+        assert got[k].text == want[k].text
+        assert got[k].doc_type == want[k].doc_type
+
+    # second drop: only the new bundle is walked
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("late.txt", b"late zip member")
+    with open(os.path.join(drop, "b2.zip"), "wb") as f:
+        f.write(zbuf.getvalue())
+    q2 = stream_archive_documents(
+        archive_file_stream(spark, drop), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r.uri.split("!", 1)[1] for r in rows) == [
+        "late.txt", "m.rtf", "n.txt",
+    ]
+
+
 def test_streaming_documents_twin(spark):
     """The continuous-ingest twin: availableNow drain over a drop
     folder must produce EXACTLY the batch read_documents rows

@@ -70,6 +70,7 @@ __all__ = [
     "embedding_coverage_sql",
     "encoding_report",
     "encoding_report_sql",
+    "fix_mojibake",
 ]
 
 # Gopher (Rae et al. 2021, Table A1) document-quality bounds.
@@ -890,6 +891,72 @@ def encoding_report(
             "replacement_hits",
         )
         .orderBy(source_col)
+    )
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mojibake REPAIR — the corrective sibling of
+    :func:`encoding_report`'s detector: text that was UTF-8 on the
+    wire but got decoded as windows-1252 somewhere upstream
+    ("café" → "cafÃ©", "'" → "â€™") is re-encoded through cp1252 and
+    re-decoded as UTF-8, entirely in Catalyst. The repair applies ONLY
+    when it is evidently safe, otherwise rows pass through untouched:
+
+    - the detector pattern fires (there IS an artifact), and
+    - every char is in the cp1252-representable range (codepoint
+      ≤ U+00FF or one of cp1252's 0x80-0x9F punctuation block), so
+      the re-encode is lossless, and
+    - the recovered byte string is STRUCTURALLY VALID UTF-8 (checked
+      by regex over the byte-chars — Spark 4's decode throws on
+      malformed input rather than emitting U+FFFD, so validity is
+      established before any row reaches the decoder), and
+    - the result is strictly shorter (real artifacts are multi-char
+      expansions of single codepoints; a "repair" that doesn't
+      shrink is a misfire).
+
+    Single-pass (double-encoded text repairs one layer per
+    application — run twice for pathological feeds). Adds
+    ``was_repaired``; one narrow projection, no shuffle."""
+    t = F.col(text_col)
+    # Spark's encode() knows only the charset core (no windows-1252),
+    # so the cp1252 punctuation block (€ ‚ ƒ … ' ' " " – — ™ œ ž …)
+    # is first translate()d down to its 0x80-0x9F byte chars — after
+    # which ISO-8859-1 encode reproduces the original wire bytes
+    # exactly. The map is derived from the codec, not hand-typed.
+    _extras = {}
+    for b in range(0x80, 0xA0):
+        try:
+            _extras[bytes([b]).decode("cp1252")] = chr(b)
+        except UnicodeDecodeError:
+            pass  # the five unmapped cp1252 bytes
+    as_wire = F.translate(t, "".join(_extras), "".join(_extras.values()))
+    cp1252_safe = ~t.rlike("[^\\x00-\\xff" + "".join(_extras) + "]")
+    # structural UTF-8 over byte-chars (RFC 3629 table): ASCII, 2-byte
+    # C2-DF lead, the four 3/4-byte shapes with their constrained
+    # second bytes (E0/ED/F0/F4 specials exclude overlongs/surrogates)
+    utf8_valid = as_wire.rlike(
+        "^(?:[\\x00-\\x7f]"
+        "|[\\xc2-\\xdf][\\x80-\\xbf]"
+        "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+        "|[\\xe1-\\xec][\\x80-\\xbf]{2}"
+        "|\\xed[\\x80-\\x9f][\\x80-\\xbf]"
+        "|[\\xee-\\xef][\\x80-\\xbf]{2}"
+        "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+        "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+        "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{3})*$"
+    )
+    safe = t.rlike(MOJIBAKE_PATTERN) & cp1252_safe & utf8_valid
+    # strict-mode encode/decode only ever see rows that passed the
+    # validity gate (CaseWhen branches evaluate per-row)
+    repaired = F.decode(
+        F.encode(F.when(safe, as_wire).otherwise(F.lit("")), "ISO-8859-1"),
+        "UTF-8",
+    )
+    cond = safe & (F.length(repaired) < F.length(t))
+    return df.withColumn("was_repaired", cond).withColumn(
+        text_col, F.when(cond, repaired).otherwise(t)
     )
 
 

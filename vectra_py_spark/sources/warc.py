@@ -48,6 +48,7 @@ __all__ = [
     "explode_warc",
     "warc_documents",
     "read_media_archive",
+    "explode_archives_df",
     "synth_warc",
     "WARC_SCHEMA",
     "ARCHIVE_SCHEMA",
@@ -376,6 +377,14 @@ def read_media_archive(spark: SparkSession, path: str) -> DataFrame:
     quarantine policy as :func:`read_warc`; members feed
     probe_media/extract_features directly."""
     raw = spark.read.format("binaryFile").load(path)
+    return explode_archives_df(raw)
+
+
+def explode_archives_df(raw: DataFrame) -> DataFrame:
+    """The archive explode factored over any (path, content) frame —
+    batch ``binaryFile`` scans and streaming sources run the identical
+    member walk (mapInPandas is streaming-transparent), so the batch
+    and continuous ingest paths cannot drift."""
 
     def read_capped(fobj, budget: list[int], name: str) -> bytes:
         # Chunked member read against a shared per-FILE output budget:
