@@ -98,3 +98,39 @@ def test_cli_ingest_folder_verb(spark, capsys, tmp_path):
         "--format", "chunks", "--document-count", "1",
     )
     assert hits and hits[0]["uri"].endswith("memo.rtf")
+
+
+def test_cli_ingest_archives_verb(spark, capsys, tmp_path):
+    """ingest-archives: a TAR of mixed documents lands as a queryable
+    index in one verb — the packed-small-files shape."""
+    import io
+    import tarfile
+
+    from vectra_py_spark.operators.pdf import encode_pdf
+    from vectra_py_spark.operators.rtf import encode_rtf
+
+    idx = str(tmp_path / "idx")
+    drop = tmp_path / "bundles"
+    drop.mkdir()
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as t:
+        for name, data in {
+            "memo.rtf": encode_rtf(["archived memo about shipping revenue"]),
+            "paper.pdf": encode_pdf([["archived paper on tomato plants"]]),
+            "junk.bin": bytes(range(256)) * 8,
+        }.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    (drop / "b.tar.gz").write_bytes(tbuf.getvalue())
+    run(capsys, "--index", idx, "create")
+    out = run(capsys, "--index", idx, "ingest-archives", str(drop))[-1]
+    assert out["ingested"] == 2
+    assert out["by_type"] == {"rtf": 1, "pdf": 1}
+    stats = run(capsys, "--index", idx, "stats")[-1]
+    assert stats["documents"] == 2
+    hits = run(
+        capsys, "--index", idx, "query", "shipping revenue memo",
+        "--format", "chunks", "--document-count", "1",
+    )
+    assert hits and hits[0]["uri"].endswith("memo.rtf")

@@ -308,3 +308,55 @@ def test_streaming_warc_matches_batch(spark):
     q2.awaitTermination(120)
     after = spark.read.parquet(sink)
     assert after.count() == len(got) + 2  # warcinfo + 1 response
+
+
+def test_wet_roundtrip_pure():
+    """synth_wet → parse_warc: conversion records carry the text
+    verbatim; the CDX indexer covers them too (WET archives are
+    indexable)."""
+    from vectra_py_spark.sources.cdx import index_warc, parse_cdxj_line
+    from vectra_py_spark.sources.warc import parse_warc, synth_wet
+
+    docs = [("https://a.example/x", "extracted text one"),
+            ("https://b.example/y", "zweite Seite: café")]
+    for compress in (False, True):
+        payload = synth_wet(docs, compress=compress)
+        recs = [r for r in parse_warc(payload)
+                if r["warc_type"] == "conversion"]
+        assert [(r["url"], r["payload"].decode()) for r in recs] == docs
+        entries = [parse_cdxj_line(ln)
+                   for ln in index_warc(payload, "f.wet.gz")]
+        assert {e["url"] for e in entries} == {u for u, _ in docs}
+        assert all(e["status"] is None for e in entries)
+        assert all(e["mime"] == "text/plain" for e in entries)
+
+
+def test_wet_spark_export_import_roundtrip(spark):
+    """to_wet_shards → files on disk → read_warc → wet_documents
+    reproduces the corpus exactly; shard membership and payload bytes
+    are deterministic across runs."""
+    import os
+    import tempfile
+
+    from vectra_py_spark.sources.warc import (
+        read_warc, to_wet_shards, wet_documents,
+    )
+
+    docs = [(f"https://h{i % 5}.example/d{i}", f"doc body {i} café")
+            for i in range(37)]
+    df = spark.createDataFrame(docs, ["uri", "text"])
+    shards1 = {r.shard: bytes(r.payload)
+               for r in to_wet_shards(df, n_shards=4).collect()}
+    shards2 = {r.shard: bytes(r.payload)
+               for r in to_wet_shards(df, n_shards=4).collect()}
+    assert shards1 == shards2  # deterministic bytes
+
+    d = tempfile.mkdtemp()
+    for sh, payload in shards1.items():
+        with open(os.path.join(d, f"part-{sh}.warc.wet.gz"), "wb") as f:
+            f.write(payload)
+    got = {
+        r.uri: r.text
+        for r in wet_documents(read_warc(spark, d)).collect()
+    }
+    assert got == dict(docs)

@@ -55,6 +55,16 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument("path", help="directory or glob of document files")
     ing.add_argument("--min-chars", type=int, default=1)
 
+    inga = sub.add_parser(
+        "ingest-archives",
+        help="bulk-ingest TAR/ZIP bundles of mixed documents (the "
+        "packed shape for millions of small files: one listing over "
+        "archives, members dispatched on magic bytes like "
+        "ingest-folder)",
+    )
+    inga.add_argument("path", help="directory or glob of TAR/ZIP bundles")
+    inga.add_argument("--min-chars", type=int, default=1)
+
     rem = sub.add_parser("remove", help="delete a document by uri")
     rem.add_argument("--uri", required=True)
 
@@ -171,6 +181,27 @@ def main(argv: list[str] | None = None) -> int:
         # frame — without it the binaryFile scan + extraction (incl.
         # any PDF decryption) runs TWICE per file
         docs_df = read_documents(
+            spark, args.path, min_chars=args.min_chars
+        ).persist()
+        try:
+            counts = {
+                r["doc_type"]: r["n"]
+                for r in docs_df.groupBy("doc_type")
+                .agg(F.count("*").alias("n")).collect()
+            }
+            idx.upsert_documents_df(docs_df)
+        finally:
+            docs_df.unpersist()
+        print(json.dumps({
+            "ingested": int(sum(counts.values())),
+            "by_type": counts,
+        }, sort_keys=True))
+    elif args.verb == "ingest-archives":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.sources.documents import read_archive_documents
+
+        docs_df = read_archive_documents(
             spark, args.path, min_chars=args.min_chars
         ).persist()
         try:

@@ -97,10 +97,11 @@ def surt_key(url: str) -> str:
 def format_cdxj_line(entry: dict) -> str:
     """Entry dict → one CDXJ line (inverse of
     :func:`parse_cdxj_line`)."""
+    status = entry.get("status")
     blob = {
         "url": entry["url"],
         "mime": entry.get("mime"),
-        "status": str(entry.get("status", "")),
+        "status": str(status) if status is not None else None,
         "digest": entry.get("digest"),
         "length": str(entry["length"]),
         "offset": str(entry["offset"]),
@@ -164,10 +165,12 @@ def _ts_of(warc_date: str | None) -> str:
 
 def index_warc(payload: bytes, filename: str) -> list[str]:
     """WARC archive bytes (plain or per-record-gzip .warc.gz) → CDXJ
-    lines for its RESPONSE records, with each record's member offset
-    and compressed length derived from the gzip framing itself (for
-    plain WARC, offsets in the uncompressed byte space). This is the
-    index a crawler writes as it seals each segment."""
+    lines for its RESPONSE records (and ``conversion`` records, so
+    WET-style extracted-text archives index identically), with each
+    record's member offset and compressed length derived from the
+    gzip framing itself (for plain WARC, offsets in the uncompressed
+    byte space). This is the index a crawler writes as it seals each
+    segment."""
     lines: list[str] = []
 
     def emit(rec_bytes: bytes, offset: int, length: int) -> None:
@@ -175,7 +178,7 @@ def index_warc(payload: bytes, filename: str) -> list[str]:
         if len(recs) != 1:
             raise ValueError("member holds more than one WARC record")
         rec = recs[0]
-        if rec["warc_type"] != "response" or not rec["url"]:
+        if rec["warc_type"] not in ("response", "conversion") or not rec["url"]:
             return
         mime = (rec["content_type"] or "").split(";")[0].strip() or None
         lines.append(format_cdxj_line({

@@ -49,6 +49,9 @@ __all__ = [
     "warc_documents",
     "read_media_archive",
     "explode_archives_df",
+    "synth_wet",
+    "wet_documents",
+    "to_wet_shards",
     "synth_warc",
     "WARC_SCHEMA",
     "ARCHIVE_SCHEMA",
@@ -458,6 +461,112 @@ def explode_archives_df(raw: DataFrame) -> DataFrame:
     )
 
 
+def synth_wet(
+    docs: list[tuple[str, str]], compress: bool = False
+) -> bytes:
+    """(url, extracted text) pairs → a WET-style archive: WARC
+    ``conversion`` records with ``Content-Type: text/plain`` (the
+    Common Crawl WET convention — the interchange format for
+    ALREADY-EXTRACTED text, so downstream consumers skip the HTML).
+    ``compress=True`` emits per-record gzip members (.warc.wet.gz),
+    which also makes the output :func:`cdx.index_warc`-able."""
+
+    def record(headers: dict[str, str], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers.items()
+        )
+        head += f"Content-Length: {len(block)}\r\n".encode()
+        return head + b"\r\n" + block + b"\r\n\r\n"
+
+    out = [record(
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>",
+         "WARC-Date": "2026-01-01T00:00:00Z",
+         "Content-Type": "application/warc-fields"},
+        b"software: vectra-py-spark synth_wet\r\n",
+    )]
+    for i, (url, text) in enumerate(docs, 1):
+        out.append(record(
+            {"WARC-Type": "conversion",
+             "WARC-Record-ID": f"<urn:uuid:{i}>",
+             "WARC-Date": "2026-01-01T00:00:00Z",
+             "WARC-Target-URI": url,
+             "Content-Type": "text/plain"},
+            text.encode("utf-8"),
+        ))
+    if compress:
+        return b"".join(gzip.compress(r, mtime=0) for r in out)
+    return b"".join(out)
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """WARC record rows (``read_warc`` over WET files) → (uri, text,
+    doc_type='txt') document rows: ``conversion`` records carry
+    already-extracted plain text, decoded in Catalyst. The WET-side
+    twin of :func:`warc_documents` (which extracts from raw
+    ``response`` records)."""
+    from pyspark.sql import functions as F
+
+    return records.filter(
+        (F.col("warc_type") == "conversion")
+        & F.col("error").isNull()
+        & F.col("url").isNotNull()
+    ).select(
+        F.col("url").alias("uri"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.lit("txt").alias("doc_type"),
+    )
+
+
+def to_wet_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Extracted-document rows → WET shard payloads (shard, payload,
+    n_docs): the export side. Documents bucket into ``n_shards``
+    shards by a deterministic URI hash (reruns produce identical
+    membership — no count job, no nondeterministic partition ids);
+    each shard is built by the same :func:`synth_wet` encoder the
+    reader round-trips against, docs in bytewise URI order inside a
+    shard (deterministic payload bytes). One shuffle on the shard
+    key; the caller persists payload rows wherever archives live."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def run(pdfs):
+        for pdf in pdfs:
+            for sh, grp in pdf.groupby("__shard"):
+                grp = grp.sort_values(uri_col)
+                payload = synth_wet(
+                    [
+                        (str(u), str(t))
+                        for u, t in zip(grp[uri_col], grp[text_col])
+                    ],
+                    compress=compress,
+                )
+                yield pd.DataFrame({
+                    "shard": [int(sh)],
+                    "payload": [payload],
+                    "n_docs": [len(grp)],
+                })
+
+    return (
+        df.select(
+            uri_col, text_col,
+            F.pmod(F.xxhash64(F.col(uri_col)), F.lit(n_shards))
+            .cast("int")
+            .alias("__shard"),
+        )
+        .repartition(n_shards, "__shard")
+        .mapInPandas(run, schema="shard INT, payload BINARY, n_docs INT")
+    )
+
+
 def synth_warc(
     pages: list[tuple[str, bytes, str]], compress: bool = False
 ) -> bytes:
@@ -496,5 +605,5 @@ def synth_warc(
             http,
         ))
     if compress:
-        return b"".join(gzip.compress(r) for r in out)
+        return b"".join(gzip.compress(r, mtime=0) for r in out)
     return b"".join(out)
