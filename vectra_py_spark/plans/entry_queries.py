@@ -2282,6 +2282,218 @@ FROM ids
 """
 
 
+_RECRAWL_DOCS = 400
+_RECRAWL_NOW = "20260816000000"
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based recrawl scheduling e2e
+    (`sources/cdx.py::recrawl_priority` — Cho & Garcia-Molina 2003):
+    per doc, synthesize a deterministic CDX capture history —
+    1 + doc_id%4 captures with closed-form 14-digit timestamps, and a
+    digest stream whose change pattern varies by doc_id%3 (changes
+    every capture / every second capture / never) — run the REAL
+    aggregate, and report (surt, url, n_captures, n_versions,
+    last_ts, age_days, change_rate, priority) against a fixed
+    ``now``. The oracle regenerates the identical history with a
+    lateral series and re-derives every signal, so the distinct-digest
+    count, the tz-free epoch arithmetic, and the
+    change_rate·ln(1+age) priority are value-checked cross-engine.
+
+    PRE-STAGED for the round-10 registry window (round 9's ≤2
+    new-entry budget was spent on office_documents/url_canonical);
+    validated now by tests/test_prestaged_oracle.py through the
+    driver's exact compare harness.
+
+    Plan shape: pushed-down filter → explode(sequence) → ONE hash
+    aggregate on the surt key; index-sized, never archive-sized."""
+    from vectra_py_spark.sources.cdx import recrawl_priority
+
+    d = F.col("doc_id")
+    k = F.col("k")
+    n_caps = (d % 4 + 1).cast("int")
+    day = (d * 7 + k * 3) % 28 + 1
+    hh = (d + k * 5) % 24
+    ts = F.concat(
+        F.lit("202607"),
+        F.lpad(day.cast("string"), 2, "0"),
+        F.lpad(hh.cast("string"), 2, "0"),
+        F.lit("0000"),
+    )
+    ver = (
+        F.when(d % 3 == 0, k)
+        .when(d % 3 == 1, F.floor(k / 2))
+        .otherwise(F.lit(0))
+    )
+    caps = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _RECRAWL_DOCS)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), n_caps - 1)).alias("k"))
+        .select(
+            F.concat(F.lit("org,d"), d.cast("string"), F.lit(")/p")).alias("surt"),
+            ts.alias("ts"),
+            F.concat(F.lit("https://d"), d.cast("string"), F.lit(".org/p")).alias("url"),
+            F.concat(d.cast("string"), F.lit(":"), ver.cast("string")).alias("digest"),
+        )
+    )
+    out = recrawl_priority(caps, _RECRAWL_NOW)
+    return out.select(
+        "surt", "url",
+        F.col("n_captures").cast("int").alias("n_captures"),
+        F.col("n_versions").cast("int").alias("n_versions"),
+        "last_ts", "age_days", "change_rate", "priority",
+    ).orderBy("surt")
+
+
+def _sql_recrawl_priority() -> str:
+    # regenerate the identical capture history with a lateral series,
+    # then re-derive: last_ts = max ts; age from naive-timestamp epoch
+    # (DuckDB TIMESTAMP is tz-less — same integer seconds as the
+    # Spark side's datediff arithmetic); change_rate guarded on
+    # single-capture keys; priority from the UNROUNDED intermediates
+    return f"""
+WITH caps AS (
+  SELECT doc_id,
+         'org,d' || CAST(doc_id AS VARCHAR) || ')/p' AS surt,
+         'https://d' || CAST(doc_id AS VARCHAR) || '.org/p' AS url,
+         '202607'
+           || lpad(CAST((doc_id * 7 + g.k * 3) % 28 + 1 AS VARCHAR), 2, '0')
+           || lpad(CAST((doc_id + g.k * 5) % 24 AS VARCHAR), 2, '0')
+           || '0000' AS ts,
+         CAST(doc_id AS VARCHAR) || ':' || CAST(
+           CASE WHEN doc_id % 3 = 0 THEN g.k
+                WHEN doc_id % 3 = 1 THEN g.k // 2
+                ELSE 0 END AS VARCHAR) AS digest
+  FROM documents
+  CROSS JOIN generate_series(0, 3) AS g(k)
+  WHERE doc_id < {_RECRAWL_DOCS} AND g.k <= doc_id % 4
+), agg AS (
+  SELECT surt,
+         max(url) AS url,
+         count(*) AS n_captures,
+         count(DISTINCT digest) AS n_versions,
+         max(ts) AS last_ts
+  FROM caps GROUP BY surt
+), sig AS (
+  SELECT *,
+         (epoch(strptime('{_RECRAWL_NOW}', '%Y%m%d%H%M%S'))
+          - epoch(strptime(last_ts, '%Y%m%d%H%M%S'))) / 86400.0
+           AS age_raw,
+         CASE WHEN n_captures > 1
+              THEN (n_versions - 1) * 1.0 / (n_captures - 1)
+              ELSE 0.0 END AS rate_raw
+  FROM agg
+)
+SELECT surt, url,
+       CAST(n_captures AS INT) AS n_captures,
+       CAST(n_versions AS INT) AS n_versions,
+       last_ts,
+       round(age_raw, 6) + 0.0 AS age_days,
+       round(rate_raw, 6) + 0.0 AS change_rate,
+       round(rate_raw * ln(1 + greatest(age_raw, 0.0)), 6) + 0.0
+         AS priority
+FROM sig
+ORDER BY surt
+"""
+
+
+_PR_DOCS = 600
+_PR_HOSTS = 40
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank e2e (`operators/linkgraph.py::host_pagerank`
+    — the Page et al. 1999 power iteration as DataFrame joins): per
+    doc, synthesize a deterministic weighted host edge (src =
+    h(doc_id%H), dst = h((doc_id·7+3)%H), weight from doc_id%5+1;
+    7 ⊥ H so every host appears), aggregate to the edge list, run the
+    REAL fixed-N power iteration (weighted split, uniform teleport,
+    dangling mass recovered in-plan), and report (host, rank) to 6 dp.
+    The oracle regenerates the graph and UNROLLS the same N iterations
+    as a CTE chain — contribution sums, dangling recovery, and the
+    damping mix are value-checked cross-engine, iteration by
+    iteration in one statement.
+
+    PRE-STAGED for the round-10 registry window (round 9's ≤2
+    new-entry budget spent); validated by
+    tests/test_prestaged_oracle.py via the driver's compare harness.
+
+    Plan shape: projection → host-pair aggregate → N (join + agg)
+    rounds on the HOST-sized graph; the corpus never re-enters."""
+    from vectra_py_spark.operators.linkgraph import host_pagerank
+
+    d = F.col("doc_id")
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _PR_DOCS)
+        .select(
+            F.concat(F.lit("h"), (d % _PR_HOSTS).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((d * 7 + 3) % _PR_HOSTS).cast("string")
+            ).alias("dst"),
+            (d % 5 + 1).alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("n_links"))
+    )
+    ranks = host_pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        iterations=_PR_ITERS,
+        checkpoint_interval=0,
+    )
+    return ranks.select(
+        "host", (F.round(F.col("rank"), 6) + F.lit(0.0)).alias("rank")
+    ).orderBy("host")
+
+
+def _sql_host_pagerank() -> str:
+    # the same graph, the same N iterations UNROLLED as a CTE chain —
+    # cN/fN/rN mirror the per-iteration contribution aggregate, the
+    # 1 - Σcontrib dangling recovery, and the damping mix
+    h, n, dmp = _PR_HOSTS, _PR_ITERS, _PR_DAMPING
+    parts = [f"""
+WITH edges AS (
+  SELECT src, dst, sum(w) AS n_links FROM (
+    SELECT 'h' || CAST(doc_id % {h} AS VARCHAR) AS src,
+           'h' || CAST((doc_id * 7 + 3) % {h} AS VARCHAR) AS dst,
+           doc_id % 5 + 1 AS w
+    FROM documents WHERE doc_id < {_PR_DOCS}
+  ) WHERE src <> dst GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT src AS host FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), outw AS (
+  SELECT src, sum(n_links) * 1.0 AS out_w FROM edges GROUP BY src
+), trans AS (
+  SELECT e.src, e.dst, e.n_links / o.out_w AS p
+  FROM edges e JOIN outw o ON e.src = o.src
+), r0 AS (
+  SELECT host, 1.0 / {h} AS rank FROM nodes
+)"""]
+    for i in range(1, n + 1):
+        parts.append(f""", c{i} AS (
+  SELECT t.dst, sum(t.p * r.rank) AS contrib
+  FROM trans t JOIN r{i - 1} r ON t.src = r.host GROUP BY t.dst
+), f{i} AS (
+  SELECT sum(contrib) AS fl FROM c{i}
+), r{i} AS (
+  SELECT nd.host,
+         (1.0 - {dmp}) / {h}
+         + {dmp} * (coalesce(c.contrib, 0.0) + (1.0 - f.fl) / {h})
+           AS rank
+  FROM nodes nd LEFT JOIN c{i} c ON nd.host = c.dst CROSS JOIN f{i} f
+)""")
+    parts.append(
+        f"\nSELECT host, round(rank, 6) + 0.0 AS rank FROM r{n} "
+        "ORDER BY host"
+    )
+    return "".join(parts)
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -4537,12 +4749,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # shipmode_priority, customer_distribution, top_supplier,
 # supplier_part_counts, small_qty_revenue) stay r6-vintage; round 10's
 # rotation should lead with those 13 plus any round-10 additions.
-# Round-10 new-entry candidates (built + unit-tested in r9, kept out
-# of the registry to honor the ≤2-additions budget): recrawl_priority
-# (sources/cdx.py — deterministic closed form over a synthesized
-# capture history), host_pagerank (operators/linkgraph.py — fixed-N
-# power iteration, SQL twin = unrolled CTE chain), main_content_df
-# (operators/boilerplate.py — closed-form synthetic pages).
+# Round-10 new entries are PRE-STAGED (kept out of the registry to
+# honor round 9's ≤2-additions budget, but already written AND
+# validated through the driver's exact compare harness at both SFs —
+# tests/test_prestaged_oracle.py): q_recrawl_priority +
+# _sql_recrawl_priority (capture-history scheduling over a
+# synthesized CDX index) and q_host_pagerank + _sql_host_pagerank
+# (fixed-N power iteration vs an unrolled CTE chain). Registering
+# them in r10 is a two-line QUERIES/ORACLE_SQL addition each.
+# main_content_df (operators/boilerplate.py) remains a candidate
+# (closed-form synthetic pages, warc_documents style).
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
