@@ -13,8 +13,10 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_host_pagerank,
+    _sql_main_content,
     _sql_recrawl_priority,
     q_host_pagerank,
+    q_main_content,
     q_recrawl_priority,
 )
 
@@ -35,5 +37,14 @@ def test_host_pagerank_oracle(spark, sf_dir):
     ok, detail = compare(
         spark, sf_dir, q_host_pagerank(spark, sf_dir),
         _sql_host_pagerank(),
+    )
+    assert ok, detail
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_main_content_oracle(spark, sf_dir):
+    ok, detail = compare(
+        spark, sf_dir, q_main_content(spark, sf_dir),
+        _sql_main_content(),
     )
     assert ok, detail

@@ -2494,6 +2494,106 @@ WITH edges AS (
     return "".join(parts)
 
 
+_MC_DOCS = 300
+# ≥200 chars, stopword density ≥ 0.32, no quote chars (SQL-literal
+# safe) — a GOOD block under the jusText thresholds by construction
+_MC_PROSE = (
+    "It was the considered view of the committee that the proposal "
+    "should be adopted in full, and that the budget which came with "
+    "it ought to be approved by all of the members who were present "
+    "at the meeting, because the alternative would have been to do "
+    "nothing at all and that was not an option any of them wanted."
+)
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removal e2e
+    (`operators/boilerplate.py::main_content_df` — the jusText block
+    classifier): per doc, synthesize a page whose block structure has
+    a CLOSED-FORM verdict — a link-dense nav (bad), a short heading
+    (short → heading-rescued good), 1 + doc_id%3 long high-stopword
+    paragraphs (good), a short link-bearing footer (bad) — run the
+    REAL extractor, and report (url, main_text, n_blocks_kept,
+    n_blocks, boiler_ratio). The oracle reconstructs the exact
+    expected main text and block counts from the same arithmetic, so
+    segmentation, every density feature, the context pass, and the
+    heading rescue are value-checked cross-engine on every row.
+
+    PRE-STAGED for the round-10 registry window; validated by
+    tests/test_prestaged_oracle.py via the driver's compare harness.
+
+    Plan shape: projection → one narrow Arrow pass; payloads never
+    shuffle (the 100 TB shape of every extractor here)."""
+    from vectra_py_spark.operators.boilerplate import main_content_df
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    n_paras = (d % 3 + 1).cast("int")
+    para = F.concat(
+        F.lit("<p>" + _MC_PROSE + " Doc "), s, F.lit(" part ")
+    )
+    paras = F.concat(
+        F.concat(para, F.lit("1.</p>")),
+        F.when(n_paras >= 2, F.concat(para, F.lit("2.</p>"))).otherwise(F.lit("")),
+        F.when(n_paras >= 3, F.concat(para, F.lit("3.</p>"))).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav><h1>Report '
+        ),
+        s,
+        F.lit("</h1>"),
+        paras,
+        F.lit('<footer>Copyright 2026 <a href="/t">Terms</a></footer>'
+              "</body></html>"),
+    )
+    pages = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _MC_DOCS)
+        .select(
+            F.concat(F.lit("https://d"), s, F.lit(".org/")).alias("url"),
+            html.alias("text"),
+        )
+    )
+    out = main_content_df(pages)
+    return out.select(
+        "url", "main_text",
+        F.col("n_blocks_kept").cast("int").alias("n_blocks_kept"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        (F.round(F.col("boiler_ratio"), 6) + F.lit(0.0)).alias("boiler_ratio"),
+    ).orderBy("url")
+
+
+def _sql_main_content() -> str:
+    # closed forms: kept = heading + n paragraphs; dropped = nav +
+    # footer; main_text joins with blank lines in document order
+    prose = _MC_PROSE
+    return f"""
+WITH ids AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+         doc_id % 3 + 1 AS n_paras
+  FROM documents WHERE doc_id < {_MC_DOCS}
+), para AS (
+  SELECT doc_id, s, n_paras,
+         '{prose} Doc ' || s || ' part ' AS p
+  FROM ids
+)
+SELECT 'https://d' || s || '.org/' AS url,
+       'Report ' || s || chr(10) || chr(10) || p || '1.'
+         || CASE WHEN n_paras >= 2
+                 THEN chr(10) || chr(10) || p || '2.' ELSE '' END
+         || CASE WHEN n_paras >= 3
+                 THEN chr(10) || chr(10) || p || '3.' ELSE '' END
+         AS main_text,
+       CAST(n_paras + 1 AS INT) AS n_blocks_kept,
+       CAST(n_paras + 3 AS INT) AS n_blocks,
+       round(2.0 / (n_paras + 3), 6) + 0.0 AS boiler_ratio
+FROM para
+ORDER BY url
+"""
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -4755,10 +4855,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_prestaged_oracle.py): q_recrawl_priority +
 # _sql_recrawl_priority (capture-history scheduling over a
 # synthesized CDX index) and q_host_pagerank + _sql_host_pagerank
-# (fixed-N power iteration vs an unrolled CTE chain). Registering
-# them in r10 is a two-line QUERIES/ORACLE_SQL addition each.
-# main_content_df (operators/boilerplate.py) remains a candidate
-# (closed-form synthetic pages, warc_documents style).
+# (fixed-N power iteration vs an unrolled CTE chain), and
+# q_main_content + _sql_main_content (jusText extraction vs
+# closed-form expected pages, warc_documents style). Registering
+# each in r10 is a two-line QUERIES/ORACLE_SQL addition.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
