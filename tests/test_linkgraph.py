@@ -153,6 +153,66 @@ def test_host_pagerank_unweighted_and_validation(spark):
         host_pagerank(df, iterations=0)
 
 
+def _ref_ppr(hosts, edges, seeds, d, iters):
+    """Dense personalized power iteration, same semantics."""
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t_, w in edges:
+        W[idx[s], idx[t_]] += w
+    out_w = W.sum(axis=1)
+    P = np.divide(
+        W, out_w[:, None], out=np.zeros_like(W), where=out_w[:, None] > 0
+    )
+    t = np.zeros(n)
+    for s in seeds:
+        t[idx[s]] = 1.0 / len(seeds)
+    r = t.copy()
+    for _ in range(iters):
+        contrib = r @ P
+        flowed = contrib.sum()
+        r = (1 - d) * t + d * (contrib + (1 - flowed) * t)
+    return {h: r[idx[h]] for h in hosts}
+
+
+def test_host_pagerank_personalized(spark):
+    """Trust propagation: teleport restricted to a seed set; a
+    link-farm component unreachable from the seeds scores exactly 0;
+    values match the dense reference."""
+    edges = [
+        ("seed.example", "good.example", 1.0),
+        ("good.example", "also.example", 2.0),
+        ("also.example", "seed.example", 1.0),
+        # densely interlinked farm, no inbound path from the seeds
+        ("farm1.example", "farm2.example", 50.0),
+        ("farm2.example", "farm1.example", 50.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    seeds = spark.createDataFrame([("seed.example",)], ["host"])
+    got = {
+        r.host: r.rank
+        for r in host_pagerank(
+            df, iterations=10, seeds=seeds
+        ).collect()
+    }
+    hosts = ["seed.example", "good.example", "also.example",
+             "farm1.example", "farm2.example"]
+    want = _ref_ppr(hosts, edges, ["seed.example"], 0.85, 10)
+    for h in hosts:
+        assert got[h] == pytest.approx(want[h], rel=1e-9, abs=1e-15)
+    assert got["farm1.example"] == 0.0 and got["farm2.example"] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # the trusted component holds ALL the mass (good.example can
+    # legitimately outrank the seed — it receives the seed's whole
+    # outflow); what matters is both are > 0 while the farm is 0
+    assert got["seed.example"] > 0 and got["good.example"] > 0
+    # seeds that never appear in the graph are an error, not silence
+    with pytest.raises(ValueError, match="no seed host"):
+        host_pagerank(
+            df, seeds=spark.createDataFrame([("absent.example",)], ["host"])
+        )
+
+
 def test_outlinks_df_urljoin_semantics(spark):
     html = (
         '<a href="../up/x.html">dots</a>'

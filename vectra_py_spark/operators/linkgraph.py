@@ -153,19 +153,28 @@ def host_pagerank(
     iterations: int = 10,
     weighted: bool = True,
     checkpoint_interval: int = 3,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Edge list (src, dst[, n_links]) → (host, rank), the power
-    iteration with uniform teleport and dangling-mass redistribution:
+    iteration with teleport and dangling-mass redistribution:
 
-        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)·w(u→v)/out_w(u)
-                                   + dangling_mass/N)
+        rank'(v) = (1-d)·t(v) + d * (Σ_{u→v} rank(u)·w(u→v)/out_w(u)
+                                      + dangling_mass·t(v))
+
+    With ``seeds=None`` the teleport vector t is uniform (1/N — the
+    classic ranking). With ``seeds`` (a one-column frame of hosts) t
+    is 1/|S| on the seed set and 0 elsewhere — PERSONALIZED PageRank
+    (Haveliwala 2002, topic-sensitive PageRank), the trust-propagation
+    curation move: rank becomes "random-surfer distance from trusted
+    domains", so link-farmed hosts with no path from the seed set
+    score ~0 no matter how densely they interlink. Ranks start at t
+    and sum to 1 every iteration either way (dangling mass recovered
+    in-plan as ``1 - Σ contributions`` via a one-row broadcast
+    aggregate — no per-iteration driver action).
 
     ``weighted=True`` splits a host's rank across its outlinks
     proportionally to ``n_links`` (multigraph PageRank); ``False``
-    splits uniformly per distinct neighbor. Rank mass sums to 1 every
-    iteration (dangling mass is recovered in-plan as
-    ``1 - Σ contributions`` via a one-row broadcast aggregate — no
-    per-iteration driver action beyond the initial node count).
+    splits uniformly per distinct neighbor.
 
     Iterations are a fixed count, not a convergence test: fixed N is
     deterministic, plan-fingerprintable, and SQL-twinnable (an
@@ -187,13 +196,33 @@ def host_pagerank(
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(
-            "host", F.lit(0.0).alias("rank")
-        )  # empty frame, right schema
+    if seeds is not None:
+        seed_hosts = seeds.select(
+            F.col(seeds.columns[0]).alias("host")
+        ).distinct()
+        nodes = nodes.join(seed_hosts.withColumn("__seed", F.lit(1)),
+                           "host", "left")
+        n_seeds = nodes.filter(F.col("__seed").isNotNull()).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "host_pagerank: no seed host appears in the graph"
+            )
+        nodes = nodes.select(
+            "host",
+            F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        ).persist()
+        n = nodes.count()
+    else:
+        nodes = nodes.persist()
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "host", F.lit(0.0).alias("rank")
+            )  # empty frame, right schema
+        nodes = nodes.select("host", F.lit(1.0 / n).alias("t")).persist()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # transition probabilities, one edge row each — persisted once,
     # reused every iteration
@@ -202,7 +231,7 @@ def host_pagerank(
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
         .persist()
     )
-    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("host", F.col("t").alias("rank"))
     for i in range(iterations):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["host"])
@@ -218,12 +247,12 @@ def host_pagerank(
             .select(
                 nodes["host"],
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * nodes["t"]
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
                         + (F.lit(1.0) - F.coalesce("flowed", F.lit(0.0)))
-                        / F.lit(float(n))
+                        * nodes["t"]
                     )
                 ).alias("rank"),
             )

@@ -2439,11 +2439,14 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("n_links"))
     )
+    # checkpoint_interval stays at the operator default (3): six
+    # un-truncated iterations of AQE join plans compile into a deep
+    # enough DAG to flake a 1g driver heap; localCheckpoint bounds
+    # plan depth without changing a single output value
     ranks = host_pagerank(
         edges,
         damping=_PR_DAMPING,
         iterations=_PR_ITERS,
-        checkpoint_interval=0,
     )
     return ranks.select(
         "host", (F.round(F.col("rank"), 6) + F.lit(0.0)).alias("rank")
@@ -2474,6 +2477,11 @@ WITH edges AS (
 ), r0 AS (
   SELECT host, 1.0 / {h} AS rank FROM nodes
 )"""]
+    # NOTE the teleport term is written as (1-d) * (1/h), NOT
+    # (1-d)/h: the Spark side computes lit(1-d) * t with t = 1/n, and
+    # the two float expressions can differ in the last ULP — enough
+    # to flip a round(·, 6) boundary on an unlucky rank. Same-shape
+    # arithmetic on both engines keeps the comparison ULP-stable.
     for i in range(1, n + 1):
         parts.append(f""", c{i} AS (
   SELECT t.dst, sum(t.p * r.rank) AS contrib
@@ -2482,8 +2490,9 @@ WITH edges AS (
   SELECT sum(contrib) AS fl FROM c{i}
 ), r{i} AS (
   SELECT nd.host,
-         (1.0 - {dmp}) / {h}
-         + {dmp} * (coalesce(c.contrib, 0.0) + (1.0 - f.fl) / {h})
+         (1.0 - {dmp}) * (1.0 / {h})
+         + {dmp} * (coalesce(c.contrib, 0.0)
+                    + (1.0 - f.fl) * (1.0 / {h}))
            AS rank
   FROM nodes nd LEFT JOIN c{i} c ON nd.host = c.dst CROSS JOIN f{i} f
 )""")
