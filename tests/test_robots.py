@@ -118,3 +118,22 @@ def test_parse_sitemap_urlset_and_index():
     assert got[0]["loc"] == "https://ex.example/sm1.xml"
     with pytest.raises(ValueError, match="malformed"):
         parse_sitemap("<urlset><url>")
+
+
+def test_sitemap_urls_discovery():
+    from vectra_py_spark.operators.robots import sitemap_urls
+
+    txt = (
+        "Sitemap: https://a.example/sm.xml\n"
+        "User-agent: *\nDisallow: /private/\n"
+        "sitemap: https://a.example/sm2.xml  # inline comment\n"
+        "Sitemap:\n"  # empty value ignored
+        "NotASitemap: https://x/\n"
+    )
+    assert sitemap_urls(txt) == [
+        "https://a.example/sm.xml", "https://a.example/sm2.xml",
+    ]
+    # sitemap lines never disturb group parsing
+    from vectra_py_spark.operators.robots import robots_allowed
+    assert not robots_allowed(txt, "/private/x")
+    assert sitemap_urls("") == []

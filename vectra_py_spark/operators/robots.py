@@ -43,6 +43,7 @@ __all__ = [
     "filter_robots_df",
     "parse_sitemap",
     "sitemap_entries_df",
+    "sitemap_urls",
 ]
 
 
@@ -164,6 +165,23 @@ def robots_allowed(
 
 def crawl_delay(robots_txt: str, agent: str = "*") -> float | None:
     return parse_robots(robots_txt, agent).delay
+
+
+def sitemap_urls(robots_txt: str) -> list[str]:
+    """The ``Sitemap:`` lines of a robots.txt (RFC 9309 §2.2.4 treats
+    them as non-group records valid anywhere in the file) — how a
+    crawler DISCOVERS a site's sitemaps without guessing paths; feed
+    the fetched bodies to :func:`parse_sitemap` /
+    :func:`sitemap_entries_df`."""
+    out: list[str] = []
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            url = val.strip()
+            if url:
+                out.append(url)
+    return out
 
 
 def filter_robots_df(
