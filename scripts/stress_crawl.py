@@ -100,6 +100,27 @@ def run_scale(spark, n_pages: int, n_hosts: int) -> dict:
             pages, crawled, per_host_limit=50
         ).count()
     )
+    # classifier training: label = host parity (structurally separable
+    # via the per-host link targets), 8 GD iterations over hashed
+    # features — cost is iterations x (two corpus-keyed aggregates)
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.textclf import (
+        hashed_features, train_logreg,
+    )
+
+    labeled = pages.select(
+        F.col("url").alias("doc_id"), "text",
+        (F.crc32(F.col("url")) % 2).cast("int").alias("y"),
+    ).cache()
+    labeled.count()
+    feats = hashed_features(labeled, id_col="doc_id", n_features=1 << 16)
+    out["train_logreg_s"], _ = timed(
+        lambda: train_logreg(
+            feats, labeled.select("doc_id", "y"), iterations=8
+        ).count()
+    )
+    labeled.unpersist()
     pages.unpersist()
     crawled.unpersist()
     edges.unpersist()
