@@ -11,6 +11,7 @@ from vectra_py_spark.operators.linkgraph import (
     host_degrees,
     host_edges,
     host_graph,
+    host_hits,
     host_pagerank,
     outlinks_df,
 )
@@ -211,6 +212,67 @@ def test_host_pagerank_personalized(spark):
         host_pagerank(
             df, seeds=spark.createDataFrame([("absent.example",)], ["host"])
         )
+
+
+def _ref_hits(hosts, edges, iters):
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t_, w in edges:
+        W[idx[s], idx[t_]] += w
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = h @ W
+        if a.sum():
+            a = a / a.sum()
+        h = W @ a
+        if h.sum():
+            h = h / h.sum()
+    return (
+        {x: h[idx[x]] for x in hosts},
+        {x: a[idx[x]] for x in hosts},
+    )
+
+
+def test_host_hits_matches_dense_reference(spark):
+    edges = [
+        ("hub1", "auth1", 2.0),
+        ("hub1", "auth2", 1.0),
+        ("hub2", "auth1", 1.0),
+        ("auth1", "hub1", 1.0),  # a backlink; also gives auth1 a hub side
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    got = {
+        r.host: (r.hub, r.authority)
+        for r in host_hits(df, iterations=7).collect()
+    }
+    hosts = ["hub1", "hub2", "auth1", "auth2"]
+    H, A = _ref_hits(hosts, edges, 7)
+    for x in hosts:
+        assert got[x][0] == pytest.approx(H[x], rel=1e-9, abs=1e-15)
+        assert got[x][1] == pytest.approx(A[x], rel=1e-9, abs=1e-15)
+    # the directory outranks others as hub; the cited page as authority
+    assert got["hub1"][0] == max(v[0] for v in got.values())
+    assert got["auth1"][1] == max(v[1] for v in got.values())
+    # L1 normalization: each score family sums to 1
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0, abs=1e-12)
+    with pytest.raises(ValueError, match="iterations"):
+        host_hits(df, iterations=0)
+
+
+def test_host_components(spark):
+    from vectra_py_spark.operators.linkgraph import host_components
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("x", "y", 1)],
+        ["src", "dst", "n_links"],
+    )
+    got = {r.host: r.component for r in host_components(edges).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"]
+    assert got["a"] != got["x"]
 
 
 def test_outlinks_df_urljoin_semantics(spark):

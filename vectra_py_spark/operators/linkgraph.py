@@ -49,6 +49,8 @@ __all__ = [
     "outlinks_df",
     "crawl_frontier",
     "warc_host_graph",
+    "host_hits",
+    "host_components",
 ]
 
 # one capture group: the href value, either quote style
@@ -260,6 +262,104 @@ def host_pagerank(
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def host_hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    weighted: bool = True,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Edge list → (host, hub, authority): Kleinberg's HITS (1999,
+    "Authoritative Sources in a Hyperlinked Environment") — the
+    complement to PageRank for crawl seeding: AUTHORITIES are the
+    pages worth fetching, HUBS are the directories/aggregators worth
+    re-crawling for frontier discovery. Fixed-count mutual iteration,
+
+        a(v) ← Σ_{u→v} h(u)·w ;  h(u) ← Σ_{u→v} a(v)·w
+
+    each L1-normalized per step (sums to 1 — normalization is a
+    one-row broadcast aggregate, no driver action). Hosts with no
+    inlinks have authority 0, no outlinks hub 0; both scores reported
+    for every host. Same scale shape as :func:`host_pagerank`: the
+    iteration shuffles only the host-sized edge list."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = (
+        F.col("n_links").cast("double")
+        if weighted and "n_links" in edges.columns
+        else F.lit(1.0)
+    )
+    e = edges.select("src", "dst", w.alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    hubs = nodes.select("host", F.lit(1.0 / n).alias("h"))
+    auths = None
+    for i in range(iterations):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["host"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
+        )
+        a_tot = a_raw.agg(F.sum("a").alias("t"))
+        auths = (
+            nodes.join(a_raw, nodes["host"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                nodes["host"],
+                (
+                    F.coalesce(F.col("a"), F.lit(0.0))
+                    / F.coalesce(F.col("t"), F.lit(1.0))
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["host"])
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("hh"))
+        )
+        h_tot = h_raw.agg(F.sum("hh").alias("t"))
+        hubs = (
+            nodes.join(h_raw, nodes["host"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                nodes["host"],
+                (
+                    F.coalesce(F.col("hh"), F.lit(0.0))
+                    / F.coalesce(F.col("t"), F.lit(1.0))
+                ).alias("h"),
+            )
+        )
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    return hubs.join(
+        auths.withColumnRenamed("a", "authority"), "host"
+    ).select("host", F.col("h").alias("hub"), "authority")
+
+
+def host_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Host edge list → (host, component): connected components over
+    the UNDIRECTED host graph (`cluster.py::connected_components`'s
+    min-label propagation — the same machinery that clusters near-dup
+    documents). The site-family detector: mirrors, CDN aliases, and
+    link-wheel clusters land in one component; per-component quotas
+    then bound any single operator's share of a corpus the way
+    per-host caps bound one host."""
+    from vectra_py_spark.operators.cluster import connected_components
+
+    return connected_components(
+        edges, src="src", dst="dst", max_iter=max_iter
+    ).select(F.col("node").alias("host"), F.col("comp").alias("component"))
 
 
 def warc_host_graph(records: DataFrame) -> DataFrame:
