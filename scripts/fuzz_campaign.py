@@ -218,10 +218,19 @@ def main() -> None:
         b"<p>the quick brown committee of the and was to in it</p>"
         b"</body></html>"
     ), [_txt(extract_main_text)])
+    from vectra_py_spark.operators.tables import (
+        extract_tables, tables_to_markdown,
+    )
+
+    drive("tables", (
+        b"<table><tr><th>A</th><th>B</th></tr>"
+        b"<tr><td colspan='2'>wide &amp; x</td></tr>"
+        b"<tr><td>1<td>2</table>"
+    ), [_txt(extract_tables), _txt(tables_to_markdown)])
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 6,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 7,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],
