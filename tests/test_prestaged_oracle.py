@@ -14,9 +14,11 @@ from oracle_harness import compare  # noqa: E402
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_host_pagerank,
     _sql_main_content,
+    _sql_page_metadata,
     _sql_recrawl_priority,
     q_host_pagerank,
     q_main_content,
+    q_page_metadata,
     q_recrawl_priority,
 )
 
@@ -46,5 +48,14 @@ def test_main_content_oracle(spark, sf_dir):
     ok, detail = compare(
         spark, sf_dir, q_main_content(spark, sf_dir),
         _sql_main_content(),
+    )
+    assert ok, detail
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_page_metadata_oracle(spark, sf_dir):
+    ok, detail = compare(
+        spark, sf_dir, q_page_metadata(spark, sf_dir),
+        _sql_page_metadata(),
     )
     assert ok, detail

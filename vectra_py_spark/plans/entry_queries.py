@@ -2603,6 +2603,111 @@ ORDER BY url
 """
 
 
+_META_DOCS = 300
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction e2e
+    (`operators/pagemeta.py::page_metadata_df` — pure-Catalyst head
+    fields): per doc, synthesize a page whose metadata is a CLOSED
+    FORM, rotating through 4 markup variants (attribute orders
+    name/content vs content/property, quote styles, entity-escaped
+    titles, missing fields, upper/lowercase robots values), run the
+    REAL extractor, and report every field. The oracle reproduces the
+    expected strings from the same doc_id arithmetic — both attribute
+    orders, the 5-entity unescape, NULL-on-absence, and the noindex
+    flag are value-checked cross-engine without the oracle touching a
+    regex.
+
+    PRE-STAGED for the round-10 registry window; validated by
+    tests/test_prestaged_oracle.py via the driver's compare harness.
+
+    Plan shape: one codegen'd projection (plan-pinned UDF-free in
+    test_pagemeta.py); nothing shuffles."""
+    from vectra_py_spark.operators.pagemeta import page_metadata_df
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = d % 4
+
+    def pick(*variants):
+        expr = F.lit(None)
+        for case, v in reversed(list(enumerate(variants))):
+            expr = F.when(m == case, v).otherwise(expr)
+        return expr
+
+    html = pick(
+        # m=0: full page, name-then-content, double quotes
+        F.concat(
+            F.lit('<html lang="en-GB"><head><title>Doc '), s,
+            F.lit(' &amp; more</title>'
+                  '<meta name="description" content="about doc '), s,
+            F.lit('"><link rel="canonical" href="https://c.example/d'), s,
+            F.lit('"><meta name="robots" content="noindex,follow">'
+                  '</head><body>b</body></html>'),
+        ),
+        # m=1: content-then-name, single quotes, no canonical/robots
+        F.concat(
+            F.lit("<html><head><title>T"), s,
+            F.lit("</title><meta content='desc "), s,
+            F.lit(" here' name='description'>"
+                  "<meta content='OG "), s,
+            F.lit("' property='og:title'></head></html>"),
+        ),
+        # m=2: entity-escaped title, href-then-rel canonical
+        F.concat(
+            F.lit("<html lang='fr'><head><title>&quot;Q"), s,
+            F.lit('&quot; &lt;tag&gt;</title>'
+                  '<link href="https://c.example/x'), s,
+            F.lit('" rel="canonical">'
+                  '<meta name="robots" content="index, follow">'
+                  "</head></html>"),
+        ),
+        # m=3: bare page, uppercase NOINDEX
+        F.concat(
+            F.lit('<html><head><meta name="robots" content="NOINDEX">'
+                  "</head><body>plain "), s, F.lit("</body></html>"),
+        ),
+    )
+    pages = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _META_DOCS)
+        .select(
+            F.concat(F.lit("https://p"), s, F.lit(".example/")).alias("url"),
+            html.alias("text"),
+        )
+    )
+    return page_metadata_df(pages).orderBy("url")
+
+
+def _sql_page_metadata() -> str:
+    # the oracle recomputes every field as a closed form of doc_id —
+    # no regex on the oracle side at all
+    return f"""
+SELECT 'https://p' || s || '.example/' AS url,
+       CASE m WHEN 0 THEN 'Doc ' || s || ' & more'
+              WHEN 1 THEN 'T' || s
+              WHEN 2 THEN '"Q' || s || '" <tag>'
+              ELSE NULL END AS title,
+       CASE m WHEN 0 THEN 'about doc ' || s
+              WHEN 1 THEN 'desc ' || s || ' here'
+              ELSE NULL END AS description,
+       CASE m WHEN 0 THEN 'https://c.example/d' || s
+              WHEN 2 THEN 'https://c.example/x' || s
+              ELSE NULL END AS canonical,
+       CASE m WHEN 1 THEN 'OG ' || s ELSE NULL END AS og_title,
+       CAST(NULL AS VARCHAR) AS og_description,
+       CASE m WHEN 0 THEN 'en-gb' WHEN 2 THEN 'fr'
+              ELSE NULL END AS lang,
+       m IN (0, 3) AS noindex
+FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS s, doc_id % 4 AS m
+  FROM documents WHERE doc_id < {_META_DOCS}
+)
+ORDER BY url
+"""
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
@@ -4864,10 +4969,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_prestaged_oracle.py): q_recrawl_priority +
 # _sql_recrawl_priority (capture-history scheduling over a
 # synthesized CDX index) and q_host_pagerank + _sql_host_pagerank
-# (fixed-N power iteration vs an unrolled CTE chain), and
+# (fixed-N power iteration vs an unrolled CTE chain),
 # q_main_content + _sql_main_content (jusText extraction vs
-# closed-form expected pages, warc_documents style). Registering
-# each in r10 is a two-line QUERIES/ORACLE_SQL addition.
+# closed-form expected pages, warc_documents style), and
+# q_page_metadata + _sql_page_metadata (pure-Catalyst head-field
+# extraction vs closed-form expected strings across 4 markup
+# variants). Registering each in r10 is a two-line
+# QUERIES/ORACLE_SQL addition.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
