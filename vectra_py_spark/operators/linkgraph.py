@@ -261,6 +261,12 @@ def host_pagerank(
         )
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint()
+    # materialize the result, then RELEASE the working set: persisted
+    # frames left behind by every call accumulate in the shared JVM
+    # (a full test session OOMed a 1g driver heap exactly this way)
+    ranks = ranks.localCheckpoint()
+    trans.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -342,9 +348,14 @@ def host_hits(
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             hubs = hubs.localCheckpoint()
             auths = auths.localCheckpoint()
-    return hubs.join(
+    out = hubs.join(
         auths.withColumnRenamed("a", "authority"), "host"
     ).select("host", F.col("h").alias("hub"), "authority")
+    # materialize, then release the working set (see host_pagerank)
+    out = out.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def host_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:

@@ -152,6 +152,10 @@ def train_logreg(
         )
         if checkpoint_interval and (i + 1) % checkpoint_interval == 0:
             w = w.localCheckpoint()
+    # materialize the model BEFORE releasing the feature cache — the
+    # returned frame must not re-derive x/y lineage, and persisted
+    # working sets must not outlive the call (shared-JVM heap)
+    w = w.localCheckpoint()
     x.unpersist()
     y.unpersist()
     return w
