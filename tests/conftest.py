@@ -20,6 +20,13 @@ def spark():
     spark = (
         SparkSession.builder.appName("vectra-py-spark-tests")
         .master("local[*]")
+        # one JVM hosts the WHOLE ~970-test session (~10k stages);
+        # the 1g platform default sits at the heap margin and dies
+        # mid-suite once enough listener/broadcast/checkpoint state
+        # accumulates — this is test-session infrastructure, not a
+        # product requirement (operators release their own caches,
+        # see linkgraph/textclf epilogues)
+        .config("spark.driver.memory", "4g")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
