@@ -227,10 +227,22 @@ def main() -> None:
         b"<tr><td colspan='2'>wide &amp; x</td></tr>"
         b"<tr><td>1<td>2</table>"
     ), [_txt(extract_tables), _txt(tables_to_markdown)])
+    from vectra_py_spark.operators.feeds import parse_feed
+
+    drive("feed_rss", (
+        b'<rss version="2.0"><channel><title>t</title>'
+        b"<item><title>p</title><link>https://s/p</link>"
+        b"<guid>g</guid></item></channel></rss>"
+    ), [parse_feed])
+    drive("feed_atom", (
+        b'<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
+        b'<entry><title>a</title><link rel="alternate" href="https://b/a"/>'
+        b"<id>i</id></entry></feed>"
+    ), [parse_feed])
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 7,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],
