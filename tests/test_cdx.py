@@ -158,3 +158,29 @@ def test_cdx_select_latest_only(spark):
     assert got[0].digest == "sha1:NEW"
     got_all = cdx_select(df, status=None, latest_only=False).count()
     assert got_all == 3
+
+
+def test_index_warc_highly_compressible_member():
+    """ADVICE r9 (low): a gzip member whose output zlib caps at
+    max_length with ALL input consumed (tiny compressed size, huge
+    expansion) must index fine — the old loop mistook the buffered
+    output for a truncated member."""
+    body = b"a" * (3 << 20)  # 3 MiB of one byte ≈ 3 KiB gzipped
+    payload = synth_warc(
+        [("https://big.example/a", body, "text/plain")], compress=True
+    )
+    lines = index_warc(payload, "big.warc.gz")
+    entries = [parse_cdxj_line(ln) for ln in lines]
+    urls = {e["url"] for e in entries if e.get("url")}
+    assert "https://big.example/a" in urls
+
+
+def test_index_warc_truly_truncated_member_still_raises():
+    """The flush path must not mask REAL truncation: chopping the
+    compressed stream mid-member still raises ValueError."""
+    body = b"b" * (3 << 20)
+    payload = synth_warc(
+        [("https://big.example/b", body, "text/plain")], compress=True
+    )
+    with pytest.raises(ValueError):
+        index_warc(payload[: len(payload) // 2], "cut.warc.gz")

@@ -105,3 +105,23 @@ def test_recrawl_priority(spark):
         df, "20260816000000"
     ).orderBy("priority", ascending=False).collect()]
     assert ordered[0] == "org,a)/hot"
+
+
+def test_warc_host_graph_invalid_utf8_page(spark):
+    """ADVICE r9 (high): a mis-labeled non-UTF-8 text/html page must
+    quarantine to replacement chars, not kill the job — links in the
+    valid part of the page still contribute edges."""
+    page = (
+        b'<html><body>caf\xe9 \xff\xfe '
+        b'<a href="https://t1.example/x">a</a></body></html>'
+    )
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "seg.warc"), "wb") as f:
+        f.write(synth_warc([
+            ("https://src.example/latin1", page, "text/html"),
+        ]))
+    got = {
+        (r.src, r.dst): r.n_links
+        for r in warc_host_graph(read_warc(spark, d)).collect()
+    }
+    assert got == {("src.example", "t1.example"): 1}

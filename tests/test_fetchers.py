@@ -149,3 +149,16 @@ def test_fetch_uris_df_records_errors(spark, monkeypatch, tree):
     assert len(out) == 1
     assert out[0].text is None
     assert out[0].fetch_error  # connection error recorded, row kept
+
+
+def test_fetch_directory_df_invalid_utf8_file(spark, tree):
+    """ADVICE r9 (high, same family): one non-UTF-8 file in the tree
+    must not fail the whole binaryFile scan — bytes decode with
+    replacement chars, matching FileFetcher's errors='replace'."""
+    raw = b"caf\xe9 not utf-8 \xff"
+    with open(f"{tree}/legacy.txt", "wb") as fh:
+        fh.write(raw)
+    rows = {os.path.basename(r.uri): r
+            for r in fetch_directory_df(spark, tree).collect()}
+    assert rows["legacy.txt"].text == raw.decode("utf-8", "replace")
+    assert rows["a.md"].text.startswith("# Title")

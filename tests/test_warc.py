@@ -360,3 +360,77 @@ def test_wet_spark_export_import_roundtrip(spark):
         for r in wet_documents(read_warc(spark, d)).collect()
     }
     assert got == dict(docs)
+
+
+def test_wet_documents_invalid_utf8_replaced(spark):
+    """ADVICE r9 (high): one non-UTF-8 conversion record must yield
+    U+FFFD replacement chars, not fail the job (plain Catalyst decode
+    raises MALFORMED_CHARACTER_CODING on Spark 4)."""
+    import os
+    import tempfile
+
+    from vectra_py_spark.sources.warc import (
+        read_warc, synth_wet, wet_documents,
+    )
+
+    good = synth_wet([("https://ok.example/a", "fine text")])
+    # hand-build a conversion record whose payload is NOT valid UTF-8
+    bad_body = b"latin1 caf\xe9 and junk \xff\xfe end"
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://bad.example/b\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(bad_body)}\r\n\r\n".encode()
+        + bad_body + b"\r\n\r\n"
+    )
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "mix.warc"), "wb") as f:
+        f.write(good + bad)
+    got = {r.uri: r.text
+           for r in wet_documents(read_warc(spark, d)).collect()}
+    assert got["https://ok.example/a"] == "fine text"
+    assert got["https://bad.example/b"] == bad_body.decode(
+        "utf-8", "replace"
+    )
+
+
+def test_to_wet_shards_whole_shard_per_call(spark):
+    """ADVICE r9 (medium): shard payloads must not depend on Arrow
+    batch boundaries — with maxRecordsPerBatch far below the shard
+    size, each shard still emits exactly ONE row whose payload equals
+    the full-shard encoding."""
+    from vectra_py_spark.sources.warc import synth_wet, to_wet_shards
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        docs = [(f"https://h{i % 3}.example/d{i}", f"body {i}")
+                for i in range(100)]
+        df = spark.createDataFrame(docs, ["uri", "text"])
+        rows = to_wet_shards(df, n_shards=2, compress=False).collect()
+        assert sorted(r.shard for r in rows) == [0, 1]  # one row/shard
+        assert sum(r.n_docs for r in rows) == 100
+        # payload bytes = synth_wet over the whole shard, URI-sorted
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+        want = {}
+        assign = df.select(
+            "uri", "text",
+            F.pmod(F.xxhash64("uri"), F.lit(2)).cast("int").alias("s"),
+        ).collect()
+        by_shard = {}
+        for r in assign:
+            by_shard.setdefault(r.s, []).append((r.uri, r.text))
+        for s, members in by_shard.items():
+            want[s] = synth_wet(sorted(members), compress=False)
+        assert {r.shard: bytes(r.payload) for r in rows} == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -194,37 +194,48 @@ def host_pagerank(
         else F.lit(1.0)
     )
     e = edges.select("src", "dst", w.alias("w"))
-    nodes = (
+    # persist-once discipline: `base` (the distinct host set) is cached
+    # only until the derived teleport frame is materialized, then
+    # released — an intermediate left persisted here accumulates a
+    # host-sized cached frame per call in the shared JVM
+    base = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
         .distinct()
+        .persist()
     )
     if seeds is not None:
         seed_hosts = seeds.select(
             F.col(seeds.columns[0]).alias("host")
         ).distinct()
-        nodes = nodes.join(seed_hosts.withColumn("__seed", F.lit(1)),
-                           "host", "left")
-        n_seeds = nodes.filter(F.col("__seed").isNotNull()).count()
+        joined = base.join(
+            seed_hosts.withColumn("__seed", F.lit(1)), "host", "left"
+        ).persist()
+        n_seeds = joined.filter(F.col("__seed").isNotNull()).count()
         if n_seeds == 0:
+            joined.unpersist()
+            base.unpersist()
             raise ValueError(
                 "host_pagerank: no seed host appears in the graph"
             )
-        nodes = nodes.select(
+        nodes = joined.select(
             "host",
             F.when(F.col("__seed").isNotNull(), F.lit(1.0 / n_seeds))
             .otherwise(F.lit(0.0))
             .alias("t"),
         ).persist()
-        n = nodes.count()
+        nodes.count()  # materialize before releasing the parents
+        joined.unpersist()
+        base.unpersist()
     else:
-        nodes = nodes.persist()
-        n = nodes.count()
+        n = base.count()
         if n == 0:
-            return nodes.select(
-                "host", F.lit(0.0).alias("rank")
-            )  # empty frame, right schema
-        nodes = nodes.select("host", F.lit(1.0 / n).alias("t")).persist()
+            out = base.select("host", F.lit(0.0).alias("rank"))
+            base.unpersist()  # empty frame, right schema
+            return out
+        nodes = base.select("host", F.lit(1.0 / n).alias("t")).persist()
+        nodes.count()  # materialize before releasing the parent
+        base.unpersist()
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # transition probabilities, one edge row each — persisted once,
     # reused every iteration
@@ -376,18 +387,23 @@ def host_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
 def warc_host_graph(records: DataFrame) -> DataFrame:
     """WARC record rows (``read_warc``'s WARC_SCHEMA) → the weighted
     host edge list, directly: HTML response records are selected and
-    decoded IN CATALYST (``decode(payload,'UTF-8')`` replaces
-    malformed sequences rather than failing — crawl charsets lie) and
-    flow straight into :func:`host_graph`. This is the WAT-style
-    derivation: link structure extracted from an archive without the
-    payloads ever entering a shuffle."""
+    decoded IN CATALYST via ``make_valid_utf8(cast(payload as
+    string))`` — the binary→string cast copies bytes unvalidated and
+    ``make_valid_utf8`` substitutes U+FFFD for malformed sequences
+    (Python ``errors='replace'`` semantics), so one mis-labeled page
+    quarantines to mojibake instead of failing the job. (Plain
+    ``decode(payload,'UTF-8')`` raises MALFORMED_CHARACTER_CODING on
+    Spark 4 — crawl charsets lie, so that path is a job-killer.)
+    This is the WAT-style derivation: link structure extracted from
+    an archive without the payloads ever entering a shuffle."""
     html = records.filter(
         (F.col("warc_type") == "response")
         & F.col("error").isNull()
         & F.col("url").isNotNull()
         & F.col("content_type").startswith("text/html")
     ).select(
-        "url", F.decode(F.col("payload"), "UTF-8").alias("text")
+        "url",
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
     )
     return host_graph(html)
 

@@ -216,9 +216,17 @@ def index_warc(payload: bytes, filename: str) -> list[str]:
                 out.append(chunk)
                 if d.eof:
                     break
-                if not d.unconsumed_tail:
+                if d.unconsumed_tail:
+                    buf = d.unconsumed_tail
+                    continue
+                # all input consumed but not at EOF: zlib may still
+                # hold output it truncated at max_length — flush with
+                # empty input; only a flush that yields NOTHING means
+                # the member is really truncated (highly compressible
+                # members routinely buffer >1 MiB per call)
+                if not chunk and not buf:
                     raise ValueError("truncated gzip member")
-                buf = d.unconsumed_tail
+                buf = b""
             member_len = len(data) - len(d.unused_data)
             emit(b"".join(out), pos, member_len)
             pos += member_len

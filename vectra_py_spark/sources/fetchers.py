@@ -76,14 +76,18 @@ def fetch_directory_df(spark: SparkSession, path: str) -> DataFrame:
     """Distributed directory ingest: ``binaryFile`` scan → decoded text.
 
     At 100 TB the file listing and reads parallelize per split;
-    doc_type derives from the path in the plan (no Python)."""
+    doc_type derives from the path in the plan (no Python). Decoding
+    is ``make_valid_utf8(cast(content as string))`` — malformed bytes
+    become U+FFFD, matching :class:`FileFetcher`'s
+    ``errors='replace'``; plain ``decode`` would fail the whole scan
+    on one non-UTF-8 file (MALFORMED_CHARACTER_CODING on Spark 4)."""
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(path)
         .select(
             F.col("path").alias("uri"),
-            F.decode(F.col("content"), "UTF-8").alias("text"),
+            F.make_valid_utf8(F.col("content").cast("string")).alias("text"),
             F.lower(F.regexp_extract(F.col("path"), r"\.([^./\\]+)$", 1)).alias(
                 "doc_type"
             ),

@@ -501,9 +501,13 @@ def synth_wet(
 def wet_documents(records: DataFrame) -> DataFrame:
     """WARC record rows (``read_warc`` over WET files) → (uri, text,
     doc_type='txt') document rows: ``conversion`` records carry
-    already-extracted plain text, decoded in Catalyst. The WET-side
-    twin of :func:`warc_documents` (which extracts from raw
-    ``response`` records)."""
+    already-extracted plain text, decoded in Catalyst via
+    ``make_valid_utf8(cast(payload as string))`` — malformed
+    sequences become U+FFFD (``errors='replace'`` semantics) rather
+    than raising MALFORMED_CHARACTER_CODING like ``decode`` does on
+    Spark 4, so one corrupt conversion record can't fail the job.
+    The WET-side twin of :func:`warc_documents` (which extracts from
+    raw ``response`` records)."""
     from pyspark.sql import functions as F
 
     return records.filter(
@@ -512,7 +516,7 @@ def wet_documents(records: DataFrame) -> DataFrame:
         & F.col("url").isNotNull()
     ).select(
         F.col("url").alias("uri"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
         F.lit("txt").alias("doc_type"),
     )
 
@@ -531,29 +535,33 @@ def to_wet_shards(
     each shard is built by the same :func:`synth_wet` encoder the
     reader round-trips against, docs in bytewise URI order inside a
     shard (deterministic payload bytes). One shuffle on the shard
-    key; the caller persists payload rows wherever archives live."""
+    key via ``groupBy().applyInPandas`` — exactly ONE pandas call per
+    shard, so payload bytes can't depend on Arrow batch boundaries
+    the way a ``mapInPandas`` groupby would (maxRecordsPerBatch
+    splits a >10k-doc shard across batches); the whole shard
+    therefore materializes in one pandas frame — size shards (pick
+    ``n_shards``) so a shard fits executor memory. The caller
+    persists payload rows wherever archives live."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
-    def run(pdfs):
-        for pdf in pdfs:
-            for sh, grp in pdf.groupby("__shard"):
-                grp = grp.sort_values(uri_col)
-                payload = synth_wet(
-                    [
-                        (str(u), str(t))
-                        for u, t in zip(grp[uri_col], grp[text_col])
-                    ],
-                    compress=compress,
-                )
-                yield pd.DataFrame({
-                    "shard": [int(sh)],
-                    "payload": [payload],
-                    "n_docs": [len(grp)],
-                })
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        grp = pdf.sort_values(uri_col)
+        payload = synth_wet(
+            [
+                (str(u), str(t))
+                for u, t in zip(grp[uri_col], grp[text_col])
+            ],
+            compress=compress,
+        )
+        return pd.DataFrame({
+            "shard": [int(grp["__shard"].iloc[0])],
+            "payload": [payload],
+            "n_docs": [len(grp)],
+        })
 
     return (
         df.select(
@@ -562,8 +570,8 @@ def to_wet_shards(
             .cast("int")
             .alias("__shard"),
         )
-        .repartition(n_shards, "__shard")
-        .mapInPandas(run, schema="shard INT, payload BINARY, n_docs INT")
+        .groupBy("__shard")
+        .applyInPandas(build, schema="shard INT, payload BINARY, n_docs INT")
     )
 
 
