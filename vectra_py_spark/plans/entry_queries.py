@@ -4941,6 +4941,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_report": q_encoding_report,
     "bm25_batch_probe": q_bm25_batch_probe,
     "hybrid_probe": q_hybrid_probe,
+    "recrawl_priority": q_recrawl_priority,
+    "host_pagerank": q_host_pagerank,
+    "main_content": q_main_content,
+    "page_metadata": q_page_metadata,
     **RELATIONAL_QUERIES,
 }
 
@@ -4949,87 +4953,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-9 rotation (VERDICT r8 item 1,
-# executed verbatim): the two round-9 additions needing FIRST driver
-# evidence (office_documents — the office/legacy extractor family's
-# first cross-engine row, VERDICT r8 item 2 — and url_canonical — the
-# crawl URL normalizer/dedup; both ≤2-budget slots used), then the 11
-# r5-vintage rows the r8 window couldn't fit (two of which —
-# vector_topk / vector_topk_filtered — are the SURVEY §3.1 flagship
-# path), then the first 37 of the 50 r6-vintage queries in
-# CORRECTNESS_r06 recording order. The 13 r6 rows that didn't fit
-# (big_spenders, dml_insert, dml_upsert, dml_delete,
-# min_cost_supplier, forecast_revenue, product_profit, important_stock,
-# shipmode_priority, customer_distribution, top_supplier,
-# supplier_part_counts, small_qty_revenue) stay r6-vintage; round 10's
-# rotation should lead with those 13 plus any round-10 additions.
-# Round-10 new entries are PRE-STAGED (kept out of the registry to
-# honor round 9's ≤2-additions budget, but already written AND
-# validated through the driver's exact compare harness at both SFs —
-# tests/test_prestaged_oracle.py): q_recrawl_priority +
-# _sql_recrawl_priority (capture-history scheduling over a
-# synthesized CDX index) and q_host_pagerank + _sql_host_pagerank
-# (fixed-N power iteration vs an unrolled CTE chain),
-# q_main_content + _sql_main_content (jusText extraction vs
-# closed-form expected pages, warc_documents style), and
-# q_page_metadata + _sql_page_metadata (pure-Catalyst head-field
-# extraction vs closed-form expected strings across 4 markup
-# variants). Registering each in r10 is a two-line
-# QUERIES/ORACLE_SQL addition.
+# fresh driver row go first. Round-10 rotation (VERDICT r9 item 1,
+# executed verbatim): lead with the 13 r6-vintage rows that hit the
+# staleness-SLO edge at round 10 (the dml_* block and the TPC-H-style
+# analytics the r9 window couldn't fit), then the FOUR round-10
+# registrations — recrawl_priority (capture-history scheduling over a
+# synthesized CDX index), host_pagerank (fixed-N power iteration vs an
+# unrolled CTE chain), main_content (jusText extraction vs closed-form
+# expected pages), page_metadata (pure-Catalyst head-field extraction)
+# — all PRE-STAGED in round 9 and already harness-validated at both
+# SFs (tests/test_prestaged_oracle.py), so their first window slot
+# carries no unverified risk (COVERAGE.md records the budget policy:
+# pre-staged validated entries don't count against the ≤2-new-entry
+# budget; unstaged additions remain capped at 2), then the first 33 of
+# the 50 r7-vintage queries in CORRECTNESS_r07 recording order. The 17
+# r7 rows that didn't fit (winnow_contamination, soft_dedup_weights,
+# neardup_weights, distinct_users, value_quantiles, revenue_by_region,
+# multimodal_bytes, token_budget_batches, ann_topk, ivf_topk,
+# train_split, stratified_sample, decontaminate, neardup_clusters,
+# asof_enrich, range_join, epoch_mix) stay r7-vintage — inside the SLO
+# at round 10 (r7 = N-3) — and must lead round 11's window.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    "office_documents",
-    "url_canonical",
-    "simhash_neardup",
-    "source_quota",
-    "source_token_drift",
-    "temperature_mix",
-    "text_analysis",
-    "top_users_per_type",
-    "topk_orders_enriched",
-    "vector_topk",
-    "vector_topk_filtered",
-    "volume_anomalies",
-    "dsir_weights",
-    "jpeg_roundtrip",
-    "bpe_train_rounds",
-    "bpe_vocab_usage",
-    "curriculum_order",
-    "duplicate_ngram_spans",
-    "nb_quality_score",
-    "tokenize_ids",
-    "lloyd_kmeans",
-    "tfidf_top_terms",
-    "pmi_collocations",
-    "seq_len_histogram",
-    "winnow_fingerprints",
-    "winnow_matches",
-    "corpus_stats",
-    "random_projection",
-    "bpe_pair_counts",
-    "padding_efficiency",
-    "packed_sequences",
-    "frame_sample",
-    "quantized_topk",
-    "label_centroids",
-    "quality_weighted_sample",
-    "bloom_decontaminate",
-    "leakage_safe_split",
-    "rollup_revenue",
-    "churned_rich",
-    "nation_volume",
-    "market_share",
-    "returned_customers",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "event_funnel",
-    "cohort_retention",
-    "event_type_pivot",
-    "viewers_not_purchasers",
-    "daily_rolling",
-    "late_ship_priority",
+    # 13 r6-vintage rows (SLO edge at r10), CORRECTNESS_r06 order
+    "big_spenders",
+    "dml_insert",
+    "dml_upsert",
+    "dml_delete",
+    "min_cost_supplier",
+    "forecast_revenue",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "customer_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    # 4 round-10 registrations, pre-staged + harness-validated in r9
+    "recrawl_priority",
+    "host_pagerank",
+    "main_content",
+    "page_metadata",
+    # first 33 of the 50 r7-vintage rows, CORRECTNESS_r07 order
+    "mjpeg_sample",
+    "chunk_spans_simple",
+    "batch_topk",
+    "excess_suppliers",
+    "minhash_lsh_neardup",
+    "minhash_probe",
+    "gopher_quality",
+    "c4_line_stats",
+    "line_dedup",
+    "length_trim",
+    "unimax_mix",
+    "domain_mix",
+    "oov_rate",
+    "pq_topk",
+    "nfc_normalize",
+    "ivfpq_topk",
+    "curation_funnel",
+    "label_outliers",
+    "word_entropy",
+    "dup_rate_by_source",
+    "pq_rerank",
+    "corpus_diff",
+    "content_checksum",
+    "local_supplier_volume",
+    "bm25_probe",
+    "skew_report",
+    "embedding_coverage",
+    "tokenizer_fertility",
+    "span_cut",
+    "encoding_report",
+    "bm25_batch_probe",
+    "hybrid_probe",
+    "winnow_probe",
 ]
 
 QUERIES = {
@@ -5226,5 +5226,9 @@ ORACLES: dict[str, str] = {
     # (driver records the rows-only check; goldens/property tests live
     # in tests/). packed_sequences' FFD is likewise non-SQL, but its
     # invariant summary IS — see packing_invariants_sql.
+    "recrawl_priority": _sql_recrawl_priority(),
+    "host_pagerank": _sql_host_pagerank(),
+    "main_content": _sql_main_content(),
+    "page_metadata": _sql_page_metadata(),
     **RELATIONAL_ORACLES,
 }
