@@ -44,15 +44,19 @@ PROSE = (
 )
 
 
-def synth_pages(spark, n_pages: int, n_hosts: int, seed: int = 7):
+def synth_pages(spark, n_pages: int, n_hosts: int, seed: int = 7,
+                tag: str = "p"):
     """Deterministic synthetic web: pages across n_hosts with a
     Zipf-ish link distribution (low host ids attract more links) and
-    realistic chrome around the prose."""
+    realistic chrome around the prose. ``tag`` distinguishes page URLs
+    across crawl waves while the outlink TARGETS stay in the shared
+    ``p``-space, so later waves re-propose mostly-seen candidates —
+    the anti-join shape the streaming frontier exists for."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_pages):
         h = i % n_hosts
-        url = f"https://h{h}.example/p{i}"
+        url = f"https://h{h}.example/{tag}{i}"
         targets = rng.zipf(1.6, LINKS_PER_PAGE) % n_hosts
         links = "".join(
             f'<a href="https://h{t}.example/p{rng.integers(n_pages)}">x</a>'
@@ -127,6 +131,114 @@ def run_scale(spark, n_pages: int, n_hosts: int) -> dict:
     return out
 
 
+def run_stream_frontier(spark, n_pages: int, n_hosts: int) -> dict:
+    """VERDICT r9 item 5: the continuous acquisition loop at stress
+    scale — 3 waves of pages through `streaming/frontier.py`, each
+    wave anti-joining a persistent seen store that the previous waves
+    grew. Outlink targets share one URL space across waves, so wave
+    2+ candidates are mostly already-seen: the measured wall is
+    dominated by exactly the store-sized anti-join the batch twin's
+    1.52 ratio measures."""
+    import os
+    import tempfile
+
+    from vectra_py_spark.streaming.frontier import stream_frontier
+
+    base = tempfile.mkdtemp()
+    src = os.path.join(base, "pages")
+    seen = os.path.join(base, "seen")
+    out_p = os.path.join(base, "frontier")
+    ckpt = os.path.join(base, "ckpt")
+    res = {}
+    for wave in range(3):
+        pages = synth_pages(
+            spark, n_pages, n_hosts, seed=7 + wave, tag=f"w{wave}_",
+        )
+        pages.write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("url STRING, text STRING")
+            .option("maxFilesPerTrigger", 10_000)
+            .parquet(src)
+        )
+
+        def _run():
+            q = stream_frontier(
+                stream, seen, out_p, ckpt, per_host_limit=50,
+            )
+            q.awaitTermination(600)
+            return spark.read.parquet(out_p).count()
+
+        res[f"wave{wave + 1}_s"], res[f"wave{wave + 1}_frontier_rows"] = (
+            timed(_run)
+        )
+    res["seen_store_rows"] = spark.read.parquet(seen).count()
+    return res
+
+
+def run_cdx_selective(spark, n_caps: int, pdf_every: int = 50) -> dict:
+    """VERDICT r9 item 3 (bench side): indexed range reads vs the
+    full scan, reproducibly, at stress scale — a .warc.gz of
+    ``n_caps`` captures with a 2% PDF fraction; select the PDFs via
+    `cdx_select` and fetch ONLY those members. Bytes touched must
+    track the selected fraction (corpus-size-independent), wall must
+    beat the full scan by roughly the inverse selectivity."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.sources.cdx import (
+        cdx_select, fetch_cdx_records, index_warc, read_cdx,
+    )
+    from vectra_py_spark.sources.warc import read_warc, synth_warc
+
+    base = tempfile.mkdtemp()
+    seg_dir = os.path.join(base, "segs")
+    idx_dir = os.path.join(base, "idx")
+    os.makedirs(seg_dir)
+    os.makedirs(idx_dir)
+    pages = []
+    for i in range(n_caps):
+        if i % pdf_every == 0:
+            body = f"%PDF-1.4 synthetic body {i} ".encode() + b"x" * 160
+            ct = "application/pdf"
+        else:
+            body = (
+                f"<html><body><p>page {i}</p>"
+                + "word " * 40 + "</body></html>"
+            ).encode()
+            ct = "text/html"
+        pages.append((f"https://h{i % 97}.example/p{i}", body, ct))
+    payload = synth_warc(pages, compress=True)
+    seg = os.path.join(seg_dir, "seg.warc.gz")
+    with open(seg, "wb") as fh:
+        fh.write(payload)
+    with open(os.path.join(idx_dir, "index.cdxj"), "w") as fh:
+        for ln in index_warc(payload, seg):
+            fh.write(ln + "\n")
+
+    out = {"captures": n_caps, "archive_bytes": len(payload)}
+    out["full_scan_s"], out["full_scan_pdfs"] = timed(
+        lambda: read_warc(spark, seg_dir)
+        .filter("content_type LIKE 'application/pdf%'")
+        .count()
+    )
+    sel = cdx_select(
+        read_cdx(spark, idx_dir), mime="application/pdf"
+    ).cache()
+    out["selected"] = sel.count()
+    out["selected_bytes"] = sel.agg(F.sum("length")).collect()[0][0]
+    out["indexed_s"], out["indexed_pdfs"] = timed(
+        lambda: fetch_cdx_records(spark, sel).count()
+    )
+    sel.unpersist()
+    out["bytes_frac"] = round(out["selected_bytes"] / len(payload), 4)
+    out["speedup"] = round(
+        out["full_scan_s"] / max(out["indexed_s"], 1e-9), 1
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="stress-crawl")
     run_scale(spark, 200, 20)  # JVM/codegen warmup, discarded
@@ -137,12 +249,26 @@ def main() -> None:
         for k in r1
         if k.endswith("_s")
     }
+    sf1 = run_stream_frontier(spark, N_PAGES_1X, N_HOSTS_1X)
+    sf10 = run_stream_frontier(spark, N_PAGES_1X * 10, N_HOSTS_1X * 10)
+    sf_ratios = {
+        k: round(sf10[k] / max(sf1[k], 1e-9), 2)
+        for k in sf1
+        if k.endswith("_s")
+    }
+    cdx1 = run_cdx_selective(spark, 2_000)
+    cdx10 = run_cdx_selective(spark, 20_000)
     print(json.dumps({
         "metric": "crawl_layer_stress",
         "pages_1x": N_PAGES_1X,
         "r1x": r1,
         "r10x": r10,
         "vs_10x_time_ratio": ratios,
+        "stream_frontier_1x": sf1,
+        "stream_frontier_10x": sf10,
+        "stream_frontier_10x_ratio": sf_ratios,
+        "cdx_selective_1x": cdx1,
+        "cdx_selective_10x": cdx10,
     }))
     spark.stop()
 

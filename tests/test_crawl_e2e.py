@@ -211,3 +211,42 @@ def test_crawl_to_corpus_pipeline(spark):
     ix.upsert_documents_df(deduped, doc_type_col="doc_type")
     res = ix.query_documents("distributed joins", max_documents=3)
     assert res.count() >= 1
+
+    # 6) SELECTIVE RE-READ: the "read 1% of 100 TB" lever wired into
+    #    the e2e (VERDICT r9 item 3) — index the same drop with
+    #    index_warc, select ONLY the current HTML captures (digest
+    #    dedup collapses the dup page BEFORE any download), fetch by
+    #    range reads, and confirm the documents match the full-scan
+    #    path while touching a selection-proportional slice of the
+    #    archive bytes.
+    from vectra_py_spark.sources.cdx import (
+        cdx_select,
+        fetch_cdx_records,
+        index_warc,
+        read_cdx,
+    )
+
+    cdx_dir = tempfile.mkdtemp()
+    total_bytes = 0
+    with open(os.path.join(cdx_dir, "index.cdxj"), "w") as idx:
+        for seg in ("seg0.warc", "seg1.warc.gz"):
+            p = os.path.join(d, seg)
+            with open(p, "rb") as fh:
+                payload = fh.read()
+            total_bytes += len(payload)
+            for line in index_warc(payload, p):
+                idx.write(line + "\n")
+    sel = cdx_select(read_cdx(spark, cdx_dir), mime="text/html")
+    sel_rows = sel.collect()
+    # 2 of 24 records: one html per site (the exact-dup page shares a
+    # payload digest, so it never reaches the fetch stage)
+    assert len(sel_rows) == 2
+    sel_bytes = sum(r.length for r in sel_rows)
+    assert sel_bytes < 0.15 * total_bytes  # bytes ∝ selection, not corpus
+    fetched = fetch_cdx_records(spark, sel)
+    assert fetched.filter("error IS NOT NULL").count() == 0
+    sel_docs = {r.uri: r.text for r in warc_documents(fetched).collect()}
+    full_html = {r.uri: r.text for r in got if r.uri.endswith(".html")}
+    assert len(sel_docs) == 2
+    for uri, text in sel_docs.items():
+        assert text == full_html[uri]

@@ -2708,6 +2708,522 @@ ORDER BY url
 """
 
 
+# ---------------------------------------------------------------------------
+# PRE-STAGED round-11 entries (VERDICT r9 items 2 + 4): written and
+# harness-validated (tests/test_prestaged_oracle.py) one round before
+# registration, per the COVERAGE.md budget policy.
+# ---------------------------------------------------------------------------
+
+_TBL_DOCS = 300
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction e2e (`operators/tables.py::table_rows_df`
+    — the stack-machine parser over table/tr/td/th): per doc,
+    synthesize a page whose single table has a CLOSED-FORM geometry —
+    an all-<th> header row on even docs (header detection), 1+doc_id%3
+    data rows × 3 columns, a colspan=2 cell in the last data row
+    (alignment by duplication), an entity-escaped cell (&amp; →  &),
+    and on odd docs ALL closing </td>/</tr> tags omitted (HTML5
+    implicit closing) — run the REAL extractor, flatten cells with
+    posexplode, and report one row per CELL. The oracle reconstructs
+    every cell string from the same doc_id arithmetic, so tokenizing,
+    header detection, colspan expansion, entity unescape, and implicit
+    closing are value-checked cross-engine on every cell.
+
+    Plan shape: projection → one narrow Arrow pass → generator
+    (posexplode); payloads never shuffle."""
+    from vectra_py_spark.operators.tables import table_rows_df
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    n_data = (d % 3 + 1).cast("int")
+    has_header = (d % 2) == 0
+
+    def data_row(k: F.Column, closing: F.Column) -> F.Column:
+        # normal row: 3 plain cells; LAST data row: colspan=2 + entity
+        ks = k.cast("string")
+        plain = F.concat(
+            F.lit("<tr><td>d"), s, F.lit(" r"), ks, F.lit(" c0"),
+            F.when(closing, F.lit("</td>")).otherwise(F.lit("")),
+            F.lit("<td>d"), s, F.lit(" r"), ks, F.lit(" c1"),
+            F.when(closing, F.lit("</td>")).otherwise(F.lit("")),
+            F.lit("<td>d"), s, F.lit(" r"), ks, F.lit(" c2"),
+            F.when(closing, F.lit("</td></tr>")).otherwise(F.lit("")),
+        )
+        span = F.concat(
+            F.lit('<tr><td colspan="2">d'), s, F.lit(" span"),
+            F.when(closing, F.lit("</td>")).otherwise(F.lit("")),
+            F.lit("<td>amp &amp; last"),
+            F.when(closing, F.lit("</td></tr>")).otherwise(F.lit("")),
+        )
+        return F.when(k == n_data - 1, span).otherwise(plain)
+
+    closing = has_header  # odd docs omit every closing td/tr tag
+    header = F.when(
+        has_header,
+        F.lit("<tr><th>H0</th><th>H1</th><th>H2</th></tr>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>prose before</p><table>"),
+        header,
+        data_row(F.lit(0), closing),
+        F.when(n_data >= 2, data_row(F.lit(1), closing)).otherwise(F.lit("")),
+        F.when(n_data >= 3, data_row(F.lit(2), closing)).otherwise(F.lit("")),
+        F.lit("</table><p>prose after</p></body></html>"),
+    )
+    pages = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _TBL_DOCS)
+        .select(
+            F.concat(F.lit("https://t"), s, F.lit(".example/")).alias("url"),
+            html.alias("text"),
+        )
+    )
+    flat = table_rows_df(pages)
+    return flat.select(
+        "url",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("is_header").alias("is_header"),
+        F.posexplode("cells").alias("col_idx", "cell"),
+    ).orderBy("url", "table_idx", "row_idx", "col_idx")
+
+
+def _sql_html_tables() -> str:
+    # cells as closed forms of (doc_id, row, col); rows/cols unrolled
+    # through a 4x3 series then filtered to the doc's geometry
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS d, CAST(doc_id AS VARCHAR) AS s,
+         doc_id % 2 = 0 AS hdr, CAST(doc_id % 3 + 1 AS INT) AS nd
+  FROM documents WHERE doc_id < {_TBL_DOCS}
+), grid AS (
+  SELECT d, s, hdr, nd, r, c,
+         CASE WHEN hdr THEN r - 1 ELSE r END AS k
+  FROM ids, (SELECT unnest(range(0, 4)) AS r),
+            (SELECT unnest(range(0, 3)) AS c)
+  WHERE r < nd + CASE WHEN hdr THEN 1 ELSE 0 END
+)
+SELECT 'https://t' || s || '.example/' AS url,
+       0 AS table_idx,
+       CAST(r AS INT) AS row_idx,
+       hdr AND r = 0 AS is_header,
+       CAST(c AS INT) AS col_idx,
+       CASE
+         WHEN hdr AND r = 0 THEN 'H' || c
+         WHEN k = nd - 1 AND c <= 1 THEN 'd' || s || ' span'
+         WHEN k = nd - 1 THEN 'amp & last'
+         ELSE 'd' || s || ' r' || k || ' c' || c
+       END AS cell
+FROM grid
+ORDER BY url, table_idx, row_idx, col_idx
+"""
+
+
+_MOJI_DOCS = 300
+# the wire forms, derived from the codec (never hand-typed): UTF-8
+# bytes of the clean text mis-decoded as cp1252 — exactly the damage
+# fix_mojibake reverses
+_MOJI_LATIN = "café au lait".encode("utf-8").decode("cp1252")
+_MOJI_PUNCT = "don’t stop".encode("utf-8").decode("cp1252")
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair e2e (`operators/curation.py::fix_mojibake` —
+    the pure-Catalyst cp1252→UTF-8 un-mangler): per doc, rotate 4
+    CLOSED-FORM variants — clean ASCII (must pass through), latin
+    mojibake ("cafÃ©"-family, repaired), cp1252-punctuation mojibake
+    ("â€™"-family, repaired), genuine accented text ("déjà vu",
+    must NOT be touched) — run the REAL repair, and report
+    (doc_id, text, was_repaired). The oracle emits the expected
+    post-repair strings as literals, so the detector gate, the
+    translate→encode→decode chain, and the must-shrink guard are
+    value-checked cross-engine on every row.
+
+    Plan shape: one codegen'd projection; nothing shuffles."""
+    from vectra_py_spark.operators.curation import fix_mojibake
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = d % 4
+    text = (
+        F.when(m == 0, F.concat(F.lit("plain ascii doc "), s))
+        .when(m == 1, F.concat(F.lit(_MOJI_LATIN + " "), s))
+        .when(m == 2, F.concat(F.lit(_MOJI_PUNCT + " "), s))
+        .otherwise(F.concat(F.lit("déjà vu naïve "), s))
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _MOJI_DOCS)
+        .select("doc_id", text.alias("text"))
+    )
+    return fix_mojibake(docs).orderBy("doc_id")
+
+
+def _sql_mojibake_repair() -> str:
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'plain ascii doc ' || s
+         WHEN 1 THEN 'café au lait ' || s
+         WHEN 2 THEN 'don’t stop ' || s
+         ELSE 'déjà vu naïve ' || s
+       END AS text,
+       doc_id % 4 IN (1, 2) AS was_repaired
+FROM (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+  FROM documents WHERE doc_id < {_MOJI_DOCS}
+)
+ORDER BY doc_id
+"""
+
+
+_CLF_DOCS = 400
+_CLF_FEATURES = 1 << 18
+# dyadic weights: every product and 3-term sum below is EXACT in
+# binary floating point, so the margin compares bit-identically
+# cross-engine; only sigmoid's exp() needs the 6-dp round
+_CLF_W_GOOD = 2.0
+_CLF_W_SPAM = -1.5
+_CLF_W_BIAS = 0.25
+
+
+def q_textclf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-classifier scoring e2e (`operators/textclf.py::
+    hashed_features` + `score_logreg` — the hashing trick feeding the
+    broadcast-join scorer): per doc, synthesize text with CLOSED-FORM
+    gram counts ("good"×(doc_id%4), "spam"×(doc_id%3), one "pad"),
+    build the weight frame from gram LITERALS through the engine's own
+    xxhash64 bucket map (so model idx and feature idx agree by
+    construction; the 10-gram vocabulary is verified collision-free in
+    tests), run the REAL feature hasher + scorer, and report
+    (doc_id, margin, prob, predicted). Weights are dyadic rationals,
+    so margin = 2·g − 1.5·p + 0.25 is EXACT on both engines; prob
+    rounds the one transcendental (sigmoid) to 6 dp — the float-parity
+    discipline COVERAGE's r9 note asked for.
+
+    Plan shape: projection → explode → count aggregate → broadcast
+    join with the feature-sized model → one margin aggregate — the
+    single-pass 100 TB scoring shape."""
+    from vectra_py_spark.operators.textclf import (
+        BIAS_IDX, hashed_features, score_logreg,
+    )
+
+    d = F.col("doc_id")
+    g = (d % 4).cast("int")
+    p = (d % 3).cast("int")
+    text = F.concat(
+        F.rtrim(F.concat(
+            F.repeat(F.lit("good "), g), F.repeat(F.lit("spam "), p),
+        )),
+        F.lit(" pad"),
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _CLF_DOCS)
+        .select("doc_id", text.alias("text"))
+    )
+    feat = hashed_features(docs, n_features=_CLF_FEATURES)
+    spark_ = docs.sparkSession
+    weights = spark_.createDataFrame(
+        [("good", _CLF_W_GOOD), ("spam", _CLF_W_SPAM)], "g STRING, w DOUBLE"
+    ).select(
+        F.pmod(F.xxhash64("g"), F.lit(_CLF_FEATURES)).cast("long").alias("idx"),
+        "w",
+    ).union(
+        spark_.createDataFrame([(int(BIAS_IDX), _CLF_W_BIAS)],
+                               "idx LONG, w DOUBLE")
+    )
+    scored = score_logreg(feat, weights)
+    return scored.select(
+        "doc_id", "margin",
+        (F.round("prob", 6) + F.lit(0.0)).alias("prob"),
+        "predicted",
+    ).orderBy("doc_id")
+
+
+def _sql_textclf_score() -> str:
+    # margin is a closed dyadic form of doc_id — no hashing on the
+    # oracle side at all; sigmoid is the only rounded term
+    wg, ws, wb = _CLF_W_GOOD, _CLF_W_SPAM, _CLF_W_BIAS
+    return f"""
+SELECT doc_id,
+       {wg} * (doc_id % 4) + {ws} * (doc_id % 3) + {wb} AS margin,
+       round(1.0 / (1.0 + exp(-({wg} * (doc_id % 4)
+             + {ws} * (doc_id % 3) + {wb}))), 6) + 0.0 AS prob,
+       ({wg} * (doc_id % 4) + {ws} * (doc_id % 3) + {wb}) >= 0.0
+         AS predicted
+FROM documents WHERE doc_id < {_CLF_DOCS}
+ORDER BY doc_id
+"""
+
+
+_TRAIN_DOCS = 200
+_TRAIN_LR = 0.5
+_TRAIN_L2 = 0.25  # lr*l2 = 0.125 dyadic -> (1 - lr*l2) exact
+_TRAIN_ITERS = 2
+
+
+def q_textclf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-classifier TRAINING e2e (`operators/textclf.py::
+    train_logreg` — full-batch GD as DataFrame joins): features are a
+    CLOSED FORM of doc_id (idx 0 with count doc_id%3, idx 1 with count
+    doc_id%2, zero-count rows absent like a real hashed-count frame;
+    labels y = doc_id%5 < 2), run the REAL 2-iteration GD (lr 0.5,
+    L2 0.25 — chosen so the decay factor 1−lr·l2 is dyadic), score the
+    corpus with the trained model, and report (doc_id, margin, prob)
+    to 6 dp. The oracle UNROLLS both GD iterations as a CTE chain —
+    margin aggregate, sigmoid residual, gradient aggregate,
+    decay-and-step update — mirroring the operator's arithmetic shape
+    term for term, so the whole training loop is value-checked
+    cross-engine (the unrolled-CTE treatment host_pagerank got, per
+    VERDICT r9 item 4's recipe).
+
+    Plan shape: 2 GD rounds = two (feature-key, doc-key) shuffle pairs
+    on the active-feature frame; scoring is one broadcast join."""
+    from vectra_py_spark.operators.textclf import score_logreg, train_logreg
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _TRAIN_DOCS)
+        .select("doc_id")
+    )
+    d = F.col("doc_id")
+    f0 = base.select(
+        "doc_id", F.lit(0).cast("long").alias("idx"),
+        (d % 3).cast("double").alias("v"),
+    ).filter(F.col("v") > 0)
+    f1 = base.select(
+        "doc_id", F.lit(1).cast("long").alias("idx"),
+        (d % 2).cast("double").alias("v"),
+    ).filter(F.col("v") > 0)
+    feat = f0.union(f1)
+    labels = base.select(
+        "doc_id", (d % 5 < 2).cast("int").alias("y")
+    )
+    w = train_logreg(
+        feat, labels,
+        iterations=_TRAIN_ITERS, lr=_TRAIN_LR, l2=_TRAIN_L2,
+    )
+    scored = score_logreg(feat, w)
+    return scored.select(
+        "doc_id",
+        (F.round("margin", 6) + F.lit(0.0)).alias("margin"),
+        (F.round("prob", 6) + F.lit(0.0)).alias("prob"),
+    ).orderBy("doc_id")
+
+
+def _sql_textclf_train() -> str:
+    lr, l2, n = _TRAIN_LR, _TRAIN_L2, _TRAIN_DOCS
+    decay = 1.0 - lr * l2  # dyadic by construction
+    return f"""
+WITH base AS (
+  SELECT doc_id AS d FROM documents WHERE doc_id < {n}
+), feat AS (
+  SELECT d, CAST(0 AS BIGINT) AS idx, CAST(d % 3 AS DOUBLE) AS v
+  FROM base WHERE d % 3 > 0
+  UNION ALL
+  SELECT d, 1, CAST(d % 2 AS DOUBLE) FROM base WHERE d % 2 > 0
+  UNION ALL  -- bias feature, one per doc WITH at least one feature row
+  SELECT DISTINCT d, -1, 1.0 FROM (
+    SELECT d FROM base WHERE d % 3 > 0
+    UNION SELECT d FROM base WHERE d % 2 > 0
+  )
+), y AS (
+  SELECT d, CASE WHEN d % 5 < 2 THEN 1.0 ELSE 0.0 END AS y FROM base
+), r1 AS (  -- iteration 1: w = 0 everywhere -> margin 0, p = 0.5
+  SELECT d, 0.5 - y AS r FROM y
+), g1 AS (
+  SELECT f.idx, sum(f.v * r.r) / {n}.0 AS g
+  FROM feat f JOIN r1 r ON f.d = r.d GROUP BY f.idx
+), w1 AS (
+  SELECT idx, -{lr} * g AS w FROM g1
+), m2 AS (
+  SELECT f.d, sum(f.v * coalesce(w.w, 0.0)) AS m
+  FROM feat f LEFT JOIN w1 w ON f.idx = w.idx GROUP BY f.d
+), r2 AS (
+  SELECT y.d,
+         1.0 / (1.0 + exp(-coalesce(m.m, 0.0))) - y.y AS r
+  FROM y LEFT JOIN m2 m ON y.d = m.d
+), g2 AS (
+  SELECT f.idx, sum(f.v * r.r) / {n}.0 AS g
+  FROM feat f JOIN r2 r ON f.d = r.d GROUP BY f.idx
+), w2 AS (
+  SELECT coalesce(w.idx, g.idx) AS idx,
+         coalesce(w.w, 0.0) * {decay} - {lr} * coalesce(g.g, 0.0) AS w
+  FROM w1 w FULL OUTER JOIN g2 g ON w.idx = g.idx
+), score AS (
+  SELECT f.d, sum(f.v * coalesce(w.w, 0.0)) AS margin
+  FROM feat f LEFT JOIN w2 w ON f.idx = w.idx GROUP BY f.d
+)
+SELECT d AS doc_id,
+       round(margin, 6) + 0.0 AS margin,
+       round(1.0 / (1.0 + exp(-margin)), 6) + 0.0 AS prob
+FROM score
+ORDER BY doc_id
+"""
+
+
+_HITS_DOCS = 600
+_HITS_HOSTS = 40
+_HITS_ITERS = 6
+
+
+def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 12-component block graph: hosts split into 4 blocks
+    of 10, edges only within a block (i → (3i+1) mod 10), which
+    factors each block into the undirected components {0,1,3,4},
+    {2,7}, {5,6,8,9} — closed-form ground truth for the component
+    labels, non-trivial structure for HITS. The block index is
+    ``doc_id DIV 10`` (integer division), NOT ``doc_id % 4``: the
+    latter shares parity with ``doc_id % 10`` (gcd 2), which would
+    silently drop half the (block, position) combinations."""
+    d = F.col("doc_id")
+    b = (F.expr("doc_id DIV 10") % 4) * 10
+    i = d % 10
+    j = (i * 3 + 1) % 10
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(d < _HITS_DOCS)
+        .select(
+            F.concat(F.lit("h"), (b + i).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (b + j).cast("string")).alias("dst"),
+            (d % 5 + 1).alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("n_links"))
+    )
+
+
+_HITS_EDGE_SQL = f"""
+  SELECT src, dst, sum(w) AS n_links FROM (
+    SELECT 'h' || CAST(((doc_id // 10) % 4) * 10
+                       + doc_id % 10 AS VARCHAR) AS src,
+           'h' || CAST(((doc_id // 10) % 4) * 10
+                       + ((doc_id % 10) * 3 + 1) % 10 AS VARCHAR) AS dst,
+           doc_id % 5 + 1 AS w
+    FROM documents WHERE doc_id < {_HITS_DOCS}
+  ) GROUP BY src, dst
+"""
+
+
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components e2e (`operators/linkgraph.py::
+    host_components` over `cluster.py::connected_components`'s
+    min-label propagation): the 12-component block graph above has a
+    CLOSED-FORM component decomposition — per block b, position sets
+    {0,1,3,4} / {2,7} / {5,6,8,9} with string-min labels h(b·10),
+    h(b·10+2), h(b·10+5) — so the oracle emits ground truth from the
+    same arithmetic and the whole propagation (symmetrization, fused
+    round 0, min-label convergence) is value-checked cross-engine.
+
+    Plan shape: host-pair aggregate → a few (join + min-agg) rounds on
+    the HOST-sized graph; converges in 2 rounds here."""
+    from vectra_py_spark.operators.linkgraph import host_components
+
+    return host_components(
+        _hits_edges(spark, sf_dir)
+    ).orderBy("host")
+
+
+def _sql_host_components() -> str:
+    return f"""
+SELECT 'h' || CAST(b * 10 + i AS VARCHAR) AS host,
+       'h' || CAST(b * 10 + CASE
+          WHEN i IN (0, 1, 3, 4) THEN 0
+          WHEN i IN (2, 7) THEN 2
+          ELSE 5 END AS VARCHAR) AS component
+FROM (
+  SELECT DISTINCT (doc_id // 10) % 4 AS b, doc_id % 10 AS i
+  FROM documents WHERE doc_id < {_HITS_DOCS}
+)
+ORDER BY host
+"""
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS e2e (`operators/linkgraph.py::host_hits` — Kleinberg 1999
+    hubs & authorities with per-step L1 normalization): run the REAL
+    fixed-N mutual recursion on the 12-component block graph and
+    report (host, hub, authority) to 6 dp. The oracle UNROLLS the same
+    N iterations as a CTE chain — weighted authority aggregate, L1
+    total, normalize, weighted hub aggregate, L1 total, normalize —
+    the same treatment `host_pagerank`'s twin got (VERDICT r9 item 4).
+
+    Plan shape: host-pair aggregate → N (join + agg + one-row
+    broadcast) pairs on the HOST-sized graph; the corpus never
+    re-enters."""
+    from vectra_py_spark.operators.linkgraph import host_hits
+
+    # checkpoint every iteration: each HITS step consumes its L1
+    # total TWICE (raw aggregate + normalize), so un-truncated lineage
+    # recomputes the subtree ~4x per extra iteration — at interval 3
+    # that's ~1,300 stages for this 40-host graph; at interval 1 the
+    # chain is linear, and the checkpoint is host-sized (cheap at any
+    # scale — the same per-iteration truncation PageRank deployments
+    # use)
+    out = host_hits(
+        _hits_edges(spark, sf_dir),
+        iterations=_HITS_ITERS,
+        checkpoint_interval=1,
+    )
+    return out.select(
+        "host",
+        (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+        (F.round("authority", 6) + F.lit(0.0)).alias("authority"),
+    ).orderBy("host")
+
+
+def _sql_host_hits() -> str:
+    # h0 = 1/N for every host; then per iteration: a_raw = sum over
+    # inlinks of h*w, a = a_raw/total (0 for no-inlink hosts); h_raw =
+    # sum over outlinks of a*w, h = h_raw/total — same shapes, same
+    # coalesce semantics as the operator.
+    # Every CTE is AS MATERIALIZED: each chain step is referenced
+    # twice (the raw aggregate + its L1 total), so DuckDB's default
+    # per-reference inlining would expand the base scan 2^(2N) times —
+    # enough open parquet handles to hit EMFILE. Materialization makes
+    # the chain linear (and is what the Spark side does via
+    # localCheckpoint anyway).
+    n_iters = _HITS_ITERS
+    parts = [f"""
+WITH edges AS MATERIALIZED ({_HITS_EDGE_SQL}
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS host FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), nn AS MATERIALIZED (
+  SELECT count(*) AS n FROM nodes
+), h0 AS MATERIALIZED (
+  SELECT host, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""", ar{i} AS MATERIALIZED (
+  SELECT e.dst, sum(e.n_links * h.h) AS a
+  FROM edges e JOIN h{i - 1} h ON e.src = h.host GROUP BY e.dst
+), at{i} AS MATERIALIZED (
+  SELECT sum(a) AS t FROM ar{i}
+), a{i} AS MATERIALIZED (
+  SELECT nd.host, coalesce(r.a, 0.0) / coalesce(t.t, 1.0) AS a
+  FROM nodes nd LEFT JOIN ar{i} r ON nd.host = r.dst CROSS JOIN at{i} t
+), hr{i} AS MATERIALIZED (
+  SELECT e.src, sum(e.n_links * a.a) AS hh
+  FROM edges e JOIN a{i} a ON e.dst = a.host GROUP BY e.src
+), ht{i} AS MATERIALIZED (
+  SELECT sum(hh) AS t FROM hr{i}
+), h{i} AS MATERIALIZED (
+  SELECT nd.host, coalesce(r.hh, 0.0) / coalesce(t.t, 1.0) AS h
+  FROM nodes nd LEFT JOIN hr{i} r ON nd.host = r.src CROSS JOIN ht{i} t
+)""")
+    parts.append(f"""
+SELECT h.host, round(h.h, 6) + 0.0 AS hub,
+       round(a.a, 6) + 0.0 AS authority
+FROM h{n_iters} h JOIN a{n_iters} a ON h.host = a.host
+ORDER BY h.host
+""")
+    return "".join(parts)
+
+
 _AUDIO_DOCS = 300
 _TRIM_DB = -60.0  # keep where |c0+c1| >= 66  (|mean| >= 32.768)
 
