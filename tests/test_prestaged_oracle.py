@@ -15,12 +15,14 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
+    _sql_feed_entries,
     _sql_host_components,
     _sql_host_hits,
     _sql_html_tables,
     _sql_mojibake_repair,
     _sql_textclf_score,
     _sql_textclf_train,
+    q_feed_entries,
     q_host_components,
     q_host_hits,
     q_html_tables,
@@ -36,6 +38,7 @@ PRESTAGED = [
     (q_mojibake_repair, _sql_mojibake_repair),
     (q_textclf_score, _sql_textclf_score),
     (q_textclf_train, _sql_textclf_train),
+    (q_feed_entries, _sql_feed_entries),
     (q_host_components, _sql_host_components),
     (q_host_hits, _sql_host_hits),
 ]

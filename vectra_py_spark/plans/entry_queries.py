@@ -3065,6 +3065,114 @@ ORDER BY doc_id
 """
 
 
+_FEED_DOCS = 300
+
+
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed parsing e2e (`operators/feeds.py::feed_entries_df` — the
+    RSS/Atom discovery channel): per doc, rotate 3 CLOSED-FORM
+    variants — an RSS 2.0 feed with 1+doc_id%4 items, a namespaced
+    Atom feed whose entries carry BOTH a rel="self" and an unrel'd
+    (alternate) link (the alternate must win), and a non-feed page
+    that must quarantine as a kind='error' row with the exact
+    message — run the REAL parser, and report every entry field. The
+    oracle reconstructs titles/links/dates/ids from the same doc_id
+    arithmetic, so namespace-agnostic matching, the link-rel
+    precedence, and the quarantine contract are value-checked
+    cross-engine.
+
+    Plan shape: projection → one narrow Arrow pass; feed payloads
+    never shuffle."""
+    from vectra_py_spark.operators.feeds import feed_entries_df
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = d % 3
+    n_e = (d % 4 + 1).cast("int")
+
+    def rss_item(k: int) -> F.Column:
+        return F.when(n_e >= k + 1, F.concat(
+            F.lit("<item><title>Item "), s, F.lit(f"-{k}</title>"
+            f"<link>https://r"), s, F.lit(f".example/a{k}</link>"
+            f"<pubDate>Mon, 0{k + 1} Jan 2026</pubDate>"
+            "<guid>g"), s, F.lit(f"-{k}</guid></item>"),
+        )).otherwise(F.lit(""))
+
+    def atom_entry(k: int) -> F.Column:
+        return F.when(n_e >= k + 1, F.concat(
+            F.lit("<entry><title>Entry "), s, F.lit(f"-{k}</title>"
+            f'<link rel="self" href="https://self.example/s{k}"/>'
+            '<link href="https://a'), s, F.lit(f'.example/e{k}"/>'
+            f"<updated>2026-01-0{k + 1}T00:00:00Z</updated>"
+            "<id>tag:"), s, F.lit(f"-{k}</id></entry>"),
+        )).otherwise(F.lit(""))
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '), s,
+        F.lit("</title>"),
+        *[rss_item(k) for k in range(4)],
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>Atom '),
+        s, F.lit("</title>"),
+        *[atom_entry(k) for k in range(4)],
+        F.lit("</feed>"),
+    )
+    xml = (
+        F.when(m == 0, rss)
+        .when(m == 1, atom)
+        .otherwise(F.lit("<html><body>not a feed</body></html>"))
+    )
+    feeds = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _FEED_DOCS)
+        .select(
+            F.concat(F.lit("https://f"), s, F.lit(".example/feed"))
+            .alias("url"),
+            xml.alias("payload"),
+        )
+    )
+    return feed_entries_df(feeds).orderBy("feed_url", "entry_id")
+
+
+def _sql_feed_entries() -> str:
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS d, CAST(doc_id AS VARCHAR) AS s, doc_id % 3 AS m,
+         CAST(doc_id % 4 + 1 AS INT) AS ne
+  FROM documents WHERE doc_id < {_FEED_DOCS}
+), entries AS (
+  SELECT 'https://f' || s || '.example/feed' AS feed_url,
+         CASE m WHEN 0 THEN 'rss' ELSE 'atom' END AS kind,
+         CASE m WHEN 0 THEN 'Feed ' || s ELSE 'Atom ' || s END
+           AS feed_title,
+         CASE m WHEN 0 THEN 'Item ' || s || '-' || k
+                ELSE 'Entry ' || s || '-' || k END AS title,
+         CASE m WHEN 0 THEN 'https://r' || s || '.example/a' || k
+                ELSE 'https://a' || s || '.example/e' || k END AS link,
+         CASE m WHEN 0 THEN 'Mon, 0' || (k + 1) || ' Jan 2026'
+                ELSE '2026-01-0' || (k + 1) || 'T00:00:00Z' END
+           AS published,
+         CASE m WHEN 0 THEN 'g' || s || '-' || k
+                ELSE 'tag:' || s || '-' || k END AS entry_id
+  FROM ids, (SELECT unnest(range(0, 4)) AS k)
+  WHERE m <> 2 AND k < ne
+), errors AS (
+  SELECT 'https://f' || s || '.example/feed' AS feed_url,
+         'error' AS kind,
+         'not a feed (root <html>)' AS feed_title,
+         CAST(NULL AS VARCHAR) AS title,
+         CAST(NULL AS VARCHAR) AS link,
+         CAST(NULL AS VARCHAR) AS published,
+         CAST(NULL AS VARCHAR) AS entry_id
+  FROM ids WHERE m = 2
+)
+SELECT * FROM entries UNION ALL SELECT * FROM errors
+ORDER BY feed_url, entry_id
+"""
+
+
 _HITS_DOCS = 600
 _HITS_HOSTS = 40
 _HITS_ITERS = 6
@@ -5489,6 +5597,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # train_split, stratified_sample, decontaminate, neardup_clusters,
 # asof_enrich, range_join, epoch_mix) stay r7-vintage — inside the SLO
 # at round 10 (r7 = N-3) — and must lead round 11's window.
+# Round-11 new entries are PRE-STAGED (not registered, already
+# harness-validated at both SFs — tests/test_prestaged_oracle.py):
+# q_html_tables (per-cell closed-form table extraction),
+# q_mojibake_repair (4-variant repair/pass-through literals),
+# q_textclf_score (hashing trick + broadcast scorer, dyadic weights),
+# q_textclf_train (2-iteration GD vs unrolled CTE), q_feed_entries
+# (RSS/Atom + quarantine contract), q_host_components (closed-form
+# block-graph labels), q_host_hits (6 HITS iterations vs a
+# MATERIALIZED-CTE unrolling). Registering each in r11 is a two-line
+# QUERIES/ORACLES addition; under the COVERAGE.md budget policy,
+# pre-staged validated entries don't count against the ≤2 cap. Round
+# 11's window: the 17 r7-vintage rows above + these 7 + 26 of the 50
+# r8-vintage rows in CORRECTNESS_r08 recording order.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
