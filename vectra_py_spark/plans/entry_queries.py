@@ -2458,23 +2458,28 @@ def _sql_host_pagerank() -> str:
     # cN/fN/rN mirror the per-iteration contribution aggregate, the
     # 1 - Σcontrib dangling recovery, and the damping mix
     h, n, dmp = _PR_HOSTS, _PR_ITERS, _PR_DAMPING
+    # AS MATERIALIZED throughout: each iteration references c{i}
+    # twice (the dangling-mass total f{i} and the rank mix), and
+    # DuckDB inlines plain CTEs PER REFERENCE — 2^N copies of the
+    # base scan by r{N}. Materialization keeps the chain linear
+    # (the host_hits twin hit EMFILE from exactly this at 2^(2N)).
     parts = [f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT src, dst, sum(w) AS n_links FROM (
     SELECT 'h' || CAST(doc_id % {h} AS VARCHAR) AS src,
            'h' || CAST((doc_id * 7 + 3) % {h} AS VARCHAR) AS dst,
            doc_id % 5 + 1 AS w
     FROM documents WHERE doc_id < {_PR_DOCS}
   ) WHERE src <> dst GROUP BY src, dst
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT src AS host FROM edges
   UNION SELECT DISTINCT dst FROM edges
-), outw AS (
+), outw AS MATERIALIZED (
   SELECT src, sum(n_links) * 1.0 AS out_w FROM edges GROUP BY src
-), trans AS (
+), trans AS MATERIALIZED (
   SELECT e.src, e.dst, e.n_links / o.out_w AS p
   FROM edges e JOIN outw o ON e.src = o.src
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT host, 1.0 / {h} AS rank FROM nodes
 )"""]
     # NOTE the teleport term is written as (1-d) * (1/h), NOT
@@ -2483,12 +2488,12 @@ WITH edges AS (
     # to flip a round(·, 6) boundary on an unlucky rank. Same-shape
     # arithmetic on both engines keeps the comparison ULP-stable.
     for i in range(1, n + 1):
-        parts.append(f""", c{i} AS (
+        parts.append(f""", c{i} AS MATERIALIZED (
   SELECT t.dst, sum(t.p * r.rank) AS contrib
   FROM trans t JOIN r{i - 1} r ON t.src = r.host GROUP BY t.dst
-), f{i} AS (
+), f{i} AS MATERIALIZED (
   SELECT sum(contrib) AS fl FROM c{i}
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT nd.host,
          (1.0 - {dmp}) * (1.0 / {h})
          + {dmp} * (coalesce(c.contrib, 0.0)
