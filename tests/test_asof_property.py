@@ -8,6 +8,10 @@ from hypothesis import strategies as st
 
 from vectra_py_spark.operators.asof import asof_join
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 _pair = st.tuples(st.integers(0, 3), st.integers(0, 20))
 _left = st.lists(_pair, min_size=1, max_size=12)
 _right = st.lists(

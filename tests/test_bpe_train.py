@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from vectra_py_spark.operators import text_analysis as ta
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def _merge(spark, syms, lhs, rhs):
     df = spark.createDataFrame([(syms,)], "syms array<string>")

@@ -12,6 +12,10 @@ from hypothesis import strategies as st
 
 from vectra_py_spark.operators.packing import concat_chunk
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 L = 8
 
 _docs = st.lists(st.integers(0, 20), min_size=1, max_size=12)

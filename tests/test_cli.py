@@ -8,6 +8,10 @@ from pathlib import Path
 
 from vectra_py_spark.cli import _expand_uris, _build_parser, main
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def run(capsys, *argv) -> list[dict]:
     assert main(list(argv)) == 0

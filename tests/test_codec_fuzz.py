@@ -19,6 +19,8 @@ from vectra_py_spark.operators.avi import synth_avi
 from vectra_py_spark.operators.flac import synth_flac
 from vectra_py_spark.operators.mp4 import synth_mp4
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def _valid_payloads() -> dict[str, bytes]:
     img = mm.decode_ppm(mm.synth_ppm(24, 16))

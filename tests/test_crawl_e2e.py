@@ -23,6 +23,8 @@ from vectra_py_spark.sources.warc import (
     warc_documents,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def _crawl(seed: int):
     """A small synthetic crawl: text pages (with one exact duplicate),

@@ -5,6 +5,8 @@ The "fetch" is a join against a synthetic web snapshot (url, html) —
 the same shape as replaying a WARC capture, and exactly how a
 distributed crawler consumes a fetch log."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vectra_py_spark.functions.urls import canonical_url
@@ -14,6 +16,8 @@ from vectra_py_spark.operators.linkgraph import (
     host_graph,
     host_pagerank,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 PROSE = (
     "It was the considered view of the committee that the proposal "

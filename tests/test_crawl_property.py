@@ -2,6 +2,8 @@
 no Spark): totality and invariants hypothesis can explore that
 example tests can't."""
 
+import pytest
+
 import string
 
 from hypothesis import given, settings
@@ -18,6 +20,8 @@ from vectra_py_spark.sources.cdx import (
     parse_cdxj_line,
     surt_key,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 # --------------------------------------------------------------------------
 # robots.txt: parsing is TOTAL (any text yields rules, never raises)

@@ -9,6 +9,10 @@ import math
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 _SPARK = None
 
 

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from vectra_py_spark.document_index import SparkDocumentIndex, infer_doc_type
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 DOCS = [
     {
         "uri": "file:///corpus/fruit.md",

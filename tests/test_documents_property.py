@@ -25,6 +25,10 @@ from vectra_py_spark.operators.ppt import encode_ppt, ppt_extract_text
 from vectra_py_spark.operators.rtf import encode_rtf, rtf_extract_text
 from vectra_py_spark.operators.xls import encode_xls, xls_extract_text
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 # Printable text without the structural separators each writer maps
 # (\t/\n/\r) or C0/C1 controls the formats reserve — those have their
 # own targeted tests; surrogates excluded (not encodable anywhere) and

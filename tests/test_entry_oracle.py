@@ -24,6 +24,7 @@ def test_every_query_has_callable():
         assert callable(fn), name
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_sf_smoke(spark, name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -35,6 +36,7 @@ def test_oracle_sf_smoke(spark, name):
     assert ok, f"{name}: {detail}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", NAMES)
 def test_oracle_sf_driver_gate(spark, name):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()

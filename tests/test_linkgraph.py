@@ -16,6 +16,8 @@ from vectra_py_spark.operators.linkgraph import (
     outlinks_df,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 PAGE = """
 <html><body>
 <a href="https://other.example/page">abs</a>

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -10,6 +12,8 @@ from vectra_py_spark.sources.maintenance import (
     compact_parquet,
     parquet_file_stats,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 
 def _fragmented_table(spark, path, n_parts=40):

@@ -9,6 +9,8 @@ from vectra_py_spark.operators import dedup as dd
 from vectra_py_spark.operators import similarity as sim
 from vectra_py_spark.operators import text_analysis as ta
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog near the river bank"),
     (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1

@@ -13,6 +13,10 @@ from hypothesis import strategies as st
 
 from vectra_py_spark.operators.packing import pack_sequences
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 BUDGET = 16
 
 _docs = st.lists(

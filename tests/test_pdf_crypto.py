@@ -29,6 +29,8 @@ from vectra_py_spark.operators.pdf_crypto import (
     verify_v5_password,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 _FIPS_PT = bytes.fromhex("00112233445566778899aabbccddeeff")
 
 

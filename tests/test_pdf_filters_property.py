@@ -3,6 +3,8 @@ decoder pair round-trips arbitrary bytes (LZW at both EarlyChange
 settings, ASCIIHex/ASCII85 via the stdlib encoders, RunLength via a
 real run-compressing encoder), and the predictors invert themselves."""
 
+import pytest
+
 import base64
 import sys
 
@@ -17,6 +19,8 @@ from vectra_py_spark.operators.pdf import (
     _lzw_decode,
     _runlength_decode,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 sys.path.insert(0, "tests")
 

@@ -20,6 +20,10 @@ from vectra_py_spark.operators import packing as pk
 from vectra_py_spark.operators import splits as sp
 from vectra_py_spark.operators.export import export_shards
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -13,6 +13,10 @@ from scripts.plan_fingerprints import SF, fingerprint
 
 from vectra_py_spark.plans.entry_queries import QUERIES
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 BASELINE = json.loads(
     (Path(__file__).resolve().parents[1] / "PLANS.json").read_text()
 )

@@ -31,6 +31,8 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     q_textclf_train,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 PRESTAGED = [

@@ -10,6 +10,10 @@ from hypothesis import strategies as st
 
 from vectra_py_spark.operators import similarity as sim
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 DIM = 6
 TAU = 0.7
 

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from vectra_py_spark.streaming import events as ev
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 SF = "/root/testdata/sf0.001"
 
 

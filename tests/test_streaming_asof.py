@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from vectra_py_spark.operators.asof import asof_join
 from vectra_py_spark.streaming.asof import streaming_asof_enrich
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 L_SCHEMA = "user_id string, event_time timestamp, event_id string"
 R_SCHEMA = "user_id string, event_time timestamp, value double"
 

@@ -11,6 +11,8 @@ from vectra_py_spark.streaming.incremental_dedup import (
     stream_neardup_dedup,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def _run_drop(spark, src, store, out, ckpt, rows):
     spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(

@@ -14,6 +14,8 @@ from vectra_py_spark.operators.textclf import (
     train_logreg,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 
 def test_hashed_features_structure(spark):
     df = spark.createDataFrame(

@@ -5,10 +5,13 @@ must be exact (no ≥2 pair survives)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from vectra_py_spark.operators import dedup as dd
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 _terms = st.lists(
     st.text(alphabet="abcd", min_size=1, max_size=5),
