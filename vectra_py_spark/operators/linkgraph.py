@@ -285,7 +285,14 @@ def host_hits(
     edges: DataFrame,
     iterations: int = 10,
     weighted: bool = True,
-    checkpoint_interval: int = 3,
+    # per-ITERATION truncation, tighter than host_pagerank's 3: each
+    # HITS iteration has TWO normalize steps and each L1 total is
+    # consumed twice (raw aggregate + normalize), so un-truncated
+    # lineage recomputes the subtree ~4x per extra iteration (~64x at
+    # interval 3 — measured as a ~1,300-stage job on a 40-host toy
+    # graph). The checkpoint itself is host-sized and cheap at any
+    # scale; values are identical at any interval.
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Edge list → (host, hub, authority): Kleinberg's HITS (1999,
     "Authoritative Sources in a Hyperlinked Environment") — the

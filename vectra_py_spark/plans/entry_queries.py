@@ -3269,17 +3269,14 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-enters."""
     from vectra_py_spark.operators.linkgraph import host_hits
 
-    # checkpoint every iteration: each HITS step consumes its L1
-    # total TWICE (raw aggregate + normalize), so un-truncated lineage
-    # recomputes the subtree ~4x per extra iteration — at interval 3
-    # that's ~1,300 stages for this 40-host graph; at interval 1 the
-    # chain is linear, and the checkpoint is host-sized (cheap at any
-    # scale — the same per-iteration truncation PageRank deployments
-    # use)
+    # checkpoint_interval stays at the operator default (1, per
+    # iteration): each HITS step consumes its L1 total TWICE, so
+    # un-truncated lineage recomputes ~4x per extra iteration — the
+    # interval-3 variant ran as a ~1,300-stage job on this 40-host
+    # graph
     out = host_hits(
         _hits_edges(spark, sf_dir),
         iterations=_HITS_ITERS,
-        checkpoint_interval=1,
     )
     return out.select(
         "host",
