@@ -15,6 +15,7 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
+    _sql_bitext_mine,
     _sql_feed_entries,
     _sql_host_components,
     _sql_host_hits,
@@ -22,6 +23,7 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_mojibake_repair,
     _sql_textclf_score,
     _sql_textclf_train,
+    q_bitext_mine,
     q_feed_entries,
     q_host_components,
     q_host_hits,
@@ -41,6 +43,7 @@ PRESTAGED = [
     (q_textclf_score, _sql_textclf_score),
     (q_textclf_train, _sql_textclf_train),
     (q_feed_entries, _sql_feed_entries),
+    (q_bitext_mine, _sql_bitext_mine),
     (q_host_components, _sql_host_components),
     (q_host_hits, _sql_host_hits),
 ]

@@ -70,6 +70,8 @@ __all__ = [
     "semantic_dedup_sql",
     "label_outliers",
     "label_outliers_sql",
+    "margin_bitext_mine",
+    "margin_bitext_mine_sql",
 ]
 
 _DP = 6
@@ -1511,3 +1513,306 @@ def label_outliers_sql(
         WHERE rn <= {per_label}
         ORDER BY {group_col}, {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext / parallel-pair mining (Artetxe & Schwenk 2019)
+# ---------------------------------------------------------------------------
+
+def _margin_candidates_hof(
+    src: DataFrame, tgt: DataFrame, k: int,
+    id_col: str, vector_col: str,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Pure-Catalyst candidate generation: all-pairs cosine (rounded to
+    engine-stable 6 dp) → per-side k-NN windows. Returns (candidate
+    pairs with cos, fwd_mean per src id, bwd_mean per tgt id).
+    Quadratic — the oracle-identical baseline, like
+    :func:`cosine_similarity_join`'s ``hof`` path."""
+    a = src.select(
+        F.col(id_col).alias("id_src"), F.col(vector_col).alias("va")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("id_tgt"), F.col(vector_col).alias("vb")
+    )
+    na = F.sqrt(dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(dot(F.col("vb"), F.col("vb")))
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (na * nb), _DP)
+    pairs = a.crossJoin(b).select(
+        "id_src", "id_tgt", cos.alias("cosine")
+    )
+    w_f = Window.partitionBy("id_src").orderBy(
+        F.desc("cosine"), F.asc("id_tgt")
+    )
+    w_b = Window.partitionBy("id_tgt").orderBy(
+        F.desc("cosine"), F.asc("id_src")
+    )
+    ranked = pairs.withColumn("rn_f", F.row_number().over(w_f)).withColumn(
+        "rn_b", F.row_number().over(w_b)
+    )
+    fwd = ranked.filter(F.col("rn_f") <= k)
+    bwd = ranked.filter(F.col("rn_b") <= k)
+    fwd_mean = fwd.groupBy("id_src").agg(F.avg("cosine").alias("fwd_mean"))
+    bwd_mean = bwd.groupBy("id_tgt").agg(F.avg("cosine").alias("bwd_mean"))
+    return fwd.select("id_src", "id_tgt", "cosine"), \
+        bwd.select("id_src", "id_tgt", "cosine"), fwd_mean, bwd_mean
+
+
+def _knn_pass(scan_df, bc, k, id_col, vector_col, scan_is_src):
+    """One broadcast matmul pass: for every row of ``scan_df``, cosine
+    against the broadcast matrix, keep the k-NN (rounded cos, id
+    tie-break) and the neighborhood mean."""
+
+    def run(batches):
+        o_ids, o_unit = bc.value
+        kk = min(k, len(o_ids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vector_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            unit = mat / norms[:, None]
+            step = max(1, 4_000_000 // max(len(o_ids), 1))
+            for s in range(0, len(s_ids), step):
+                sim = _round_half_away(unit[s : s + step] @ o_unit.T)
+                # k-NN by (cos desc, other-id asc): lexsort on
+                # (-cos, id) gives exactly the window order
+                order = np.lexsort((o_ids[None, :].repeat(len(sim), 0),
+                                    -sim), axis=1)[:, :kk]
+                rows_idx = np.arange(len(sim))[:, None].repeat(kk, 1)
+                top_cos = sim[rows_idx, order]
+                top_ids = o_ids[order]
+                mean = top_cos.mean(axis=1)
+                this = np.repeat(s_ids[s : s + step], kk)
+                yield pd.DataFrame({
+                    "this_id": this,
+                    "other_id": top_ids.ravel(),
+                    "cosine": top_cos.ravel(),
+                    "nn_mean": np.repeat(mean, kk),
+                })
+
+    out = spread(scan_df.select(id_col, vector_col)).mapInPandas(
+        run,
+        schema=("this_id BIGINT, other_id BIGINT, "
+                "cosine DOUBLE, nn_mean DOUBLE"),
+    )
+    if scan_is_src:
+        return out.select(
+            F.col("this_id").alias("id_src"),
+            F.col("other_id").alias("id_tgt"),
+            "cosine", F.col("nn_mean").alias("fwd_mean"),
+        )
+    return out.select(
+        F.col("other_id").alias("id_src"),
+        F.col("this_id").alias("id_tgt"),
+        "cosine", F.col("nn_mean").alias("bwd_mean"),
+    )
+
+
+def margin_bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    direction: str = "intersection",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Parallel-pair mining with RATIO MARGIN scoring (Artetxe &
+    Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings" — the LASER/CCMatrix recipe):
+    candidates are each side's k-NN by cosine, rescored by
+
+        margin(x, y) = cos(x, y) / ((fwd_mean(x) + bwd_mean(y)) / 2)
+
+    where fwd_mean/bwd_mean are the k-NN cosine means — absolute
+    cosine thresholds fail because "how close is close" varies by
+    neighborhood density (hubness); the margin normalizes by it.
+
+    ``direction='forward'`` keeps each source row's best-margin
+    candidate; ``'intersection'`` (default, highest precision) keeps
+    pairs that are MUTUAL best — x's best candidate is y AND y's best
+    candidate is x. Pairs below ``threshold`` (1.0 = "closer than the
+    neighborhood average") are dropped. Output: (id_src, id_tgt,
+    cosine, margin), both scores rounded to engine-stable 6 dp, and
+    candidate ranking uses (rounded margin desc, id asc) so the
+    argmax is reproducible cross-engine and cross-strategy.
+
+    Strategies, mirroring :func:`cosine_similarity_join`:
+
+    - ``matmul`` (scale path): TWO broadcast k-NN passes — tgt
+      broadcast while scanning src (forward candidates + fwd_mean),
+      src broadcast while scanning tgt (backward + bwd_mean) — then
+      candidate-sized joins; the corpus-sized relations never
+      shuffle, BLAS does the N×M work in Arrow batches. At 100 TB
+      run it per (src shard × tgt shard) with shard-level margins,
+      exactly how LASER mines CommonCrawl.
+    - ``hof``: pure-Catalyst cross join + windows — the
+      oracle-identical quadratic baseline.
+    - ``auto``: ``matmul`` while BOTH sides fit the broadcast budget,
+      else raises with guidance (an exact N×M cross join at scale is
+      a cartesian scale-killer; shard first, or bucket with
+      :func:`lsh_similarity_join` / :func:`ivf_topk` machinery).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if direction not in ("forward", "intersection"):
+        raise ValueError(
+            f"direction must be forward|intersection, got {direction!r}"
+        )
+    if strategy not in ("auto", "matmul", "hof"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "hof":
+        fits = (
+            _vector_set_bytes(src, vector_col) <= _broadcast_budget(src)
+            and _vector_set_bytes(tgt, vector_col) <= _broadcast_budget(tgt)
+        )
+        if not fits:
+            if strategy == "matmul":
+                raise ValueError(
+                    "margin_bitext_mine(strategy='matmul'): a side "
+                    "exceeds the driver broadcast budget "
+                    f"({BROADCAST_BYTES_CONF})."
+                )
+            raise ValueError(
+                "margin_bitext_mine(strategy='auto'): a vector set "
+                "exceeds the driver broadcast budget "
+                f"({BROADCAST_BYTES_CONF}), and exact N×M mining past "
+                "that scale is quadratic. Shard both corpora and mine "
+                "per shard pair (the LASER/CCMatrix pattern), bucket "
+                "candidates with LSH/IVF first, raise the budget conf, "
+                "or pass strategy='hof' to explicitly accept the "
+                "cross join."
+            )
+        strategy = "matmul"
+
+    if strategy == "hof":
+        fwd, bwd, fwd_mean, bwd_mean = _margin_candidates_hof(
+            src, tgt, k, id_col, vector_col
+        )
+    else:
+        def _bc(df):
+            rows = df.select(id_col, vector_col).collect()
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            mat = np.array([r[1] for r in rows], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return df.sparkSession.sparkContext.broadcast(
+                (ids, mat / norms[:, None])
+            )
+
+        fwd = _knn_pass(src, _bc(tgt), k, id_col, vector_col, True)
+        bwd = _knn_pass(tgt, _bc(src), k, id_col, vector_col, False)
+        fwd_mean = fwd.select("id_src", "fwd_mean").distinct()
+        bwd_mean = bwd.select("id_tgt", "bwd_mean").distinct()
+        fwd = fwd.select("id_src", "id_tgt", "cosine")
+        bwd = bwd.select("id_src", "id_tgt", "cosine")
+
+    def _best(cands, mean_a, mean_b, part_col, other_col):
+        m = (
+            cands.join(F.broadcast(mean_a), "id_src")
+            .join(F.broadcast(mean_b), "id_tgt")
+            .withColumn(
+                "margin",
+                F.round(
+                    F.col("cosine")
+                    / ((F.col("fwd_mean") + F.col("bwd_mean")) / F.lit(2.0)),
+                    _DP,
+                ),
+            )
+        )
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc("margin"), F.asc(other_col)
+        )
+        return (
+            m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id_src", "id_tgt", "cosine", "margin")
+        )
+
+    fbest = _best(fwd, fwd_mean, bwd_mean, "id_src", "id_tgt")
+    if direction == "forward":
+        out = fbest
+    else:
+        bbest = _best(bwd, fwd_mean, bwd_mean, "id_tgt", "id_src")
+        out = fbest.join(
+            bbest.select("id_src", "id_tgt"), ["id_src", "id_tgt"]
+        )
+    return out.filter(F.col("margin") >= threshold)
+
+
+def _broadcast_budget(df) -> int:
+    return int(
+        df.sparkSession.conf.get(
+            BROADCAST_BYTES_CONF, str(DEFAULT_BROADCAST_BYTES)
+        )
+    )
+
+
+def margin_bitext_mine_sql(
+    src_rel: str,
+    tgt_rel: str,
+    k: int = 4,
+    threshold: float = 1.0,
+    direction: str = "intersection",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dp: int = _DP,
+) -> str:
+    """DuckDB twin of :func:`margin_bitext_mine` — the same rounded
+    cosines, k-NN windows, margin, and (margin desc, id asc) argmax."""
+    v = f"{vector_col}::DOUBLE[]"
+    cos = (
+        f"list_dot_product(a.{v}, b.{v}) / "
+        f"(sqrt(list_dot_product(a.{v}, a.{v})) * "
+        f"sqrt(list_dot_product(b.{v}, b.{v})))"
+    )
+    # both argmaxes rank WITHIN the k-NN candidate set (filter before
+    # the window): the globally-best-margin row of a partition can sit
+    # outside the k-NN (margin reranks by the OTHER side's mean), and
+    # the operator never sees non-candidates
+    inter = ""
+    if direction == "intersection":
+        inter = """
+        JOIN (SELECT id_src, id_tgt
+              FROM (SELECT * FROM scored WHERE rn_b <= {k})
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY id_tgt
+                  ORDER BY margin DESC, id_src ASC) = 1) bb
+          USING (id_src, id_tgt)
+        """.replace("{k}", str(k))
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT a.{id_col} AS id_src, b.{id_col} AS id_tgt,
+         ROUND({cos}, {dp}) AS cosine
+  FROM ({src_rel}) a CROSS JOIN ({tgt_rel}) b
+), ranked AS MATERIALIZED (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY id_src
+             ORDER BY cosine DESC, id_tgt ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY id_tgt
+             ORDER BY cosine DESC, id_src ASC) AS rn_b
+  FROM pairs
+), fm AS MATERIALIZED (
+  SELECT id_src, avg(cosine) AS fwd_mean FROM ranked
+  WHERE rn_f <= {k} GROUP BY id_src
+), bm AS MATERIALIZED (
+  SELECT id_tgt, avg(cosine) AS bwd_mean FROM ranked
+  WHERE rn_b <= {k} GROUP BY id_tgt
+), scored AS MATERIALIZED (
+  SELECT r.id_src, r.id_tgt, r.cosine, r.rn_f, r.rn_b,
+         ROUND(r.cosine / ((f.fwd_mean + b.bwd_mean) / 2.0), {dp})
+           AS margin
+  FROM ranked r JOIN fm f USING (id_src) JOIN bm b USING (id_tgt)
+)
+SELECT id_src, id_tgt, cosine, margin
+FROM (
+  SELECT * FROM (SELECT * FROM scored WHERE rn_f <= {k})
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id_src
+      ORDER BY margin DESC, id_tgt ASC) = 1
+) fb
+{inter}
+WHERE margin >= {threshold}
+ORDER BY id_src, id_tgt
+"""

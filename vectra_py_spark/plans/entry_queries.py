@@ -3178,6 +3178,44 @@ ORDER BY feed_url, entry_id
 """
 
 
+_BITEXT_K = 4
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining e2e (`operators/similarity.py::
+    margin_bitext_mine` — the Artetxe & Schwenk 2019 ratio-margin
+    recipe LASER/CCMatrix mines parallel corpora with): split the
+    embeddings table into two "languages" by label (<5 vs ≥5), run
+    the REAL miner (k-NN candidates by engine-stable rounded cosine,
+    ratio margin, mutual-best intersection), and report (id_src,
+    id_tgt, cosine, margin). The DuckDB twin recomputes the identical
+    windows and argmaxes, so candidate generation, both neighborhood
+    means, the margin, and the mutual-best join are value-checked
+    cross-engine.
+
+    Plan shape (auto → matmul here): two broadcast BLAS k-NN passes —
+    the corpus-sized relations never shuffle — then candidate-sized
+    joins; at 100 TB the same call runs per (src shard × tgt shard)."""
+    from vectra_py_spark.operators.similarity import margin_bitext_mine
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") < 5)
+    tgt = emb.filter(F.col("label") >= 5)
+    return margin_bitext_mine(
+        src, tgt, k=_BITEXT_K, threshold=1.0
+    ).orderBy("id_src", "id_tgt")
+
+
+def _sql_bitext_mine() -> str:
+    from vectra_py_spark.operators.similarity import margin_bitext_mine_sql
+
+    return margin_bitext_mine_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE label < 5",
+        "SELECT vec_id, embedding FROM embeddings WHERE label >= 5",
+        k=_BITEXT_K, threshold=1.0,
+    )
+
+
 _HITS_DOCS = 600
 _HITS_HOSTS = 40
 _HITS_ITERS = 6
@@ -5607,11 +5645,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # q_textclf_train (2-iteration GD vs unrolled CTE), q_feed_entries
 # (RSS/Atom + quarantine contract), q_host_components (closed-form
 # block-graph labels), q_host_hits (6 HITS iterations vs a
-# MATERIALIZED-CTE unrolling). Registering each in r11 is a two-line
-# QUERIES/ORACLES addition; under the COVERAGE.md budget policy,
-# pre-staged validated entries don't count against the ≤2 cap. Round
-# 11's window: the 17 r7-vintage rows above + these 7 + 26 of the 50
-# r8-vintage rows in CORRECTNESS_r08 recording order.
+# MATERIALIZED-CTE unrolling), q_bitext_mine (Artetxe & Schwenk 2019
+# ratio-margin parallel-pair mining, new operator this round).
+# Registering each in r11 is a two-line QUERIES/ORACLES addition;
+# under the COVERAGE.md budget policy, pre-staged validated entries
+# don't count against the ≤2 cap. Round 11's window: the 17
+# r7-vintage rows above + these 8 + 25 of the 50 r8-vintage rows in
+# CORRECTNESS_r08 recording order.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
