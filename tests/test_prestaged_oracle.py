@@ -16,6 +16,7 @@ from oracle_harness import compare  # noqa: E402
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
     _sql_bitext_mine,
+    _sql_image_neardup,
     _sql_feed_entries,
     _sql_host_components,
     _sql_host_hits,
@@ -24,6 +25,7 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_textclf_score,
     _sql_textclf_train,
     q_bitext_mine,
+    q_image_neardup,
     q_feed_entries,
     q_host_components,
     q_host_hits,
@@ -44,6 +46,7 @@ PRESTAGED = [
     (q_textclf_train, _sql_textclf_train),
     (q_feed_entries, _sql_feed_entries),
     (q_bitext_mine, _sql_bitext_mine),
+    (q_image_neardup, _sql_image_neardup),
     (q_host_components, _sql_host_components),
     (q_host_hits, _sql_host_hits),
 ]

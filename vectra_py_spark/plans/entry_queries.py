@@ -3178,6 +3178,84 @@ ORDER BY feed_url, entry_id
 """
 
 
+_IMG_DOCS = 120
+_IMG_BASES = 20
+_IMG_RADIUS = 7
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup e2e (`operators/imagehash.py` — pHash
+    over this repo's own decoders + the pigeonhole block-banded
+    Hamming join): per doc, synthesize a PPM whose content depends on
+    a BASE index (doc_id % 20 — 20 visually distinct blob images) plus
+    tiny per-variant pixel noise (doc_id DIV 20 — 6 noisy copies per
+    base), run the REAL decode → pHash → banded near-dup join, and
+    report the pairs. By construction the Hamming clusters are exactly
+    the base classes, so the oracle emits all same-base pairs as a
+    closed form of doc_id — decode, DCT hashing, banding, and the
+    Hamming verify are all value-checked cross-engine through the
+    pairing decision.
+
+    Plan shape: narrow synth + hash passes (payloads never shuffle) →
+    block equi-join on (block_idx, block_val) carrying 8-byte
+    fingerprints — the multimodal twin of `simhash_neardup`."""
+    from vectra_py_spark.operators.imagehash import (
+        media_phash_df, phash_neardup_pairs,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _IMG_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % _IMG_BASES, did // _IMG_BASES
+                rng = np.random.default_rng(1000 + b)
+                img = np.zeros((32, 32), dtype=np.float64)
+                for _ in range(4):
+                    cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+                    amp = rng.uniform(60, 140)
+                    sig = rng.uniform(3, 8)
+                    img += amp * np.exp(
+                        -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+                    )
+                if v:
+                    # ±1: measured same-base Hamming max 6 (radius 7)
+                    # vs cross-base min 16 — margin on both sides
+                    noise = np.random.default_rng(7700 + did)
+                    img = img + noise.integers(-1, 2, size=img.shape)
+                gray = np.clip(img, 0, 255).astype(np.uint8)
+                rgb = np.stack([gray, gray, gray], axis=2)
+                ids.append(f"m{did:03d}")
+                payloads.append(b"P6\n32 32\n255\n" + rgb.tobytes())
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    imgs = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    pairs = phash_neardup_pairs(media_phash_df(imgs), radius=_IMG_RADIUS)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _sql_image_neardup() -> str:
+    # the Hamming clusters ARE the base classes by construction: the
+    # oracle emits every same-base pair, zero image math on its side
+    return f"""
+SELECT printf('m%03d', a.d) AS id_a, printf('m%03d', b.d) AS id_b
+FROM (SELECT doc_id AS d FROM documents WHERE doc_id < {_IMG_DOCS}) a
+JOIN (SELECT doc_id AS d FROM documents WHERE doc_id < {_IMG_DOCS}) b
+  ON a.d < b.d AND a.d % {_IMG_BASES} = b.d % {_IMG_BASES}
+ORDER BY id_a, id_b
+"""
+
+
 _BITEXT_K = 4
 
 
@@ -5646,12 +5724,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (RSS/Atom + quarantine contract), q_host_components (closed-form
 # block-graph labels), q_host_hits (6 HITS iterations vs a
 # MATERIALIZED-CTE unrolling), q_bitext_mine (Artetxe & Schwenk 2019
-# ratio-margin parallel-pair mining, new operator this round).
-# Registering each in r11 is a two-line QUERIES/ORACLES addition;
-# under the COVERAGE.md budget policy, pre-staged validated entries
-# don't count against the ≤2 cap. Round 11's window: the 17
-# r7-vintage rows above + these 8 + 25 of the 50 r8-vintage rows in
-# CORRECTNESS_r08 recording order.
+# ratio-margin parallel-pair mining, new operator this round), and
+# q_image_neardup (pHash + banded Hamming join over synthesized
+# planted clusters, new operator this round). Registering each in
+# r11 is a two-line QUERIES/ORACLES addition; under the COVERAGE.md
+# budget policy, pre-staged validated entries don't count against
+# the ≤2 cap. Round 11's window: the 17 r7-vintage rows above +
+# these 9 + 24 of the 50 r8-vintage rows in CORRECTNESS_r08
+# recording order.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
