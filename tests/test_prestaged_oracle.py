@@ -15,6 +15,7 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
+    _sql_audio_neardup,
     _sql_bitext_mine,
     _sql_image_neardup,
     _sql_feed_entries,
@@ -24,6 +25,7 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_mojibake_repair,
     _sql_textclf_score,
     _sql_textclf_train,
+    q_audio_neardup,
     q_bitext_mine,
     q_image_neardup,
     q_feed_entries,
@@ -47,6 +49,7 @@ PRESTAGED = [
     (q_feed_entries, _sql_feed_entries),
     (q_bitext_mine, _sql_bitext_mine),
     (q_image_neardup, _sql_image_neardup),
+    (q_audio_neardup, _sql_audio_neardup),
     (q_host_components, _sql_host_components),
     (q_host_hits, _sql_host_hits),
 ]

@@ -3256,6 +3256,94 @@ ORDER BY id_a, id_b
 """
 
 
+_AFP_DOCS = 60
+_AFP_BASES = 20
+_AFP_HOP = 512
+_AFP_SR = 8000
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup e2e (`operators/audiofp.py` — Wang 2003
+    constellation fingerprints + the offset-histogram match join):
+    per doc, synthesize a two-voice chirp melody from the BASE index
+    (doc_id % 20) in one of three variants (doc_id DIV 20): the
+    original, a 0.5× amplitude copy (peak locations invariant →
+    offset 0), and a hop-aligned head-trim of (base%4+1) frames
+    (offset = the trim). Run the REAL decode → STFT constellation →
+    hash → aligned-match join; the expected pairs AND their offsets
+    are closed forms of doc_id (measured margins: true copies align
+    at 350-700 hashes, cross-clip collisions ≤9, threshold 40).
+
+    Plan shape: narrow synth + fingerprint passes (payloads never
+    shuffle) → equi-join on the 64-bit hash → one (pair, offset)
+    aggregate — audio dedup that shuffles fingerprint rows ~1000×
+    smaller than the waveforms."""
+    from vectra_py_spark.operators.audiofp import (
+        audio_fingerprint_df, audio_match_pairs,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AFP_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.audio import encode_audio_payload
+
+        def melody(b: int) -> "np.ndarray":
+            rng = np.random.default_rng(3000 + b)
+            segs = []
+            n = 2 * _AFP_SR // 8
+            for _ in range(8):
+                f0, f1 = rng.uniform(200, 3200, size=2)
+                g0, g1 = rng.uniform(200, 3200, size=2)
+                t = np.arange(n) / _AFP_SR
+                ph1 = 2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * t[-1]))
+                ph2 = 2 * np.pi * (g0 * t + (g1 - g0) * t**2 / (2 * t[-1]))
+                segs.append(0.4 * np.sin(ph1) + 0.3 * np.sin(ph2))
+            return np.concatenate(segs)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % _AFP_BASES, did // _AFP_BASES
+                x = melody(b)
+                if v == 1:
+                    x = 0.5 * x
+                elif v == 2:
+                    x = x[(b % 4 + 1) * _AFP_HOP:]
+                pcm = (np.clip(x, -1, 1) * 32767).astype(np.int64)[:, None]
+                ids.append(f"a{did:03d}")
+                payloads.append(encode_audio_payload(pcm, _AFP_SR, "wav"))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    clips = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    pairs = audio_match_pairs(audio_fingerprint_df(clips), min_matches=40)
+    return pairs.select("id_a", "id_b", "offset").orderBy("id_a", "id_b")
+
+
+def _sql_audio_neardup() -> str:
+    # pairs and offsets are closed forms of doc_id: within base b,
+    # (v0,v1) align at 0, (v0,v2) and (v1,v2) at the trim b%4+1
+    return f"""
+WITH ids AS (
+  SELECT doc_id AS d, doc_id % {_AFP_BASES} AS b,
+         doc_id // {_AFP_BASES} AS v
+  FROM documents WHERE doc_id < {_AFP_DOCS}
+)
+SELECT printf('a%03d', a.d) AS id_a, printf('a%03d', b2.d) AS id_b,
+       CAST(CASE WHEN b2.v = 2 THEN a.b % 4 + 1 ELSE 0 END AS INT)
+         AS offset
+FROM ids a JOIN ids b2 ON a.d < b2.d AND a.b = b2.b
+ORDER BY id_a, id_b
+"""
+
+
 _BITEXT_K = 4
 
 
@@ -5724,14 +5812,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (RSS/Atom + quarantine contract), q_host_components (closed-form
 # block-graph labels), q_host_hits (6 HITS iterations vs a
 # MATERIALIZED-CTE unrolling), q_bitext_mine (Artetxe & Schwenk 2019
-# ratio-margin parallel-pair mining, new operator this round), and
+# ratio-margin parallel-pair mining, new operator this round),
 # q_image_neardup (pHash + banded Hamming join over synthesized
-# planted clusters, new operator this round). Registering each in
-# r11 is a two-line QUERIES/ORACLES addition; under the COVERAGE.md
-# budget policy, pre-staged validated entries don't count against
-# the ≤2 cap. Round 11's window: the 17 r7-vintage rows above +
-# these 9 + 24 of the 50 r8-vintage rows in CORRECTNESS_r08
-# recording order.
+# planted clusters, new operator this round), and q_audio_neardup
+# (Wang 2003 constellation fingerprints + offset-histogram match,
+# new operator this round). Registering each in r11 is a two-line
+# QUERIES/ORACLES addition; under the COVERAGE.md budget policy,
+# pre-staged validated entries don't count against the ≤2 cap.
+# Round 11's window: the 17 r7-vintage rows above + these 10 + 23
+# of the 50 r8-vintage rows in CORRECTNESS_r08 recording order.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
