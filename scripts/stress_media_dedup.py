@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scale stress for the round-10 multimodal dedup operators: the
+perceptual image-hash pass + banded Hamming join (imagehash.py), the
+audio fingerprint pass + offset-aligned match join (audiofp.py), and
+margin-based bitext mining (similarity.py), each at 1x and 10x. The
+hash/fingerprint passes are narrow per-payload work (ratio ≈ data
+ratio / parallelism headroom); the joins run on hash tables orders of
+magnitude smaller than the payloads, which is the scale story.
+
+Usage: python scripts/stress_media_dedup.py
+Output: one JSON line; paste the numbers into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+from vectra_py_spark.session import get_spark  # noqa: E402
+
+N_IMAGES_1X = 400
+N_CLIPS_1X = 120
+N_VECS_1X = 400
+SR = 8000
+
+
+def synth_images(spark, n: int, n_bases: int):
+    """PPM blobs: n_bases distinct images, the rest noisy copies —
+    ~3 copies per base at every scale."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    rows = []
+    for i in range(n):
+        b = i % n_bases
+        rng = np.random.default_rng(50_000 + b)
+        img = np.zeros((32, 32))
+        for _ in range(4):
+            cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+            amp, sig = rng.uniform(60, 140), rng.uniform(3, 8)
+            img += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+            )
+        if i >= n_bases:
+            noise = np.random.default_rng(60_000 + i)
+            img = img + noise.integers(-1, 2, size=img.shape)
+        g = np.clip(img, 0, 255).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=2)
+        rows.append((f"i{i:06d}", b"P6\n32 32\n255\n" + rgb.tobytes()))
+    return spark.createDataFrame(rows, ["media_id", "data"])
+
+
+def synth_clips(spark, n: int, n_bases: int):
+    from vectra_py_spark.operators.audio import encode_audio_payload
+
+    rows = []
+    for i in range(n):
+        b = i % n_bases
+        rng = np.random.default_rng(70_000 + b)
+        segs = []
+        seg_n = 2 * SR // 8
+        for _ in range(8):
+            f0, f1 = rng.uniform(200, 3200, size=2)
+            t = np.arange(seg_n) / SR
+            ph = 2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * t[-1]))
+            segs.append(0.5 * np.sin(ph))
+        x = np.concatenate(segs)
+        if i >= n_bases:
+            x = x[((i % 7) + 1) * 512:]  # hop-aligned trims
+        pcm = (np.clip(x, -1, 1) * 32767).astype(np.int64)[:, None]
+        rows.append((f"a{i:06d}", encode_audio_payload(pcm, SR, "wav")))
+    return spark.createDataFrame(rows, ["media_id", "data"])
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    n = fn()
+    return round(time.monotonic() - t0, 3), n
+
+
+def run_scale(spark, scale: int) -> dict:
+    from vectra_py_spark.operators.audiofp import (
+        audio_fingerprint_df, audio_match_pairs,
+    )
+    from vectra_py_spark.operators.imagehash import (
+        media_phash_df, phash_neardup_pairs,
+    )
+    from vectra_py_spark.operators.similarity import margin_bitext_mine
+    from vectra_py_spark.session import spread
+
+    out = {}
+    imgs = spread(synth_images(
+        spark, N_IMAGES_1X * scale, max(1, N_IMAGES_1X * scale // 3)
+    )).cache()
+    imgs.count()
+    hashes = media_phash_df(imgs).cache()
+    out["image_hash_s"], out["images"] = timed(hashes.count)
+    out["image_join_s"], out["image_pairs"] = timed(
+        lambda: phash_neardup_pairs(hashes, radius=7).count()
+    )
+    hashes.unpersist()
+    imgs.unpersist()
+
+    clips = spread(synth_clips(
+        spark, N_CLIPS_1X * scale, max(1, N_CLIPS_1X * scale // 2)
+    )).cache()
+    clips.count()
+    fp = audio_fingerprint_df(clips).cache()
+    out["audio_fp_s"], out["audio_fp_rows"] = timed(fp.count)
+    out["audio_match_s"], out["audio_pairs"] = timed(
+        lambda: audio_match_pairs(fp, min_matches=40).count()
+    )
+    fp.unpersist()
+    clips.unpersist()
+
+    rng = np.random.default_rng(4)
+    n = N_VECS_1X * scale
+    src = spark.createDataFrame(
+        [(i, rng.normal(size=32).tolist()) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    tgt = spark.createDataFrame(
+        [(10_000_000 + i, rng.normal(size=32).tolist()) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    out["bitext_s"], out["bitext_pairs"] = timed(
+        lambda: margin_bitext_mine(src, tgt, k=4, threshold=1.0).count()
+    )
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="stress-media-dedup")
+    run_scale(spark, 1)  # warmup, discarded
+    r1 = run_scale(spark, 1)
+    r10 = run_scale(spark, 10)
+    ratios = {
+        k: round(r10[k] / max(r1[k], 1e-9), 2)
+        for k in r1 if k.endswith("_s")
+    }
+    print(json.dumps({
+        "metric": "media_dedup_stress",
+        "r1x": r1, "r10x": r10, "vs_10x_time_ratio": ratios,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,3 +155,23 @@ def test_phash_neardup_validation(spark):
     df = spark.createDataFrame([("a", 1)], ["media_id", "phash"])
     with pytest.raises(ValueError):
         phash_neardup_pairs(df, radius=4)  # 5 does not divide 64
+
+
+def test_video_first_frame_hashes(spark):
+    """AVI and MP4 hash their FIRST frame (the thumbnail identity) —
+    and an MP4 re-mux of the same MJPEG frames is an exact dup of its
+    AVI sibling, because both containers carry the same first JPEG."""
+    from vectra_py_spark.operators.avi import synth_avi
+    from vectra_py_spark.operators.mp4 import synth_mp4
+
+    rows = [
+        ("avi", synth_avi(3, 24, 16)),
+        ("mp4", synth_mp4(3, 24, 16)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    got = {r.media_id: r for r in media_phash_df(df).collect()}
+    assert got["avi"].error is None and got["mp4"].error is None
+    assert got["avi"].height == 16 and got["avi"].width == 24
+    # same synth parameters -> same first frame -> tight Hamming ball
+    # (containers may encode the frame with different JPEG settings)
+    assert hamming64(got["avi"].phash, got["mp4"].phash) <= 8

@@ -164,6 +164,27 @@ def _decode_pixels(payload: bytes) -> np.ndarray:
         from vectra_py_spark.operators.gif import decode_gif
 
         return decode_gif(bytes(payload))[0]
+    if kind == "avi":
+        import struct
+
+        from vectra_py_spark.operators.avi import _parse_avi
+        from vectra_py_spark.operators.jpeg import decode_jpeg
+
+        try:
+            frames = _parse_avi(bytes(payload))[2]
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"malformed AVI payload: {exc}") from exc
+        if not frames:
+            raise ValueError("AVI with no video frames")
+        return decode_jpeg(frames[0])  # first frame only, not the clip
+    if kind == "mp4":
+        from vectra_py_spark.operators.jpeg import decode_jpeg
+        from vectra_py_spark.operators.mp4 import mp4_frame_payloads
+
+        frames = mp4_frame_payloads(bytes(payload))
+        if not frames:
+            raise ValueError("MP4 with no video samples")
+        return decode_jpeg(frames[0])
     raise ValueError(f"not a supported pixel format: kind={kind!r}")
 
 
