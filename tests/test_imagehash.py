@@ -175,3 +175,55 @@ def test_video_first_frame_hashes(spark):
     # same synth parameters -> same first frame -> tight Hamming ball
     # (containers may encode the frame with different JPEG settings)
     assert hamming64(got["avi"].phash, got["mp4"].phash) <= 8
+
+
+def test_phash_index_probe_prunes_partitions_and_matches(spark, tmp_path):
+    """Materialized index: a noisy copy probes to its base by opening
+    ONLY the probe's radius+1 block directories (PartitionFilters in
+    the plan); a novel image probes empty; banded probe == brute
+    force over the indexed set."""
+    import re
+
+    from vectra_py_spark.operators.imagehash import (
+        phash_probe, phash_write_index,
+    )
+
+    rng = np.random.default_rng(31)
+    imgs = {f"img{i:02d}": _img(300 + i) for i in range(10)}
+    hashes = [(k, phash64(v)) for k, v in sorted(imgs.items())]
+    df = spark.createDataFrame(hashes, ["media_id", "phash"])
+    path = str(tmp_path / "phidx")
+    phash_write_index(df, path, radius=7)
+
+    base = imgs["img03"]
+    noisy = np.clip(
+        base.astype(np.int32) + rng.integers(-4, 5, size=base.shape),
+        0, 255,
+    ).astype(np.uint8)
+    probe_fp = phash64(noisy)
+    probe = phash_probe(spark, path, probe_fp, radius=7)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "block_idx" in m.group(1) and "block_val" in m.group(1)
+    got = {(r.media_id, r.hamming) for r in probe.collect()}
+    brute = {
+        (k, hamming64(h, probe_fp))
+        for k, h in hashes
+        if hamming64(h, probe_fp) <= 7
+    }
+    assert got == brute
+    assert any(k == "img03" for k, _ in got)
+
+    # raw-payload probe path (PPM bytes hashed driver-side)
+    rgb = noisy
+    ppm = (f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode()
+           + rgb.astype(np.uint8).tobytes())
+    got2 = {r.media_id for r in phash_probe(spark, path, ppm).collect()}
+    assert "img03" in got2
+
+    # a novel image finds nothing
+    novel = phash64(_img(999))
+    assert phash_probe(spark, path, novel, radius=7).collect() == []
+
+    with pytest.raises(ValueError):
+        phash_probe(spark, path, novel, radius=4)  # 5 ∤ 64

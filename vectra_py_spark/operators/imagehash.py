@@ -51,6 +51,8 @@ __all__ = [
     "hamming64",
     "media_phash_df",
     "phash_neardup_pairs",
+    "phash_write_index",
+    "phash_probe",
 ]
 
 _DCT32 = None  # lazy 32×32 DCT-II basis, cached
@@ -271,4 +273,97 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def phash_write_index(
+    hashes, path: str, radius: int = 7,
+    id_col: str = "media_id", fp_col: str = "phash", bits: int = 64,
+) -> None:
+    """Materialize corpus fingerprints as a partition-pruned near-dup
+    index: each hash explodes into its ``radius + 1`` pigeonhole
+    blocks, written ``partitionBy(block_idx, block_val)`` — at
+    radius 7 that is 8 × 256 = 2,048 directories. A probe within
+    Hamming ``radius`` of an indexed image shares ≥1 EXACT block, so
+    :func:`phash_probe` opens only the probe's own ``radius + 1``
+    directories: "is this new image already in the corpus" without
+    scanning the corpus (the same incremental story as
+    ``dedup.winnow_write_index``). Clustered one-task-per-directory
+    at write (small-files discipline)."""
+    from pyspark.sql import functions as F
+
+    n_blocks = radius + 1
+    if bits % n_blocks:
+        raise ValueError(
+            f"radius+1 ({n_blocks}) must divide bits ({bits})"
+        )
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    (
+        hashes.filter(F.col(fp_col).isNotNull())
+        .select(F.col(id_col).alias("media_id"), F.col(fp_col).alias("fp"))
+        .select(
+            "media_id", "fp",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_blocks)])
+            ).alias("block_idx"),
+        )
+        .withColumn(
+            "block_val",
+            F.expr(f"shiftright(fp, {width} * block_idx) & {mask}")
+            .cast("int"),
+        )
+        .repartition("block_idx", "block_val")
+        .write.mode("overwrite")
+        .partitionBy("block_idx", "block_val")
+        .parquet(path)
+    )
+
+
+def phash_probe(
+    spark, path: str, probe, radius: int = 7, bits: int = 64,
+):
+    """Probe the materialized index with ONE new image: indexed images
+    within Hamming ``radius`` — (media_id, hamming), ordered. ``probe``
+    is either raw payload bytes (hashed driver-side with the same
+    :func:`phash64`) or an already-computed int fingerprint.
+
+    The probe's block values are pure arithmetic (no Spark job), and
+    they become literal partition predicates: the scan opens exactly
+    ``radius + 1`` of the index's directories regardless of corpus
+    size — PartitionFilters asserted in tests. The probe radius may be
+    ≤ the index's write radius (pigeonhole still guarantees a shared
+    block); it must not exceed it."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    n_blocks = radius + 1
+    if bits % n_blocks:
+        raise ValueError(
+            f"radius+1 ({n_blocks}) must divide bits ({bits})"
+        )
+    if isinstance(probe, (bytes, bytearray, memoryview)):
+        fp = phash64(_decode_pixels(bytes(probe)))
+    else:
+        fp = int(probe)
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    ufp = fp & ((1 << bits) - 1)
+    preds = [
+        (F.col("block_idx") == i)
+        & (F.col("block_val") == ((ufp >> (width * i)) & mask))
+        for i in range(n_blocks)
+    ]
+    idx = spark.read.parquet(path).filter(
+        functools.reduce(lambda a, b: a | b, preds)
+    )
+    hamming = F.bit_count(
+        F.col("fp").bitwiseXOR(F.lit(fp).cast("long"))
+    ).cast("int")
+    return (
+        idx.select("media_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+        .orderBy("media_id")
     )
