@@ -112,3 +112,39 @@ def test_corrupt_payload_quarantines(spark):
     errs = {r.media_id for r in fp.filter("error IS NOT NULL").collect()}
     assert errs == {"bad"}
     assert fp.filter("media_id = 'ok' AND error IS NULL").count() > 50
+
+
+def test_audio_index_probe_prunes_and_matches(spark, tmp_path):
+    """Materialized index: a trimmed copy probes to its source by
+    opening only its hash buckets (PartitionFilters in the plan);
+    a novel melody probes empty."""
+    import re
+
+    from vectra_py_spark.operators.audiofp import (
+        audio_fingerprint_df,
+        audio_probe,
+        audio_write_index,
+    )
+
+    rows = [(f"clip{i}", _wav(_melody(400 + i, seconds=3.0)))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    path = str(tmp_path / "afpidx")
+    audio_write_index(audio_fingerprint_df(df), path)
+
+    x = _melody(402, seconds=3.0)  # == clip2's source
+    probe = audio_probe(spark, path, _wav(x[8 * HOP:]), min_matches=50)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "bucket" in m.group(1)
+    got = probe.collect()
+    assert [r.media_id for r in got] == ["clip2"]
+    assert got[0].offset == 8 and got[0].n_aligned >= 50
+
+    # chance alignment grows with clip length (3 s ≈ 46 frames
+    # measured up to ~22 aligned collisions vs ~700 for true copies) —
+    # thresholds should scale with probe duration
+    novel = audio_probe(
+        spark, path, _wav(_melody(999, seconds=3.0)), min_matches=40
+    )
+    assert novel.collect() == []

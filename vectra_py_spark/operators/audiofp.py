@@ -40,6 +40,8 @@ __all__ = [
     "fingerprints",
     "audio_fingerprint_df",
     "audio_match_pairs",
+    "audio_write_index",
+    "audio_probe",
 ]
 
 _N_FFT = 1024
@@ -172,4 +174,95 @@ def audio_match_pairs(fp, min_matches: int = 5, id_col: str = "media_id"):
         aligned.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("n_aligned") >= min_matches))
         .select("id_a", "id_b", "offset", "n_aligned")
+    )
+
+
+AUDIO_INDEX_BUCKETS = 1024
+
+
+def audio_write_index(
+    fp, path: str, id_col: str = "media_id",
+    n_buckets: int = AUDIO_INDEX_BUCKETS,
+) -> None:
+    """Materialize corpus fingerprints as a partition-pruned match
+    index: ``partitionBy(bucket)`` with ``bucket = pmod(xxhash64(hash),
+    n_buckets)``. The batch :func:`audio_match_pairs` answers
+    corpus×corpus; this index answers the INCREMENTAL question — "is
+    this NEW clip a copy of anything ingested" — by opening only the
+    directories the probe's own hashes land in (the
+    ``dedup.winnow_write_index`` story for audio). Clustered
+    one-task-per-directory at write (small-files discipline)."""
+    from pyspark.sql import functions as F
+
+    (
+        fp.filter(F.col("hash").isNotNull())
+        .select(
+            F.col(id_col).alias("media_id"), "hash", "t",
+            F.pmod(F.xxhash64(F.col("hash")), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def audio_probe(
+    spark, path: str, payload: bytes, min_matches: int = 20,
+    n_buckets: int = AUDIO_INDEX_BUCKETS,
+):
+    """Probe the materialized index with ONE new clip: indexed clips
+    whose fingerprints align with the probe's on a single time offset
+    — (media_id, offset, n_aligned), best offset per clip, ordered.
+
+    The probe decodes and fingerprints driver-side (one clip — the
+    same pure-numpy path as the distributed pass), its hashes' bucket
+    coordinates become partition predicates (one bounded Spark job for
+    the engine's own xxhash64, like ``winnow_probe``), and the scan
+    opens ≤ |probe hashes| directories out of ``n_buckets`` —
+    corpus-size-independent lookup."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.audio import decode_audio_payload
+
+    samples, sr, _kind = decode_audio_payload(bytes(payload))
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    probe_fps = fingerprints(mono, sr)
+    if not probe_fps:
+        return spark.createDataFrame(
+            [], "media_id STRING, offset INT, n_aligned INT"
+        )
+    probe_df = spark.createDataFrame(
+        probe_fps, "hash BIGINT, t_probe INT"
+    )
+    buckets = sorted(
+        r["b"]
+        for r in probe_df.select(
+            F.pmod(F.xxhash64(F.col("hash")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    aligned = (
+        idx.join(F.broadcast(probe_df), "hash")
+        .groupBy(
+            "media_id", (F.col("t") - F.col("t_probe")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_aligned"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy(
+        F.desc("n_aligned"), F.asc("offset")
+    )
+    return (
+        aligned.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_aligned") >= min_matches))
+        .select("media_id", "offset", "n_aligned")
+        .orderBy("media_id")
     )
