@@ -6,6 +6,7 @@ Spark match join."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from vectra_py_spark.operators.audio import encode_audio_payload
 from vectra_py_spark.operators.audiofp import (
@@ -14,6 +15,8 @@ from vectra_py_spark.operators.audiofp import (
     constellation,
     fingerprints,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 SR = 8000
 HOP = 512

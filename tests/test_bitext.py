@@ -17,6 +17,8 @@ from vectra_py_spark.operators.similarity import (
     margin_bitext_mine_sql,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the smoke tier
+
 K = 3
 
 
