@@ -234,6 +234,29 @@ def main() -> None:
         b"<item><title>p</title><link>https://s/p</link>"
         b"<guid>g</guid></item></channel></rss>"
     ), [parse_feed])
+    # round-10 byte-facing surfaces: perceptual hashing's decoder
+    # dispatch (ValueError contract through phash64) and audio
+    # fingerprinting through the WAV/FLAC decoders
+    from vectra_py_spark.operators.audio import decode_audio_payload
+    from vectra_py_spark.operators.audiofp import fingerprints
+    from vectra_py_spark.operators.imagehash import (
+        _decode_pixels, dhash64, phash64,
+    )
+
+    def _phash_bytes(b: bytes):
+        img = _decode_pixels(b)
+        return phash64(img), dhash64(img)
+
+    def _audiofp_bytes(b: bytes):
+        samples, sr, _k = decode_audio_payload(b)
+        mono = samples.astype("float64").mean(axis=1) / 32768.0
+        return len(fingerprints(mono, sr))
+
+    drive("phash_ppm", mm.synth_ppm(24, 16), [_phash_bytes])
+    drive("phash_jpeg", mm.encode_jpeg(mm.decode_ppm(mm.synth_ppm(24, 16))),
+          [_phash_bytes])
+    drive("audiofp_wav", mm.synth_wav(seconds=0.3), [_audiofp_bytes])
+
     drive("feed_atom", (
         b'<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
         b'<entry><title>a</title><link rel="alternate" href="https://b/a"/>'
@@ -242,7 +265,7 @@ def main() -> None:
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9 + 3,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],
