@@ -138,3 +138,39 @@ def test_cli_ingest_archives_verb(spark, capsys, tmp_path):
         "--format", "chunks", "--document-count", "1",
     )
     assert hits and hits[0]["uri"].endswith("memo.rtf")
+
+
+def test_cli_dedup_media_verb(spark, capsys, tmp_path):
+    """dedup-media over a mixed folder: duplicate PPMs pair up, the
+    trimmed audio copy matches, junk files quarantine silently."""
+    import numpy as np
+
+    from vectra_py_spark.operators import multimodal as mm
+    from vectra_py_spark.operators.audio import encode_audio_payload
+
+    media = tmp_path / "media"
+    media.mkdir()
+    ppm = mm.synth_ppm(40, 24)
+    (media / "a.ppm").write_bytes(ppm)
+    (media / "a_copy.ppm").write_bytes(ppm)
+    (media / "other.ppm").write_bytes(mm.synth_ppm(24, 40))
+    sr = 8000
+    rng = np.random.default_rng(8)
+    t = np.arange(3 * sr) / sr
+    f0, f1 = 400.0, 2400.0
+    x = 0.5 * np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * t[-1])))
+    pcm = (x * 32767).astype(np.int64)[:, None]
+    (media / "clip.wav").write_bytes(encode_audio_payload(pcm, sr, "wav"))
+    (media / "clip_cut.wav").write_bytes(
+        encode_audio_payload(pcm[8 * 512:], sr, "wav")
+    )
+    (media / "junk.bin").write_bytes(b"not media at all")
+
+    out = run(
+        capsys, "--index", str(tmp_path / "idx"),
+        "dedup-media", "--path", str(media), "--min-matches", "40",
+    )[-1]
+    assert out["images_hashed"] == 3
+    assert out["image_neardup_pairs"] == 1   # the exact PPM copy
+    assert out["audio_fingerprinted"] == 2
+    assert out["audio_copy_pairs"] == 1      # the trimmed clip

@@ -38,6 +38,16 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="verb", required=True)
 
     sub.add_parser("create", help="create a new (empty) document index")
+    dm = sub.add_parser(
+        "dedup-media",
+        help="scan a folder of media, report image near-dup pairs "
+        "(perceptual hash) and audio copies (constellation match)",
+    )
+    dm.add_argument("--path", required=True, help="media folder")
+    dm.add_argument("--radius", type=int, default=7,
+                    help="image Hamming radius (radius+1 must divide 64)")
+    dm.add_argument("--min-matches", type=int, default=40,
+                    help="aligned-hash threshold for audio copies")
     sub.add_parser("delete", help="delete the index contents")
     sub.add_parser("stats", help="print catalog stats")
 
@@ -216,6 +226,48 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "ingested": int(sum(counts.values())),
             "by_type": counts,
+        }, sort_keys=True))
+    elif args.verb == "dedup-media":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.audiofp import (
+            audio_fingerprint_df, audio_match_pairs,
+        )
+        from vectra_py_spark.operators.imagehash import (
+            media_phash_df, phash_neardup_pairs,
+        )
+        from vectra_py_spark.session import spread
+
+        media = spread(
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(args.path)
+            .select(F.col("path").alias("media_id"),
+                    F.col("content").alias("data"))
+        ).persist()
+        try:
+            hashes = media_phash_df(media).persist()
+            img_pairs = phash_neardup_pairs(
+                hashes, radius=args.radius
+            ).count()
+            n_images = hashes.filter("error IS NULL").count()
+            hashes.unpersist()
+            fp = audio_fingerprint_df(media).persist()
+            audio_pairs = audio_match_pairs(
+                fp, min_matches=args.min_matches
+            ).count()
+            n_audio = (
+                fp.filter("error IS NULL")
+                .select("media_id").distinct().count()
+            )
+            fp.unpersist()
+        finally:
+            media.unpersist()
+        print(json.dumps({
+            "images_hashed": int(n_images),
+            "image_neardup_pairs": int(img_pairs),
+            "audio_fingerprinted": int(n_audio),
+            "audio_copy_pairs": int(audio_pairs),
         }, sort_keys=True))
     elif args.verb == "remove":
         idx.delete_document(args.uri)
