@@ -312,3 +312,63 @@ def test_padding_efficiency_one_bucket_exchange(spark):
     # orderBy's range partitioning
     assert _n_shuffles(plan) == 2, plan
     assert "Exchange hashpartitioning(bucket" in plan, plan
+
+
+def test_phash_neardup_shuffles_fingerprints_only(spark):
+    """The banded Hamming join shuffles (id, 3×int64) block rows on
+    the (block_idx, block_val) keys — payloads never enter the plan;
+    the verify is codegen'd bit ops (no Python past the hash pass)."""
+    from vectra_py_spark.operators.imagehash import phash_neardup_pairs
+
+    hashes = spark.createDataFrame(
+        [(f"m{i}", (i * 2654435761) % (1 << 63)) for i in range(50)],
+        ["media_id", "phash"],
+    )
+    plan = _plan(phash_neardup_pairs(hashes, radius=7))
+    assert "block_idx" in plan and "bit_count" in plan, plan
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower(), plan
+
+
+def test_audio_match_one_join_one_offset_aggregate(spark):
+    """audio_match_pairs = equi-join on the hash + ONE (pair, offset)
+    hash aggregate + the per-pair window — fingerprint-sized, no
+    Python, no cartesian."""
+    from vectra_py_spark.operators.audiofp import audio_match_pairs
+
+    fp = spark.createDataFrame(
+        [(f"c{i % 4}", (i * 11400714819323198485) % (1 << 62), i % 40, None)
+         for i in range(200)],
+        "media_id STRING, hash BIGINT, t INT, error STRING",
+    )
+    plan = _plan(audio_match_pairs(fp, min_matches=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_bitext_matmul_corpus_never_shuffles(spark):
+    """margin_bitext_mine's matmul strategy: the corpus-sized relations
+    reach the k-NN passes through (at most) one round-robin spread —
+    no hash/range shuffle of vectors; all joins after the passes are
+    candidate-sized, with the neighborhood means broadcast."""
+    from vectra_py_spark.operators.similarity import margin_bitext_mine
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    src = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, rng.normal(size=8).tolist()) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    out = margin_bitext_mine(src, tgt, k=3, strategy="matmul")
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan, plan  # nn means ship broadcast
+    # hash shuffles appear only on candidate-sized relations (the
+    # best-margin windows / intersection join), never on `embedding`
+    for m in re.finditer(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "embedding" not in m.group(1), plan
