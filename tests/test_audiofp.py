@@ -136,6 +136,9 @@ def test_audio_index_probe_prunes_and_matches(spark, tmp_path):
     audio_write_index(audio_fingerprint_df(df), path)
 
     x = _melody(402, seconds=3.0)  # == clip2's source
+    # default probe subsampling (256 of ~1100 hashes) keeps the
+    # partition pruning real for multi-second clips; the trimmed copy
+    # still aligns far above threshold on the SAMPLED counts
     probe = audio_probe(spark, path, _wav(x[8 * HOP:]), min_matches=50)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
@@ -151,3 +154,13 @@ def test_audio_index_probe_prunes_and_matches(spark, tmp_path):
         spark, path, _wav(_melody(999, seconds=3.0)), min_matches=40
     )
     assert novel.collect() == []
+
+    # the subsample bounds the buckets opened (the pruning claim)
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.audiofp import fingerprints as _fps
+    from vectra_py_spark.operators.audio import decode_audio_payload
+
+    smp, sr, _k = decode_audio_payload(_wav(x[8 * HOP:]))
+    n_full = len(_fps(smp.astype("float64").mean(axis=1) / 32768.0, sr))
+    assert n_full > 256  # the saturation case is what we are testing

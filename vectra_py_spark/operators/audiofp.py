@@ -212,6 +212,7 @@ def audio_write_index(
 def audio_probe(
     spark, path: str, payload: bytes, min_matches: int = 20,
     n_buckets: int = AUDIO_INDEX_BUCKETS,
+    max_probe_hashes: int = 256,
 ):
     """Probe the materialized index with ONE new clip: indexed clips
     whose fingerprints align with the probe's on a single time offset
@@ -221,8 +222,17 @@ def audio_probe(
     same pure-numpy path as the distributed pass), its hashes' bucket
     coordinates become partition predicates (one bounded Spark job for
     the engine's own xxhash64, like ``winnow_probe``), and the scan
-    opens ≤ |probe hashes| directories out of ``n_buckets`` —
-    corpus-size-independent lookup."""
+    opens ≤ min(|probe hashes|, ``max_probe_hashes``) directories out
+    of ``n_buckets`` — corpus-size-independent lookup.
+
+    ``max_probe_hashes``: a clip emits ~400 hashes/second, so a
+    multi-second probe would land in every bucket and defeat the
+    pruning. The probe therefore SUBSAMPLES its hashes with a
+    deterministic stride — any subset preserves the offset-alignment
+    property (each surviving hash still lands on the true offset),
+    it just scales ``n_aligned`` down by the sampling factor, so
+    thresholds apply to the sampled counts. Pass ``None`` to disable
+    (full-recall probe, full-scan cost)."""
     from pyspark.sql import functions as F
 
     from vectra_py_spark.operators.audio import decode_audio_payload
@@ -230,6 +240,9 @@ def audio_probe(
     samples, sr, _kind = decode_audio_payload(bytes(payload))
     mono = samples.astype(np.float64).mean(axis=1) / 32768.0
     probe_fps = fingerprints(mono, sr)
+    if max_probe_hashes and len(probe_fps) > max_probe_hashes:
+        stride = -(-len(probe_fps) // max_probe_hashes)  # ceil
+        probe_fps = probe_fps[::stride]
     if not probe_fps:
         return spark.createDataFrame(
             [], "media_id STRING, offset INT, n_aligned INT"
