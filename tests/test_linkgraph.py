@@ -301,3 +301,43 @@ def test_outlinks_df_urljoin_semantics(spark):
         r.src_url == "https://h.example/a/b/page.html"
         for r in outlinks_df(df).collect()
     )
+
+
+def test_schedule_fetches_polite_slots(spark):
+    """Per host: priority-ordered slots at (k-1)*delay, robots
+    crawl_delay honored when present, one worker per host."""
+    from vectra_py_spark.operators.linkgraph import schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [
+            # host a: delay 2.0, ranks tie -> n_refs desc, url asc
+            ("https://a.example/x", "a.example", 3, 0.5, 2.0),
+            ("https://a.example/y", "a.example", 9, 0.5, 2.0),
+            ("https://a.example/z", "a.example", 3, 0.5, 2.0),
+            # host b: no crawl_delay (null) -> default 1.5
+            ("https://b.example/p", "b.example", 1, 0.9, None),
+            ("https://b.example/q", "b.example", 1, 0.1, None),
+        ],
+        "url STRING, host STRING, n_refs INT, rank DOUBLE, "
+        "crawl_delay DOUBLE",
+    )
+    got = {
+        r.url: (r.slot, r.fetch_at_s, r.worker)
+        for r in schedule_fetches(
+            frontier, default_delay=1.5, n_workers=4
+        ).collect()
+    }
+    assert got["https://a.example/y"][:2] == (1, 0.0)   # n_refs 9 first
+    assert got["https://a.example/x"][:2] == (2, 2.0)   # url tiebreak
+    assert got["https://a.example/z"][:2] == (3, 4.0)
+    assert got["https://b.example/p"][:2] == (1, 0.0)   # rank 0.9 first
+    assert got["https://b.example/q"][:2] == (2, 1.5)   # default delay
+    # one worker per host (politeness across distributed fetchers)
+    workers = {}
+    for url, (_s, _t, w) in got.items():
+        h = url.split("/")[2]
+        assert workers.setdefault(h, w) == w
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        schedule_fetches(frontier, n_workers=0)

@@ -19,6 +19,7 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_bitext_mine,
     _sql_image_neardup,
     _sql_feed_entries,
+    _sql_fetch_schedule,
     _sql_host_components,
     _sql_host_hits,
     _sql_html_tables,
@@ -29,6 +30,7 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     q_bitext_mine,
     q_image_neardup,
     q_feed_entries,
+    q_fetch_schedule,
     q_host_components,
     q_host_hits,
     q_html_tables,
@@ -50,6 +52,7 @@ PRESTAGED = [
     (q_bitext_mine, _sql_bitext_mine),
     (q_image_neardup, _sql_image_neardup),
     (q_audio_neardup, _sql_audio_neardup),
+    (q_fetch_schedule, _sql_fetch_schedule),
     (q_host_components, _sql_host_components),
     (q_host_hits, _sql_host_hits),
 ]

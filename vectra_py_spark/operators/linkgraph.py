@@ -51,6 +51,7 @@ __all__ = [
     "warc_host_graph",
     "host_hits",
     "host_components",
+    "schedule_fetches",
 ]
 
 # one capture group: the href value, either quote style
@@ -530,3 +531,56 @@ def outlinks_df(
     return df.select(url_col, html_col).mapInPandas(
         run, schema="src_url STRING, outlink STRING"
     )
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    default_delay: float = 1.0,
+    n_workers: int | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Prioritized frontier → POLITE fetch slots: per host, URLs are
+    serialized in priority order (rank desc, n_refs desc, url asc —
+    the :func:`crawl_frontier` sort) and the k-th URL of a host is
+    scheduled at ``(k-1) * delay`` seconds, with ``delay`` the host's
+    robots ``crawl_delay`` (when the frontier carries one) else
+    ``default_delay``. With ``n_workers``, each host pins to ONE
+    worker (``xxhash64(host) mod n_workers``) so politeness holds
+    even when fetchers are distributed — a host's slots never race
+    across workers.
+
+    Output: frontier columns + (slot, fetch_at_s, worker?). One
+    window per host + a codegen'd projection — frontier-sized, no
+    payloads, no driver action; the wave's makespan is just
+    ``max(fetch_at_s)`` per worker. Cho & Garcia-Molina 2003 politely
+    bound per-host rate exactly this way (fixed inter-access delay)."""
+    cols = frontier.columns
+    delay = (
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+        if "crawl_delay" in cols
+        else F.lit(float(default_delay))
+    )
+    order = [F.desc("rank")] if "rank" in cols else []
+    if "n_refs" in cols:
+        order.append(F.desc("n_refs"))
+    order.append(F.asc(url_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = (
+        frontier.withColumn("slot", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "fetch_at_s",
+            ((F.col("slot") - F.lit(1)) * delay).cast("double"),
+        )
+    )
+    if n_workers is not None:
+        if n_workers < 1:
+            raise ValueError(f"n_workers must be >= 1, got {n_workers}")
+        out = out.withColumn(
+            "worker",
+            F.pmod(F.xxhash64(F.col(host_col)), F.lit(n_workers))
+            .cast("int"),
+        )
+    return out

@@ -3256,6 +3256,93 @@ ORDER BY id_a, id_b
 """
 
 
+_SCHED_DOCS = 400
+_SCHED_HOSTS = 25
+_SCHED_DEFAULT_DELAY = 1.5
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler e2e (`operators/linkgraph.py::
+    schedule_fetches` — fixed inter-access delay per Cho &
+    Garcia-Molina 2003): synthesize a frontier whose per-host
+    priority order and crawl delays are CLOSED FORMS of doc_id (host
+    = doc_id%25, n_refs = doc_id%7+1, host rank = (host%5)/10, delay
+    = host%3+1 except every 5th host NULL → default), run the REAL
+    scheduler, and report (url, host, slot, fetch_at_s, worker). The
+    oracle replays the window arithmetic — priority ordering, the
+    (slot−1)·delay serialization, the NULL→default fallback, and the
+    host→worker pinning is checked structurally (one worker per
+    host) via a per-host min == max identity.
+
+    Plan shape: ONE window per host + a codegen'd projection —
+    frontier-sized, no payloads, no driver action."""
+    from vectra_py_spark.operators.linkgraph import schedule_fetches
+
+    d = F.col("doc_id")
+    h = (d % _SCHED_HOSTS).cast("int")
+    delay = F.when(h % 5 == 0, F.lit(None).cast("double")).otherwise(
+        (h % 3 + 1).cast("double")
+    )
+    frontier = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _SCHED_DOCS)
+        .select(
+            F.concat(
+                F.lit("https://s"), h.cast("string"),
+                F.lit(".example/p"), d.cast("string"),
+            ).alias("url"),
+            F.concat(F.lit("s"), h.cast("string"), F.lit(".example"))
+            .alias("host"),
+            (d % 7 + 1).cast("int").alias("n_refs"),
+            ((h % 5) / F.lit(10.0)).alias("rank"),
+            delay.alias("crawl_delay"),
+        )
+    )
+    out = schedule_fetches(
+        frontier, default_delay=_SCHED_DEFAULT_DELAY, n_workers=8
+    )
+    # worker ids come from the engine's xxhash64 (not SQL-expressible);
+    # the CONTRACT is one worker per host — exposed as a per-host
+    # structural identity the oracle can state exactly
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("host")
+    return out.select(
+        "url", "host", "slot",
+        (F.round("fetch_at_s", 6) + F.lit(0.0)).alias("fetch_at_s"),
+        (F.min("worker").over(wh) == F.max("worker").over(wh))
+        .alias("worker_pinned"),
+    ).orderBy("url")
+
+
+def _sql_fetch_schedule() -> str:
+    return f"""
+WITH frontier AS (
+  SELECT 'https://s' || h || '.example/p' || CAST(doc_id AS VARCHAR)
+           AS url,
+         's' || h || '.example' AS host,
+         CAST(doc_id % 7 + 1 AS INT) AS n_refs,
+         (h % 5) / 10.0 AS rank,
+         CASE WHEN h % 5 = 0 THEN NULL
+              ELSE CAST(h % 3 + 1 AS DOUBLE) END AS crawl_delay
+  FROM (
+    SELECT doc_id, CAST(doc_id % {_SCHED_HOSTS} AS INT) AS h
+    FROM documents WHERE doc_id < {_SCHED_DOCS}
+  )
+)
+SELECT url, host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY rank DESC, n_refs DESC, url ASC) AS INT) AS slot,
+       round((ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY rank DESC, n_refs DESC, url ASC) - 1)
+            * coalesce(crawl_delay, {_SCHED_DEFAULT_DELAY}), 6) + 0.0
+         AS fetch_at_s,
+       TRUE AS worker_pinned
+FROM frontier
+ORDER BY url
+"""
+
+
 _AFP_DOCS = 60
 _AFP_BASES = 20
 _AFP_HOP = 512
@@ -5816,11 +5903,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # q_image_neardup (pHash + banded Hamming join over synthesized
 # planted clusters, new operator this round), and q_audio_neardup
 # (Wang 2003 constellation fingerprints + offset-histogram match,
-# new operator this round). Registering each in r11 is a two-line
-# QUERIES/ORACLES addition; under the COVERAGE.md budget policy,
-# pre-staged validated entries don't count against the ≤2 cap.
-# Round 11's window: the 17 r7-vintage rows above + these 10 + 23
-# of the 50 r8-vintage rows in CORRECTNESS_r08 recording order.
+# new operator this round), and q_fetch_schedule (the politeness
+# scheduler — per-host crawl-delay serialization, new operator this
+# round). Registering each in r11 is a two-line QUERIES/ORACLES
+# addition; under the COVERAGE.md budget policy, pre-staged validated
+# entries don't count against the ≤2 cap. Round 11's window: the 17
+# r7-vintage rows above + these 11 + 22 of the 50 r8-vintage rows in
+# CORRECTNESS_r08 recording order.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
