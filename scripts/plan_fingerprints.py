@@ -23,8 +23,15 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from vectra_py_spark.plans.entry_queries import QUERIES  # noqa: E402
+from vectra_py_spark.plans.entry_queries import (  # noqa: E402
+    QUERIES,
+    RETIRED_QUERIES,
+)
 from vectra_py_spark.session import get_spark  # noqa: E402
+
+# Retired entries (VERDICT r10 item 2) keep their plan-regression
+# backstop even though they left the driver window.
+ALL_QUERIES = {**QUERIES, **RETIRED_QUERIES}
 
 SF = "/root/testdata/sf0.001"
 
@@ -44,7 +51,7 @@ def main() -> None:
     spark = get_spark("plan-fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in sorted(ALL_QUERIES.items()):
         try:
             plan = (
                 fn(spark, SF)

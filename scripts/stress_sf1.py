@@ -28,11 +28,14 @@ import numpy as np  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     QUERIES,
+    RETIRED_QUERIES,
     q_lsh_neardup_demo,
 )
 
-# demoted from the registry (VERDICT r6 item 6) but still stress-measured
-QUERIES = {**QUERIES, "lsh_neardup_demo": q_lsh_neardup_demo}
+# demoted/retired from the registry (VERDICT r6 item 6 / r10 item 2)
+# but still stress-measured — retirement releases a driver-window slot,
+# not the scale evidence
+QUERIES = {**QUERIES, **RETIRED_QUERIES, "lsh_neardup_demo": q_lsh_neardup_demo}
 from vectra_py_spark.session import get_spark  # noqa: E402
 
 SF01_DIR = "/root/testdata/sf0.1"

@@ -60,3 +60,47 @@ def test_driver_check_window_is_exactly_priority_50():
     assert list(qs)[:50] == _CHECK_FIRST
     missing = [n for n in _CHECK_FIRST if n not in oracles]
     assert not missing, f"window slots without oracles: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# Retired registry entries (round 11, VERDICT r10 item 2): driver-window
+# slots released, but correctness evidence continues here — the same
+# compare harness, both SFs, every round.
+# ---------------------------------------------------------------------------
+from vectra_py_spark.plans.entry_queries import (  # noqa: E402
+    RETIRED_ORACLES,
+    RETIRED_QUERIES,
+)
+
+RETIRED_NAMES = sorted(RETIRED_QUERIES.keys())
+
+
+def test_retired_entries_left_the_registry():
+    """Guard: a retired entry must be fully subsumed — absent from the
+    driver export (queries() AND oracle_sql()) but still oracle-able
+    here, so retirement never silently drops correctness evidence."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in RETIRED_NAMES:
+        assert name not in qs, f"{name} retired but still exported"
+        assert name not in oracles, f"{name} retired but still exported"
+        assert name in RETIRED_ORACLES, f"{name} retired without an oracle"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", RETIRED_NAMES)
+def test_retired_oracle_sf_smoke(spark, name):
+    ok, detail = compare(
+        spark, SF_SMOKE, RETIRED_QUERIES[name](spark, SF_SMOKE),
+        RETIRED_ORACLES[name],
+    )
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", RETIRED_NAMES)
+def test_retired_oracle_sf_driver_gate(spark, name):
+    ok, detail = compare(
+        spark, SF_ORACLE, RETIRED_QUERIES[name](spark, SF_ORACLE),
+        RETIRED_ORACLES[name],
+    )
+    assert ok, f"{name}: {detail}"

@@ -11,7 +11,10 @@ from pathlib import Path
 
 from scripts.plan_fingerprints import SF, fingerprint
 
-from vectra_py_spark.plans.entry_queries import QUERIES
+from vectra_py_spark.plans.entry_queries import QUERIES, RETIRED_QUERIES
+
+# retired entries keep their mechanical plan backstop (VERDICT r10 item 2)
+ALL_QUERIES = {**QUERIES, **RETIRED_QUERIES}
 
 import pytest
 
@@ -46,7 +49,7 @@ def test_no_query_grew_exchanges(spark):
         spark.conf.set(k, v)
     regressions = []
     try:
-        for name, fn in sorted(QUERIES.items()):
+        for name, fn in sorted(ALL_QUERIES.items()):
             base = BASELINE.get(name)
             if not base or "error" in base:
                 continue
@@ -73,5 +76,5 @@ def test_no_query_grew_exchanges(spark):
 
 
 def test_baseline_covers_registry():
-    missing = set(QUERIES) - set(BASELINE)
+    missing = set(ALL_QUERIES) - set(BASELINE)
     assert not missing, f"regenerate PLANS.json: {missing}"

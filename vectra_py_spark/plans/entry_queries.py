@@ -5862,7 +5862,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "main_content": q_main_content,
     "page_metadata": q_page_metadata,
+    # round-11 registrations — all pre-staged + harness-validated at
+    # both SFs in round 10 (tests/test_prestaged_oracle.py), so exempt
+    # from the unstaged ≤2-new-entry cap (COVERAGE.md budget policy)
+    "html_tables": q_html_tables,
+    "mojibake_repair": q_mojibake_repair,
+    "textclf_score": q_textclf_score,
+    "textclf_train": q_textclf_train,
+    "feed_entries": q_feed_entries,
+    "host_components": q_host_components,
+    "host_hits": q_host_hits,
+    "bitext_mine": q_bitext_mine,
+    "image_neardup": q_image_neardup,
+    "audio_neardup": q_audio_neardup,
+    "fetch_schedule": q_fetch_schedule,
     **RELATIONAL_QUERIES,
+}
+
+# ---------------------------------------------------------------------------
+# Retired registry entries (round 11, VERDICT r10 item 2).
+#
+# At 180 registered entries a 50-slot driver window can no longer honor
+# the N−3 staleness SLO once anything new is added (the rotation backlog
+# grows by one permanently per net addition). Resolution, recorded in
+# COVERAGE.md's ledger: retire the eight entries whose driver evidence is
+# STRICTLY SUBSUMED by a registered superset entry — the operator, its
+# unit/property tests, and its local oracle sweep all stay; only the
+# driver-window slot is released (precedent: lsh_neardup's r7 demotion).
+#
+#   mp4_sample          — oracle literally shared with mjpeg_sample
+#                         (registered); MP4 container walk evidenced by
+#                         media_probe + media_triage
+#   bm25_probe          — the n=1 special case of bm25_batch_probe
+#   pq_topk             — the oversample=1, no-rerank prefix of pq_rerank
+#                         (same ADC scan); IVF-PQ variant registered
+#   simhash_fingerprint — consumed verbatim by simhash_neardup
+#   winnow_fingerprints — consumed verbatim by winnow_matches /
+#                         winnow_probe / winnow_contamination / span_cut
+#   bpe_pair_counts     — round 0 of bpe_train_rounds
+#   lm_quality          — consumed verbatim by lm_quality_cut
+#   events_windowed     — tumbling = sliding with step == width
+#                         (events_sliding registered)
+#
+# tests/test_entry_oracle.py sweeps these at both SFs every round with
+# the driver's exact compare harness, so their correctness evidence
+# continues uninterrupted — it is just local, not driver-recorded.
+# ---------------------------------------------------------------------------
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mp4_sample": QUERIES.pop("mp4_sample"),
+    "bm25_probe": QUERIES.pop("bm25_probe"),
+    "pq_topk": QUERIES.pop("pq_topk"),
+    "simhash_fingerprint": QUERIES.pop("simhash_fingerprint"),
+    "winnow_fingerprints": QUERIES.pop("winnow_fingerprints"),
+    "bpe_pair_counts": QUERIES.pop("bpe_pair_counts"),
+    "lm_quality": QUERIES.pop("lm_quality"),
+    "events_windowed": QUERIES.pop("events_windowed"),
 }
 
 # ---------------------------------------------------------------------------
@@ -5870,103 +5924,94 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-10 rotation (VERDICT r9 item 1,
-# executed verbatim): lead with the 13 r6-vintage rows that hit the
-# staleness-SLO edge at round 10 (the dml_* block and the TPC-H-style
-# analytics the r9 window couldn't fit), then the FOUR round-10
-# registrations — recrawl_priority (capture-history scheduling over a
-# synthesized CDX index), host_pagerank (fixed-N power iteration vs an
-# unrolled CTE chain), main_content (jusText extraction vs closed-form
-# expected pages), page_metadata (pure-Catalyst head-field extraction)
-# — all PRE-STAGED in round 9 and already harness-validated at both
-# SFs (tests/test_prestaged_oracle.py), so their first window slot
-# carries no unverified risk (COVERAGE.md records the budget policy:
-# pre-staged validated entries don't count against the ≤2-new-entry
-# budget; unstaged additions remain capped at 2), then the first 33 of
-# the 50 r7-vintage queries in CORRECTNESS_r07 recording order. The 17
-# r7 rows that didn't fit (winnow_contamination, soft_dedup_weights,
-# neardup_weights, distinct_users, value_quantiles, revenue_by_region,
-# multimodal_bytes, token_budget_batches, ann_topk, ivf_topk,
-# train_split, stratified_sample, decontaminate, neardup_clusters,
-# asof_enrich, range_join, epoch_mix) stay r7-vintage — inside the SLO
-# at round 10 (r7 = N-3) — and must lead round 11's window.
-# Round-11 new entries are PRE-STAGED (not registered, already
-# harness-validated at both SFs — tests/test_prestaged_oracle.py):
-# q_html_tables (per-cell closed-form table extraction),
-# q_mojibake_repair (4-variant repair/pass-through literals),
-# q_textclf_score (hashing trick + broadcast scorer, dyadic weights),
-# q_textclf_train (2-iteration GD vs unrolled CTE), q_feed_entries
-# (RSS/Atom + quarantine contract), q_host_components (closed-form
-# block-graph labels), q_host_hits (6 HITS iterations vs a
-# MATERIALIZED-CTE unrolling), q_bitext_mine (Artetxe & Schwenk 2019
-# ratio-margin parallel-pair mining, new operator this round),
-# q_image_neardup (pHash + banded Hamming join over synthesized
-# planted clusters, new operator this round), and q_audio_neardup
-# (Wang 2003 constellation fingerprints + offset-histogram match,
-# new operator this round), and q_fetch_schedule (the politeness
-# scheduler — per-host crawl-delay serialization, new operator this
-# round). Registering each in r11 is a two-line QUERIES/ORACLES
-# addition; under the COVERAGE.md budget policy, pre-staged validated
-# entries don't count against the ≤2 cap. Round 11's window: the 17
-# r7-vintage rows above + these 11 + 22 of the 50 r8-vintage rows in
-# CORRECTNESS_r08 recording order.
+# fresh driver row go first. Round-11 rotation (VERDICT r10 item 1,
+# executed verbatim): lead with the 17 r7-vintage rows that hit the
+# staleness-SLO edge at round 11 (the rows r10's window couldn't fit,
+# in CORRECTNESS_r07 recording order), then the ELEVEN round-11
+# registrations — html_tables, mojibake_repair, textclf_score,
+# textclf_train, feed_entries, host_components, host_hits, bitext_mine,
+# image_neardup, audio_neardup, fetch_schedule — all PRE-STAGED in
+# round 10 and harness-validated at both SFs
+# (tests/test_prestaged_oracle.py), so their first window slot carries
+# no unverified risk (COVERAGE.md budget policy: pre-staged validated
+# entries don't count against the ≤2-new-entry cap), then the first 22
+# surviving r8-vintage rows in CORRECTNESS_r08 recording order
+# (mp4_sample, which sits at r8 position 8, is RETIRED this round —
+# see RETIRED_QUERIES above — so the block extends to
+# cross_source_dups). The 24 surviving r8 rows that didn't fit
+# (doc_fingerprint, document_ranking, dup_shingle_ratio,
+# embedding_neardup, events_sessionize, events_sliding, exact_dedup,
+# filter_nin, filter_or_in_gt, frequent_tokens, hybrid_search,
+# incremental_dedup, index_stats, language_id, lm_quality_cut,
+# ngram_diversity, ngram_jaccard_neardup, pii_scrub, point_lookup,
+# pricing_summary, props_json_stats, repetition_signals, rrf_fusion,
+# semantic_dedup) stay r8-vintage — inside the SLO at round 11
+# (r8 = N-3) — and MUST lead round 12's window.
+# Registry arithmetic after this round (the VERDICT r10 item 2 fix):
+# 172 registered (170 oracle-able) = 50 r11-vintage + 48 r10 + 48 r9 +
+# 24 r8 + 2 rows-only. With a 50-slot window the steady-state lead
+# backlog is ~22-24 rows, so the SLO closes with ~26 slots of headroom
+# for ALL future net additions combined — future rounds pair each new
+# registration with a subsumption retirement (or the standing 60-slot
+# driver ask lands). Full arithmetic in COVERAGE.md's ledger.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    # 13 r6-vintage rows (SLO edge at r10), CORRECTNESS_r06 order
-    "big_spenders",
-    "dml_insert",
-    "dml_upsert",
-    "dml_delete",
-    "min_cost_supplier",
-    "forecast_revenue",
-    "product_profit",
-    "important_stock",
-    "shipmode_priority",
-    "customer_distribution",
-    "top_supplier",
-    "supplier_part_counts",
-    "small_qty_revenue",
-    # 4 round-10 registrations, pre-staged + harness-validated in r9
-    "recrawl_priority",
-    "host_pagerank",
-    "main_content",
-    "page_metadata",
-    # first 33 of the 50 r7-vintage rows, CORRECTNESS_r07 order
-    "mjpeg_sample",
-    "chunk_spans_simple",
-    "batch_topk",
-    "excess_suppliers",
-    "minhash_lsh_neardup",
-    "minhash_probe",
-    "gopher_quality",
-    "c4_line_stats",
-    "line_dedup",
-    "length_trim",
-    "unimax_mix",
-    "domain_mix",
-    "oov_rate",
-    "pq_topk",
-    "nfc_normalize",
-    "ivfpq_topk",
-    "curation_funnel",
-    "label_outliers",
-    "word_entropy",
-    "dup_rate_by_source",
-    "pq_rerank",
-    "corpus_diff",
-    "content_checksum",
-    "local_supplier_volume",
-    "bm25_probe",
-    "skew_report",
-    "embedding_coverage",
-    "tokenizer_fertility",
-    "span_cut",
-    "encoding_report",
-    "bm25_batch_probe",
-    "hybrid_probe",
-    "winnow_probe",
+    # 17 r7-vintage rows (SLO edge at r11), CORRECTNESS_r07 order
+    "winnow_contamination",
+    "soft_dedup_weights",
+    "neardup_weights",
+    "distinct_users",
+    "value_quantiles",
+    "revenue_by_region",
+    "multimodal_bytes",
+    "token_budget_batches",
+    "ann_topk",
+    "ivf_topk",
+    "train_split",
+    "stratified_sample",
+    "decontaminate",
+    "neardup_clusters",
+    "asof_enrich",
+    "range_join",
+    "epoch_mix",
+    # 11 round-11 registrations, pre-staged + harness-validated in r10
+    "html_tables",
+    "mojibake_repair",
+    "textclf_score",
+    "textclf_train",
+    "feed_entries",
+    "host_components",
+    "host_hits",
+    "bitext_mine",
+    "image_neardup",
+    "audio_neardup",
+    "fetch_schedule",
+    # first 22 surviving r8-vintage rows, CORRECTNESS_r08 order
+    # (mp4_sample retired — slot passes to cross_source_dups)
+    "warc_documents",
+    "media_triage",
+    "salted_agg",
+    "shipping_priority",
+    "promo_revenue",
+    "semantic_search",
+    "flac_roundtrip",
+    "media_probe",
+    "audio_pipeline",
+    "warc_extract",
+    "pdf_extract",
+    "lsh_neardup_strict",
+    "lang_confusion",
+    "quality_calibration",
+    "ivf_cell_balance",
+    "typo_neardup_terms",
+    "source_overlap",
+    "bigram_lm_quality",
+    "bm25_topk",
+    "clean_corpus",
+    "concat_chunk",
+    "cross_source_dups",
 ]
 
 QUERIES = {
@@ -5988,7 +6033,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
     "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
     "minhash_probe": dd.minhash_probe_sql(_PROBE_DOC),
-    "simhash_fingerprint": dd.simhash_sql(),
     "simhash_neardup": dd.simhash_neardup_sql(radius=1),
     "text_analysis": ta.analyze_text_sql(),
     "chunk_spans_simple": _sql_chunk_spans_simple(),
@@ -6006,7 +6050,6 @@ ORACLES: dict[str, str] = {
     "props_json_stats": _sql_props_json_stats(),
     "embedding_neardup": sim.cosine_similarity_join_sql(threshold=_COSINE_T),
     "semantic_dedup": sim.semantic_dedup_sql(threshold=_COSINE_T),
-    "lm_quality": ta.unigram_lm_score_sql(),
     "bigram_lm_quality": ta.bigram_lm_score_sql(),
     "dup_shingle_ratio": ta.dup_shingle_ratio_sql(),
     "source_token_drift": ta.source_token_drift_sql(),
@@ -6020,7 +6063,6 @@ ORACLES: dict[str, str] = {
     "unimax_mix": mx.unimax_mix_sql(),
     "domain_mix": mx.domain_mix_report_sql(),
     "oov_rate": ta.oov_rate_sql(),
-    "pq_topk": qz.pq_topk_sql(seeded_query_vector(64, seed=7)),
     "nfc_normalize": cu.nfc_normalize_sql(),
     "ivfpq_topk": qz.ivfpq_topk_sql(seeded_query_vector(64, seed=7)),
     "curation_funnel": cu.curation_funnel_sql(),
@@ -6030,7 +6072,6 @@ ORACLES: dict[str, str] = {
     "pq_rerank": qz.pq_topk_rerank_sql(seeded_query_vector(64, seed=7), k=10, oversample=20),
     "corpus_diff": cu.corpus_diff_sql("documents", _CORPUS_DIFF_NEW_REL),
     "content_checksum": cu.content_checksum_sql(),
-    "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
     "skew_report": sk.skew_report_sql("user_id", "events"),
     "embedding_coverage": cu.embedding_coverage_sql(),
     "tokenizer_fertility": ta.tokenizer_fertility_sql(),
@@ -6041,7 +6082,6 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": ta.tfidf_top_terms_sql(),
     "pmi_collocations": ta.pmi_collocations_sql(),
     "seq_len_histogram": ta.seq_len_histogram_sql(),
-    "winnow_fingerprints": dd.winnow_fingerprints_sql(),
     "winnow_matches": dd.winnow_matches_sql(min_shared=2),
     "winnow_contamination": dd.winnow_contamination_sql(
         "doc_id % 37 = 0", min_shared=2
@@ -6066,7 +6106,6 @@ ORACLES: dict[str, str] = {
     "corpus_stats": ta.corpus_stats_sql(),
     "random_projection": _sql_random_projection(),
     "lm_quality_cut": _sql_lm_quality_cut(),
-    "bpe_pair_counts": ta.bpe_pair_counts_sql(),
     "bpe_train_rounds": ta.bpe_train_sql(
         n_rounds=_BPE_ROUNDS, vocab_cap=_BPE_VOCAB_CAP
     ),
@@ -6089,7 +6128,6 @@ ORACLES: dict[str, str] = {
     "ivf_cell_balance": sim.ivf_cell_balance_sql(),
     "typo_neardup_terms": _sql_typo_neardup_terms(),
     "source_overlap": dd.source_overlap_sql(),
-    "events_windowed": ev.windowed_counts_sql(),
     "events_sessionize": ev.sessionize_sql(),
     "events_sliding": ev.sliding_counts_sql(),
     "volume_anomalies": _sql_volume_anomalies(),
@@ -6101,7 +6139,6 @@ ORACLES: dict[str, str] = {
     "frame_sample": _sql_frame_sample(),
     "jpeg_roundtrip": _sql_jpeg_roundtrip(),
     "mjpeg_sample": _sql_mjpeg_sample(),
-    "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
     "media_probe": _sql_media_probe(),
     "media_triage": _sql_media_triage(),
     "audio_pipeline": _sql_audio_pipeline(),
@@ -6167,5 +6204,31 @@ ORACLES: dict[str, str] = {
     "host_pagerank": _sql_host_pagerank(),
     "main_content": _sql_main_content(),
     "page_metadata": _sql_page_metadata(),
+    # round-11 registrations (pre-staged + harness-validated in r10)
+    "html_tables": _sql_html_tables(),
+    "mojibake_repair": _sql_mojibake_repair(),
+    "textclf_score": _sql_textclf_score(),
+    "textclf_train": _sql_textclf_train(),
+    "feed_entries": _sql_feed_entries(),
+    "host_components": _sql_host_components(),
+    "host_hits": _sql_host_hits(),
+    "bitext_mine": _sql_bitext_mine(),
+    "image_neardup": _sql_image_neardup(),
+    "audio_neardup": _sql_audio_neardup(),
+    "fetch_schedule": _sql_fetch_schedule(),
     **RELATIONAL_ORACLES,
+}
+
+# Oracle twins for the retired entries (see RETIRED_QUERIES above):
+# swept locally by tests/test_entry_oracle.py at both SFs every round,
+# just no longer exported to the driver's 50-slot window.
+RETIRED_ORACLES: dict[str, str] = {
+    "mp4_sample": _sql_mjpeg_sample(),  # container-independent oracle
+    "bm25_probe": rk.bm25_probe_sql(_BM25_TERMS, k=10),
+    "pq_topk": qz.pq_topk_sql(seeded_query_vector(64, seed=7)),
+    "simhash_fingerprint": dd.simhash_sql(),
+    "winnow_fingerprints": dd.winnow_fingerprints_sql(),
+    "bpe_pair_counts": ta.bpe_pair_counts_sql(),
+    "lm_quality": ta.unigram_lm_score_sql(),
+    "events_windowed": ev.windowed_counts_sql(),
 }
