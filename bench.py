@@ -97,6 +97,25 @@ def main() -> None:
     spark = get_spark("vectra-py-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the parquet working set into the OS page cache BEFORE
+    # timing (VERDICT r10 item 3): the r10 artifact-of-record regressed
+    # 29% purely because bench ran right after a 24-minute suite +
+    # stress session had evicted the page cache — identical plan
+    # fingerprints, identical code, cold files. One sequential read of
+    # the input files (a few hundred MB at sf0.1) makes the artifact
+    # measure the engine, not the preceding workload's cache damage.
+    warm_bytes = 0
+    for f in sorted(Path(sf_dir).rglob("*.parquet")):
+        try:
+            with open(f, "rb") as fh:
+                while True:
+                    chunk = fh.read(1 << 22)
+                    if not chunk:
+                        break
+                    warm_bytes += len(chunk)
+        except OSError:
+            pass
+
     # warm-up: touch every table + fire codegen once
     for fn in list(QUERIES.values())[:1]:
         fn(spark, sf_dir).collect()
@@ -146,6 +165,7 @@ def main() -> None:
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
         "load_avg": load_avg,
+        "page_cache_warm_bytes": warm_bytes,
         "notes": notes,
     }
     try:

@@ -137,21 +137,29 @@ def test_audio_index_probe_prunes_and_matches(spark, tmp_path):
 
     x = _melody(402, seconds=3.0)  # == clip2's source
     # default probe subsampling (256 of ~1100 hashes) keeps the
-    # partition pruning real for multi-second clips; the trimmed copy
-    # still aligns far above threshold on the SAMPLED counts
-    probe = audio_probe(spark, path, _wav(x[8 * HOP:]), min_matches=50)
+    # partition pruning real for multi-second clips. min_matches is in
+    # FULL units (audio_match_pairs-comparable, ADVICE r10): a true
+    # copy aligns at ~700 full-unit hits, so a 300 threshold holds
+    # regardless of how aggressively the probe subsamples
+    probe = audio_probe(spark, path, _wav(x[8 * HOP:]), min_matches=300)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert m and "bucket" in m.group(1)
     got = probe.collect()
     assert [r.media_id for r in got] == ["clip2"]
-    assert got[0].offset == 8 and got[0].n_aligned >= 50
+    assert got[0].offset == 8
+    # the sampling accounting: stride > 1 here (the clip emits > 256
+    # hashes), and the extrapolated count is exactly n_aligned * stride
+    assert got[0].stride > 1
+    assert got[0].n_aligned_est == got[0].n_aligned * got[0].stride
+    assert got[0].n_aligned_est >= 300  # full-unit threshold satisfied
 
     # chance alignment grows with clip length (3 s ≈ 46 frames
     # measured up to ~22 aligned collisions vs ~700 for true copies) —
-    # thresholds should scale with probe duration
+    # the same full-unit threshold rejects a novel melody even after
+    # the internal max(1, min_matches // stride) scaling
     novel = audio_probe(
-        spark, path, _wav(_melody(999, seconds=3.0)), min_matches=40
+        spark, path, _wav(_melody(999, seconds=3.0)), min_matches=300
     )
     assert novel.collect() == []
 

@@ -57,12 +57,19 @@ def _reference(src_rows, tgt_rows, k: int, direction: str,
 
     fwd_nn = [knn(cos[i], t_ids, kf) for i in range(len(s_ids))]
     bwd_nn = [knn(cos[:, j], s_ids, kb) for j in range(len(t_ids))]
-    fm = np.array([cos[i, fwd_nn[i]].mean() for i in range(len(s_ids))])
-    bm = np.array([cos[bwd_nn[j], j].mean() for j in range(len(t_ids))])
+    # neighborhoods as exact integer sums of the 1e6-scaled cosines;
+    # margin = one division of exact integers (the operator's
+    # documented cross-engine-reproducible semantics)
+    ci = np.rint(cos * 10.0 ** _DP).astype(np.int64)
+    fsum = np.array([ci[i, fwd_nn[i]].sum() for i in range(len(s_ids))])
+    bsum = np.array([ci[bwd_nn[j], j].sum() for j in range(len(t_ids))])
 
     def margin(i, j):
+        den = fsum[i] * kb + bsum[j] * kf
+        if den == 0:
+            return 0.0
         return _round_half_away(
-            np.array(cos[i, j] / ((fm[i] + bm[j]) / 2.0))
+            np.array(2.0 * ci[i, j] * kf * kb / den)
         ).item()
 
     fbest = {}
@@ -183,6 +190,155 @@ def test_margin_mine_validation(spark):
         margin_bitext_mine(df, df, direction="both")
     with pytest.raises(ValueError):
         margin_bitext_mine(df, df, strategy="gpu")
+
+
+def test_margin_mine_rejects_non_integral_ids(spark):
+    """ADVICE r10: string/UUID ids used to work on hof but crash
+    mid-stage under auto/matmul (int64 coercion). The contract is now
+    validated up front on EVERY strategy, so the strategies can't
+    diverge."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    for strategy in ("auto", "matmul", "hof"):
+        with pytest.raises(ValueError, match="integral"):
+            margin_bitext_mine(df, df, k=1, strategy=strategy)
+    missing = spark.createDataFrame([(0, [1.0])], ["other", "embedding"])
+    with pytest.raises(ValueError, match="no column"):
+        margin_bitext_mine(missing, missing, k=1)
+
+
+def test_margin_mine_zero_vector_strategy_parity(spark):
+    """ADVICE r10: a zero-norm vector must score cosine 0.0 (never
+    0/0 = NaN) on BOTH strategies, and the rounded-before-margin means
+    keep the outputs identical."""
+    src_rows, tgt_rows = _corpora(seed=31, n_src=10, n_tgt=12)
+    src_rows[3] = (src_rows[3][0], [0.0] * 8)   # planted zero vectors
+    tgt_rows[5] = (tgt_rows[5][0], [0.0] * 8)
+    src = spark.createDataFrame(src_rows, ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(tgt_rows, ["vec_id", "embedding"])
+    outs = {}
+    for strategy in ("matmul", "hof"):
+        rows = margin_bitext_mine(
+            src, tgt, k=K, threshold=0.0, direction="forward",
+            strategy=strategy,
+        ).collect()
+        for r in rows:
+            assert r.cosine is not None and not np.isnan(r.cosine), strategy
+            assert r.margin is not None and not np.isnan(r.margin), strategy
+        outs[strategy] = sorted(
+            (r.id_src, r.id_tgt, r.cosine, r.margin) for r in rows
+        )
+    assert outs["matmul"] == outs["hof"]
+    # every source row (including the zero vector) mines a candidate
+    assert len(outs["matmul"]) == len(src_rows)
+
+
+def test_margin_mine_sharded_1x1_equals_matmul(spark):
+    from vectra_py_spark.operators.similarity import (
+        margin_bitext_mine_sharded,
+    )
+
+    src_rows, tgt_rows = _corpora(seed=43)
+    src = spark.createDataFrame(src_rows, ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(tgt_rows, ["vec_id", "embedding"])
+    base = sorted(
+        (r.id_src, r.id_tgt, r.cosine, r.margin)
+        for r in margin_bitext_mine(
+            src, tgt, k=K, threshold=1.0, strategy="matmul"
+        ).collect()
+    )
+    sharded = sorted(
+        (r.id_src, r.id_tgt, r.cosine, r.margin)
+        for r in margin_bitext_mine_sharded(
+            src, tgt, src_shards=1, tgt_shards=1, k=K, threshold=1.0
+        ).collect()
+    )
+    assert sharded == base
+
+
+@pytest.mark.parametrize("assign", ["hash", "mod"])
+def test_margin_mine_sharded_2x2_equals_manual_loop(spark, assign):
+    """The sharded driver must be EXACTLY the loop the budget refusal
+    recommends: per-shard-pair matmul mining with shard-level margins,
+    unioned (VERDICT r10 item 6's equivalence gate)."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.similarity import (
+        _shard_pred,
+        margin_bitext_mine_sharded,
+    )
+
+    src_rows, tgt_rows = _corpora(seed=47, n_src=20, n_tgt=22)
+    src = spark.createDataFrame(src_rows, ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(tgt_rows, ["vec_id", "embedding"])
+    manual = []
+    for i in range(2):
+        s_i = src.filter(_shard_pred("vec_id", 2, i, assign))
+        for j in range(2):
+            t_j = tgt.filter(_shard_pred("vec_id", 2, j, assign))
+            manual.extend(
+                (r.id_src, r.id_tgt, r.cosine, r.margin)
+                for r in margin_bitext_mine(
+                    s_i, t_j, k=K, threshold=1.0, strategy="matmul"
+                ).collect()
+            )
+    got = sorted(
+        (r.id_src, r.id_tgt, r.cosine, r.margin)
+        for r in margin_bitext_mine_sharded(
+            src, tgt, src_shards=2, tgt_shards=2, k=K, threshold=1.0,
+            assign=assign,
+        ).collect()
+    )
+    assert got == sorted(manual)
+    assert len(got) > 0
+
+
+def test_margin_mine_sharded_duckdb_twin(spark):
+    """Cross-engine: the sharded driver with assign='mod' hash-matches
+    its DuckDB twin on a 2×2 grid (the pre-staged r12 oracle shape)."""
+    from vectra_py_spark.operators.similarity import (
+        margin_bitext_mine_sharded,
+        margin_bitext_mine_sharded_sql,
+    )
+
+    src_rows, tgt_rows = _corpora(seed=53)
+    src = spark.createDataFrame(src_rows, ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(tgt_rows, ["vec_id", "embedding"])
+    got = sorted(
+        (r.id_src, r.id_tgt, r.cosine, r.margin)
+        for r in margin_bitext_mine_sharded(
+            src, tgt, src_shards=2, tgt_shards=2, k=K, threshold=1.0,
+            assign="mod",
+        ).collect()
+    )
+    con = duckdb.connect()
+    rel = "SELECT * FROM (VALUES {}) AS t(vec_id, embedding)"
+
+    def lit(rows):
+        return ", ".join(f"({i}, {v}::DOUBLE[])" for i, v in rows)
+
+    sql = margin_bitext_mine_sharded_sql(
+        rel.format(lit(src_rows)), rel.format(lit(tgt_rows)),
+        src_shards=2, tgt_shards=2, k=K, threshold=1.0,
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert [(a, b) for a, b, *_ in got] == [(a, b) for a, b, *_ in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=10 ** -_DP)
+        assert g[3] == pytest.approx(w[3], abs=10 ** -_DP)
+
+
+def test_margin_mine_sharded_validation(spark):
+    from vectra_py_spark.operators.similarity import (
+        margin_bitext_mine_sharded,
+    )
+
+    df = spark.createDataFrame([(0, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="shard counts"):
+        margin_bitext_mine_sharded(df, df, src_shards=0)
+    with pytest.raises(ValueError, match="assign"):
+        margin_bitext_mine_sharded(df, df, assign="range")
 
 
 def test_margin_mine_auto_refuses_past_budget(spark):

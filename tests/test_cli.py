@@ -166,11 +166,20 @@ def test_cli_dedup_media_verb(spark, capsys, tmp_path):
     )
     (media / "junk.bin").write_bytes(b"not media at all")
 
+    # no --index: dedup-media is a pure folder scan (ADVICE r10)
     out = run(
-        capsys, "--index", str(tmp_path / "idx"),
+        capsys,
         "dedup-media", "--path", str(media), "--min-matches", "40",
     )[-1]
     assert out["images_hashed"] == 3
     assert out["image_neardup_pairs"] == 1   # the exact PPM copy
     assert out["audio_fingerprinted"] == 2
     assert out["audio_copy_pairs"] == 1      # the trimmed clip
+
+
+def test_cli_index_required_for_index_verbs(spark, capsys):
+    """Every verb except dedup-media still demands --index, with a
+    clear error instead of a crash."""
+    assert main(["stats"]) == 2
+    err = capsys.readouterr().err
+    assert "--index is required" in err

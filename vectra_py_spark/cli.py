@@ -26,7 +26,11 @@ from vectra_py_spark.sources.fetchers import FileFetcher, WebFetcher
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vectra-py-spark", description=__doc__)
-    p.add_argument("--index", required=True, help="index base path")
+    p.add_argument(
+        "--index",
+        help="index base path (required for every verb except "
+        "dedup-media, which is a pure folder scan — ADVICE r10)",
+    )
     p.add_argument("--chunk-size", type=int, default=512)
     p.add_argument("--vector-dim", type=int, default=64)
     p.add_argument(
@@ -147,16 +151,27 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     args = _build_parser().parse_args(argv)
+    # dedup-media never touches the document index — don't force a
+    # meaningless --index path for a pure folder scan (ADVICE r10);
+    # every other verb still requires it, validated up front.
+    if args.verb != "dedup-media" and not args.index:
+        print(
+            f"error: --index is required for verb {args.verb!r}",
+            file=sys.stderr,
+        )
+        return 2
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("vectra-py-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    idx = SparkDocumentIndex(
-        spark,
-        args.index,
-        embedder_factory=_embedder_factory(args),
-        vector_dim=args.vector_dim,
-        chunk_size=args.chunk_size,
-    )
+    idx = None
+    if args.index:
+        idx = SparkDocumentIndex(
+            spark,
+            args.index,
+            embedder_factory=_embedder_factory(args),
+            vector_dim=args.vector_dim,
+            chunk_size=args.chunk_size,
+        )
 
     if args.verb == "create":
         idx.create(overwrite=False)

@@ -230,23 +230,35 @@ def audio_probe(
     pruning. The probe therefore SUBSAMPLES its hashes with a
     deterministic stride — any subset preserves the offset-alignment
     property (each surviving hash still lands on the true offset),
-    it just scales ``n_aligned`` down by the sampling factor, so
-    thresholds apply to the sampled counts. Pass ``None`` to disable
-    (full-recall probe, full-scan cost)."""
+    it just scales the observed counts down by the sampling factor.
+    Pass ``None`` to disable (full-recall probe, full-scan cost).
+
+    Threshold + output semantics (ADVICE r10 / VERDICT r10 item 5):
+    ``min_matches`` is in FULL (unsampled) units — directly comparable
+    with :func:`audio_match_pairs` tuning — and is scaled internally
+    to the sampled counts (``max(1, min_matches // stride)``), so a
+    long clip that subsamples aggressively can't silently fall below
+    threshold for a true copy. The output carries the accounting:
+    ``n_aligned`` (sampled hits), ``stride``, and ``n_aligned_est =
+    n_aligned * stride`` (the extrapolated full-unit count)."""
     from pyspark.sql import functions as F
 
     from vectra_py_spark.operators.audio import decode_audio_payload
 
+    _EMPTY = (
+        "media_id STRING, offset INT, n_aligned INT, "
+        "stride INT, n_aligned_est INT"
+    )
     samples, sr, _kind = decode_audio_payload(bytes(payload))
     mono = samples.astype(np.float64).mean(axis=1) / 32768.0
     probe_fps = fingerprints(mono, sr)
+    stride = 1
     if max_probe_hashes and len(probe_fps) > max_probe_hashes:
         stride = -(-len(probe_fps) // max_probe_hashes)  # ceil
         probe_fps = probe_fps[::stride]
+    eff_min = max(1, min_matches // stride)
     if not probe_fps:
-        return spark.createDataFrame(
-            [], "media_id STRING, offset INT, n_aligned INT"
-        )
+        return spark.createDataFrame([], _EMPTY)
     probe_df = spark.createDataFrame(
         probe_fps, "hash BIGINT, t_probe INT"
     )
@@ -275,7 +287,13 @@ def audio_probe(
     )
     return (
         aligned.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("n_aligned") >= min_matches))
-        .select("media_id", "offset", "n_aligned")
+        .filter((F.col("__rn") == 1) & (F.col("n_aligned") >= eff_min))
+        .select(
+            "media_id", "offset", "n_aligned",
+            F.lit(stride).cast("int").alias("stride"),
+            (F.col("n_aligned") * F.lit(stride))
+            .cast("int")
+            .alias("n_aligned_est"),
+        )
         .orderBy("media_id")
     )

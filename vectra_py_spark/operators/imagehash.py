@@ -276,6 +276,44 @@ def phash_neardup_pairs(
     )
 
 
+_PHASH_META_FILE = "_phash_meta.json"
+
+
+def _write_side_meta(spark, path: str, payload: dict) -> None:
+    """Side-file via the Hadoop FS API (any scheme; the ``_`` prefix
+    keeps it out of Spark's parquet listing) — same discipline as
+    ``index.py::_write_meta``."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(payload), "utf-8"))
+    out.close()
+
+
+def _read_side_meta(spark, path: str) -> "dict | None":
+    import json
+
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+    )
+    chunks = []
+    while True:
+        line = reader.readLine()
+        if line is None:
+            break
+        chunks.append(line)
+    reader.close()
+    return json.loads("".join(chunks))
+
+
 def phash_write_index(
     hashes, path: str, radius: int = 7,
     id_col: str = "media_id", fp_col: str = "phash", bits: int = 64,
@@ -318,6 +356,13 @@ def phash_write_index(
         .partitionBy("block_idx", "block_val")
         .parquet(path)
     )
+    # Persist the layout so a probe can't silently under-recall: a
+    # radius-R index only guarantees a shared block for probes with
+    # radius <= R, and nothing else records R (ADVICE r10).
+    _write_side_meta(
+        hashes.sparkSession, f"{path}/{_PHASH_META_FILE}",
+        {"version": 1, "radius": radius, "bits": bits},
+    )
 
 
 def phash_probe(
@@ -333,7 +378,9 @@ def phash_probe(
     ``radius + 1`` of the index's directories regardless of corpus
     size — PartitionFilters asserted in tests. The probe radius may be
     ≤ the index's write radius (pigeonhole still guarantees a shared
-    block); it must not exceed it."""
+    block); exceeding it would silently drop matches, so the write
+    radius persisted by :func:`phash_write_index` is validated here
+    and a too-large probe radius raises (ADVICE r10)."""
     import functools
 
     from pyspark.sql import functions as F
@@ -343,6 +390,21 @@ def phash_probe(
         raise ValueError(
             f"radius+1 ({n_blocks}) must divide bits ({bits})"
         )
+    meta = _read_side_meta(spark, f"{path}/{_PHASH_META_FILE}")
+    if meta is not None:
+        if radius > int(meta["radius"]):
+            raise ValueError(
+                f"phash_probe: probe radius {radius} exceeds the "
+                f"index's write radius {meta['radius']} — the "
+                "pigeonhole guarantee only covers radius <= write "
+                "radius, so matches would be silently dropped. "
+                "Rebuild the index with a larger radius or probe "
+                "within it."
+            )
+        if bits != int(meta.get("bits", bits)):
+            raise ValueError(
+                f"phash_probe: bits {bits} != index bits {meta['bits']}"
+            )
     if isinstance(probe, (bytes, bytearray, memoryview)):
         fp = phash64(_decode_pixels(bytes(probe)))
     else:
