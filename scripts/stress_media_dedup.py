@@ -131,6 +131,71 @@ def run_scale(spark, scale: int) -> dict:
     out["bitext_s"], out["bitext_pairs"] = timed(
         lambda: margin_bitext_mine(src, tgt, k=4, threshold=1.0).count()
     )
+
+    # corpus-level e2e (VERDICT r10 item 4): mixed folder — images +
+    # clips + junk through triage → phash pairs → audio pairs in one
+    # composition, with the bytes-touched bound measured (each decoder
+    # lane receives exactly its own modality's bytes; junk reaches no
+    # decoder). Mirrors tests/test_media_dedup_e2e.py at stress scale.
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators.probe import triage_media
+
+    n_junk = N_IMAGES_1X * scale // 2
+    junk_rng = np.random.default_rng(80_000)
+    junk = spark.createDataFrame(
+        [
+            (f"j{i:06d}",
+             bytes(junk_rng.integers(0, 256, size=4096, dtype=np.uint8)))
+            for i in range(n_junk)
+        ],
+        ["media_id", "data"],
+    )
+    mixed = spread(
+        synth_images(
+            spark, N_IMAGES_1X * scale, max(1, N_IMAGES_1X * scale // 3)
+        )
+        .unionByName(synth_clips(
+            spark, N_CLIPS_1X * scale, max(1, N_CLIPS_1X * scale // 2)
+        ))
+        .unionByName(junk)
+        .selectExpr(
+            "media_id", "'media' AS modality", "data",
+            "CAST(map() AS MAP<STRING,STRING>) AS meta",
+        )
+    ).cache()
+    total_bytes = mixed.select(
+        F.sum(F.length("data"))
+    ).collect()[0][0]
+
+    def _e2e():
+        img_lane = triage_media(mixed, kinds={"ppm"}).cache()
+        audio_lane = triage_media(mixed, kinds={"wav"}).cache()
+        img_bytes = img_lane.select(F.sum("n_bytes")).collect()[0][0] or 0
+        audio_bytes = (
+            audio_lane.select(F.sum("n_bytes")).collect()[0][0] or 0
+        )
+        n_img_pairs = phash_neardup_pairs(
+            media_phash_df(img_lane.select("media_id", "data")), radius=7
+        ).count()
+        n_audio_pairs = audio_match_pairs(
+            audio_fingerprint_df(audio_lane.select("media_id", "data")),
+            min_matches=40,
+        ).count()
+        img_lane.unpersist()
+        audio_lane.unpersist()
+        return img_bytes, audio_bytes, n_img_pairs, n_audio_pairs
+
+    t0 = time.monotonic()
+    img_bytes, audio_bytes, n_ip, n_ap = _e2e()
+    out["e2e_s"] = round(time.monotonic() - t0, 3)
+    out["e2e_total_bytes"] = int(total_bytes)
+    out["e2e_decoded_bytes"] = int(img_bytes + audio_bytes)
+    out["e2e_decoded_frac"] = round(
+        (img_bytes + audio_bytes) / total_bytes, 4
+    )
+    out["e2e_img_pairs"], out["e2e_audio_pairs"] = n_ip, n_ap
+    mixed.unpersist()
     return out
 
 
