@@ -256,6 +256,14 @@ def main() -> None:
     drive("phash_jpeg", mm.encode_jpeg(mm.decode_ppm(mm.synth_ppm(24, 16))),
           [_phash_bytes])
     drive("audiofp_wav", mm.synth_wav(seconds=0.3), [_audiofp_bytes])
+    # round-11: the video frame-hash dispatch (AVI/MP4/GIF walk →
+    # per-frame decode → pHash) must hold the ValueError-only contract
+    from vectra_py_spark.operators.avi import synth_avi
+    from vectra_py_spark.operators.videohash import video_frame_hashes
+
+    drive("videohash_avi", synth_avi(n_frames=3), [video_frame_hashes])
+    drive("videohash_gif", mm.synth_gif(n_frames=3, width=16, height=12),
+          [video_frame_hashes])
 
     drive("feed_atom", (
         b'<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
@@ -265,7 +273,7 @@ def main() -> None:
 
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9 + 3,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9 + 3 + 2,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

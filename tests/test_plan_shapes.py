@@ -372,3 +372,21 @@ def test_bitext_matmul_corpus_never_shuffles(spark):
         r"Exchange hashpartitioning\(([^)]*)\)", plan
     ):
         assert "embedding" not in m.group(1), plan
+
+
+def test_video_match_shuffles_frame_hashes_only(spark):
+    """video_match_pairs = banded block equi-join on frame hashes +
+    codegen'd bit_count verify + ONE (pair, offset) aggregate + the
+    per-pair window — (id, 3×int64) rows only, no cartesian, no Python
+    past the hash pass."""
+    from vectra_py_spark.operators.videohash import video_match_pairs
+
+    fh = spark.createDataFrame(
+        [(f"v{i % 5}", i % 12, (i * 2654435761) % (1 << 62), None)
+         for i in range(120)],
+        "media_id STRING, frame_idx INT, phash BIGINT, error STRING",
+    )
+    plan = _plan(video_match_pairs(fh, radius=7, min_aligned=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "block_idx" in plan and "bit_count" in plan, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan

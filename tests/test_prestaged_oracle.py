@@ -1,8 +1,10 @@
-"""Pre-staged round-11 registry entries, validated through the
+"""Pre-staged round-12 registry entries, validated through the
 driver's exact compare harness BEFORE they enter the window — so the
-round-11 rotation adds them with evidence already in hand (the same
-discipline that staged round 10's four crawl entries in round 9; see
-COVERAGE.md's budget policy)."""
+round-12 rotation adds them with evidence already in hand (the
+discipline that staged r10's four crawl entries in r9 and r11's eleven
+in r10; see COVERAGE.md's budget policy). The eleven round-11 entries
+GRADUATED into the registry this round and are now swept by
+tests/test_entry_oracle.py like every registered query."""
 
 import sys
 from pathlib import Path
@@ -15,28 +17,10 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
-    _sql_audio_neardup,
-    _sql_bitext_mine,
-    _sql_image_neardup,
-    _sql_feed_entries,
-    _sql_fetch_schedule,
-    _sql_host_components,
-    _sql_host_hits,
-    _sql_html_tables,
-    _sql_mojibake_repair,
-    _sql_textclf_score,
-    _sql_textclf_train,
-    q_audio_neardup,
-    q_bitext_mine,
-    q_image_neardup,
-    q_feed_entries,
-    q_fetch_schedule,
-    q_host_components,
-    q_host_hits,
-    q_html_tables,
-    q_mojibake_repair,
-    q_textclf_score,
-    q_textclf_train,
+    _sql_bitext_shards,
+    _sql_video_neardup,
+    q_bitext_shards,
+    q_video_neardup,
 )
 
 pytestmark = pytest.mark.slow  # excluded from the smoke tier
@@ -44,17 +28,8 @@ pytestmark = pytest.mark.slow  # excluded from the smoke tier
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 PRESTAGED = [
-    (q_html_tables, _sql_html_tables),
-    (q_mojibake_repair, _sql_mojibake_repair),
-    (q_textclf_score, _sql_textclf_score),
-    (q_textclf_train, _sql_textclf_train),
-    (q_feed_entries, _sql_feed_entries),
-    (q_bitext_mine, _sql_bitext_mine),
-    (q_image_neardup, _sql_image_neardup),
-    (q_audio_neardup, _sql_audio_neardup),
-    (q_fetch_schedule, _sql_fetch_schedule),
-    (q_host_components, _sql_host_components),
-    (q_host_hits, _sql_host_hits),
+    (q_video_neardup, _sql_video_neardup),
+    (q_bitext_shards, _sql_bitext_shards),
 ]
 
 

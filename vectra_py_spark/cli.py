@@ -52,6 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="image Hamming radius (radius+1 must divide 64)")
     dm.add_argument("--min-matches", type=int, default=40,
                     help="aligned-hash threshold for audio copies")
+    dm.add_argument("--min-aligned", type=int, default=3,
+                    help="aligned-frame threshold for video copies")
     sub.add_parser("delete", help="delete the index contents")
     sub.add_parser("stats", help="print catalog stats")
 
@@ -276,6 +278,22 @@ def main(argv: list[str] | None = None) -> int:
                 .select("media_id").distinct().count()
             )
             fp.unpersist()
+            # video lane: trims/re-encodes that a single first-frame
+            # pHash (the image lane's view of a video) cannot catch —
+            # per-frame hashes + temporal offset alignment
+            from vectra_py_spark.operators.videohash import (
+                video_match_pairs, video_phash_df,
+            )
+
+            vh = video_phash_df(media).persist()
+            video_pairs = video_match_pairs(
+                vh, radius=args.radius, min_aligned=args.min_aligned
+            ).count()
+            n_videos = (
+                vh.filter("error IS NULL")
+                .select("media_id").distinct().count()
+            )
+            vh.unpersist()
         finally:
             media.unpersist()
         print(json.dumps({
@@ -283,6 +301,8 @@ def main(argv: list[str] | None = None) -> int:
             "image_neardup_pairs": int(img_pairs),
             "audio_fingerprinted": int(n_audio),
             "audio_copy_pairs": int(audio_pairs),
+            "videos_fingerprinted": int(n_videos),
+            "video_copy_pairs": int(video_pairs),
         }, sort_keys=True))
     elif args.verb == "remove":
         idx.delete_document(args.uri)

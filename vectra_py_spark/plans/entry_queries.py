@@ -3469,6 +3469,142 @@ def _sql_bitext_mine() -> str:
     )
 
 
+def q_bitext_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-pair bitext mining e2e (`operators/similarity.py::
+    margin_bitext_mine_sharded` — the loop the broadcast-budget refusal
+    recommends, shipped as one call in round 11): the same language
+    split as `bitext_mine`, mined over a 2×2 shard grid with
+    ``assign='mod'`` (deterministic cross-engine shard assignment) and
+    SHARD-PAIR-LEVEL margins — exactly how LASER/CCMatrix chunks
+    CommonCrawl. The DuckDB twin unions the base twin over the same
+    four shard pairs, so sharding, per-pair neighborhoods, margins,
+    and the mutual-best joins are all value-checked cross-engine.
+
+    Plan shape: four independent matmul units (two broadcast k-NN
+    passes each — vectors never hash-shuffle) unioned; at 100 TB the
+    shard counts are the broadcast-budget knob."""
+    from vectra_py_spark.operators.similarity import (
+        margin_bitext_mine_sharded,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("label") < 5)
+    tgt = emb.filter(F.col("label") >= 5)
+    return margin_bitext_mine_sharded(
+        src, tgt, src_shards=2, tgt_shards=2, k=_BITEXT_K,
+        threshold=1.0, assign="mod",
+    ).orderBy("id_src", "id_tgt")
+
+
+def _sql_bitext_shards() -> str:
+    from vectra_py_spark.operators.similarity import (
+        margin_bitext_mine_sharded_sql,
+    )
+
+    return margin_bitext_mine_sharded_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE label < 5",
+        "SELECT vec_id, embedding FROM embeddings WHERE label >= 5",
+        src_shards=2, tgt_shards=2, k=_BITEXT_K, threshold=1.0,
+    )
+
+
+_VID_DOCS = 120
+_VID_BASES = 30
+_VID_FRAMES = 8
+_VID_MIN_ALIGNED = 3
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video copy-detection e2e (`operators/videohash.py` — per-frame
+    pHash + the temporal offset histogram, the TRECVID CBCD
+    construction; new operator in round 11): per doc, synthesize an
+    MJPEG AVI whose BASE (doc_id % 30 — 30 distinct frame sequences)
+    and TRIM (0 for the originals, (doc_id DIV 30) % 3 + 1 leading
+    frames dropped for the copies) are closed forms of doc_id, run the
+    REAL container walk → per-frame JPEG decode → pHash → banded
+    Hamming join → offset histogram, and report (id_a, id_b, offset,
+    n_aligned). By construction every same-base pair aligns at offset
+    trim_b − trim_a with exactly 8 − max(trim_a, trim_b) aligned
+    frames, so the decode, hashing, banding, Hamming verify, AND the
+    temporal-alignment decision are value-checked cross-engine against
+    pure doc_id arithmetic.
+
+    Plan shape: narrow synth + hash passes (payloads never shuffle) →
+    block equi-join carrying 8-byte frame fingerprints → ONE (pair,
+    offset) aggregate — the video twin of `image_neardup`."""
+    from vectra_py_spark.operators.videohash import (
+        video_match_pairs, video_phash_df,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _VID_DOCS)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from vectra_py_spark.operators.avi import encode_avi_mjpeg
+        from vectra_py_spark.operators.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:32, 0:32]
+
+        def frame(b, i):
+            rng = np.random.default_rng(3000 + 100 * b + i)
+            img = np.zeros((32, 32), dtype=np.float64)
+            for _ in range(4):
+                cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+                amp = rng.uniform(60, 140)
+                sig = rng.uniform(3, 8)
+                img += amp * np.exp(
+                    -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+                )
+            return np.clip(img, 0, 255).astype(np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b = did % _VID_BASES
+                t = 0 if did < _VID_BASES else (did // _VID_BASES) % 3 + 1
+                jpegs = [
+                    encode_jpeg(frame(b, i), quality=85)
+                    for i in range(t, _VID_FRAMES)
+                ]
+                ids.append(f"v{did:03d}")
+                payloads.append(encode_avi_mjpeg(jpegs, 32, 32))
+            yield pd.DataFrame({"media_id": ids, "data": payloads})
+
+    vids = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    pairs = video_match_pairs(
+        video_phash_df(vids), radius=7, min_aligned=_VID_MIN_ALIGNED
+    )
+    return pairs.select(
+        "id_a", "id_b", "offset", "n_aligned"
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_video_neardup() -> str:
+    # the temporal clusters ARE the base classes and the offsets ARE
+    # the trim differences by construction: the oracle replays pure
+    # doc_id arithmetic, zero video math on its side
+    return f"""
+WITH c AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id < {_VID_BASES} THEN 0
+              ELSE (doc_id // {_VID_BASES}) % 3 + 1 END AS t
+  FROM documents WHERE doc_id < {_VID_DOCS}
+)
+SELECT printf('v%03d', a.d) AS id_a, printf('v%03d', b.d) AS id_b,
+       CAST(b.t - a.t AS INT) AS offset,
+       CAST({_VID_FRAMES} - GREATEST(a.t, b.t) AS INT) AS n_aligned
+FROM c a JOIN c b ON a.d < b.d AND a.d % {_VID_BASES} = b.d % {_VID_BASES}
+ORDER BY id_a, id_b
+"""
+
+
 _HITS_DOCS = 600
 _HITS_HOSTS = 40
 _HITS_ITERS = 6
