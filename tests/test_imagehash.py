@@ -227,3 +227,46 @@ def test_phash_index_probe_prunes_partitions_and_matches(spark, tmp_path):
 
     with pytest.raises(ValueError):
         phash_probe(spark, path, novel, radius=4)  # 5 ∤ 64
+
+
+def test_phash_index_persists_and_validates_write_radius(spark, tmp_path):
+    """ADVICE r10: probing past the index's write radius silently
+    dropped matches. The write radius now persists in a side-file and
+    a too-large probe radius raises; radius 3 probes into a radius-7
+    index remain valid (pigeonhole still guarantees a shared block),
+    and a pre-side-file (legacy) index keeps working unvalidated."""
+    from vectra_py_spark.operators.imagehash import (
+        _PHASH_META_FILE,
+        media_phash_df,
+        phash_probe,
+        phash_write_index,
+    )
+
+    def _ppm(rgb):
+        return (
+            f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode()
+            + rgb.astype(np.uint8).tobytes()
+        )
+
+    imgs = spark.createDataFrame(
+        [(f"img{i:02d}", _ppm(_img(i))) for i in range(6)],
+        ["media_id", "data"],
+    )
+    hashes = media_phash_df(imgs)
+    path = str(tmp_path / "pidx3")
+    phash_write_index(hashes, path, radius=3)
+
+    fp = phash64(_img(2))
+    assert [r.media_id for r in
+            phash_probe(spark, path, fp, radius=3).collect()] == ["img02"]
+    assert [r.media_id for r in
+            phash_probe(spark, path, fp, radius=1).collect()] == ["img02"]
+    with pytest.raises(ValueError, match="write radius"):
+        phash_probe(spark, path, fp, radius=7)
+
+    # legacy index: remove the side-file — probe works, unvalidated
+    import os
+
+    os.remove(os.path.join(path, _PHASH_META_FILE))
+    assert [r.media_id for r in
+            phash_probe(spark, path, fp, radius=3).collect()] == ["img02"]

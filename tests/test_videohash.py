@@ -138,6 +138,12 @@ def test_video_index_probe_prunes_validates_and_matches(spark, tmp_path):
     assert video_probe(spark, path, _clip(77), min_aligned=3).collect() == []
     with pytest.raises(ValueError, match="write radius"):
         video_probe(spark, path, _clip(2), radius=15, min_aligned=3)
+    # a TIGHTER probe radius stays valid: partition predicates follow
+    # the index's block geometry, the probe radius only gates Hamming
+    tight = video_probe(
+        spark, path, _clip(2, trim=4), radius=3, min_aligned=3
+    ).collect()
+    assert [r.media_id for r in tight] == ["clip2"]
 
     # long-clip subsampling: cap the probe frames and the full-unit
     # threshold still holds via the internal stride scaling

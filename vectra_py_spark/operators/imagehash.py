@@ -405,6 +405,12 @@ def phash_probe(
             raise ValueError(
                 f"phash_probe: bits {bits} != index bits {meta['bits']}"
             )
+        # the partition predicates MUST use the INDEX's block geometry
+        # (its directories were cut with width bits//(write_radius+1));
+        # the probe radius applies only in the Hamming verify below —
+        # probing a radius-3 index at radius 1 with 2×32-bit probe
+        # blocks would match nothing (caught by test_imagehash)
+        n_blocks = int(meta["radius"]) + 1
     if isinstance(probe, (bytes, bytearray, memoryview)):
         fp = phash64(_decode_pixels(bytes(probe)))
     else:

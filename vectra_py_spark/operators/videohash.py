@@ -305,6 +305,10 @@ def video_probe(
             raise ValueError(
                 f"video_probe: bits {bits} != index bits {meta['bits']}"
             )
+        # partition predicates use the INDEX's block geometry; the
+        # probe radius applies only in the Hamming verify (see
+        # imagehash.phash_probe)
+        n_blocks = int(meta["radius"]) + 1
     _EMPTY = (
         "media_id STRING, offset INT, n_aligned INT, "
         "stride INT, n_aligned_est INT"
