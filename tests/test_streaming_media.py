@@ -124,3 +124,54 @@ def test_stream_triage_before_decode(spark):
     assert set(got) == expect
     for r in got.values():
         assert r.decode_error is None
+
+
+def test_stream_video_fingerprints_match_batch(spark):
+    """r11 video twin: streamed per-frame hashes equal the batch
+    video_phash_df pass on the identical files; non-video media land
+    as quarantine rows; the sink feeds the match join directly."""
+    from vectra_py_spark.operators.videohash import (
+        video_match_pairs,
+        video_phash_df,
+    )
+    from vectra_py_spark.streaming.media import stream_video_fingerprints
+
+    drop = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    from vectra_py_spark.operators.avi import synth_avi
+
+    files = {
+        "v1.avi": synth_avi(5, 24, 16),
+        "v2.avi": synth_avi(5, 24, 16),       # identical clip
+        "v3.gif": mm.synth_gif(3, 24, 16),
+        "junk.bin": b"\x00\x01not-a-video",
+    }
+    for name, payload in files.items():
+        with open(os.path.join(drop, name), "wb") as f:
+            f.write(payload)
+
+    q = stream_video_fingerprints(media_file_stream(spark, drop), sink, ckpt)
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(sink)
+
+    rows = [
+        (os.path.join(drop, n), p) for n, p in sorted(files.items())
+    ]
+    batch = video_phash_df(
+        spark.createDataFrame(rows, ["media_id", "data"])
+    )
+    # binaryFile reports file: URIs; compare on basenames
+    key = lambda r: (  # noqa: E731
+        os.path.basename(r.media_id), r.frame_idx, r.phash, r.error,
+    )
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    # the identical AVIs match at offset 0 straight off the sink
+    pairs = video_match_pairs(streamed, min_aligned=3).collect()
+    pair_ids = {
+        (os.path.basename(p.id_a), os.path.basename(p.id_b), p.offset)
+        for p in pairs
+    }
+    assert ("v1.avi", "v2.avi", 0) in pair_ids

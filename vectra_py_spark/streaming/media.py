@@ -28,7 +28,11 @@ from pyspark.sql.streaming import StreamingQuery
 
 from vectra_py_spark.operators.multimodal import extract_features
 
-__all__ = ["media_file_stream", "stream_media_features"]
+__all__ = [
+    "media_file_stream",
+    "stream_media_features",
+    "stream_video_fingerprints",
+]
 
 
 def media_file_stream(
@@ -103,6 +107,40 @@ def stream_media_features(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .queryName("stream_media_features")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_video_fingerprints(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    stride: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous video-fingerprint ingest: each micro-batch runs the
+    batch `operators/videohash.py::video_phash_df` pass (same container
+    walk → per-frame pHash, per-clip ValueError quarantine rows) and
+    appends (media_id, frame_idx, phash, error) to a parquet sink —
+    the video member of the media/WARC/archive ingest-twin family,
+    exactly-once per batch id via the checkpoint.
+
+    The sink is `video_match_pairs`-shaped: run the match join over it
+    on any cadence for continuous copy detection, or fold it into the
+    banded index with `video_write_index` for the incremental probe.
+    Payload bytes never enter a shuffle; a crashed query never
+    re-decodes a completed batch."""
+    from vectra_py_spark.operators.videohash import video_phash_df
+
+    fh = video_phash_df(stream_df, stride=stride)
+    writer = (
+        fh.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("stream_video_fingerprints")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
