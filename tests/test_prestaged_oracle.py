@@ -18,8 +18,14 @@ from oracle_harness import compare  # noqa: E402
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
     _sql_bitext_shards,
+    _sql_image_text_pairs,
+    _sql_retrieval_eval,
+    _sql_subtitle_clips,
     _sql_video_neardup,
     q_bitext_shards,
+    q_image_text_pairs,
+    q_retrieval_eval,
+    q_subtitle_clips,
     q_video_neardup,
 )
 
@@ -30,6 +36,9 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 PRESTAGED = [
     (q_video_neardup, _sql_video_neardup),
     (q_bitext_shards, _sql_bitext_shards),
+    (q_image_text_pairs, _sql_image_text_pairs),
+    (q_subtitle_clips, _sql_subtitle_clips),
+    (q_retrieval_eval, _sql_retrieval_eval),
 ]
 
 

@@ -175,3 +175,68 @@ def test_stream_video_fingerprints_match_batch(spark):
         for p in pairs
     }
     assert ("v1.avi", "v2.avi", 0) in pair_ids
+
+
+def test_stream_subtitle_cues_match_batch(spark):
+    """r11 subtitle twin: streamed cues equal the batch
+    subtitle_cues_df pass on the identical files; a file of invalid
+    UTF-8 quarantines via U+FFFD (parses to whatever cues survive,
+    never kills the batch); the sink aligns directly."""
+    from vectra_py_spark.operators.subtitles import (
+        align_cues_to_frames,
+        subtitle_cues_df,
+    )
+    from vectra_py_spark.streaming.media import stream_subtitle_cues
+
+    drop = tempfile.mkdtemp()
+    sink = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp() + "/ckpt"
+    srt = (
+        "1\n00:00:01,000 --> 00:00:02,000\nfirst cue\n\n"
+        "2\n00:00:02,500 --> 00:00:03,500\nsecond cue\n"
+    )
+    vtt = "WEBVTT\n\n00:04.000 --> 00:05.000\n<c>tagged</c> text\n"
+    files = {
+        "a.srt": srt.encode(),
+        "b.vtt": vtt.encode(),
+        # invalid UTF-8 INSIDE a valid cue: U+FFFD lands in the text
+        "c.srt": b"1\n00:00:01,000 --> 00:00:02,000\nbad \xff byte\n",
+        "d.srt": b"no cues at all",
+    }
+    for name, payload in files.items():
+        with open(os.path.join(drop, name), "wb") as f:
+            f.write(payload)
+
+    q = stream_subtitle_cues(media_file_stream(spark, drop), sink, ckpt)
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(sink)
+
+    rows = [
+        (os.path.join(drop, n), p.decode("utf-8", errors="replace"))
+        for n, p in sorted(files.items())
+    ]
+    batch = subtitle_cues_df(
+        spark.createDataFrame(rows, ["media_id", "text"])
+    )
+    key = lambda r: (  # noqa: E731
+        os.path.basename(r.media_id), r.cue_idx, r.start_ms,
+        r.end_ms, r.cue_text, r.error,
+    )
+    got = sorted(map(key, streamed.collect()))
+    assert got == sorted(map(key, batch.collect()))
+    texts = {k[4] for k in got}
+    assert "bad � byte" in texts  # U+FFFD quarantine, cue kept
+    assert "tagged text" in texts
+    # the sink is align-shaped: clip pairs straight off parquet
+    # (binaryFile reports file: URIs — frame ids must match them)
+    (a_uri,) = {
+        r.media_id for r in streamed.collect()
+        if os.path.basename(r.media_id) == "a.srt"
+    }
+    frames = spark.createDataFrame(
+        [(a_uri, i) for i in range(8)], ["media_id", "frame_idx"]
+    )
+    clips = align_cues_to_frames(streamed, frames, fps=2.0).collect()
+    assert {(r.cue_idx, r.frame_ms) for r in clips} == {
+        (0, 1000), (0, 1500), (1, 2500), (1, 3000)
+    }

@@ -5839,6 +5839,308 @@ def q_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.content_checksum(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# PRE-STAGED round-12 entries, continued (round-11 operators): written
+# and harness-validated (tests/test_prestaged_oracle.py) one round
+# before registration, per the COVERAGE.md budget policy.
+# ---------------------------------------------------------------------------
+
+_PAIR_DOCS = 300
+
+
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair mining e2e (`operators/pairs.py::
+    image_text_pairs_df` — the LAION recipe, Schuhmann et al. 2021):
+    per doc, synthesize a page whose SEVEN img tags are closed forms
+    of doc_id covering every code path — relative src (double
+    quotes), absolute src (single quotes, ALT-before-SRC, uppercase
+    tag), protocol-relative src with an entity-escaped alt,
+    root-relative src, a data: URI, a filename alt, and a
+    below-minimum alt (the last three must be DROPPED) — run the REAL
+    miner, and report one row per surviving pair. The oracle
+    reconstructs tag indices, resolved URLs, unescaped captions, and
+    word counts from the same doc_id arithmetic, so tag collection,
+    both quote styles, attribute order, all four resolution forms,
+    the scheme drop, and the alt-quality gate are value-checked
+    cross-engine.
+
+    Plan shape: PURE CATALYST — regexp_extract_all + posexplode +
+    codegen'd projection/filter; payloads never shuffle, no Python."""
+    from vectra_py_spark.operators.pairs import image_text_pairs_df
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example/d"), (d % 3).cast("string"),
+        F.lit("/p"), s, F.lit(".html?u=1"),
+    )
+    html = F.concat(
+        F.lit('<html><body><img src="i'), s,
+        F.lit('.png" alt="cap '), s, F.lit(' alpha beta gamma">'),
+        F.lit("<IMG ALT='abs "), s,
+        F.lit(" delta epsilon' SRC='https://cdn.example/c"), s,
+        F.lit(".jpg'>"),
+        F.lit('<img src="//m.example/x'), s,
+        F.lit('.webp" alt="A &amp; B '), s, F.lit(' zeta">'),
+        F.lit('<img src="/r/'), s, F.lit('.gif" alt="root '), s,
+        F.lit(' eta theta">'),
+        F.lit('<img src="data:image/png;base64,AA"'),
+        F.lit(' alt="dropped data uri caption">'),
+        F.lit('<img src="f'), s, F.lit('.png" alt="IMG_'), s,
+        F.lit('.jpg">'),
+        F.lit('<img src="g'), s, F.lit('.png" alt="hi">'),
+        F.lit("</body></html>"),
+    )
+    pages = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _PAIR_DOCS)
+        .select(url.alias("url"), html.alias("text"))
+    )
+    return image_text_pairs_df(pages).orderBy("page_url", "img_idx")
+
+
+def _sql_image_text_pairs() -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS s,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS origin,
+         'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/d'
+            || CAST(doc_id % 3 AS VARCHAR) || '/' AS base
+  FROM documents WHERE doc_id < {_PAIR_DOCS}
+)
+SELECT base || 'p' || s || '.html?u=1' AS page_url,
+       t.img_idx, t.image_url, t.caption,
+       CAST(t.caption_words AS INT) AS caption_words
+FROM d, LATERAL (
+  SELECT 0 AS img_idx, base || 'i' || s || '.png' AS image_url,
+         'cap ' || s || ' alpha beta gamma' AS caption, 5 AS caption_words
+  UNION ALL
+  SELECT 1, 'https://cdn.example/c' || s || '.jpg',
+         'abs ' || s || ' delta epsilon', 4
+  UNION ALL
+  SELECT 2, 'https://m.example/x' || s || '.webp',
+         'A & B ' || s || ' zeta', 5
+  UNION ALL
+  SELECT 3, origin || '/r/' || s || '.gif',
+         'root ' || s || ' eta theta', 4
+) t
+ORDER BY page_url, img_idx
+"""
+
+
+_SUB_DOCS = 240
+_SUB_FPS = 2.0
+_SUB_FRAMES = 10
+
+
+def q_subtitle_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle→clip alignment e2e (`operators/subtitles.py` — the
+    HowTo100M construction, Miech et al. 2019): per doc, synthesize a
+    subtitle file with doc_id%3+2 cues at closed-form timestamps
+    (start = (doc_id%5)·100 + 1100·i, 900 ms long) — even docs as SRT
+    (numbered blocks, comma separator), odd docs as WebVTT (header,
+    NOTE block, cue ids, cue settings, inline <c>/karaoke tags, dot
+    separator) — parse with the REAL block scanner, align against a
+    10-frame table at 2 fps with the half-open containment join, and
+    report one row per (cue, frame-in-span). The oracle replays pure
+    timestamp arithmetic, so both grammars, tag stripping, and the
+    join's half-open semantics are value-checked cross-engine.
+
+    Plan shape: codegen'd synth → one narrow Arrow parse pass
+    (payloads never shuffle) → media-id equi-join with the span
+    predicate inside it."""
+    from vectra_py_spark.operators.subtitles import (
+        align_cues_to_frames, subtitle_cues_df,
+    )
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    n = d % 3 + 2
+    off = (d % 5) * 100
+
+    def ts_srt(ms: F.Column) -> F.Column:
+        return F.format_string(
+            "00:00:%02d,%03d", (ms / 1000).cast("int"), (ms % 1000).cast("int")
+        )
+
+    def ts_vtt(ms: F.Column) -> F.Column:
+        return F.format_string(
+            "00:%02d.%03d", (ms / 1000).cast("int"), (ms % 1000).cast("int")
+        )
+
+    def cue(i: int) -> F.Column:
+        start = off + 1100 * i
+        end = start + 900
+        srt = F.concat(
+            F.lit(f"{i + 1}\n"), ts_srt(start), F.lit(" --> "),
+            ts_srt(end), F.lit("\nseg "), s, F.lit(f" cue {i}\n\n"),
+        )
+        vtt = F.concat(
+            F.lit(f"cue-{i}\n"), ts_vtt(start), F.lit(" --> "),
+            ts_vtt(end), F.lit(" align:start\n<c>seg "), s,
+            F.lit(f"</c> <00:00:0{i}.000>cue {i}\n\n"),
+        )
+        body = F.when(d % 2 == 0, srt).otherwise(vtt)
+        return F.when(F.lit(i) < n, body).otherwise(F.lit(""))
+
+    header = F.when(
+        d % 2 == 0, F.lit("")
+    ).otherwise(F.lit("WEBVTT\n\nNOTE synthetic\n\n"))
+    subs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _SUB_DOCS)
+        .select(
+            F.concat(F.lit("s"), s).alias("media_id"),
+            F.concat(header, cue(0), cue(1), cue(2), cue(3)).alias("text"),
+        )
+    )
+    frames = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _SUB_DOCS)
+        .select(
+            F.concat(F.lit("s"), s).alias("media_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(_SUB_FRAMES - 1)))
+            .alias("frame_idx"),
+        )
+    )
+    out = align_cues_to_frames(
+        subtitle_cues_df(subs), frames, fps=_SUB_FPS
+    )
+    return out.orderBy("media_id", "cue_idx", "frame_idx")
+
+
+def _sql_subtitle_clips() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id AS did, doc_id % 3 + 2 AS n, (doc_id % 5) * 100 AS off
+  FROM documents WHERE doc_id < {_SUB_DOCS}
+),
+c AS (
+  SELECT did, i AS cue_idx, off + 1100 * i AS start_ms,
+         off + 1100 * i + 900 AS end_ms,
+         'seg ' || CAST(did AS VARCHAR) || ' cue ' || CAST(i AS VARCHAR)
+           AS cue_text
+  FROM d, (SELECT unnest(generate_series(0, 3)) AS i) WHERE i < n
+),
+f AS (SELECT unnest(generate_series(0, {_SUB_FRAMES - 1})) AS frame_idx)
+SELECT 's' || CAST(did AS VARCHAR) AS media_id,
+       CAST(cue_idx AS INT) AS cue_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms,
+       cue_text,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 500 AS BIGINT) AS frame_ms
+FROM c, f
+WHERE frame_idx * 500 >= start_ms AND frame_idx * 500 < end_ms
+ORDER BY media_id, cue_idx, frame_idx
+"""
+
+
+_EVAL_DOCS = 2000
+_EVAL_Q = 20
+_EVAL_K = 10
+
+
+def _eval_runs_qrels(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    qid = F.concat(F.lit("q"), (d % _EVAL_Q).cast("string"))
+    did = F.format_string("d%04d", d)
+    docs = load(spark, sf_dir, "documents").filter(d < _EVAL_DOCS)
+    runs = docs.select(
+        qid.alias("query_id"), did.alias("doc_id"),
+        ((d * 37) % 101).cast("double").alias("score"),
+    )
+    qrels = docs.filter(d % 3 == 0).select(
+        qid.alias("query_id"), did.alias("doc_id"),
+        F.when((F.expr("doc_id DIV 3") % 4) == 0, 2)
+        .when((F.expr("doc_id DIV 3") % 4) == 1, 0)
+        .otherwise(1).alias("rel"),
+    )
+    return runs, qrels
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-evaluation e2e (`operators/evalmetrics.py::
+    retrieval_metrics` — trec_eval/BEIR cut-off metrics): runs and
+    graded qrels are closed forms of doc_id (20 queries × 100
+    candidates, score = (doc_id·37) mod 101 WITH in-query ties, a
+    judged subset with explicit rel-0 negatives), so ranking with the
+    doc-id tie-break, the @k cut, precision/recall/RR's exact-integer
+    divisions, the exponential-gain DCG, the qrels-side ideal DCG,
+    and the drop-unjudged convention are all value-checked against a
+    full SQL replay of the same definitions.
+
+    Plan shape: ONE run-side shuffle (the rank window); the qrels
+    joins broadcast — the run side is the 100-TB side."""
+    from vectra_py_spark.operators.evalmetrics import retrieval_metrics
+
+    runs, qrels = _eval_runs_qrels(spark, sf_dir)
+    return retrieval_metrics(runs, qrels, k=_EVAL_K).orderBy("query_id")
+
+
+def _sql_retrieval_eval() -> str:
+    return f"""
+WITH base AS (
+  SELECT 'q' || CAST(doc_id % {_EVAL_Q} AS VARCHAR) AS query_id,
+         printf('d%04d', doc_id) AS doc_id,
+         CAST((doc_id * 37) % 101 AS DOUBLE) AS score,
+         doc_id AS raw
+  FROM documents WHERE doc_id < {_EVAL_DOCS}
+),
+qrels AS (
+  SELECT query_id, doc_id,
+         CASE (raw // 3) % 4 WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 1 END AS rel
+  FROM base WHERE raw % 3 = 0
+),
+topk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS rank
+    FROM base
+  ) WHERE rank <= {_EVAL_K}
+),
+hit AS (
+  SELECT t.query_id, t.rank, COALESCE(q.rel, 0) AS rel
+  FROM topk t LEFT JOIN qrels q
+    ON t.query_id = q.query_id AND t.doc_id = q.doc_id
+),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rel_at_k,
+         ROUND(SUM((POW(2.0, rel) - 1.0) / LOG2(rank + 1.0)), 6)
+           AS dcg_at_k,
+         MAX(CASE WHEN rel > 0 THEN 1.0 / rank END) AS rr
+  FROM hit GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rel,
+         ROUND(SUM(CASE WHEN irank <= {_EVAL_K}
+                        THEN (POW(2.0, rel) - 1.0) / LOG2(irank + 1.0)
+                        ELSE 0.0 END), 6) AS idcg_at_k
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+           ) AS irank
+    FROM qrels WHERE rel > 0
+  ) GROUP BY query_id
+)
+SELECT p.query_id, i.n_rel, p.rel_at_k,
+       CAST(p.rel_at_k AS DOUBLE) / {float(_EVAL_K)} AS precision_at_k,
+       CAST(p.rel_at_k AS DOUBLE) / CAST(i.n_rel AS DOUBLE) AS recall_at_k,
+       COALESCE(p.rr, 0.0) AS rr_at_k,
+       p.dcg_at_k, i.idcg_at_k,
+       ROUND(p.dcg_at_k / i.idcg_at_k, 6) AS ndcg_at_k
+FROM perq p JOIN ideal i ON p.query_id = i.query_id
+ORDER BY p.query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,

@@ -32,6 +32,7 @@ __all__ = [
     "media_file_stream",
     "stream_media_features",
     "stream_video_fingerprints",
+    "stream_subtitle_cues",
 ]
 
 
@@ -141,6 +142,44 @@ def stream_video_fingerprints(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .queryName("stream_video_fingerprints")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_subtitle_cues(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous subtitle ingest: each micro-batch decodes the
+    binary payloads as UTF-8 (errors='replace' — the U+FFFD
+    quarantine discipline the WARC/WET path uses; subtitle files in
+    the wild carry mojibake constantly) and runs the batch
+    `operators/subtitles.py::parse_cues` scanner, appending
+    (media_id, cue_idx, start_ms, end_ms, cue_text, error) to a
+    parquet sink — the subtitle member of the ingest-twin family,
+    exactly-once per batch id via the checkpoint.
+
+    The sink is `align_cues_to_frames`-shaped: join it against the
+    `stream_video_fingerprints` sink for continuously maintained
+    video-text clip pairs — the full HowTo100M acquisition loop as
+    two drop directories."""
+    from vectra_py_spark.operators.subtitles import subtitle_cues_df
+
+    text = stream_df.select(
+        F.col("media_id"),
+        F.make_valid_utf8(F.col("data").cast("string")).alias("text"),
+    )
+    cues = subtitle_cues_df(text, text_col="text", id_col="media_id")
+    writer = (
+        cues.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("stream_subtitle_cues")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
