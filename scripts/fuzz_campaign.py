@@ -271,9 +271,22 @@ def main() -> None:
         b"<id>i</id></entry></feed>"
     ), [parse_feed])
 
+    # round-11: the subtitle block scanner is total over text (never
+    # raises for any str) — ANY exception on decoded bytes is an escape
+    from vectra_py_spark.operators.subtitles import parse_cues
+
+    drive("subtitles_srt", (
+        b"1\n00:00:01,000 --> 00:00:02,500\nfirst cue line\n\n"
+        b"2\n00:00:03,000 --> 00:00:04,000\nsecond\nwrapped\n"
+    ), [_txt(parse_cues)])
+    drive("subtitles_vtt", (
+        b"WEBVTT\n\nNOTE c\n\ncue-1\n00:01.000 --> 00:02.000 align:start\n"
+        b"<c>tagged</c> <00:00:01.500>karaoke text\n"
+    ), [_txt(parse_cues)])
+
     print(json.dumps({
         "mutations_per_target": n,
-        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9 + 3 + 2,
+        "targets": 10 + len(_pdf_flavors()) + 9 + 4 + 9 + 3 + 2 + 2,
         "total_calls": checked,
         "wall_s": round(time.time() - t0, 1),
         "escapes": escapes[:50],

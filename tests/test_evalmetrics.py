@@ -108,3 +108,42 @@ def test_plan_broadcasts_qrels(spark):
     )
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.slow  # 6 ANN collects — full-suite tier
+def test_engine_grades_its_own_ann(spark):
+    """The composition the module exists for: the engine's own ANN
+    (ivf_topk) evaluated against its own exact search (cosine_topk)
+    as qrels, through retrieval_metrics — recall@k here IS the number
+    scripts/ann_recall.py reports, now as one DataFrame op."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.operators import similarity as sim
+    from vectra_py_spark.plans.entry_queries import (
+        load, seeded_query_vector,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    k, runs, qrels, manual_hits = 10, [], [], 0
+    for s in range(3):
+        q = seeded_query_vector(64, seed=500 + s)
+        ann = {
+            r.vec_id: r.score
+            for r in sim.ivf_topk(emb, q, k=k, extra_cols=()).collect()
+        }
+        exact = [
+            r.vec_id for r in sim.cosine_topk(emb, q, k=k).collect()
+        ]
+        manual_hits += len(set(ann) & set(exact))
+        runs += [(f"q{s}", str(v), float(sc)) for v, sc in ann.items()]
+        qrels += [(f"q{s}", str(v), 1) for v in exact]
+    per_q = retrieval_metrics(
+        spark.createDataFrame(runs, ["query_id", "doc_id", "score"]),
+        spark.createDataFrame(qrels, ["query_id", "doc_id", "rel"]),
+        k=k,
+    )
+    (s_row,) = retrieval_summary(per_q).collect()
+    assert s_row.n_queries == 3
+    assert s_row.mean_recall == pytest.approx(manual_hits / (3 * k))
+    assert 0.0 <= s_row.mean_ndcg <= 1.0
+    emb.unpersist()
