@@ -204,3 +204,36 @@ def test_cli_index_required_for_index_verbs(spark, capsys):
     assert main(["stats"]) == 2
     err = capsys.readouterr().err
     assert "--index is required" in err
+
+
+def test_cli_mine_pairs_verb(spark, capsys, tmp_path):
+    """mine-pairs over an HTML folder: captions mined, duplicates
+    collapsed in the deduped table, relative srcs resolved against
+    the page's own file URL, parquet written when --out is given."""
+    site = tmp_path / "site"
+    site.mkdir()
+    block = '<img src="shared.png" alt="the same caption on two pages">'
+    (site / "a.html").write_text(
+        f"<html><body>{block}"
+        '<img src="https://cdn.example/x.jpg" alt="unique caption A">'
+        "</body></html>"
+    )
+    (site / "b.html").write_text(f"<html><body>{block}</body></html>")
+    (site / "junk.html").write_text("<html><body>no images</body></html>")
+    out_dir = tmp_path / "pairs"
+
+    out = run(
+        capsys,
+        "mine-pairs", "--path", str(site), "--out", str(out_dir),
+    )[-1]
+    assert out["pairs_mined"] == 3
+    assert out["pairs_unique"] == 2
+    got = spark.read.parquet(str(out_dir)).collect()
+    by_cap = {r.caption: r for r in got}
+    assert by_cap["the same caption on two pages"].n_pages == 2
+    # relative srcs resolved against the page's own directory —
+    # except the SAME filename on two pages: both resolve to one URL
+    assert by_cap["the same caption on two pages"].image_url.endswith(
+        "/site/shared.png"
+    )
+    assert by_cap["unique caption A"].image_url == "https://cdn.example/x.jpg"

@@ -54,6 +54,16 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="aligned-hash threshold for audio copies")
     dm.add_argument("--min-aligned", type=int, default=3,
                     help="aligned-frame threshold for video copies")
+    mp = sub.add_parser(
+        "mine-pairs",
+        help="scan a folder of HTML pages, mine (image_url, caption) "
+        "training pairs from img alt text (the LAION recipe) and "
+        "report/write the deduplicated pair table",
+    )
+    mp.add_argument("--path", required=True, help="HTML folder")
+    mp.add_argument("--out", help="parquet path for the deduped pairs")
+    mp.add_argument("--min-alt-chars", type=int, default=5)
+    mp.add_argument("--max-alt-chars", type=int, default=1000)
     sub.add_parser("delete", help="delete the index contents")
     sub.add_parser("stats", help="print catalog stats")
 
@@ -153,10 +163,10 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     args = _build_parser().parse_args(argv)
-    # dedup-media never touches the document index — don't force a
-    # meaningless --index path for a pure folder scan (ADVICE r10);
-    # every other verb still requires it, validated up front.
-    if args.verb != "dedup-media" and not args.index:
+    # dedup-media / mine-pairs never touch the document index — don't
+    # force a meaningless --index path for a pure folder scan (ADVICE
+    # r10); every other verb still requires it, validated up front.
+    if args.verb not in ("dedup-media", "mine-pairs") and not args.index:
         print(
             f"error: --index is required for verb {args.verb!r}",
             file=sys.stderr,
@@ -303,6 +313,49 @@ def main(argv: list[str] | None = None) -> int:
             "audio_copy_pairs": int(audio_pairs),
             "videos_fingerprinted": int(n_videos),
             "video_copy_pairs": int(video_pairs),
+        }, sort_keys=True))
+    elif args.verb == "mine-pairs":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.pairs import (
+            dedup_image_text_pairs, image_text_pairs_df,
+        )
+        from vectra_py_spark.session import spread
+
+        pages = spread(
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(args.path)
+            .select(
+                # binaryFile reports file:/x single-slash URIs; give
+                # them a host so the resolver's origin/base forms work
+                F.regexp_replace(
+                    F.col("path"), "^file:/+", "file://localhost/"
+                ).alias("url"),
+                F.make_valid_utf8(
+                    F.col("content").cast("string")
+                ).alias("text"),
+            )
+        )
+        pairs = image_text_pairs_df(
+            pages,
+            min_alt_chars=args.min_alt_chars,
+            max_alt_chars=args.max_alt_chars,
+        )
+        deduped = dedup_image_text_pairs(pairs).persist()
+        try:
+            n_unique = deduped.count()
+            n_pairs = (
+                deduped.select(F.sum("n_pages")).collect()[0][0] or 0
+            )
+            if args.out:
+                deduped.write.mode("overwrite").parquet(args.out)
+        finally:
+            deduped.unpersist()
+        print(json.dumps({
+            "pairs_mined": int(n_pairs),
+            "pairs_unique": int(n_unique),
+            "out": args.out,
         }, sort_keys=True))
     elif args.verb == "remove":
         idx.delete_document(args.uri)
