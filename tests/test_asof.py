@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from vectra_py_spark.operators.asof import asof_join, range_join_bucketed
 
 
@@ -11,6 +13,7 @@ def _rows(spark, data, schema):
     return spark.createDataFrame(data, schema)
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_asof_join_picks_latest_at_or_before(spark):
     left = _rows(
         spark,

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from vectra_py_spark.sources.bucketed import read_table, write_bucketed
 
+pytestmark = pytest.mark.slow  # bucketed-table writes per test — full-suite tier
+
 
 @pytest.fixture()
 def bucketed_pair(spark):

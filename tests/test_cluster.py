@@ -2,7 +2,10 @@
 (`vectra_py_spark.operators.cluster`) — cross-engine parity is covered
 by `test_entry_oracle.py` (neardup_clusters entry)."""
 
+
 from __future__ import annotations
+
+import pytest
 
 from vectra_py_spark.operators.cluster import (
     connected_components,
@@ -10,6 +13,7 @@ from vectra_py_spark.operators.cluster import (
 )
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_connected_components_chain_triangle_pair(spark):
     # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     edges = spark.createDataFrame(
@@ -22,6 +26,7 @@ def test_connected_components_chain_triangle_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_connected_components_max_iter_bounds_work(spark):
     # a 6-node path needs ~5 propagation rounds; max_iter=2 must still
     # return a labelling (possibly unconverged) without error
@@ -55,6 +60,7 @@ def test_neardup_clusters_survivor_longest_then_smallest_id(spark):
     assert r["survivor_id"] == 3  # longest text wins
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_leakage_safe_split_keeps_clusters_together(spark):
     from vectra_py_spark.operators.cluster import leakage_safe_split
 
@@ -77,6 +83,7 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert out[10].cluster_id == 10 and out[20].cluster_id == 20
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_neardup_weights_cluster_atomic(spark):
     from vectra_py_spark.operators.cluster import neardup_weights
 

@@ -299,6 +299,7 @@ def test_ivfpq_probes_and_ranks(spark):
 # ---------------------------------------------------------------------------
 # Curation funnel
 # ---------------------------------------------------------------------------
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_curation_funnel_stage_counts(spark):
     good = _good_doc()
     neardup = good.replace("word10", "word99").replace("word20", "word88")
@@ -373,6 +374,7 @@ def test_dup_rate_by_source(spark):
     assert out["b"].dup_rate == 0.0
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_gopher_quality_runs_unchanged_on_a_stream(spark, tmp_path):
     """The curation filters are pure projections, so the SAME operator
     works on a readStream frame with zero changes — batch/stream
@@ -501,6 +503,7 @@ def test_encoding_report_flags_planted_artifacts(spark):
     assert got["b"].n_flagged == 1
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_encoding_report_cross_engine_parity_on_planted(spark, tmp_path):
     """The regex classes must count identically under Java regex
     (Spark) and RE2 (DuckDB) — the fixture corpus is clean, so the
@@ -526,6 +529,7 @@ def test_encoding_report_cross_engine_parity_on_planted(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_content_checksum_null_cells_cross_engine(spark, tmp_path):
     """NULL cells must hash identically on both engines (concat_ws
     skips NULLs; the sentinel restores parity) and differ from ''."""

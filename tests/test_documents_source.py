@@ -84,6 +84,7 @@ def test_read_documents_mixed_folder(spark):
     assert docs["f.txt"].doc_type == "txt"
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_folder_to_index_e2e(spark):
     """The one-call path a user actually runs: folder → read_documents
     → upsert_documents_df → retrieval sees the content."""

@@ -228,6 +228,7 @@ def prop_rows(spark):
 
 @settings(max_examples=60, deadline=None)
 @given(flt=_filter)
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_property_compiled_matches_python(prop_rows, flt):
     rows, df = prop_rows
     expected = {r["id"] for r in rows if _py_eval(flt, r)}

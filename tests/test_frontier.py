@@ -2,6 +2,8 @@
 canonical dedup → crawled anti-join → robots filter → pagerank
 priority → per-host cap, end to end on synthetic pages."""
 
+import pytest
+
 from vectra_py_spark.operators.linkgraph import (
     crawl_frontier,
     host_graph,
@@ -34,6 +36,7 @@ def _pages(spark):
     return spark.createDataFrame(rows, ["url", "text"])
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_crawl_frontier_full_composition(spark):
     pages = _pages(spark)
     crawled = spark.createDataFrame(

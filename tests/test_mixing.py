@@ -4,6 +4,8 @@ by `test_entry_oracle.py` (epoch_mix entry)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from vectra_py_spark.operators.mixing import _SALT, epoch_mix
@@ -78,6 +80,7 @@ def test_temperature_mix_rebalances_toward_small_strata(spark):
     assert abs(sum(got.values()) - 1000) <= 60
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_temperature_mix_is_deterministic(spark):
     from vectra_py_spark.operators.mixing import temperature_mix
 
@@ -120,6 +123,7 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert out == out2
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_curriculum_order_positions(spark):
     """Positions are a dense permutation 0..N-1, bins are ordered
     easy-first, and the layout is rerun-deterministic."""

@@ -22,11 +22,13 @@ from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _sql_retrieval_eval,
     _sql_subtitle_clips,
     _sql_video_neardup,
+    _sql_webdataset_roundtrip,
     q_bitext_shards,
     q_image_text_pairs,
     q_retrieval_eval,
     q_subtitle_clips,
     q_video_neardup,
+    q_webdataset_roundtrip,
 )
 
 pytestmark = pytest.mark.slow  # excluded from the smoke tier
@@ -39,6 +41,7 @@ PRESTAGED = [
     (q_image_text_pairs, _sql_image_text_pairs),
     (q_subtitle_clips, _sql_subtitle_clips),
     (q_retrieval_eval, _sql_retrieval_eval),
+    (q_webdataset_roundtrip, _sql_webdataset_roundtrip),
 ]
 
 

@@ -119,6 +119,7 @@ def test_probe_media_dataframe_quarantine(spark):
     assert got["jpeg"].n_bytes == len(cases["jpeg"])
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_triage_media_filters_before_decode(spark):
     """Probe-before-decode (VERDICT r7 item 5): triage_media keeps
     only probe-clean rows inside the bounds, passes the original

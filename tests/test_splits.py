@@ -10,6 +10,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from vectra_py_spark.operators import splits as sp
+import pytest
 
 
 def _py_bucket(i) -> int:
@@ -123,6 +124,7 @@ def test_bloom_decontaminate_matches_exact_and_prunes(spark):
     assert bloom == exact and len(bloom) > 0
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_bloom_membership_has_no_false_negatives(spark):
     # every eval shingle must pass its own bitmap (Bloom guarantee);
     # a disjoint probe set should be mostly rejected (prefilter prunes)

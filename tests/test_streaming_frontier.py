@@ -9,6 +9,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from vectra_py_spark.streaming.frontier import stream_frontier
+import pytest
 
 
 def _write_pages(spark, path, rows):
@@ -25,6 +26,7 @@ def _stream(spark, path):
     )
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_stream_frontier_two_waves(spark):
     src = os.path.join(tempfile.mkdtemp(), "pages")
     seen = os.path.join(tempfile.mkdtemp(), "seen")

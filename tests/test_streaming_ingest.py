@@ -30,6 +30,7 @@ def _drop_file(drop_dir: str, name: str, items: list[dict]) -> None:
     p.write_text("\n".join(json.dumps(i) for i in items))
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_merge_batch_bulk_upsert_and_checks(spark):
     base = tempfile.mkdtemp()
     idx = SparkVectorIndex(spark, f"{base}/idx", vector_dim=2)
@@ -61,6 +62,7 @@ def test_merge_batch_bulk_upsert_and_checks(spark):
         )
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_stream_upsert_drains_drop_dir_incrementally(spark):
     base = tempfile.mkdtemp()
     drop, ckpt = f"{base}/drop", f"{base}/ckpt"
@@ -93,6 +95,7 @@ def test_stream_upsert_drains_drop_dir_incrementally(spark):
     assert top[0]["id"] == "a"
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_stream_bm25_index_matches_batch_build(spark, tmp_path):
     """Two drained streaming drops build the same servable index as a
     one-shot batch build over the union; draining again with no new

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vectra_py_spark.streaming.joins import streaming_interval_join
+import pytest
 
 SCHEMA = T.StructType(
     [
@@ -40,6 +41,7 @@ def _write(dirname: str, name: str, rows: list[tuple[int, int, float]]) -> None:
     )
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_streaming_interval_join_matches_batch(spark):
     base = tempfile.mkdtemp()
     ldir, rdir, out = f"{base}/l", f"{base}/r", f"{base}/out"

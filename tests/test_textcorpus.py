@@ -1,6 +1,8 @@
 """JSONL/CSV corpus source tests: schema discipline, corrupt-record
 quarantine, round-trip, and compressed multi-shard reads."""
 
+import pytest
+
 import gzip
 import json
 
@@ -96,6 +98,7 @@ def test_blank_lines_skipped_and_parse_is_narrow(spark, tmp_path):
     assert "Python" not in plan
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_jsonl_dump_to_retrieval_end_to_end(spark, tmp_path):
     """The full bulk path: JSONL dump → quarantine split → DataFrame
     bulk ingest → vector retrieval, nothing driver-side in between."""

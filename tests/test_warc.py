@@ -235,6 +235,7 @@ def test_warc_documents_honors_declared_charset(spark):
     assert "�" in got["http://ex.org/bogus"]  # utf-8 fallback, visible
 
 
+@pytest.mark.slow  # heavyweight e2e/equivalence — full-suite tier
 def test_warc_documents_glue_and_index_ingest(spark):
     """The crawl→corpus glue: response records become (uri, text,
     doc_type) rows and flow into SparkDocumentIndex.upsert_documents_df
