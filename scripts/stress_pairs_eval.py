@@ -141,6 +141,21 @@ def run_scale(spark, scale: int) -> dict:
     out["eval_summary_s"], _ = timed(
         lambda: retrieval_summary(per_q).collect() and 1
     )
+
+    from vectra_py_spark.operators.webdataset import to_webdataset_shards
+
+    samples = spark.range(40_000 * scale).select(
+        F.format_string("s%08d", d).alias("key"),
+        F.encode(F.repeat(F.lit("x"), (d % 200 + 40).cast("int")), "utf-8")
+        .alias("image"),
+        F.concat(F.lit("caption for sample "), d.cast("string"))
+        .alias("caption"),
+    )
+    wds = to_webdataset_shards(
+        samples, {"jpg": "image", "txt": "caption"},
+        n_shards=64 * scale,
+    )
+    out["wds_s"], out["wds_n"] = timed(lambda: wds.count())
     return out
 
 

@@ -6141,6 +6141,65 @@ ORDER BY p.query_id
 """
 
 
+_WDS_DOCS = 200
+_WDS_SHARDS = 4
+
+
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard pack→read round trip (`operators/
+    webdataset.py::to_webdataset_shards` — the Aizman et al. 2019
+    training-shard TAR layout LAION/img2dataset ship — composed with
+    `sources/warc.py::explode_archives_df`, this repo's own archive
+    reader): per doc, a sample with a closed-form binary part
+    (doc_id%7+1 bytes) and a closed-form caption; pack into 4 shards
+    (ONE applyInPandas per shard, canonical USTAR bytes), then walk
+    the TARs back to members and report (member, n_bytes). The oracle
+    reconstructs both member names and sizes from doc_id arithmetic,
+    so the tar writer, the sample adjacency/ordering, the
+    deterministic hash sharding (every sample back exactly once), and
+    the member walk are all value-checked cross-engine.
+
+    Plan shape: one shuffle (the shard key) into per-shard pandas
+    builds; the member walk is a narrow Arrow pass."""
+    from vectra_py_spark.operators.webdataset import to_webdataset_shards
+    from vectra_py_spark.sources.warc import explode_archives_df
+
+    d = F.col("doc_id")
+    samples = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _WDS_DOCS)
+        .select(
+            F.format_string("s%04d", d).alias("key"),
+            F.encode(F.repeat(F.lit("x"), (d % 7 + 1).cast("int")), "utf-8")
+            .alias("image"),
+            F.concat(F.lit("caption "), d.cast("string")).alias("caption"),
+        )
+    )
+    shards = to_webdataset_shards(
+        samples, {"jpg": "image", "txt": "caption"},
+        n_shards=_WDS_SHARDS, key_col="key",
+    )
+    members = explode_archives_df(
+        shards.select(
+            F.format_string("shard-%05d.tar", F.col("shard")).alias("path"),
+            F.col("payload").alias("content"),
+        )
+    )
+    return members.select("member", "n_bytes").orderBy("member")
+
+
+def _sql_webdataset_roundtrip() -> str:
+    return f"""
+SELECT printf('s%04d', doc_id) || '.' || p.ext AS member,
+       CAST(CASE p.ext WHEN 'jpg' THEN doc_id % 7 + 1
+            ELSE 8 + LENGTH(CAST(doc_id AS VARCHAR)) END AS BIGINT)
+         AS n_bytes
+FROM documents, (SELECT 'jpg' AS ext UNION ALL SELECT 'txt') p
+WHERE doc_id < {_WDS_DOCS}
+ORDER BY member
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
