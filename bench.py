@@ -5,9 +5,21 @@
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
 The per-query timing includes plan build + execution + collect (the full
-user-visible latency). A JVM/Catalyst warm-up query runs first so we
-measure the engine, not JIT warm-up — matching how a long-lived
-cluster-deployed session would behave.
+user-visible latency). Two disciplines keep the artifact comparable
+across rounds (VERDICT r11 item 1 — the r10/r11 artifacts manufactured
+fake per-query movers because timing order followed the driver-window
+rotation, so whichever query rotated to the front of a fresh session
+paid the JVM/codegen/first-shuffle setup for everyone):
+
+1. **Fixed canonical order** — queries are timed sorted by name, fully
+   decoupled from ``_CHECK_FIRST``'s per-round rotation, so position in
+   the suite is a constant of the query, not of the round.
+2. **Per-query untimed warm-up** — each query executes once untimed
+   immediately before its timed run (the ``bench_isolate.py``
+   discipline that pinned ``neardup_weights`` at 2.95–3.29 s while the
+   suite-position-3 cold number read 7.9 s on identical code). The
+   timed number is therefore the steady-state wall a long-lived
+   cluster session pays, and matches the isolate pin within noise.
 """
 
 from __future__ import annotations
@@ -137,8 +149,15 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).collect()
     index_prebuild_s = round(time.perf_counter() - t0, 4)
 
+    # Fixed canonical order + per-query warm-up (see module docstring).
+    # The warm-up run is untimed; the timed run immediately follows it,
+    # so every per-query wall is a steady-state number comparable to
+    # its bench_isolate pin and to every other round's artifact
+    # regardless of how the driver-window rotation reordered QUERIES.
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        fn(spark, sf_dir).collect()  # untimed warm-up
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -156,10 +175,17 @@ def main() -> None:
             "serving query"
         ),
     }
+    timing_note = (
+        "r12+: fixed canonical (name-sorted) order + one untimed "
+        "warm-up per query — steady-state walls, comparable to "
+        "bench_isolate pins; totals are NOT directly comparable to "
+        "the r<=11 cold-suite artifacts"
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": timing_note,
         "queries": timings,
         "sf": sf,
         "bench_warm": warm,
@@ -186,6 +212,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "timing": timing_note,
         "n_queries": len(timings),
         "queries": slowest,
         "queries_note": "slowest 20 of %d; full map in BENCH_LATEST.json"

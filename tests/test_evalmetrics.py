@@ -147,3 +147,23 @@ def test_engine_grades_its_own_ann(spark):
     assert s_row.mean_recall == pytest.approx(manual_hits / (3 * k))
     assert 0.0 <= s_row.mean_ndcg <= 1.0
     emb.unpersist()
+
+
+def test_duplicate_qrels_collapse_to_max_grade(spark):
+    """trec_eval rejects duplicate (query, doc) judgments; here they
+    collapse to the MAX grade instead of fanning out the run join and
+    double-counting (ADVICE r11: precision_at_k could exceed 1.0)."""
+    runs, qrels = _frames(spark)
+    dup = qrels.union(
+        spark.createDataFrame(
+            [("q1", "d1", 1), ("q1", "d2", 1), ("q3", "d7", 1)],
+            ["query_id", "doc_id", "rel"],
+        )
+    )
+    base = {r.query_id: r for r in retrieval_metrics(runs, qrels).collect()}
+    got = {r.query_id: r for r in retrieval_metrics(runs, dup).collect()}
+    # ("q1","d1") keeps its max grade 2; all metrics identical
+    assert got.keys() == base.keys()
+    for qid in base:
+        assert got[qid] == base[qid], qid
+    assert all(r.precision_at_k <= 1.0 for r in got.values())

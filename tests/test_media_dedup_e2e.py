@@ -1,6 +1,7 @@
-"""Corpus-level media-dedup e2e (VERDICT r10 item 4): one pipeline run
-over a mixed 10×-scale folder — probe-triage → perceptual image
-near-dup → audio copy detection → quarantine — asserting the
+"""Corpus-level media-dedup e2e (VERDICT r10 item 4; video lane added
+per VERDICT r11 item 5): one pipeline run over a mixed 10×-scale
+folder — probe-triage → perceptual image near-dup → audio copy
+detection → video copy detection → quarantine — asserting the
 BYTES-TOUCHED bound the same way the crawl e2e does for CDX selective
 reads: the triage stage is the only stage that reads every payload;
 each decoder lane receives EXACTLY its own modality's bytes, and junk
@@ -24,11 +25,15 @@ pytestmark = pytest.mark.slow  # excluded from the smoke tier
 SR = 8000
 
 # 10× the unit-test corpora: 40 images in 10 planted clusters + junk +
-# audio with planted trimmed copies — ~100 files total.
+# audio with planted trimmed copies + AVI-MJPEG videos with planted
+# trim/re-encode copies — ~120 files total.
 N_IMG_BASES = 10
 N_IMAGES = 40          # 10 bases × 4 members (3 noisy copies each)
 N_CLIP_BASES = 5
 N_CLIPS = 20           # 5 bases × 4 members (3 hop-aligned trims each)
+N_VID_BASES = 4
+N_VIDEOS = 12          # 4 bases × 3 members (orig + trim + re-encode)
+N_VID_FRAMES = 10
 N_JUNK = 40
 
 
@@ -76,6 +81,42 @@ def _clips():
     return rows
 
 
+def _videos():
+    """AVI-MJPEG clips: per base, an original, a 3-frame head trim
+    (offset alignment must report +3), and a quality-60 re-encode
+    (offset 0) — the copy shapes a single first-frame pHash misses."""
+    from vectra_py_spark.operators.avi import encode_avi_mjpeg
+    from vectra_py_spark.operators.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+
+    def frame(base, i):
+        rng = np.random.default_rng(70_000 + 1000 * base + i)
+        img = np.zeros((32, 32))
+        for _ in range(4):
+            cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+            amp, sig = rng.uniform(60, 140), rng.uniform(3, 8)
+            img += amp * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2)
+            )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def clip(base, trim=0, quality=85):
+        jpegs = [
+            encode_jpeg(frame(base, i), quality=quality)
+            for i in range(trim, N_VID_FRAMES)
+        ]
+        return encode_avi_mjpeg(jpegs, 32, 32)
+
+    rows = []
+    for b in range(N_VID_BASES):
+        rows.append((f"vid{b:02d}_orig", clip(b)))
+        rows.append((f"vid{b:02d}_trim", clip(b, trim=3)))
+        rows.append((f"vid{b:02d}_requal", clip(b, quality=60)))
+    assert len(rows) == N_VIDEOS
+    return rows
+
+
 def _junk():
     rng = np.random.default_rng(99_000)
     # junk sized like real crawl debris (~8 KB each) so the fractional
@@ -99,15 +140,21 @@ def test_media_dedup_corpus_e2e(spark):
         phash_neardup_pairs,
     )
     from vectra_py_spark.operators.probe import triage_media
+    from vectra_py_spark.operators.videohash import (
+        video_match_pairs,
+        video_phash_df,
+    )
 
     img_rows, clip_rows, junk_rows = _images(), _clips(), _junk()
+    vid_rows = _videos()
     img_bytes = sum(len(p) for _, p in img_rows)
     clip_bytes = sum(len(p) for _, p in clip_rows)
+    vid_bytes = sum(len(p) for _, p in vid_rows)
     junk_bytes = sum(len(p) for _, p in junk_rows)
-    total_bytes = img_bytes + clip_bytes + junk_bytes
+    total_bytes = img_bytes + clip_bytes + vid_bytes + junk_bytes
 
     corpus = spark.createDataFrame(
-        img_rows + clip_rows + junk_rows, ["media_id", "data"]
+        img_rows + clip_rows + vid_rows + junk_rows, ["media_id", "data"]
     ).selectExpr(
         "media_id", "'media' AS modality", "data",
         "CAST(map() AS MAP<STRING,STRING>) AS meta",
@@ -117,12 +164,16 @@ def test_media_dedup_corpus_e2e(spark):
         #    mapInPandas splits the lanes from container headers alone.
         img_lane = triage_media(corpus, kinds={"ppm"}).persist()
         audio_lane = triage_media(corpus, kinds={"wav"}).persist()
+        video_lane = triage_media(corpus, kinds={"avi"}).persist()
         try:
             img_seen = {
                 r.media_id: r.n_bytes for r in img_lane.collect()
             }
             audio_seen = {
                 r.media_id: r.n_bytes for r in audio_lane.collect()
+            }
+            video_seen = {
+                r.media_id: r.n_bytes for r in video_lane.collect()
             }
 
             # BYTES-TOUCHED BOUND: each decoder lane receives exactly
@@ -133,9 +184,15 @@ def test_media_dedup_corpus_e2e(spark):
             assert sum(img_seen.values()) == img_bytes
             assert set(audio_seen) == {mid for mid, _ in clip_rows}
             assert sum(audio_seen.values()) == clip_bytes
-            decoded_bytes = sum(img_seen.values()) + sum(audio_seen.values())
-            assert decoded_bytes < 0.75 * total_bytes  # junk quarantined
-            assert decoded_bytes == img_bytes + clip_bytes  # and exactly
+            assert set(video_seen) == {mid for mid, _ in vid_rows}
+            assert sum(video_seen.values()) == vid_bytes
+            decoded_bytes = (
+                sum(img_seen.values())
+                + sum(audio_seen.values())
+                + sum(video_seen.values())
+            )
+            assert decoded_bytes < 0.9 * total_bytes  # junk quarantined
+            assert decoded_bytes == img_bytes + clip_bytes + vid_bytes
 
             # 2) IMAGE NEAR-DUP: pHash + banded Hamming join. Every
             #    planted cluster collapses (4 members → C(4,2)=6 pairs,
@@ -187,8 +244,39 @@ def test_media_dedup_corpus_e2e(spark):
             copies = {m for m in base_of if int(m[4:]) >= N_CLIP_BASES}
             assert copies <= matched
 
-            # 4) QUARANTINE accounting: triage dropped exactly the junk.
-            kept = set(img_seen) | set(audio_seen)
+            # 4) VIDEO COPY DETECTION: per-frame pHash + temporal
+            #    offset alignment on the planted trim/re-encode copies
+            #    (the copy shapes a single first-frame pHash misses).
+            vh = video_phash_df(
+                video_lane.select("media_id", "data")
+            ).persist()
+            try:
+                assert vh.filter("error IS NOT NULL").count() == 0
+                vpairs = video_match_pairs(
+                    vh, radius=7, min_aligned=3
+                ).collect()
+            finally:
+                vh.unpersist()
+            vgot = {
+                (p.id_a, p.id_b): (p.offset, p.n_aligned) for p in vpairs
+            }
+            assert len(vgot) == len(vpairs)  # one best offset per pair
+            # no cross-base pair; every planted copy pairs with its orig
+            # at the planted offset
+            assert all(
+                a.split("_")[0] == b.split("_")[0] for a, b in vgot
+            )
+            for b in range(N_VID_BASES):
+                off, n = vgot[(f"vid{b:02d}_orig", f"vid{b:02d}_trim")]
+                assert off == 3 and n >= N_VID_FRAMES - 3 - 1
+                off, n = vgot[(f"vid{b:02d}_orig", f"vid{b:02d}_requal")]
+                # quality-60 re-encode drifts a few frame hashes past
+                # the radius — majority alignment at offset 0 is the
+                # dedup criterion
+                assert off == 0 and n >= N_VID_FRAMES // 2
+
+            # 5) QUARANTINE accounting: triage dropped exactly the junk.
+            kept = set(img_seen) | set(audio_seen) | set(video_seen)
             dropped = {
                 r.media_id for r in corpus.select("media_id").collect()
             } - kept
@@ -196,5 +284,6 @@ def test_media_dedup_corpus_e2e(spark):
         finally:
             img_lane.unpersist()
             audio_lane.unpersist()
+            video_lane.unpersist()
     finally:
         corpus.unpersist()

@@ -1,10 +1,12 @@
-"""Pre-staged round-12 registry entries, validated through the
+"""Pre-staged round-13 registry entries, validated through the
 driver's exact compare harness BEFORE they enter the window — so the
-round-12 rotation adds them with evidence already in hand (the
-discipline that staged r10's four crawl entries in r9 and r11's eleven
-in r10; see COVERAGE.md's budget policy). The eleven round-11 entries
-GRADUATED into the registry this round and are now swept by
-tests/test_entry_oracle.py like every registered query."""
+round-13 rotation adds them with evidence already in hand (the
+discipline that staged r11's eleven entries in r10 and r12's six in
+r11; see COVERAGE.md's budget policy). The six round-12 entries
+(video_neardup, bitext_shards, image_text_pairs, subtitle_clips,
+retrieval_eval, webdataset_roundtrip) GRADUATED into the registry this
+round and are now swept by tests/test_entry_oracle.py like every
+registered query."""
 
 import sys
 from pathlib import Path
@@ -17,32 +19,14 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
-    _sql_bitext_shards,
-    _sql_image_text_pairs,
-    _sql_retrieval_eval,
-    _sql_subtitle_clips,
-    _sql_video_neardup,
-    _sql_webdataset_roundtrip,
-    q_bitext_shards,
-    q_image_text_pairs,
-    q_retrieval_eval,
-    q_subtitle_clips,
-    q_video_neardup,
-    q_webdataset_roundtrip,
 )
 
 pytestmark = pytest.mark.slow  # excluded from the smoke tier
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
-PRESTAGED = [
-    (q_video_neardup, _sql_video_neardup),
-    (q_bitext_shards, _sql_bitext_shards),
-    (q_image_text_pairs, _sql_image_text_pairs),
-    (q_subtitle_clips, _sql_subtitle_clips),
-    (q_retrieval_eval, _sql_retrieval_eval),
-    (q_webdataset_roundtrip, _sql_webdataset_roundtrip),
-]
+# (query_fn, oracle_sql_fn) pairs staged for the round-13 window.
+PRESTAGED: list = []
 
 
 @pytest.mark.parametrize(

@@ -190,3 +190,19 @@ def test_align_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_align_id_col_applies_to_both_sides(spark):
+    """id_col renames the media id on the CUES side too (ADVICE r11:
+    it used to bind frames only), and a cue table without an `error`
+    column participates whole."""
+    cues = spark.createDataFrame(
+        [("v", 0, 1000, 2000, "hello")],
+        ["clip", "cue_idx", "start_ms", "end_ms", "cue_text"],
+    )
+    frames = spark.createDataFrame(
+        [("v", i) for i in range(8)], ["clip", "frame_idx"]
+    )
+    out = align_cues_to_frames(cues, frames, fps=2.0, id_col="clip")
+    got = {r.frame_ms for r in out.collect()}
+    assert got == {1000, 1500}

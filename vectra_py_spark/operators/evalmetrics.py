@@ -70,7 +70,10 @@ def retrieval_metrics(
     score DESC with doc-id ASC tie-break, the deterministic total
     order every ranked operator in this repo uses. ``qrels``: (query,
     doc, graded rel ≥ 0); rel 0 rows are explicit negatives and count
-    toward nothing.
+    toward nothing. Duplicate judgments per (query, doc) — which
+    trec_eval rejects outright — are collapsed to their MAX grade
+    here, so they cannot fan out the run join and double-count
+    rel_at_k/DCG (precision_at_k stays ≤ 1 by construction).
     """
     q = F.col(query_col)
     rank_w = Window.partitionBy(query_col).orderBy(
@@ -81,9 +84,16 @@ def retrieval_metrics(
         .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
     )
-    j = qrels.select(
-        q.alias("_q"), F.col(doc_col).alias("_d"),
-        F.col(rel_col).cast("int").alias("rel"),
+    j = (
+        qrels.select(
+            q.alias("_q"), F.col(doc_col).alias("_d"),
+            F.col(rel_col).cast("int").alias("rel"),
+        )
+        # one judgment per (query, doc): duplicate qrels would fan out
+        # the left join below (ADVICE r11) — max grade wins, matching
+        # the "most informed judgment" convention
+        .groupBy("_q", "_d")
+        .agg(F.max("rel").alias("rel"))
     )
     hit = ranked.join(
         F.broadcast(j),

@@ -166,9 +166,18 @@ def align_cues_to_frames(
     on the media id with the span predicate evaluated inside it —
     both inputs already carry the id, so this is ONE shuffle on the
     key both tables are naturally partitioned by, never a range scan.
+
+    ``id_col`` names the media id on BOTH sides (ADVICE r11 — it used
+    to apply to frames only). ``cues`` needs (id_col, cue_idx,
+    start_ms, end_ms, cue_text); if it also carries an ``error``
+    column (``subtitle_cues_df`` output does), errored parses are
+    dropped before the join, otherwise all rows participate.
     """
-    c = cues.where(F.col("error").isNull()).select(
-        F.col("media_id").alias("_cid"),
+    c = cues
+    if "error" in cues.columns:
+        c = c.where(F.col("error").isNull())
+    c = c.select(
+        F.col(id_col).cast("string").alias("_cid"),
         "cue_idx", "start_ms", "end_ms", "cue_text",
     )
     fr = frames.select(

@@ -6373,6 +6373,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_neardup": q_image_neardup,
     "audio_neardup": q_audio_neardup,
     "fetch_schedule": q_fetch_schedule,
+    # round-12 registrations — all pre-staged + harness-validated at
+    # both SFs in round 11 (tests/test_prestaged_oracle.py), so exempt
+    # from the unstaged ≤2-new-entry cap (COVERAGE.md budget policy);
+    # each is paired with a subsumption retirement below (the r11
+    # pairing policy): 6 in, 3 out → registry 175.
+    "video_neardup": q_video_neardup,
+    "bitext_shards": q_bitext_shards,
+    "image_text_pairs": q_image_text_pairs,
+    "subtitle_clips": q_subtitle_clips,
+    "retrieval_eval": q_retrieval_eval,
+    "webdataset_roundtrip": q_webdataset_roundtrip,
     **RELATIONAL_QUERIES,
 }
 
@@ -6401,6 +6412,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #   events_windowed     — tumbling = sliding with step == width
 #                         (events_sliding registered)
 #
+# Round-12 retirements (VERDICT r11 item 2 — the pairing policy's
+# three named candidates, each strictly subsumed by a registered
+# superset entry; ledger rows in COVERAGE.md):
+#
+#   winnow_probe  — the probe's fingerprint math is consumed verbatim
+#                   by winnow_matches / winnow_contamination / span_cut
+#                   (all registered); the index-prune plan shape stays
+#                   pinned in PLANS.json + test_operators.py
+#   minhash_probe — ⊂ minhash_lsh_neardup (registered) + the index
+#                   plan pins; probe-vs-full-scan equivalence tested in
+#                   test_operators.py::test_minhash_index_probe_*
+#   ann_topk      — hyperplane-LSH top-k; ANN serving evidence carried
+#                   by ivf_topk / ivfpq_topk / quantized_topk / pq_rerank
+#                   (all registered), recall-vs-exact in test_operators
+#
 # tests/test_entry_oracle.py sweeps these at both SFs every round with
 # the driver's exact compare harness, so their correctness evidence
 # continues uninterrupted — it is just local, not driver-recorded.
@@ -6414,6 +6440,10 @@ RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": QUERIES.pop("bpe_pair_counts"),
     "lm_quality": QUERIES.pop("lm_quality"),
     "events_windowed": QUERIES.pop("events_windowed"),
+    # round 12
+    "winnow_probe": QUERIES.pop("winnow_probe"),
+    "minhash_probe": QUERIES.pop("minhash_probe"),
+    "ann_topk": QUERIES.pop("ann_topk"),
 }
 
 # ---------------------------------------------------------------------------
@@ -6421,94 +6451,94 @@ RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-11 rotation (VERDICT r10 item 1,
-# executed verbatim): lead with the 17 r7-vintage rows that hit the
-# staleness-SLO edge at round 11 (the rows r10's window couldn't fit,
-# in CORRECTNESS_r07 recording order), then the ELEVEN round-11
-# registrations — html_tables, mojibake_repair, textclf_score,
-# textclf_train, feed_entries, host_components, host_hits, bitext_mine,
-# image_neardup, audio_neardup, fetch_schedule — all PRE-STAGED in
-# round 10 and harness-validated at both SFs
-# (tests/test_prestaged_oracle.py), so their first window slot carries
-# no unverified risk (COVERAGE.md budget policy: pre-staged validated
-# entries don't count against the ≤2-new-entry cap), then the first 22
-# surviving r8-vintage rows in CORRECTNESS_r08 recording order
-# (mp4_sample, which sits at r8 position 8, is RETIRED this round —
-# see RETIRED_QUERIES above — so the block extends to
-# cross_source_dups). The 24 surviving r8 rows that didn't fit
-# (doc_fingerprint, document_ranking, dup_shingle_ratio,
-# embedding_neardup, events_sessionize, events_sliding, exact_dedup,
-# filter_nin, filter_or_in_gt, frequent_tokens, hybrid_search,
-# incremental_dedup, index_stats, language_id, lm_quality_cut,
-# ngram_diversity, ngram_jaccard_neardup, pii_scrub, point_lookup,
-# pricing_summary, props_json_stats, repetition_signals, rrf_fusion,
-# semantic_dedup) stay r8-vintage — inside the SLO at round 11
-# (r8 = N-3) — and MUST lead round 12's window.
-# Registry arithmetic after this round (the VERDICT r10 item 2 fix):
-# 172 registered (170 oracle-able) = 50 r11-vintage + 48 r10 + 48 r9 +
-# 24 r8 + 2 rows-only. With a 50-slot window the steady-state lead
-# backlog is ~22-24 rows, so the SLO closes with ~26 slots of headroom
-# for ALL future net additions combined — future rounds pair each new
-# registration with a subsumption retirement (or the standing 60-slot
-# driver ask lands). Full arithmetic in COVERAGE.md's ledger.
+# fresh driver row go first. Round-12 rotation (VERDICT r11 item 2,
+# executed verbatim): lead with the 24 surviving r8-vintage rows — the
+# staleness-SLO edge at round 12 (r8 = N−4 without a fresh row) — in
+# CORRECTNESS_r08 recording order, then the SIX round-12 registrations
+# (video_neardup, bitext_shards, image_text_pairs, subtitle_clips,
+# retrieval_eval, webdataset_roundtrip — all PRE-STAGED in round 11 and
+# harness-validated at both SFs, tests/test_prestaged_oracle.py, so
+# their first window slot carries no unverified risk), then the first
+# 20 surviving r9-vintage rows in CORRECTNESS_r09 recording order.
+# The 28 r9-vintage survivors that didn't fit (lloyd_kmeans,
+# tfidf_top_terms, pmi_collocations, seq_len_histogram, winnow_matches,
+# corpus_stats, random_projection, padding_efficiency, packed_sequences,
+# frame_sample, quantized_topk, label_centroids,
+# quality_weighted_sample, bloom_decontaminate, leakage_safe_split,
+# rollup_revenue, churned_rich, nation_volume, market_share,
+# returned_customers, disjunctive_revenue, waiting_suppliers,
+# event_funnel, cohort_retention, event_type_pivot,
+# viewers_not_purchasers, daily_rolling, late_ship_priority) stay
+# r9-vintage — exactly N−3 at round 12, inside the SLO — and MUST lead
+# round 13's window.
+# Registry arithmetic after this round: 175 registered (173 oracle-able)
+# = 50 r12-vintage + 50 r11 + 47 r10 + 28 r9 (the 2 rows-only entries
+# sit in the r10/r11 blocks). With a 50-slot window the round-13 lead
+# backlog is 28 rows, leaving 22 slots for the r10 block before ITS
+# edge at r14 (47 rows → needs two windows; the rotation stays solvent
+# because each round frees 50 slots and the backlog shrinks by the
+# pairing policy: every new registration is paired with a subsumption
+# retirement). Full arithmetic in COVERAGE.md's ledger.
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    # 17 r7-vintage rows (SLO edge at r11), CORRECTNESS_r07 order
-    "winnow_contamination",
-    "soft_dedup_weights",
-    "neardup_weights",
-    "distinct_users",
-    "value_quantiles",
-    "revenue_by_region",
-    "multimodal_bytes",
-    "token_budget_batches",
-    "ann_topk",
-    "ivf_topk",
-    "train_split",
-    "stratified_sample",
-    "decontaminate",
-    "neardup_clusters",
-    "asof_enrich",
-    "range_join",
-    "epoch_mix",
-    # 11 round-11 registrations, pre-staged + harness-validated in r10
-    "html_tables",
-    "mojibake_repair",
-    "textclf_score",
-    "textclf_train",
-    "feed_entries",
-    "host_components",
-    "host_hits",
-    "bitext_mine",
-    "image_neardup",
-    "audio_neardup",
-    "fetch_schedule",
-    # first 22 surviving r8-vintage rows, CORRECTNESS_r08 order
-    # (mp4_sample retired — slot passes to cross_source_dups)
-    "warc_documents",
-    "media_triage",
-    "salted_agg",
-    "shipping_priority",
-    "promo_revenue",
-    "semantic_search",
-    "flac_roundtrip",
-    "media_probe",
-    "audio_pipeline",
-    "warc_extract",
-    "pdf_extract",
-    "lsh_neardup_strict",
-    "lang_confusion",
-    "quality_calibration",
-    "ivf_cell_balance",
-    "typo_neardup_terms",
-    "source_overlap",
-    "bigram_lm_quality",
-    "bm25_topk",
-    "clean_corpus",
-    "concat_chunk",
-    "cross_source_dups",
+    # 24 surviving r8-vintage rows (SLO edge at r12), CORRECTNESS_r08
+    # order (mp4_sample / events_windowed / lm_quality /
+    # simhash_fingerprint retired r11 — their slots pass down)
+    "doc_fingerprint",
+    "document_ranking",
+    "dup_shingle_ratio",
+    "embedding_neardup",
+    "events_sessionize",
+    "events_sliding",
+    "exact_dedup",
+    "filter_nin",
+    "filter_or_in_gt",
+    "frequent_tokens",
+    "hybrid_search",
+    "incremental_dedup",
+    "index_stats",
+    "language_id",
+    "lm_quality_cut",
+    "ngram_diversity",
+    "ngram_jaccard_neardup",
+    "pii_scrub",
+    "point_lookup",
+    "pricing_summary",
+    "props_json_stats",
+    "repetition_signals",
+    "rrf_fusion",
+    "semantic_dedup",
+    # 6 round-12 registrations, pre-staged + harness-validated in r11
+    "video_neardup",
+    "bitext_shards",
+    "image_text_pairs",
+    "subtitle_clips",
+    "retrieval_eval",
+    "webdataset_roundtrip",
+    # first 20 surviving r9-vintage rows, CORRECTNESS_r09 order
+    # (winnow_fingerprints / bpe_pair_counts retired r11)
+    "office_documents",
+    "url_canonical",
+    "simhash_neardup",
+    "source_quota",
+    "source_token_drift",
+    "temperature_mix",
+    "text_analysis",
+    "top_users_per_type",
+    "topk_orders_enriched",
+    "vector_topk",
+    "vector_topk_filtered",
+    "volume_anomalies",
+    "dsir_weights",
+    "jpeg_roundtrip",
+    "bpe_train_rounds",
+    "bpe_vocab_usage",
+    "curriculum_order",
+    "duplicate_ngram_spans",
+    "nb_quality_score",
+    "tokenize_ids",
 ]
 
 QUERIES = {
@@ -6529,7 +6559,6 @@ ORACLES: dict[str, str] = {
     "exact_dedup": dd.exact_dedup_sql(),
     "ngram_jaccard_neardup": dd.ngram_jaccard_pairs_sql(threshold=_JACCARD_T),
     "minhash_lsh_neardup": dd.minhash_lsh_pairs_sql(threshold=_JACCARD_T),
-    "minhash_probe": dd.minhash_probe_sql(_PROBE_DOC),
     "simhash_neardup": dd.simhash_neardup_sql(radius=1),
     "text_analysis": ta.analyze_text_sql(),
     "chunk_spans_simple": _sql_chunk_spans_simple(),
@@ -6589,14 +6618,6 @@ ORACLES: dict[str, str] = {
     """,
     "soft_dedup_weights": dd.soft_dedup_weights_sql(),
     "neardup_weights": cl.neardup_weights_sql(),
-    "winnow_probe": f"""
-        WITH fsel AS ({dd.winnow_fingerprints_sql()}),
-        probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
-        fp AS (SELECT DISTINCT doc_id, h FROM fsel)
-        SELECT doc_id, count(*) AS n_shared
-        FROM fp JOIN probe USING (h)
-        GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id
-    """,
     "incremental_dedup": dd.incremental_dedup_sql(
         new_pred="fp0.doc_id % 5 = 0", radius=1
     ),
@@ -6647,10 +6668,6 @@ ORACLES: dict[str, str] = {
     "flac_roundtrip": _sql_flac_roundtrip(),
     "token_budget_batches": emb_mod.token_budget_batch_ids_sql(
         max_tokens=_BATCH_BUDGET
-    ),
-    "ann_topk": sim.lsh_topk_sql(
-        _QVEC, k=10, bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES,
-        seed=_LSH_SEED,
     ),
     "ivf_topk": sim.ivf_topk_sql(_QVEC, k=10, n_cells=8, nprobe=2),
     "quantized_topk": qz.sq8_topk_sql(_QVEC, k=10),
@@ -6713,6 +6730,13 @@ ORACLES: dict[str, str] = {
     "image_neardup": _sql_image_neardup(),
     "audio_neardup": _sql_audio_neardup(),
     "fetch_schedule": _sql_fetch_schedule(),
+    # round-12 registrations (pre-staged + harness-validated in r11)
+    "video_neardup": _sql_video_neardup(),
+    "bitext_shards": _sql_bitext_shards(),
+    "image_text_pairs": _sql_image_text_pairs(),
+    "subtitle_clips": _sql_subtitle_clips(),
+    "retrieval_eval": _sql_retrieval_eval(),
+    "webdataset_roundtrip": _sql_webdataset_roundtrip(),
     **RELATIONAL_ORACLES,
 }
 
@@ -6728,4 +6752,18 @@ RETIRED_ORACLES: dict[str, str] = {
     "bpe_pair_counts": ta.bpe_pair_counts_sql(),
     "lm_quality": ta.unigram_lm_score_sql(),
     "events_windowed": ev.windowed_counts_sql(),
+    # round 12
+    "winnow_probe": f"""
+        WITH fsel AS ({dd.winnow_fingerprints_sql()}),
+        probe AS (SELECT DISTINCT h FROM fsel WHERE doc_id = {_PROBE_DOC}),
+        fp AS (SELECT DISTINCT doc_id, h FROM fsel)
+        SELECT doc_id, count(*) AS n_shared
+        FROM fp JOIN probe USING (h)
+        GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id
+    """,
+    "minhash_probe": dd.minhash_probe_sql(_PROBE_DOC),
+    "ann_topk": sim.lsh_topk_sql(
+        _QVEC, k=10, bits_per_table=_LSH_BITS, n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    ),
 }
