@@ -237,3 +237,68 @@ def test_cli_mine_pairs_verb(spark, capsys, tmp_path):
         "/site/shared.png"
     )
     assert by_cap["unique caption A"].image_url == "https://cdn.example/x.jpg"
+
+
+def test_cli_mine_images_verb(spark, capsys, tmp_path):
+    """mine-images: the full LAION loop from the CLI with the hermetic
+    --image-root transport — mine, dedup, fetch each unique URL once,
+    pHash-collapse the near-identical mirror, write the corpus."""
+    import numpy as np
+
+    site = tmp_path / "site"
+    site.mkdir()
+    images = tmp_path / "images"
+    images.mkdir()
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    rng = np.random.default_rng(7)
+    img = np.zeros((32, 32))
+    for _ in range(4):
+        cy, cx = rng.uniform(0, 32), rng.uniform(0, 32)
+        img += rng.uniform(60, 140) * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * rng.uniform(3, 8) ** 2)
+        )
+    g = np.clip(img, 0, 255).astype(np.uint8)
+    noisy = np.clip(
+        img + np.random.default_rng(8).integers(-1, 2, size=img.shape),
+        0, 255,
+    ).astype(np.uint8)
+
+    def ppm(a):
+        return b"P6\n32 32\n255\n" + np.stack([a, a, a], axis=2).tobytes()
+
+    (images / "orig.ppm").write_bytes(ppm(g))
+    (images / "mirror.ppm").write_bytes(ppm(noisy))
+
+    html = (
+        '<img src="http://cdn.example/a/orig.ppm" alt="a cat on a mat">'
+        '<img src="http://mirror.example/b/mirror.ppm" '
+        'alt="the same cat, mirrored host">'
+        '<img src="http://cdn.example/a/dead.ppm" alt="gone forever link">'
+    )
+    (site / "p1.html").write_text(f"<html><body>{html}</body></html>")
+    (site / "p2.html").write_text(f"<html><body>{html}</body></html>")
+    out_dir = tmp_path / "corpus"
+
+    out = run(
+        capsys,
+        "mine-images", "--path", str(site),
+        "--image-root", str(images), "--out", str(out_dir),
+        "--workers", "2",
+    )[-1]
+    assert out["urls_fetched"] == 3
+    assert out["fetch_errors"] == 1          # dead.ppm quarantined
+    assert out["canonical_images"] == 1      # mirror pHash-collapsed
+    assert out["corpus_rows"] == 2           # both captions kept
+    assert out["bytes_fetched"] == len(ppm(g)) + len(ppm(noisy))
+    got = spark.read.parquet(str(out_dir)).collect()
+    assert {r.caption for r in got} == {
+        "a cat on a mat", "the same cat, mirrored host",
+    }
+    # canonical representative = min URL; every row carries its bytes
+    assert all(
+        r.image_url == "http://cdn.example/a/orig.ppm" for r in got
+    )
+    assert all(bytes(r.payload) == ppm(g) for r in got)
+    # each (url, caption) pair appeared on both pages → n_pages == 2
+    assert all(r.n_pages == 2 for r in got)

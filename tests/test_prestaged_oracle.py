@@ -19,6 +19,8 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
+    _sql_webdataset_sized,
+    q_webdataset_sized,
 )
 
 pytestmark = pytest.mark.slow  # excluded from the smoke tier
@@ -26,7 +28,9 @@ pytestmark = pytest.mark.slow  # excluded from the smoke tier
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 # (query_fn, oracle_sql_fn) pairs staged for the round-13 window.
-PRESTAGED: list = []
+PRESTAGED: list = [
+    (q_webdataset_sized, _sql_webdataset_sized),
+]
 
 
 @pytest.mark.parametrize(

@@ -64,6 +64,27 @@ def _build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--out", help="parquet path for the deduped pairs")
     mp.add_argument("--min-alt-chars", type=int, default=5)
     mp.add_argument("--max-alt-chars", type=int, default=1000)
+    mi = sub.add_parser(
+        "mine-images",
+        help="the full LAION loop: mine pairs from an HTML folder, "
+        "dedup, schedule polite fetches, fetch the images, pHash-dedup "
+        "them, and report/write the canonical image-text corpus",
+    )
+    mi.add_argument("--path", required=True, help="HTML folder")
+    mi.add_argument(
+        "--image-root",
+        help="hermetic transport: resolve each image URL's basename "
+        "in this folder instead of HTTP (the no-network mode; "
+        "omit to fetch over HTTP)",
+    )
+    mi.add_argument("--out", help="parquet path for the corpus")
+    mi.add_argument("--workers", type=int, default=8)
+    mi.add_argument("--delay", type=float, default=1.0,
+                    help="per-host politeness delay (seconds)")
+    mi.add_argument("--radius", type=int, default=7,
+                    help="pHash Hamming radius (radius+1 must divide 64)")
+    mi.add_argument("--min-alt-chars", type=int, default=5)
+    mi.add_argument("--max-alt-chars", type=int, default=1000)
     sub.add_parser("delete", help="delete the index contents")
     sub.add_parser("stats", help="print catalog stats")
 
@@ -163,10 +184,13 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     args = _build_parser().parse_args(argv)
-    # dedup-media / mine-pairs never touch the document index — don't
-    # force a meaningless --index path for a pure folder scan (ADVICE
-    # r10); every other verb still requires it, validated up front.
-    if args.verb not in ("dedup-media", "mine-pairs") and not args.index:
+    # dedup-media / mine-pairs / mine-images never touch the document
+    # index — don't force a meaningless --index path for a pure folder
+    # scan (ADVICE r10); every other verb still requires it, validated
+    # up front.
+    if args.verb not in (
+        "dedup-media", "mine-pairs", "mine-images"
+    ) and not args.index:
         print(
             f"error: --index is required for verb {args.verb!r}",
             file=sys.stderr,
@@ -355,6 +379,73 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "pairs_mined": int(n_pairs),
             "pairs_unique": int(n_unique),
+            "out": args.out,
+        }, sort_keys=True))
+    elif args.verb == "mine-images":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.pairs import mine_image_corpus
+        from vectra_py_spark.session import spread
+
+        transport = None
+        if args.image_root:
+            root = args.image_root
+
+            def transport(url: str):  # noqa: F811 — hermetic resolver
+                import os.path
+                import re as _re
+
+                name = url.rsplit("/", 1)[-1]
+                if not _re.fullmatch(r"[\w.-]+", name):
+                    raise ValueError(f"unresolvable basename in {url}")
+                p = os.path.join(root, name)
+                with open(p, "rb") as fh:
+                    return fh.read(), "application/octet-stream"
+
+        pages = spread(
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(args.path)
+            .select(
+                F.regexp_replace(
+                    F.col("path"), "^file:/+", "file://localhost/"
+                ).alias("url"),
+                F.make_valid_utf8(
+                    F.col("content").cast("string")
+                ).alias("text"),
+            )
+        )
+        stages = mine_image_corpus(
+            pages, transport=transport, n_workers=args.workers,
+            default_delay=args.delay, radius=args.radius,
+            min_alt_chars=args.min_alt_chars,
+            max_alt_chars=args.max_alt_chars,
+        )
+        fetched = stages["fetched"].persist()
+        corpus = stages["corpus"].persist()
+        try:
+            n_urls = fetched.count()
+            n_errors = fetched.filter("fetch_error IS NOT NULL").count()
+            bytes_fetched = (
+                fetched.select(
+                    F.sum(F.octet_length("payload"))
+                ).collect()[0][0] or 0
+            )
+            n_corpus = corpus.count()
+            n_canonical_images = (
+                corpus.select("image_url").distinct().count()
+            )
+            if args.out:
+                corpus.write.mode("overwrite").parquet(args.out)
+        finally:
+            fetched.unpersist()
+            corpus.unpersist()
+        print(json.dumps({
+            "urls_fetched": int(n_urls),
+            "fetch_errors": int(n_errors),
+            "bytes_fetched": int(bytes_fetched),
+            "corpus_rows": int(n_corpus),
+            "canonical_images": int(n_canonical_images),
             "out": args.out,
         }, sort_keys=True))
     elif args.verb == "remove":

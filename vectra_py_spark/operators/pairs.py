@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "image_text_pairs_df",
     "dedup_image_text_pairs",
+    "fetch_images_df",
+    "mine_image_corpus",
 ]
 
 _IMG_TAG = r"(?is)<img\b[^>]*>"
@@ -158,3 +160,252 @@ def dedup_image_text_pairs(pairs: DataFrame) -> DataFrame:
         F.min("page_url").alias("first_page"),
         F.max("caption_words").alias("caption_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The closed acquisition loop: mine → dedup → schedule → fetch → image
+# near-dup. Each stage existed separately (this module, linkgraph.py's
+# schedule_fetches, imagehash.py's pHash family); this composition is
+# the shape the LAION pipeline actually runs — img2dataset's
+# fetch-and-dedup applied to the mined pair table.
+# ---------------------------------------------------------------------------
+
+_IMAGE_CONTENT_TYPES = (
+    "image/jpeg", "image/png", "image/gif", "image/bmp", "image/webp",
+    "image/x-portable-pixmap", "application/octet-stream",
+)
+
+
+def _http_image_transport(timeout: float):
+    """Default transport: HTTP GET returning (payload_bytes,
+    content_type), gated to image content types. Import-gated on
+    `requests`; tests inject a deterministic transport instead."""
+
+    def fetch(url: str) -> tuple[bytes, str]:
+        import requests
+
+        from vectra_py_spark.sources.fetchers import BROWSER_HEADERS
+
+        resp = requests.get(url, headers=BROWSER_HEADERS, timeout=timeout)
+        resp.raise_for_status()
+        ctype = (
+            (resp.headers.get("Content-Type") or "")
+            .split(";")[0].strip().lower()
+        )
+        if ctype and ctype not in _IMAGE_CONTENT_TYPES:
+            raise ValueError(f"disallowed content type {ctype!r} for {url}")
+        return resp.content, ctype
+
+    return fetch
+
+
+def fetch_images_df(
+    schedule: DataFrame,
+    transport=None,
+    url_col: str = "image_url",
+    timeout: float = 30.0,
+    n_workers: int | None = None,
+) -> DataFrame:
+    """Scheduled fetch slots → image payloads: input columns +
+    (payload BINARY, content_type STRING, fetch_error STRING), one row
+    per input row, failures quarantined per-row (the fetch survives a
+    dead URL; the error column is filterable downstream).
+
+    ``schedule`` is :func:`linkgraph.schedule_fetches` output — when
+    it carries a ``worker`` column the fetch repartitions on it (each
+    host's slots land on ONE task, so per-host politeness holds even
+    distributed) and executes slots in ``fetch_at_s`` order inside the
+    task. Without a worker column the input partitioning is used
+    as-is (caller owns the request rate). ``transport`` is any
+    ``url -> (bytes, content_type)`` callable; default is polite HTTP
+    (import-gated on `requests` — tests and hermetic runs inject a
+    local resolver).
+
+    Scale shape: payloads are BORN here (nothing large shuffles in);
+    the single repartition moves URL strings only."""
+    import pandas as pd
+
+    fetch = transport if transport is not None \
+        else _http_image_transport(timeout)
+    src = schedule
+    if "worker" in src.columns:
+        if n_workers is None:  # derive (one small aggregate job) only
+            n_workers = 1 + (  # when the caller didn't pass it through
+                src.agg(F.max("worker")).collect()[0][0] or 0
+            )
+        src = src.repartition(int(n_workers), "worker")
+        if "fetch_at_s" in src.columns:
+            src = src.sortWithinPartitions("fetch_at_s")
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    out_schema = (
+        f"{fields}, payload BINARY, content_type STRING, "
+        f"fetch_error STRING"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            payloads, ctypes, errors = [], [], []
+            for url in pdf[url_col]:
+                try:
+                    data, ctype = fetch(str(url))
+                    payloads.append(data)
+                    ctypes.append(ctype)
+                    errors.append(None)
+                except Exception as exc:  # quarantine, don't crash
+                    payloads.append(None)
+                    ctypes.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["content_type"] = ctypes
+            out["fetch_error"] = errors
+            yield out
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def mine_image_corpus(
+    pages: DataFrame,
+    transport=None,
+    html_col: str = "text",
+    url_col: str = "url",
+    n_workers: int = 8,
+    default_delay: float = 1.0,
+    radius: int = 7,
+    timeout: float = 30.0,
+    min_alt_chars: int = 5,
+    max_alt_chars: int = 1000,
+) -> dict[str, DataFrame]:
+    """The LAION acquisition loop, composed end-to-end: (page url,
+    html) rows → a fetched, perceptually-deduplicated image-text
+    corpus. Returns a dict of every stage. Calling this function
+    RUNS the pipeline once through the near-dup components step (label
+    propagation is a driver-paced loop, so it cannot stay lazy); the
+    fetch executes exactly once — its result is lineage-cut via a
+    local checkpoint, and every downstream stage plans against that
+    materialized table. Stages:
+
+    - ``pairs``        — :func:`image_text_pairs_df` (pure Catalyst)
+    - ``unique_pairs`` — :func:`dedup_image_text_pairs` (pre-fetch
+      pair dedup: the same (image_url, caption) on many pages fetches
+      ONCE — the bytes-touched bound this loop exists for)
+    - ``urls``         — distinct image URLs + host (one fetch per
+      URL even when it captions differently across pages)
+    - ``schedule``     — :func:`linkgraph.schedule_fetches`: per-host
+      serialized polite slots, each host pinned to one worker
+    - ``fetched``      — :func:`fetch_images_df` over the schedule
+    - ``hashes``       — ``media_phash_df`` over fetched payloads
+      (per-row quarantine; junk URLs become error rows, not crashes)
+    - ``neardup_pairs``— ``phash_neardup_pairs`` banded Hamming join
+    - ``canonical``    — (image_url, canonical_url): every hashed URL
+      mapped to its near-dup component representative (min URL;
+      min-label propagation), identity for non-duplicates
+    - ``corpus``       — unique_pairs ⋈ fetched payload ⋈ canonical,
+      KEEPING only canonical images: one payload per perceptual
+      image, captions of dropped duplicates re-attached to the
+      representative via the canonical map (LAION keeps the caption
+      even when the pixel dedup drops the copy's bytes)
+
+    Scale shape: stages 1-2 are the only corpus-of-pages-sized ops
+    (one generator pass + one pair-key aggregate); everything after
+    runs on the URL/pair table. Payload bytes are born in the fetch
+    tasks, hashed in ONE narrow Arrow pass, and never shuffle — the
+    joins move 64-bit fingerprints and URL strings."""
+    from vectra_py_spark.functions.urls import host_of
+    from vectra_py_spark.operators.cluster import connected_components
+    from vectra_py_spark.operators.imagehash import (
+        media_phash_df,
+        phash_neardup_pairs,
+    )
+    from vectra_py_spark.operators.linkgraph import schedule_fetches
+
+    pairs = image_text_pairs_df(
+        pages, html_col=html_col, url_col=url_col,
+        min_alt_chars=min_alt_chars, max_alt_chars=max_alt_chars,
+    )
+    unique_pairs = dedup_image_text_pairs(pairs)
+    urls = (
+        unique_pairs.groupBy("image_url")
+        .agg(
+            F.sum("n_pages").alias("n_refs"),
+            F.count(F.lit(1)).alias("n_captions"),
+        )
+        .withColumn("host", host_of(F.col("image_url")))
+    )
+    schedule = schedule_fetches(
+        urls, default_delay=default_delay, n_workers=n_workers,
+        url_col="image_url", host_col="host",
+    )
+    fetched = fetch_images_df(
+        schedule, transport=transport, url_col="image_url",
+        timeout=timeout, n_workers=n_workers,
+    )
+    # Lineage cut at the side-effect boundary (lazy localCheckpoint):
+    # (a) a fetch must run EXACTLY ONCE however many downstream actions
+    # consume it — politeness and cost, the img2dataset contract; (b)
+    # every consumer below (hash, near-dup self-join, the components
+    # loop's caches) plans against a shallow LogicalRDD instead of
+    # multiplying the full mine→schedule→fetch tree into its self-joins
+    # — un-truncated, the components cache's plan string alone grows to
+    # heap-exhausting size at corpus scale.
+    fetched = fetched.localCheckpoint(eager=False)
+    ok = fetched.where(F.col("fetch_error").isNull())
+    hashes = media_phash_df(
+        ok.select(
+            F.col("image_url").alias("media_id"),
+            F.col("payload").alias("data"),
+        )
+    )
+    good = hashes.where(F.col("error").isNull())
+    neardup_pairs = phash_neardup_pairs(good, radius=radius)
+    comp = connected_components(neardup_pairs, "id_a", "id_b")
+    canonical = (
+        good.select(F.col("media_id").alias("image_url"))
+        .join(
+            comp.select(
+                F.col("node").alias("image_url"),
+                F.col("comp").alias("canonical_url"),
+            ),
+            "image_url",
+            "left",
+        )
+        .withColumn(
+            "canonical_url",
+            F.coalesce("canonical_url", F.col("image_url")),
+        )
+    )
+    corpus = (
+        unique_pairs.join(canonical, "image_url")
+        .select(
+            F.col("canonical_url").alias("image_url"),
+            "caption", "caption_words", "n_pages", "first_page",
+        )
+        # one caption row per canonical image (copies' captions fold
+        # into the representative; exact caption dups collapse)
+        .groupBy("image_url", "caption")
+        .agg(
+            F.max("caption_words").alias("caption_words"),
+            F.sum("n_pages").alias("n_pages"),
+            F.min("first_page").alias("first_page"),
+        )
+        .join(
+            ok.select(
+                F.col("image_url"), "payload", "content_type"
+            ),
+            "image_url",
+        )
+    )
+    return {
+        "pairs": pairs,
+        "unique_pairs": unique_pairs,
+        "urls": urls,
+        "schedule": schedule,
+        "fetched": fetched,
+        "hashes": hashes,
+        "neardup_pairs": neardup_pairs,
+        "canonical": canonical,
+        "corpus": corpus,
+    }

@@ -6200,6 +6200,74 @@ ORDER BY member
 """
 
 
+_WDS_SIZED_DOCS = 300
+_WDS_SIZED_BYTES = 30_720  # three TAR records
+_WDS_SIZED_SAMPLES = 16
+
+
+def q_webdataset_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-BOUNDED WebDataset export round trip (`operators/
+    webdataset.py::to_webdataset_shards` with max_shard_bytes +
+    max_samples_per_shard — img2dataset's convention: shard count
+    derives from the data, bounds enforced exactly by in-bucket greedy
+    splitting): pack per-doc samples, then walk ONLY the shards whose
+    finished TAR payload obeys BOTH bounds back to (member, n_bytes).
+    The oracle expects EVERY sample's members, so an oversized or
+    over-filled shard makes members vanish from the Spark side and the
+    driver's hash compare catches it — the size bound itself is
+    value-checked cross-engine, alongside the derived-count sharding
+    (every sample back exactly once) and the canonical TAR bytes.
+
+    Plan shape: one sizing aggregate + one shuffle (the shard key)
+    into per-bucket pandas builds; the member walk is a narrow Arrow
+    pass."""
+    from vectra_py_spark.operators.webdataset import to_webdataset_shards
+    from vectra_py_spark.sources.warc import explode_archives_df
+
+    d = F.col("doc_id")
+    samples = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _WDS_SIZED_DOCS)
+        .select(
+            F.format_string("z%04d", d).alias("key"),
+            F.encode(F.repeat(F.lit("y"), (d % 11 + 1).cast("int")), "utf-8")
+            .alias("image"),
+            F.concat(F.lit("sized caption "), d.cast("string"))
+            .alias("caption"),
+        )
+    )
+    shards = to_webdataset_shards(
+        samples, {"jpg": "image", "txt": "caption"}, key_col="key",
+        max_shard_bytes=_WDS_SIZED_BYTES,
+        max_samples_per_shard=_WDS_SIZED_SAMPLES,
+    )
+    bounded = shards.where(
+        (F.octet_length("payload") <= F.lit(_WDS_SIZED_BYTES))
+        & (F.col("n_samples") <= F.lit(_WDS_SIZED_SAMPLES))
+    )
+    members = explode_archives_df(
+        bounded.select(
+            F.format_string(
+                "shard-%05d-%03d.tar", F.col("shard"), F.col("subshard")
+            ).alias("path"),
+            F.col("payload").alias("content"),
+        )
+    )
+    return members.select("member", "n_bytes").orderBy("member")
+
+
+def _sql_webdataset_sized() -> str:
+    return f"""
+SELECT printf('z%04d', doc_id) || '.' || p.ext AS member,
+       CAST(CASE p.ext WHEN 'jpg' THEN doc_id % 11 + 1
+            ELSE 14 + LENGTH(CAST(doc_id AS VARCHAR)) END AS BIGINT)
+         AS n_bytes
+FROM documents, (SELECT 'jpg' AS ext UNION ALL SELECT 'txt') p
+WHERE doc_id < {_WDS_SIZED_DOCS}
+ORDER BY member
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,

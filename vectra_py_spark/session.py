@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Plan strings are diagnostics, not data: iterative operators
+        # whose plans self-reference through cached relations (label
+        # propagation, PageRank/HITS) can compound the rendered tree
+        # past the heap even when the plan itself is fine — Spark's
+        # default cap is ~2 GB, and AQE renders the string on every
+        # plan update (measured: an 8g driver OOMed in
+        # PlanStringConcat under connected_components over a deep
+        # pipeline). 8 MB keeps every explain readable and bounds the
+        # render.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
