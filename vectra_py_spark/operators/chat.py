@@ -1,0 +1,359 @@
+"""Conversation (SFT / chat) data operators — the instruction-tuning
+half of a training-data pipeline: parse multi-turn conversations out of
+the JSON interchange shape every SFT corpus ships in (the OpenAI
+``messages`` array of ``{role, content}`` objects; ShareGPT/OASST/Tulu
+exports are the same shape modulo role spelling), validate the
+structural contract trainers assume (optional leading system turn, then
+strict user/assistant alternation ending on assistant, non-empty
+contents, known roles), compute per-conversation stats, and dedup
+conversations on their normalized assistant transcript — the SFT
+hygiene op that catches the same responses arriving via different
+scrapes. Reference tie-in: the reference indexes flat documents only
+(``local_document_index.py`` has no turn structure); a user bringing
+chat corpora needs the turn layer before any of its chunk/embed
+machinery applies.
+
+Design (Spark-first):
+
+* Parsing is ``from_json`` with a fixed ``array<struct<role,content>>``
+  schema — JVM-side, no Python in the hot path. Spark's ``from_json``
+  silently wraps a bare JSON OBJECT into a one-element array when the
+  schema is an array; that coercion would make the malformed/row
+  quarantine engine-specific, so payloads that don't start with ``[``
+  are rejected EXPLICITLY before the parse (deterministic contract,
+  same answer in any engine).
+* Validation is windows + aggregates on the turn frame — no
+  ``collect_list`` of whole conversations, so a pathological
+  million-turn conversation degrades to a wide group, not a driver
+  OOM. Alternation is checked by PARITY against the core position
+  (row_number over leading-system-stripped turns): position p must be
+  ``user`` for even p, ``assistant`` for odd p — stronger than
+  adjacent-inequality and expressible identically in SQL.
+* Dedup fingerprints are ``md5`` of the whitespace-normalized
+  assistant transcript in turn order (``sort_array`` of
+  (turn_idx, content) structs — per-conversation arrays are
+  message-bounded, not corpus-bounded), then one groupBy keyed on the
+  digest; min-id survivor, the convention every dedup op in this repo
+  uses.
+
+Scale shape: parse + explode are narrow; validation is one shuffle on
+the conversation key (window + groupBy share it); dedup is one shuffle
+on the 16-byte digest. Payload contents shuffle once (for the
+transcript concat) as digests thereafter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TURN_SCHEMA",
+    "ROLE_SYSTEM",
+    "ROLE_USER",
+    "ROLE_ASSISTANT",
+    "parse_conversations",
+    "parse_conversations_sql",
+    "validate_conversations",
+    "conversation_stats",
+    "conversation_fingerprints",
+    "dedup_conversations",
+]
+
+TURN_SCHEMA = "array<struct<role:string,content:string>>"
+ROLE_SYSTEM = "system"
+ROLE_USER = "user"
+ROLE_ASSISTANT = "assistant"
+
+_PARSE_ERROR = "not a JSON message array"
+
+
+def _norm(col: Column) -> Column:
+    """Whitespace-normalized lowercase content (dedup/identity key)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def parse_conversations(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    json_col: str = "messages",
+) -> DataFrame:
+    """(conv_id, turn_idx, role, content, kind) — one row per turn.
+
+    ``kind``:
+
+    * ``'turn'``  — a parsed element (role/content may be NULL when the
+      element omits a key; validation flags that, parsing keeps it);
+    * ``'empty'`` — a well-formed but zero-length array (surfaced so
+      empty conversations are visible to validation, not dropped);
+    * ``'error'`` — the payload is NULL, does not start with ``[``, or
+      fails JSON parsing; ``content`` carries the exact message
+      (the feeds.py quarantine contract).
+
+    ``turn_idx`` is −1 for empty/error rows so the column stays
+    non-null and orderable.
+    """
+    raw = F.col(json_col)
+    parsed = F.from_json(raw, TURN_SCHEMA)
+    # from_json wraps a bare object into [object] under an array schema;
+    # refuse non-'['-leading payloads up front so the quarantine rule is
+    # engine-portable (see module docstring)
+    ok = raw.isNotNull() & F.ltrim(raw).startswith("[") & parsed.isNotNull()
+    base = df.select(
+        F.col(id_col).alias("conv_id"),
+        parsed.alias("_turns"),
+        ok.alias("_ok"),
+    )
+    turns = (
+        base.where(F.col("_ok") & (F.size("_turns") > 0))
+        .select("conv_id", F.posexplode("_turns").alias("turn_idx", "_t"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("_t.role").alias("role"),
+            F.col("_t.content").alias("content"),
+            F.lit("turn").alias("kind"),
+        )
+    )
+    empty = base.where(F.col("_ok") & (F.size("_turns") == 0)).select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit("empty").alias("kind"),
+    )
+    errors = base.where(~F.col("_ok")).select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(_PARSE_ERROR).alias("content"),
+        F.lit("error").alias("kind"),
+    )
+    return turns.unionByName(empty).unionByName(errors)
+
+
+def parse_conversations_sql(
+    table: str = "conversations",
+    id_expr: str = "conv_id",
+    json_expr: str = "messages",
+) -> str:
+    """DuckDB twin of :func:`parse_conversations` — same quarantine rule
+    (leading-``[`` guard + parse validity), turns via a bounded range
+    unnest over ``json_array_length``."""
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS conv_id, {json_expr} AS raw,
+                   ({json_expr} IS NOT NULL
+                    AND starts_with(ltrim({json_expr}), '[')
+                    AND json_valid({json_expr})) AS ok
+            FROM {table}
+        ),
+        turns AS (
+            SELECT conv_id, CAST(i AS INTEGER) AS turn_idx,
+                   json_extract_string(raw, '$[' || i || '].role') AS role,
+                   json_extract_string(raw, '$[' || i || '].content')
+                       AS content,
+                   'turn' AS kind
+            FROM (SELECT conv_id, raw,
+                         CAST(json_array_length(raw::JSON) AS BIGINT) AS n
+                  FROM base WHERE ok),
+                 LATERAL unnest(range(0, n)) AS t(i)
+        ),
+        empties AS (
+            SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
+                   CAST(NULL AS VARCHAR) AS role,
+                   CAST(NULL AS VARCHAR) AS content, 'empty' AS kind
+            FROM base WHERE ok AND json_array_length(raw::JSON) = 0
+        ),
+        errors AS (
+            SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
+                   CAST(NULL AS VARCHAR) AS role,
+                   '{_PARSE_ERROR}' AS content, 'error' AS kind
+            FROM base WHERE NOT ok
+        )
+        SELECT * FROM turns
+        UNION ALL SELECT * FROM empties
+        UNION ALL SELECT * FROM errors
+    """
+
+
+def validate_conversations(
+    turns: DataFrame,
+    system_role: str = ROLE_SYSTEM,
+    user_role: str = ROLE_USER,
+    assistant_role: str = ROLE_ASSISTANT,
+) -> DataFrame:
+    """Per-conversation contract check over :func:`parse_conversations`
+    output: (conv_id, n_turns, has_error, is_empty, unknown_role,
+    empty_content, bad_system_placement, bad_first_role,
+    broken_alternation, dangling_user, valid).
+
+    The contract (the OpenAI fine-tuning / Tulu shape): any number of
+    LEADING system turns (>1 is unusual but placement, not count, is
+    the structural error), then user/assistant strictly alternating
+    from user, ending on assistant, every content non-blank, every
+    role known.
+
+    * ``bad_system_placement`` — a system turn after a non-system turn;
+    * ``bad_first_role`` — first non-system ("core") turn isn't user;
+    * ``broken_alternation`` — a core turn at position p ≥ 1 whose role
+      isn't the parity-expected user/assistant;
+    * ``dangling_user`` — the last core turn is user (unanswered);
+    * ``valid`` — none of the flags, ≥1 turn, no parse error.
+    """
+    t = turns.where(F.col("kind") == "turn")
+    first_ns = t.where(F.col("role") != system_role).groupBy("conv_id").agg(
+        F.min("turn_idx").alias("_first_core_idx")
+    )
+    # core = leading-system-stripped turns, positioned by row_number
+    core_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    core = (
+        t.join(first_ns, "conv_id", "left")
+        .where(F.col("turn_idx") >= F.coalesce(F.col("_first_core_idx"),
+                                               F.lit(2**31 - 1)))
+        .withColumn("_p", F.row_number().over(core_w) - 1)
+    )
+    expected = F.when(F.col("_p") % 2 == 0, user_role).otherwise(
+        assistant_role
+    )
+    core_flags = core.groupBy("conv_id").agg(
+        F.max(
+            (F.col("_p") == 0) & (F.col("role") != user_role)
+        ).alias("bad_first_role"),
+        F.max(
+            (F.col("_p") >= 1)
+            & (F.col("role").isNull() | (F.col("role") != expected))
+        ).alias("broken_alternation"),
+        F.max_by(F.col("role") == user_role, F.col("_p")).alias(
+            "dangling_user"
+        ),
+        F.max(F.col("role") == system_role).alias("bad_system_placement"),
+    )
+    known = F.array(
+        F.lit(system_role), F.lit(user_role), F.lit(assistant_role)
+    )
+    per_conv = turns.groupBy("conv_id").agg(
+        F.sum((F.col("kind") == "turn").cast("int"))
+        .cast("bigint").alias("n_turns"),
+        F.max(F.col("kind") == "error").alias("has_error"),
+        F.max(F.col("kind") == "empty").alias("is_empty"),
+        F.max(
+            (F.col("kind") == "turn")
+            & (F.col("role").isNull()
+               | ~F.array_contains(known, F.col("role")))
+        ).alias("unknown_role"),
+        F.max(
+            (F.col("kind") == "turn")
+            & (F.col("content").isNull() | (F.trim("content") == ""))
+        ).alias("empty_content"),
+    )
+    out = per_conv.join(core_flags, "conv_id", "left")
+    # a conversation whose every turn is system has no core row at all
+    # (the left join misses) — that is not a valid conversation either
+    has_core = F.col("bad_first_role").isNotNull()
+    fill = lambda c: F.coalesce(F.col(c), F.lit(False)).alias(c)  # noqa: E731
+    flags = [
+        "has_error", "is_empty", "unknown_role", "empty_content",
+        "bad_system_placement", "bad_first_role", "broken_alternation",
+        "dangling_user",
+    ]
+    out = out.select(
+        "conv_id", "n_turns", has_core.alias("_has_core"),
+        *[fill(c) for c in flags],
+    )
+    invalid = None
+    for c in flags:
+        invalid = F.col(c) if invalid is None else (invalid | F.col(c))
+    return out.withColumn(
+        "valid", (~invalid) & (F.col("n_turns") > 0) & F.col("_has_core")
+    ).drop("_has_core")
+
+
+def conversation_stats(
+    turns: DataFrame,
+    system_role: str = ROLE_SYSTEM,
+    user_role: str = ROLE_USER,
+    assistant_role: str = ROLE_ASSISTANT,
+) -> DataFrame:
+    """(conv_id, n_turns, n_system, n_user, n_assistant, user_words,
+    assistant_words, assistant_chars) — the size/shape frame mixing and
+    packing decisions read (length-bucketed batching over conversations
+    keys on exactly these)."""
+    t = turns.where(F.col("kind") == "turn")
+    words = F.size(F.split(F.coalesce(F.col("content"), F.lit("")), r"\s+"))
+    n_words = F.when(
+        F.trim(F.coalesce(F.col("content"), F.lit(""))) == "", 0
+    ).otherwise(words)
+
+    def n_role(r: str):
+        return F.sum((F.col("role") == r).cast("int")).cast("bigint")
+
+    def words_of(r: str):
+        return F.sum(
+            F.when(F.col("role") == r, n_words).otherwise(0)
+        ).cast("bigint")
+
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        n_role(system_role).alias("n_system"),
+        n_role(user_role).alias("n_user"),
+        n_role(assistant_role).alias("n_assistant"),
+        words_of(user_role).alias("user_words"),
+        words_of(assistant_role).alias("assistant_words"),
+        F.sum(
+            F.when(
+                F.col("role") == assistant_role,
+                F.length(F.coalesce(F.col("content"), F.lit(""))),
+            ).otherwise(0)
+        ).cast("bigint").alias("assistant_chars"),
+    )
+
+
+def conversation_fingerprints(
+    turns: DataFrame,
+    role: str = ROLE_ASSISTANT,
+) -> DataFrame:
+    """(conv_id, fingerprint) — md5 of the normalized ``role``
+    transcript in turn order, '\\n'-joined. Conversations with no such
+    turns fingerprint the empty transcript (they dedup together —
+    deliberately: all-user shells carry no trainable signal)."""
+    t = turns.where((F.col("kind") == "turn") & (F.col("role") == role))
+    per = t.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "content"))
+                ),
+                lambda s: _norm(s["content"]),
+            ),
+        ).alias("_txt")
+    )
+    all_ids = turns.select("conv_id").distinct()
+    return (
+        all_ids.join(per, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.md5(F.coalesce(F.col("_txt"), F.lit(""))).alias("fingerprint"),
+        )
+    )
+
+
+def dedup_conversations(
+    turns: DataFrame,
+    role: str = ROLE_ASSISTANT,
+) -> DataFrame:
+    """(conv_id, fingerprint, canonical_id, is_canonical, n_copies) —
+    exact dedup on :func:`conversation_fingerprints`; min-id survivor
+    per group (the repo-wide canonical-survivor convention). One
+    shuffle on the digest; a window over digest groups assigns the
+    survivor without a second join."""
+    fp = conversation_fingerprints(turns, role=role)
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "conv_id",
+        "fingerprint",
+        F.min("conv_id").over(w).alias("canonical_id"),
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+    )
