@@ -19,7 +19,13 @@ from oracle_harness import compare  # noqa: E402
 
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
+    _sql_chat_turns,
+    _sql_generation_eval,
+    _sql_preference_fit,
     _sql_webdataset_sized,
+    q_chat_turns,
+    q_generation_eval,
+    q_preference_fit,
     q_webdataset_sized,
 )
 
@@ -30,6 +36,9 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 # (query_fn, oracle_sql_fn) pairs staged for the round-13 window.
 PRESTAGED: list = [
     (q_webdataset_sized, _sql_webdataset_sized),
+    (q_chat_turns, _sql_chat_turns),
+    (q_preference_fit, _sql_preference_fit),
+    (q_generation_eval, _sql_generation_eval),
 ]
 
 

@@ -6268,6 +6268,397 @@ ORDER BY member
 """
 
 
+_CHAT_DOCS = 250
+
+
+def q_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation lifecycle e2e (`operators/chat.py` — the
+    OpenAI/ShareGPT messages shape): per doc, rotate 5 CLOSED-FORM
+    payload variants — (0) system + 1+doc_id%3 user/assistant rounds,
+    (1) the same rounds without a system turn, (2) a pathological but
+    parsable conversation (unknown role, blank assistant, consecutive
+    users, dangling user), (3) empty-array / bare-object / truncated
+    payloads (empty + the two quarantine shapes), (4) assistant-first
+    with a misplaced system — run the REAL parser + validator, and
+    report every turn joined with its conversation's validation flags.
+    The oracle reconstructs turns AND flags from the same doc_id
+    arithmetic (the feeds recipe), so the parse contract, the
+    quarantine rule, and every validation flag are value-checked
+    cross-engine.
+
+    Plan shape: payload build + from_json + posexplode are narrow; the
+    validator's window and aggregates share one shuffle on conv_id;
+    the final join is conversation-keyed."""
+    from vectra_py_spark.operators.chat import (
+        parse_conversations,
+        validate_conversations,
+    )
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    m = d % 5
+    k = (d % 3 + 1).cast("int")
+
+    def upair(sep_outer: str, j) -> F.Column:
+        js = j.cast("string")
+        return F.concat(
+            F.lit(sep_outer + '{"role":"user","content":"u '), s,
+            F.lit(" "), js,
+            F.lit('"},{"role":"assistant","content":"a '), s,
+            F.lit(" "), js, F.lit('"}'),
+        )
+
+    rounds0 = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), k - 1), lambda j: upair(",", j))
+    )
+    payload0 = F.concat(
+        F.lit('[{"role":"system","content":"be concise"}'), rounds0,
+        F.lit("]"),
+    )
+    rounds1 = F.concat_ws(
+        ",", F.transform(F.sequence(F.lit(0), k - 1), lambda j: upair("", j))
+    )
+    payload1 = F.concat(F.lit("["), rounds1, F.lit("]"))
+    payload2 = F.concat(
+        F.lit('[{"role":"user","content":"q '), s,
+        F.lit('"},{"role":"tool","content":"t"}'),
+        F.lit(',{"role":"assistant","content":""}'),
+        F.lit(',{"role":"user","content":"q2"}]'),
+    )
+    payload3 = (
+        F.when(d % 3 == 0, F.lit("[]"))
+        .when(d % 3 == 1, F.lit('{"role":"user","content":"x"}'))
+        .otherwise(F.lit('[{"role":"user"'))
+    )
+    payload4 = F.concat(
+        F.lit('[{"role":"assistant","content":"a '), s,
+        F.lit('"},{"role":"system","content":"s"}'),
+        F.lit(',{"role":"user","content":"u"}]'),
+    )
+    convs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _CHAT_DOCS)
+        .select(
+            d.alias("conv_id"),
+            F.when(m == 0, payload0)
+            .when(m == 1, payload1)
+            .when(m == 2, payload2)
+            .when(m == 3, payload3)
+            .otherwise(payload4)
+            .alias("messages"),
+        )
+    )
+    turns = parse_conversations(convs, id_col="conv_id")
+    v = validate_conversations(turns)
+    return (
+        turns.join(v, "conv_id")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("role", F.lit("")).alias("role"),
+            F.coalesce("content", F.lit("")).alias("content"),
+            "kind",
+            "n_turns",
+            "has_error",
+            "is_empty",
+            "unknown_role",
+            "empty_content",
+            "bad_system_placement",
+            "bad_first_role",
+            "broken_alternation",
+            "dangling_user",
+            "valid",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _sql_chat_turns() -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, doc_id % 5 AS m, doc_id % 3 + 1 AS k
+    FROM documents WHERE doc_id < {_CHAT_DOCS}
+),
+turns AS (
+    -- m=0: leading system turn
+    SELECT doc_id AS conv_id, CAST(0 AS INTEGER) AS turn_idx,
+           'system' AS role, 'be concise' AS content, 'turn' AS kind
+    FROM base WHERE m = 0
+    UNION ALL
+    -- m=0 rounds at idx 1+2j / 2+2j; m=1 rounds at 2j / 2j+1
+    SELECT doc_id, CAST((CASE m WHEN 0 THEN 1 ELSE 0 END) + 2 * j + r
+                        AS INTEGER),
+           CASE r WHEN 0 THEN 'user' ELSE 'assistant' END,
+           (CASE r WHEN 0 THEN 'u ' ELSE 'a ' END)
+             || doc_id || ' ' || j,
+           'turn'
+    FROM base,
+         LATERAL unnest(range(0, CAST(k AS BIGINT))) AS t(j),
+         (SELECT 0 AS r UNION ALL SELECT 1) rr
+    WHERE m IN (0, 1)
+    UNION ALL
+    -- m=2: user / tool / blank assistant / dangling user
+    SELECT doc_id, CAST(i AS INTEGER),
+           CASE i WHEN 0 THEN 'user' WHEN 1 THEN 'tool'
+                  WHEN 2 THEN 'assistant' ELSE 'user' END,
+           CASE i WHEN 0 THEN 'q ' || doc_id WHEN 1 THEN 't'
+                  WHEN 2 THEN '' ELSE 'q2' END,
+           'turn'
+    FROM base, LATERAL unnest(range(0, 4)) AS t(i)
+    WHERE m = 2
+    UNION ALL
+    -- m=3: empty array / bare object / truncated JSON
+    SELECT doc_id, CAST(-1 AS INTEGER), '',
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE 'not a JSON message array' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'empty' ELSE 'error' END
+    FROM base WHERE m = 3
+    UNION ALL
+    -- m=4: assistant-first + misplaced system
+    SELECT doc_id, CAST(i AS INTEGER),
+           CASE i WHEN 0 THEN 'assistant' WHEN 1 THEN 'system'
+                  ELSE 'user' END,
+           CASE i WHEN 0 THEN 'a ' || doc_id WHEN 1 THEN 's'
+                  ELSE 'u' END,
+           'turn'
+    FROM base, LATERAL unnest(range(0, 3)) AS t(i)
+    WHERE m = 4
+),
+flags AS (
+    SELECT doc_id AS conv_id,
+           CAST(CASE m WHEN 0 THEN 1 + 2 * k WHEN 1 THEN 2 * k
+                WHEN 2 THEN 4 WHEN 3 THEN 0 ELSE 3 END AS BIGINT)
+             AS n_turns,
+           (m = 3 AND doc_id % 3 != 0) AS has_error,
+           (m = 3 AND doc_id % 3 = 0) AS is_empty,
+           (m = 2) AS unknown_role,
+           (m = 2) AS empty_content,
+           (m = 4) AS bad_system_placement,
+           (m = 4) AS bad_first_role,
+           (m IN (2, 4)) AS broken_alternation,
+           -- m=4 ends on its user turn too (assistant/system/user)
+           (m IN (2, 4)) AS dangling_user,
+           (m IN (0, 1)) AS valid
+    FROM base
+)
+SELECT t.conv_id, t.turn_idx, t.role, t.content, t.kind,
+       f.n_turns, f.has_error, f.is_empty, f.unknown_role,
+       f.empty_content, f.bad_system_placement, f.bad_first_role,
+       f.broken_alternation, f.dangling_user, f.valid
+FROM turns t JOIN flags f ON t.conv_id = f.conv_id
+ORDER BY t.conv_id, t.turn_idx
+"""
+
+
+_BT_ORDERS = 600
+_BT_ITERS = 2
+
+
+def q_preference_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference fit e2e (`operators/preference.py::
+    bradley_terry_fit` — Hunter 2004's MM algorithm as DataFrame
+    joins): comparisons are a CLOSED FORM of o_orderkey (winner =
+    key % 7, loser = (key·3+1) % 7, self-matches dropped), run the
+    REAL 2-iteration fit, and report (item, wins, n_games, strength,
+    strength_norm) to 6 dp. The oracle UNROLLS both MM iterations as
+    a CTE chain — directed-games aggregate, flat-start denominator
+    (n/2 halves, exactly representable, so iteration 1 is
+    bit-identical), strength update, second denominator, normalize —
+    mirroring the operator's arithmetic term for term (the
+    textclf_train / host_pagerank unrolled-CTE recipe).
+
+    Plan shape: one shuffle builds the directed games frame; each MM
+    iteration is two broadcast joins of the 7-row strengths frame onto
+    it plus one item-keyed aggregate; lineage localCheckpoint'd per
+    iteration."""
+    from vectra_py_spark.operators.preference import bradley_terry_fit
+
+    key = F.col("o_orderkey")
+    comps = (
+        load(spark, sf_dir, "orders")
+        .filter(key < _BT_ORDERS)
+        .select(
+            (key % 7).alias("winner"), ((key * 3 + 1) % 7).alias("loser")
+        )
+        .filter(F.col("winner") != F.col("loser"))
+    )
+    fit = bradley_terry_fit(comps, iterations=_BT_ITERS)
+    return fit.select(
+        "item", "wins", "n_games",
+        (F.col("strength") + F.lit(0.0)).alias("strength"),
+        (F.col("strength_norm") + F.lit(0.0)).alias("strength_norm"),
+    ).orderBy("item")
+
+
+def _sql_preference_fit() -> str:
+    return f"""
+WITH comps AS (
+    SELECT o_orderkey % 7 AS w, (o_orderkey * 3 + 1) % 7 AS l
+    FROM orders
+    WHERE o_orderkey < {_BT_ORDERS}
+      AND o_orderkey % 7 != (o_orderkey * 3 + 1) % 7
+),
+directed AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM (
+        SELECT w AS a, l AS b FROM comps
+        UNION ALL
+        SELECT l AS a, w AS b FROM comps
+    ) GROUP BY a, b
+),
+base AS (
+    SELECT d.a,
+           CAST(coalesce(wi.wins, 0) AS BIGINT) AS wins,
+           CAST(sum(d.n_ab) AS BIGINT) AS n_games
+    FROM directed d
+    LEFT JOIN (SELECT w AS a, count(*) AS wins FROM comps GROUP BY w) wi
+      ON d.a = wi.a
+    GROUP BY d.a, wi.wins
+),
+-- iteration 1: w = 1 everywhere -> denominator terms n_ab/2 (exact)
+s1 AS (
+    SELECT b.a, b.wins / d.d AS w
+    FROM base b JOIN (
+        SELECT a, sum(n_ab / 2.0) AS d FROM directed GROUP BY a
+    ) d ON b.a = d.a
+),
+-- iteration 2
+s2 AS (
+    SELECT b.a, b.wins / d.d AS w
+    FROM base b JOIN (
+        SELECT dd.a, sum(dd.n_ab / (sa.w + sb.w)) AS d
+        FROM directed dd
+        JOIN s1 sa ON dd.a = sa.a
+        JOIN s1 sb ON dd.b = sb.a
+        GROUP BY dd.a
+    ) d ON b.a = d.a
+),
+tot AS (SELECT sum(w) AS t FROM s2)
+SELECT b.a AS item, b.wins, b.n_games,
+       round(s2.w, 6) + 0.0 AS strength,
+       round(s2.w / tot.t, 6) + 0.0 AS strength_norm
+FROM base b JOIN s2 ON b.a = s2.a, tot
+ORDER BY item
+"""
+
+
+_GEN_DOCS = 300
+
+
+def q_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval e2e (`operators/geneval.py` — BLEU, ROUGE-1/2,
+    ROUGE-L over mined pairs): candidate = the doc's first 8 tokens
+    with token 3 replaced by an out-of-vocabulary marker
+    ('zz'+doc_id%5), reference = the full document — run the REAL
+    metric operators and report sentence BLEU (clipped precisions,
+    smoothing, brevity penalty), ROUGE-1/2 F1, and ROUGE-L. The BLEU
+    and ROUGE-N numbers are computed GENUINELY in SQL by the module's
+    DuckDB twins (same tokens, clipping, smoothing); the LCS is the
+    one closed-form piece: the 7 unreplaced candidate tokens are an
+    ordered subsequence of the reference and the marker never matches,
+    so lcs = 7 exactly — the real DP must find it.
+
+    Plan shape: one tagged-n-gram explode per side → one partial-agg
+    groupBy per side → one (id, n, gram) equi-join; ROUGE-L is a
+    narrow Arrow pass; joins on the pair key after."""
+    from vectra_py_spark.operators.geneval import (
+        _words,
+        bleu_pairs,
+        rouge_l_pairs,
+        rouge_n_pairs,
+    )
+
+    d = F.col("doc_id")
+    words = _words(F.col("text"))
+    cand = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(words, 1, 2),
+            F.array(F.concat(F.lit("zz"), (d % 5).cast("string"))),
+            F.slice(words, 4, 5),
+        ),
+    )
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _GEN_DOCS)
+        .select(
+            d.alias("pair_id"),
+            cand.alias("candidate"),
+            F.col("text").alias("reference"),
+        )
+    )
+    bleu = bleu_pairs(pairs)
+    r1 = rouge_n_pairs(pairs, n=1).select(
+        "pair_id", F.col("f1").alias("r1_f")
+    )
+    r2 = rouge_n_pairs(pairs, n=2).select(
+        "pair_id", F.col("f1").alias("r2_f")
+    )
+    rl = rouge_l_pairs(pairs).select(
+        "pair_id", "lcs_len",
+        F.col("f1").alias("rl_f"),
+    )
+    return (
+        bleu.join(r1, "pair_id").join(r2, "pair_id").join(rl, "pair_id")
+        .select(
+            "pair_id", "cand_len", "ref_len",
+            (F.col("p1") + F.lit(0.0)).alias("p1"),
+            (F.col("p2") + F.lit(0.0)).alias("p2"),
+            (F.col("p3") + F.lit(0.0)).alias("p3"),
+            (F.col("p4") + F.lit(0.0)).alias("p4"),
+            (F.col("brevity_penalty") + F.lit(0.0)).alias("brevity_penalty"),
+            (F.col("bleu") + F.lit(0.0)).alias("bleu"),
+            (F.col("r1_f") + F.lit(0.0)).alias("r1_f"),
+            (F.col("r2_f") + F.lit(0.0)).alias("r2_f"),
+            "lcs_len",
+            (F.col("rl_f") + F.lit(0.0)).alias("rl_f"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+def _sql_generation_eval() -> str:
+    from vectra_py_spark.operators.geneval import (
+        bleu_pairs_sql,
+        rouge_n_pairs_sql,
+    )
+
+    pairs_sql = f"""
+    SELECT doc_id AS pair_id,
+           array_to_string(
+               w[1:2] || ['zz' || (doc_id % 5)] || w[4:8], ' '
+           ) AS candidate,
+           text AS reference
+    FROM (SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < {_GEN_DOCS})
+    """
+    return f"""
+WITH gpairs AS ({pairs_sql}),
+bleu AS ({bleu_pairs_sql(table='gpairs')}),
+r1 AS ({rouge_n_pairs_sql(table='gpairs', n=1)}),
+r2 AS ({rouge_n_pairs_sql(table='gpairs', n=2)}),
+-- ROUGE-L closed form: candidate = ref tokens 1,2,4..8 plus one
+-- out-of-vocab marker -> LCS is exactly the 7 carried tokens
+rl AS (
+    SELECT pair_id, CAST(7 AS BIGINT) AS lcs_len,
+           round(2.0 * (7.0 / 8.0) * (7.0 / ref_len)
+                 / ((7.0 / 8.0) + (7.0 / ref_len)), 6) + 0.0 AS rl_f
+    FROM (SELECT doc_id AS pair_id,
+                 len(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS ref_len
+          FROM documents WHERE doc_id < {_GEN_DOCS})
+)
+SELECT b.pair_id, b.cand_len, b.ref_len,
+       b.p1, b.p2, b.p3, b.p4, b.brevity_penalty, b.bleu,
+       r1.f1 AS r1_f, r2.f1 AS r2_f, rl.lcs_len, rl.rl_f
+FROM bleu b
+JOIN r1 ON b.pair_id = r1.pair_id
+JOIN r2 ON b.pair_id = r2.pair_id
+JOIN rl ON b.pair_id = rl.pair_id
+ORDER BY b.pair_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
