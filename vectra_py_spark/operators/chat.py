@@ -247,7 +247,9 @@ def validate_conversations(
             & (F.col("content").isNull() | (F.trim("content") == ""))
         ).alias("empty_content"),
     )
-    out = per_conv.join(core_flags, "conv_id", "left")
+    # both sides are conversation-count-sized; a broadcast pick here is
+    # a planner misestimate at corpus scale — pin the shuffle join
+    out = per_conv.join(core_flags.hint("merge"), "conv_id", "left")
     # a conversation whose every turn is system has no core row at all
     # (the left join misses) — that is not a valid conversation either
     has_core = F.col("bad_first_role").isNotNull()

@@ -123,7 +123,11 @@ def _pair_tables(
     )
     cc = _gram_counts(df, id_col, cand_col, max_n, "c")
     rc = _gram_counts(df, id_col, ref_col, max_n, "r")
-    joined = cc.join(rc, ["_id", "n", "gram"], "left").select(
+    # both sides are corpus-sized (one row per distinct pair-gram);
+    # broadcasting either is never right at scale, and size estimates
+    # over synthesized/exotic inputs can fool the planner into it —
+    # pin the shuffle join
+    joined = cc.join(rc.hint("merge"), ["_id", "n", "gram"], "left").select(
         "_id", "n",
         F.col("c"),
         F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0))).alias("clip"),
@@ -157,7 +161,8 @@ def bleu_pairs(
             .alias(f"_tot{n}")
         )
     per_id = per_n.groupBy("_id").agg(*aggs)
-    out = lens.join(per_id, "_id", "left")
+    # per-pair cardinality on both sides — same no-broadcast rule
+    out = lens.join(per_id.hint("merge"), "_id", "left")
     ps = []
     for n in range(1, max_n + 1):
         clip = F.coalesce(F.col(f"_clip{n}"), F.lit(0))
@@ -356,7 +361,8 @@ def rouge_n_pairs(
     the REFERENCE gram count (ROUGE's defining orientation)."""
     cc = _gram_counts(df, id_col, cand_col, n, "c").where(F.col("n") == n)
     rc = _gram_counts(df, id_col, ref_col, n, "r").where(F.col("n") == n)
-    j = cc.join(rc, ["_id", "n", "gram"], "full").groupBy("_id").agg(
+    # corpus-sized both sides; pin the shuffle join (see bleu_pairs)
+    j = cc.join(rc.hint("merge"), ["_id", "n", "gram"], "full").groupBy("_id").agg(
         F.sum(
             F.least(F.coalesce("c", F.lit(0)), F.coalesce("r", F.lit(0)))
         ).cast("bigint").alias("overlap"),
@@ -364,7 +370,7 @@ def rouge_n_pairs(
         F.sum(F.coalesce("r", F.lit(0))).cast("bigint").alias("ref_ngrams"),
     )
     ids = df.select(F.col(id_col).alias("_id")).distinct()
-    out = ids.join(j, "_id", "left").select(
+    out = ids.join(j.hint("merge"), "_id", "left").select(
         "_id",
         F.coalesce("overlap", F.lit(0)).alias("overlap"),
         F.coalesce("cand_ngrams", F.lit(0)).alias("cand_ngrams"),

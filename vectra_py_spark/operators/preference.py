@@ -99,8 +99,10 @@ def validate_preference_pairs(
         )) == 1).alias("is_canonical"),
     )
     mirrors = norm.select(F.col("_key").alias("_mk")).distinct()
+    # distinct triples are corpus-sized — pin the shuffle join so a
+    # size misestimate can't broadcast them
     out = flagged.join(
-        mirrors, flagged["_mirror"] == mirrors["_mk"], "left"
+        mirrors.hint("merge"), flagged["_mirror"] == mirrors["_mk"], "left"
     ).select(
         *[col for col in flagged.columns if not col.startswith("_n")
           or col in ("_key",)],
@@ -184,7 +186,12 @@ def bradley_terry_fit(
         .localCheckpoint()
     )
     strengths = base.select("a", F.lit(1.0).alias("w"))
-    hint = F.broadcast if broadcast_strengths else (lambda d: d)
+    # large item vocabularies must shuffle-join, not rely on planner
+    # size estimates (broadcast_strengths=False is the scale path)
+    hint = (
+        F.broadcast if broadcast_strengths
+        else (lambda d: d.hint("merge"))
+    )
     for i in range(iterations):
         wa = hint(strengths.select(F.col("a").alias("_ia"),
                                    F.col("w").alias("_wa")))
