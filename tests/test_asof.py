@@ -38,6 +38,7 @@ def test_asof_join_picks_latest_at_or_before(spark):
     }
 
 
+@pytest.mark.slow
 def test_asof_join_keeps_left_row_count_and_columns(spark):
     left = _rows(spark, [(1, 10, 1.0)] , "user_id long, t_us long, value double")
     right = _rows(spark, [(1, 5, 2.0)], "user_id long, t_us long, value double")

@@ -82,6 +82,7 @@ def test_index_warc_offsets_are_fetchable(compress):
         "application/octet-stream"
 
 
+@pytest.mark.slow
 def test_cdx_spark_path_end_to_end(spark):
     """WARC segments → indexer → .cdx.gz on disk → Catalyst reader →
     planner (mime+digest dedup) → range fetcher == full-scan payloads,

@@ -75,6 +75,7 @@ def test_parse_kinds_and_quarantine(spark, convs):
     assert err.turn_idx == -1 and err.content == "not a JSON message array"
 
 
+@pytest.mark.slow
 def test_parse_matches_duckdb_twin(spark, convs):
     turns = parse_conversations(convs)
     got = sorted(
@@ -109,6 +110,7 @@ def test_validation_flags(spark, convs):
     assert not r11.bad_first_role and not r11.valid and r11.n_turns == 2
 
 
+@pytest.mark.slow
 def test_stats(spark, convs):
     s = conversation_stats(parse_conversations(convs))
     r1 = s.where("conv_id = 1").first()
@@ -132,6 +134,7 @@ def test_dedup_on_assistant_transcript(spark, convs):
     assert len(rows) == 12
 
 
+@pytest.mark.slow
 def test_dedup_plan_single_digest_shuffle(spark, convs):
     plan = dedup_conversations(
         parse_conversations(convs)

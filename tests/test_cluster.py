@@ -40,6 +40,7 @@ def test_connected_components_max_iter_bounds_work(spark):
     assert set(full.values()) == {1}
 
 
+@pytest.mark.slow
 def test_neardup_clusters_survivor_longest_then_smallest_id(spark):
     docs = spark.createDataFrame(
         [

@@ -15,6 +15,7 @@ from vectra_py_spark.sources.cdx import recrawl_priority
 from vectra_py_spark.sources.warc import read_warc, synth_warc
 
 
+@pytest.mark.slow
 def test_warc_host_graph(spark):
     html1 = (
         b'<html><body><a href="https://t1.example/x">a</a>'

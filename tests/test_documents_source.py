@@ -160,6 +160,7 @@ def test_read_archive_documents(spark):
     assert all("!" in r.uri for r in rows.values())
 
 
+@pytest.mark.slow
 def test_streaming_archive_documents_twin(spark):
     """Continuous packed-corpus drops: availableNow drain over an
     archive drop folder must produce EXACTLY the batch

@@ -149,6 +149,7 @@ def test_engine_grades_its_own_ann(spark):
     emb.unpersist()
 
 
+@pytest.mark.slow
 def test_duplicate_qrels_collapse_to_max_grade(spark):
     """trec_eval rejects duplicate (query, doc) judgments; here they
     collapse to the MAX grade instead of fanning out the run join and

@@ -108,6 +108,7 @@ def test_unknown_logical_op():
         compile_filter({"$nor": [{"category": "a"}]})
 
 
+@pytest.mark.slow
 def test_sql_rendering_matches_spark(spark, df):
     """filter_to_sql must stay in lockstep with compile_filter."""
     import duckdb

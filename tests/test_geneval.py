@@ -77,6 +77,7 @@ def test_bleu_matches_reference_impl(pairs_df):
     assert got[4].bleu == 0.0 and got[4].cand_len == 0
 
 
+@pytest.mark.slow
 def test_bleu_sql_twin(spark, pairs_df):
     got = sorted(tuple(r) for r in bleu_pairs(pairs_df).collect())
     con = duckdb.connect()
@@ -89,6 +90,7 @@ def test_bleu_sql_twin(spark, pairs_df):
             assert a == pytest.approx(b, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_bleu_corpus_is_not_mean_of_sentences(spark, pairs_df):
     row = bleu_corpus(pairs_df).first()
     assert row.n_pairs == 6
@@ -105,6 +107,7 @@ def test_bleu_corpus_is_not_mean_of_sentences(spark, pairs_df):
     assert row.bleu != pytest.approx(mean_sent, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_rouge_n(spark, pairs_df):
     got = {r.pair_id: r for r in rouge_n_pairs(pairs_df, n=1).collect()}
     # pair 3: cand "the cat" fully inside ref of 6 unigrams
@@ -119,6 +122,7 @@ def test_rouge_n(spark, pairs_df):
     assert bi[0].f1 == 1.0 and bi[2].overlap == 0
 
 
+@pytest.mark.slow
 def test_rouge_n_sql_twin(spark, pairs_df):
     for n in (1, 2):
         got = sorted(
@@ -165,6 +169,7 @@ def test_rouge_l(spark, pairs_df):
             assert row.f1 == pytest.approx(f1, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_rouge_l_truncation_bound(spark):
     # 3000-token candidate against itself, truncated at 1024 a side:
     # the DP sees exactly max_tokens tokens and reports those lengths
@@ -177,6 +182,7 @@ def test_rouge_l_truncation_bound(spark):
     assert row.f1 == 1.0
 
 
+@pytest.mark.slow
 def test_bleu_plan_stays_jvm_side(spark, pairs_df):
     plan = (
         bleu_pairs(pairs_df)

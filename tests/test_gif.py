@@ -137,6 +137,7 @@ def test_encoder_input_validation():
         encode_gif(rgb)  # 64*16 > 256 unique colors
 
 
+@pytest.mark.slow
 def test_gif_through_dataframe_api(spark):
     """extract_features / resize_media / sample_gif_frames on real
     animated payloads — the video-shaped pipeline end-to-end."""

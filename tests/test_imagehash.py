@@ -177,6 +177,7 @@ def test_video_first_frame_hashes(spark):
     assert hamming64(got["avi"].phash, got["mp4"].phash) <= 8
 
 
+@pytest.mark.slow
 def test_phash_index_probe_prunes_partitions_and_matches(spark, tmp_path):
     """Materialized index: a noisy copy probes to its base by opening
     ONLY the probe's radius+1 block directories (PartitionFilters in
@@ -229,6 +230,7 @@ def test_phash_index_probe_prunes_partitions_and_matches(spark, tmp_path):
         phash_probe(spark, path, novel, radius=4)  # 5 ∤ 64
 
 
+@pytest.mark.slow
 def test_phash_index_persists_and_validates_write_radius(spark, tmp_path):
     """ADVICE r10: probing past the index's write radius silently
     dropped matches. The write radius now persists in a side-file and

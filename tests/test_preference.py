@@ -47,6 +47,7 @@ def test_validate_flags(pairs):
     assert clean.valid and clean.n_copies == 1 and not clean.conflicting
 
 
+@pytest.mark.slow
 def test_pairwise_wins(spark):
     comps = spark.createDataFrame(
         [("a", "b"), ("a", "b"), ("b", "a"), ("c", "a")],
@@ -101,6 +102,7 @@ def test_bt_fit_matches_numpy(spark):
         assert got[i].wins == wins[i]
 
 
+@pytest.mark.slow
 def test_bt_zero_win_item_goes_to_zero(spark):
     df = spark.createDataFrame(
         [("a", "z"), ("b", "z"), ("a", "b"), ("b", "a")],
@@ -114,6 +116,7 @@ def test_bt_zero_win_item_goes_to_zero(spark):
     assert got["a"].strength == got["b"].strength > 0
 
 
+@pytest.mark.slow
 def test_bt_order_invariance(spark):
     comps = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")]
     df1 = spark.createDataFrame(comps, "winner string, loser string")
@@ -127,6 +130,7 @@ def test_bt_order_invariance(spark):
     assert r1 == r2
 
 
+@pytest.mark.slow
 def test_bt_no_python_stages(spark):
     df = spark.createDataFrame(
         [("a", "b"), ("b", "c")], "winner string, loser string"

@@ -98,6 +98,7 @@ def test_decontaminate_counts_distinct_shared_shingles(spark):
     assert got[4] == (3, round(3 / 5, 6))
 
 
+@pytest.mark.slow
 def test_bloom_decontaminate_matches_exact_and_prunes(spark):
     docs = spark.createDataFrame(
         [
