@@ -115,6 +115,38 @@ def _build_parser() -> argparse.ArgumentParser:
     rem = sub.add_parser("remove", help="delete a document by uri")
     rem.add_argument("--uri", required=True)
 
+    cc = sub.add_parser(
+        "chat-curate",
+        help="parse a JSONL conversation dump (one {conv_id, messages} "
+        "object per line), validate the SFT structural contract, dedup "
+        "on the assistant transcript, report counts; --out writes the "
+        "valid canonical turn rows as parquet",
+    )
+    cc.add_argument("--path", required=True, help="JSONL file or folder")
+    cc.add_argument("--out", help="parquet path for surviving turns")
+
+    bt = sub.add_parser(
+        "bt-rank",
+        help="fit Bradley-Terry strengths (Hunter 2004 MM) over a "
+        "parquet of pairwise comparisons and print the leaderboard",
+    )
+    bt.add_argument("--path", required=True, help="comparisons parquet")
+    bt.add_argument("--winner-col", default="winner")
+    bt.add_argument("--loser-col", default="loser")
+    bt.add_argument("--iterations", type=int, default=8)
+    bt.add_argument("--top", type=int, default=20)
+    bt.add_argument("--out", help="parquet path for the full table")
+
+    eg = sub.add_parser(
+        "eval-gen",
+        help="corpus BLEU + ROUGE-1/2 over a parquet of (candidate, "
+        "reference) text pairs",
+    )
+    eg.add_argument("--path", required=True, help="pairs parquet")
+    eg.add_argument("--candidate-col", default="candidate")
+    eg.add_argument("--reference-col", default="reference")
+    eg.add_argument("--id-col", default="pair_id")
+
     opt = sub.add_parser(
         "optimize",
         help="compact small files accreted by per-commit DML "
@@ -189,7 +221,8 @@ def main(argv: list[str] | None = None) -> int:
     # scan (ADVICE r10); every other verb still requires it, validated
     # up front.
     if args.verb not in (
-        "dedup-media", "mine-pairs", "mine-images"
+        "dedup-media", "mine-pairs", "mine-images",
+        "chat-curate", "bt-rank", "eval-gen",
     ) and not args.index:
         print(
             f"error: --index is required for verb {args.verb!r}",
@@ -447,6 +480,114 @@ def main(argv: list[str] | None = None) -> int:
             "corpus_rows": int(n_corpus),
             "canonical_images": int(n_canonical_images),
             "out": args.out,
+        }, sort_keys=True))
+    elif args.verb == "chat-curate":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.chat import (
+            dedup_conversations,
+            parse_conversations,
+            validate_conversations,
+        )
+
+        lines = (
+            spark.read.format("text")
+            .option("recursiveFileLookup", "true")
+            .load(args.path)
+        )
+        cid = F.get_json_object(F.col("value"), "$.conv_id").cast("bigint")
+        convs = lines.select(
+            F.coalesce(cid, -F.abs(F.xxhash64(F.col("value"))))
+            .alias("conv_id"),
+            F.when(
+                cid.isNotNull(),
+                F.get_json_object(F.col("value"), "$.messages"),
+            ).otherwise(F.col("value")).alias("messages"),
+        )
+        turns = parse_conversations(convs).persist()
+        try:
+            v = validate_conversations(turns)
+            d = dedup_conversations(turns)
+            verdicts = v.join(d.select("conv_id", "is_canonical"), "conv_id")
+            agg = verdicts.agg(
+                F.count(F.lit(1)).alias("n_convs"),
+                F.sum(F.col("valid").cast("int")).alias("n_valid"),
+                F.sum(F.col("has_error").cast("int")).alias("n_errors"),
+                F.sum(
+                    (F.col("valid") & ~F.col("is_canonical")).cast("int")
+                ).alias("n_valid_dup_dropped"),
+            ).first()
+            if args.out:
+                keep = verdicts.where(
+                    F.col("valid") & F.col("is_canonical")
+                ).select("conv_id")
+                turns.join(keep, "conv_id").write.mode(
+                    "overwrite"
+                ).parquet(args.out)
+        finally:
+            turns.unpersist()
+        print(json.dumps({
+            "conversations": int(agg.n_convs),
+            "valid": int(agg.n_valid or 0),
+            "errors": int(agg.n_errors or 0),
+            "valid_dup_dropped": int(agg.n_valid_dup_dropped or 0),
+            "out": args.out,
+        }, sort_keys=True))
+    elif args.verb == "bt-rank":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.preference import bradley_terry_fit
+
+        comps = spark.read.parquet(args.path)
+        fit = bradley_terry_fit(
+            comps,
+            winner_col=args.winner_col,
+            loser_col=args.loser_col,
+            iterations=args.iterations,
+        ).orderBy(
+            F.col("strength").desc(), F.col("item").asc()
+        ).persist()
+        try:
+            board = [
+                {"item": str(r.item), "strength": r.strength,
+                 "wins": r.wins, "games": r.n_games}
+                for r in fit.take(args.top)
+            ]
+            if args.out:
+                fit.write.mode("overwrite").parquet(args.out)
+        finally:
+            fit.unpersist()
+        print(json.dumps(
+            {"leaderboard": board, "out": args.out}, sort_keys=True
+        ))
+    elif args.verb == "eval-gen":
+        from pyspark.sql import functions as F
+
+        from vectra_py_spark.operators.geneval import (
+            bleu_corpus,
+            rouge_n_pairs,
+        )
+
+        pairs = spark.read.parquet(args.path)
+        kw = dict(
+            id_col=args.id_col,
+            cand_col=args.candidate_col,
+            ref_col=args.reference_col,
+        )
+        b = bleu_corpus(pairs, **kw).first()
+        r1 = rouge_n_pairs(pairs, n=1, **kw).agg(
+            F.avg("f1").alias("f")
+        ).first().f
+        r2 = rouge_n_pairs(pairs, n=2, **kw).agg(
+            F.avg("f1").alias("f")
+        ).first().f
+        print(json.dumps({
+            "n_pairs": int(b.n_pairs),
+            "bleu": b.bleu,
+            "p1": b.p1, "p2": b.p2, "p3": b.p3, "p4": b.p4,
+            "brevity_penalty": b.brevity_penalty,
+            "rouge1_f_mean": round(float(r1 or 0.0), 6),
+            "rouge2_f_mean": round(float(r2 or 0.0), 6),
         }, sort_keys=True))
     elif args.verb == "remove":
         idx.delete_document(args.uri)
