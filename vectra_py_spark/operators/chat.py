@@ -58,6 +58,7 @@ __all__ = [
     "conversation_stats",
     "conversation_fingerprints",
     "dedup_conversations",
+    "render_chat_text",
 ]
 
 TURN_SCHEMA = "array<struct<role:string,content:string>>"
@@ -339,6 +340,59 @@ def conversation_fingerprints(
             F.md5(F.coalesce(F.col("_txt"), F.lit(""))).alias("fingerprint"),
         )
     )
+
+
+def render_chat_text(
+    turns: DataFrame,
+    role_open: str = "<|{role}|>\n",
+    turn_close: str = "<|end|>\n",
+    include_errors: bool = False,
+) -> DataFrame:
+    """(conv_id, text, n_turns) — flatten parsed turns into the single
+    training string SFT tokenization consumes (the ChatML-style
+    ``<|role|>\\ncontent<|end|>`` framing; both markers are
+    templates — ``{role}`` interpolates — so Llama/Zephyr-style
+    framings are a parameter away). The output feeds this repo's
+    tokenizer → `operators/packing.py::pack_sequences` directly: the
+    render → tokenize → pack chain is the standard SFT data path.
+
+    Turn order is by ``turn_idx`` (``sort_array`` over message-bounded
+    per-conversation structs, never a corpus-wide sort); error/empty
+    rows are excluded unless ``include_errors`` (they have no text).
+    One shuffle on the conversation key."""
+    t = turns.where(
+        F.col("kind") == "turn" if not include_errors
+        else F.col("kind").isin("turn", "error")
+    )
+    per = t.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "content"))
+        ).alias("_turns"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+    # transform+concat_ws keeps the whole render JVM-side
+    rendered = per.select(
+        "conv_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.col("_turns"),
+                lambda s: F.concat(
+                    F.replace(
+                        F.lit(role_open), F.lit("{role}"),
+                        F.coalesce(s["role"], F.lit("")),
+                    ),
+                    F.coalesce(s["content"], F.lit("")),
+                    F.replace(
+                        F.lit(turn_close), F.lit("{role}"),
+                        F.coalesce(s["role"], F.lit("")),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+        "n_turns",
+    )
+    return rendered
 
 
 def dedup_conversations(

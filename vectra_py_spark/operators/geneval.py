@@ -47,6 +47,8 @@ __all__ = [
     "rouge_n_pairs",
     "rouge_n_pairs_sql",
     "rouge_l_pairs",
+    "chrf_pairs",
+    "chrf_pairs_sql",
 ]
 
 _DP = 6
@@ -455,6 +457,175 @@ def rouge_n_pairs_sql(
                                   + (overlap * 1.0 / ref_ngrams))
                           ELSE 0.0 END, {_DP}) + 0.0 AS f1
         FROM base
+    """
+
+
+def _char_grams(s: Column, max_n: int) -> Column:
+    """array<struct<n:int,gram:string>> of character n-grams over a
+    whitespace-stripped lowercase string (the chrF preprocessing)."""
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
+
+    def gram_at(n: int):
+        return lambda i: F.struct(
+            F.lit(n).cast("int").alias("n"),
+            s.substr(i, F.lit(n)).alias("gram"),
+        )
+
+    parts = [
+        F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - n + 1), gram_at(n)
+            ),
+        ).otherwise(empty)
+        for n in range(1, max_n + 1)
+    ]
+    return F.flatten(F.array(*parts))
+
+
+def chrf_pairs(
+    df: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Per-pair chrF (Popović 2015): (pair_id, chr_p, chr_r, chrf) —
+    clipped character n-gram precision/recall averaged over orders
+    1..max_n (orders whose side has no grams are skipped, the
+    reference implementation's convention), combined as
+    F_β = (1+β²)·P·R / (β²·P + R) with β = 2 (recall-weighted, the
+    published default). Preprocessing: lowercase, ALL whitespace
+    stripped — so tokenization never matters, chrF's selling point.
+
+    Same scale shape as BLEU: one char-gram explode per side (~max_n ×
+    char count rows), two partial-aggregated groupBys, one
+    (id, n, gram) equi-join pinned to shuffle."""
+    strip = lambda c: F.regexp_replace(  # noqa: E731
+        F.lower(F.coalesce(c, F.lit(""))), r"\s+", ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        strip(F.col(cand_col)).alias("_c"),
+        strip(F.col(ref_col)).alias("_r"),
+    )
+
+    def counts(col: str, out: str) -> DataFrame:
+        return (
+            base.select(
+                "_id", F.explode(_char_grams(F.col(col), max_n)).alias("_g")
+            )
+            .groupBy(
+                "_id", F.col("_g.n").alias("n"),
+                F.col("_g.gram").alias("gram"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    cc, rc = counts("_c", "c"), counts("_r", "r")
+    per_n = (
+        cc.join(rc.hint("merge"), ["_id", "n", "gram"], "full")
+        .groupBy("_id", "n")
+        .agg(
+            F.sum(
+                F.least(F.coalesce("c", F.lit(0)), F.coalesce("r", F.lit(0)))
+            ).alias("clip"),
+            F.sum(F.coalesce("c", F.lit(0))).alias("ct"),
+            F.sum(F.coalesce("r", F.lit(0))).alias("rt"),
+        )
+    )
+    per_id = per_n.groupBy("_id").agg(
+        F.avg(F.when(F.col("ct") > 0, F.col("clip") / F.col("ct")))
+        .alias("_p"),
+        F.avg(F.when(F.col("rt") > 0, F.col("clip") / F.col("rt")))
+        .alias("_r"),
+    )
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    out = ids.join(per_id.hint("merge"), "_id", "left").select(
+        "_id",
+        F.coalesce("_p", F.lit(0.0)).alias("_p"),
+        F.coalesce("_r", F.lit(0.0)).alias("_r"),
+    )
+    b2 = beta * beta
+    chrf = F.when(
+        (b2 * F.col("_p") + F.col("_r")) > 0,
+        (1.0 + b2) * F.col("_p") * F.col("_r")
+        / (b2 * F.col("_p") + F.col("_r")),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.round("_p", _DP).alias("chr_p"),
+        F.round("_r", _DP).alias("chr_r"),
+        F.round(chrf, _DP).alias("chrf"),
+    )
+
+
+def chrf_pairs_sql(
+    table: str = "pairs",
+    id_expr: str = "pair_id",
+    cand_expr: str = "candidate",
+    ref_expr: str = "reference",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`chrf_pairs` — same stripping, clipping,
+    order-averaging, and β."""
+    strip = (
+        lambda e: rf"regexp_replace(lower(coalesce({e}, '')), '\s+', '', 'g')"
+    )
+
+    def grams(col: str, out: str) -> str:
+        per_n = "\n            UNION ALL\n".join(
+            f"            SELECT _id, {n} AS n, substring({col}, i, {n})"
+            f" AS gram FROM strs, LATERAL unnest("
+            f"range(1, greatest(length({col}) - {n - 1}, 0) + 1)) AS t(i)"
+            for n in range(1, max_n + 1)
+        )
+        return f"""
+            SELECT _id, n, gram, count(*) AS {out} FROM (
+{per_n}
+            ) GROUP BY _id, n, gram"""
+
+    b2 = beta * beta
+    return f"""
+        WITH strs AS (
+            SELECT {id_expr} AS _id,
+                   {strip(cand_expr)} AS c,
+                   {strip(ref_expr)} AS r
+            FROM {table}
+        ),
+        cc AS ({grams('c', 'c')}),
+        rc AS ({grams('r', 'r')}),
+        per_n AS (
+            SELECT coalesce(cc._id, rc._id) AS _id,
+                   coalesce(cc.n, rc.n) AS n,
+                   sum(least(coalesce(cc.c, 0), coalesce(rc.r, 0)))
+                       AS clip,
+                   sum(coalesce(cc.c, 0)) AS ct,
+                   sum(coalesce(rc.r, 0)) AS rt
+            FROM cc FULL OUTER JOIN rc
+              ON cc._id = rc._id AND cc.n = rc.n AND cc.gram = rc.gram
+            GROUP BY 1, 2
+        ),
+        per_id AS (
+            SELECT _id,
+                   avg(CASE WHEN ct > 0 THEN clip * 1.0 / ct END) AS p,
+                   avg(CASE WHEN rt > 0 THEN clip * 1.0 / rt END) AS r
+            FROM per_n GROUP BY _id
+        ),
+        scored AS (
+            SELECT i._id, coalesce(p.p, 0.0) AS p, coalesce(p.r, 0.0) AS r
+            FROM (SELECT DISTINCT {id_expr} AS _id FROM {table}) i
+            LEFT JOIN per_id p ON i._id = p._id
+        )
+        SELECT _id AS {id_expr},
+               round(p, {_DP}) + 0.0 AS chr_p,
+               round(r, {_DP}) + 0.0 AS chr_r,
+               round(CASE WHEN {b2} * p + r > 0
+                          THEN (1.0 + {b2}) * p * r / ({b2} * p + r)
+                          ELSE 0.0 END, {_DP}) + 0.0 AS chrf
+        FROM scored
     """
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "validate_preference_pairs",
     "pairwise_wins",
+    "win_rates",
     "bradley_terry_fit",
 ]
 
@@ -138,6 +139,56 @@ def pairwise_wins(
             (F.count(F.lit(1)) - F.sum("_a_won")).alias("wins_b"),
             F.count(F.lit(1)).alias("n_games"),
         )
+    )
+
+
+def win_rates(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.959963984540054,  # 97.5th normal quantile (95% CI)
+) -> DataFrame:
+    """(item, wins, n_games, win_rate, wilson_low, wilson_high) — per-
+    item win rate with the Wilson score interval (Wilson 1927, the
+    interval leaderboards should quote instead of ±Wald, which
+    collapses at 0/1 rates and small n). Closed form per item:
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    One shuffle (the item-keyed aggregate); rates/bounds rounded to
+    6 dp. Complements :func:`bradley_terry_fit`: the rate is
+    opponent-blind, the BT strength is opponent-adjusted — a gap
+    between their rankings means uneven matchup graphs."""
+    wcol, lcol = F.col(winner_col), F.col(loser_col)
+    per = (
+        comparisons.select(wcol.alias("item"), F.lit(1).alias("_w"))
+        .unionByName(
+            comparisons.select(lcol.alias("item"), F.lit(0).alias("_w"))
+        )
+        .groupBy("item")
+        .agg(
+            F.sum("_w").cast("bigint").alias("wins"),
+            F.count(F.lit(1)).cast("bigint").alias("n_games"),
+        )
+    )
+    n = F.col("n_games").cast("double")
+    p = F.col("wins") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        "item", "wins", "n_games",
+        F.round(p, _DP).alias("win_rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), _DP)
+        .alias("wilson_low"),
+        F.round(F.least(center + half, F.lit(1.0)), _DP)
+        .alias("wilson_high"),
     )
 
 
