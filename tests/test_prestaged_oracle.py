@@ -20,10 +20,12 @@ from oracle_harness import compare  # noqa: E402
 from vectra_py_spark.plans.entry_queries import (  # noqa: E402
     _CLF_FEATURES,
     _sql_chat_turns,
+    _sql_chrf_eval,
     _sql_generation_eval,
     _sql_preference_fit,
     _sql_webdataset_sized,
     q_chat_turns,
+    q_chrf_eval,
     q_generation_eval,
     q_preference_fit,
     q_webdataset_sized,
@@ -39,6 +41,7 @@ PRESTAGED: list = [
     (q_chat_turns, _sql_chat_turns),
     (q_preference_fit, _sql_preference_fit),
     (q_generation_eval, _sql_generation_eval),
+    (q_chrf_eval, _sql_chrf_eval),
 ]
 
 

@@ -6659,6 +6659,69 @@ ORDER BY b.pair_id
 """
 
 
+def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF e2e (`operators/geneval.py::chrf_pairs` — Popović 2015):
+    the same candidate/reference construction as `generation_eval`
+    (first 8 tokens, position 3 replaced by an out-of-vocab marker, vs
+    the full document), scored by clipped character n-gram P/R
+    averaged over orders 1..6 and F_β=2 — computed GENUINELY in SQL by
+    the module's DuckDB twin (same whitespace stripping, clipping,
+    order-averaging), so the whole metric is value-checked
+    cross-engine with no closed-form shortcuts.
+
+    Plan shape: one char-gram explode per side (~6× char count), two
+    partial-agg groupBys, one (id, n, gram) equi-join pinned to
+    shuffle."""
+    from vectra_py_spark.operators.geneval import _words, chrf_pairs
+
+    d = F.col("doc_id")
+    words = _words(F.col("text"))
+    cand = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(words, 1, 2),
+            F.array(F.concat(F.lit("zz"), (d % 5).cast("string"))),
+            F.slice(words, 4, 5),
+        ),
+    )
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .filter(d < _GEN_DOCS)
+        .select(
+            d.alias("pair_id"),
+            cand.alias("candidate"),
+            F.col("text").alias("reference"),
+        )
+    )
+    return chrf_pairs(pairs).select(
+        "pair_id",
+        (F.col("chr_p") + F.lit(0.0)).alias("chr_p"),
+        (F.col("chr_r") + F.lit(0.0)).alias("chr_r"),
+        (F.col("chrf") + F.lit(0.0)).alias("chrf"),
+    ).orderBy("pair_id")
+
+
+def _sql_chrf_eval() -> str:
+    from vectra_py_spark.operators.geneval import chrf_pairs_sql
+
+    pairs_sql = f"""
+    SELECT doc_id AS pair_id,
+           array_to_string(
+               w[1:2] || ['zz' || (doc_id % 5)] || w[4:8], ' '
+           ) AS candidate,
+           text AS reference
+    FROM (SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < {_GEN_DOCS})
+    """
+    return f"""
+WITH gpairs AS ({pairs_sql})
+SELECT pair_id, chr_p, chr_r, chrf
+FROM ({chrf_pairs_sql(table='gpairs')})
+ORDER BY pair_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_topk": q_vector_topk,
     "vector_topk_filtered": q_vector_topk_filtered,
