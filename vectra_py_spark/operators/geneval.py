@@ -70,8 +70,8 @@ def _words_sql(expr: str) -> str:
     )
 
 
-def _tagged_grams(words: Column, max_n: int) -> Column:
-    """array<struct<n:int,gram:string>> — all 1..max_n grams, with
+def _tagged_grams(words: Column, max_n: int, min_n: int = 1) -> Column:
+    """array<struct<n:int,gram:string>> — all min_n..max_n grams, with
     multiplicity (BLEU clips on counts, so duplicates matter)."""
     empty = F.array().cast("array<struct<n:int,gram:string>>")
 
@@ -92,21 +92,22 @@ def _tagged_grams(words: Column, max_n: int) -> Column:
                 F.sequence(F.lit(1), F.size(words) - n + 1), gram_at(n)
             ),
         ).otherwise(empty)
-        for n in range(1, max_n + 1)
+        for n in range(min_n, max_n + 1)
     ]
     return F.flatten(F.array(*parts))
 
 
 def _gram_counts(
-    df: DataFrame, id_col: str, text_col: str, max_n: int, out: str
+    df: DataFrame, id_col: str, text_col: str, max_n: int, out: str,
+    min_n: int = 1,
 ) -> DataFrame:
     """(id, n, gram, <out>) counts for one side."""
     return (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode(_tagged_grams(_words(F.col(text_col)), max_n)).alias(
-                "_g"
-            ),
+            F.explode(
+                _tagged_grams(_words(F.col(text_col)), max_n, min_n)
+            ).alias("_g"),
         )
         .groupBy("_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
         .agg(F.count(F.lit(1)).cast("bigint").alias(out))
@@ -361,8 +362,8 @@ def rouge_n_pairs(
     """Per-pair ROUGE-N: (pair_id, overlap, cand_ngrams, ref_ngrams,
     precision, recall, f1) — clipped n-gram overlap; recall divides by
     the REFERENCE gram count (ROUGE's defining orientation)."""
-    cc = _gram_counts(df, id_col, cand_col, n, "c").where(F.col("n") == n)
-    rc = _gram_counts(df, id_col, ref_col, n, "r").where(F.col("n") == n)
+    cc = _gram_counts(df, id_col, cand_col, n, "c", min_n=n)
+    rc = _gram_counts(df, id_col, ref_col, n, "r", min_n=n)
     # corpus-sized both sides; pin the shuffle join (see bleu_pairs)
     j = cc.join(rc.hint("merge"), ["_id", "n", "gram"], "full").groupBy("_id").agg(
         F.sum(
