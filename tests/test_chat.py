@@ -142,3 +142,50 @@ def test_dedup_plan_single_digest_shuffle(spark, convs):
     # transcript concat groupBy + fingerprint window share the digest
     # key; no Python stage anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.slow
+def test_parse_total_on_adversarial_payloads(spark):
+    """The quarantine contract is TOTAL: any payload string yields
+    exactly one classification (turn rows with contiguous 0..n-1
+    indices, one empty row, or one error row) and never raises —
+    one pass over a hostile corpus."""
+    payloads = [
+        "", " ", "null", "true", "0", "-1.5e300", '"just a string"',
+        "[", "]", "[[", "[]]", "{}", "[{}]", "[{}, {}]",
+        '[{"role": null, "content": null}]',
+        '[{"role": 5, "content": {"x": 1}}]',      # wrong types
+        '[{"content": "no role"}]',
+        '[{"role": "user"}]',
+        '[[1, 2], [3]]',                           # arrays of arrays
+        '[{"role": "user", "content": "a"}, 7]',   # mixed elements
+        '[{"role": "user", "content": "' + "x" * 5000 + '"}]',
+        '[{"role": "\\u0000", "content": "\\ud83d\\ude00 ünïcode"}]',
+        "[{\"role\": \"user\", \"content\": \"tab\tnewline\nquote\\\"\"}]",
+        '   [  {"role": "user", "content": "leading ws"} ]  ',
+        "\t[]", "\n{}", "[nonsense]", "[{]}",
+        '{"messages": [{"role": "user", "content": "nested"}]}',
+        "[" + ",".join('{"role":"user","content":"%d"}' % i
+                       for i in range(200)) + "]",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "conv_id bigint, messages string",
+    )
+    turns = parse_conversations(df).collect()
+    by_conv: dict = {}
+    for r in turns:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert set(by_conv) == set(range(len(payloads)))  # total, no loss
+    for cid, rows in by_conv.items():
+        kinds = {r.kind for r in rows}
+        if kinds == {"turn"}:
+            idxs = sorted(r.turn_idx for r in rows)
+            assert idxs == list(range(len(rows))), cid
+        else:
+            # empty/error conversations are exactly one row
+            assert len(rows) == 1 and rows[0].turn_idx == -1, cid
+            assert kinds <= {"empty", "error"}
+    # validation is total over the same frame
+    v = validate_conversations(parse_conversations(df))
+    assert v.count() == len(payloads)

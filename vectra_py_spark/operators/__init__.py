@@ -11,8 +11,11 @@ per-source quotas (:mod:`.splits`), epoch-weighted mixing
 (:mod:`.mixing`), as-of + range temporal joins (:mod:`.asof`), sketch
 aggregations (:mod:`.sketches`), skew mitigation (:mod:`.skew`),
 SQ8 embedding quantization (:mod:`.quantize`), BM25 full-text ranking
-(:mod:`.ranking`), sequence packing (:mod:`.packing`), and multimodal
-binary column plumbing.
+(:mod:`.ranking`), sequence packing (:mod:`.packing`), multimodal
+binary column plumbing, and the post-training layer — SFT
+conversation parsing/validation/dedup/rendering (:mod:`.chat`),
+preference-pair hygiene + Bradley–Terry fits (:mod:`.preference`),
+and BLEU/ROUGE/chrF generation eval (:mod:`.geneval`).
 Everything SQL-expressible is built from JVM-side
 ``pyspark.sql.functions`` only — no Python in the hot path.
 """
