@@ -92,6 +92,36 @@ def test_parse_matches_duckdb_twin(spark, convs):
     assert got == want
 
 
+@pytest.mark.slow
+def test_parse_twin_non_object_elements(spark):
+    """Engine-parity pin for the non-object-element rule (review r12):
+    '[1,2]' and mixed arrays quarantine in BOTH engines; '[null]' is a
+    legal null turn in BOTH (Spark from_json keeps null elements)."""
+    rows = [
+        (0, "[1, 2]"),                                   # error
+        (1, "[null]"),                                   # one null turn
+        (2, '[{"role": "user", "content": "a"}, 7]'),    # error
+        (3, '[{"role": "user", "content": "a"}, null]'), # turn + null turn
+        (4, "[[1], [2]]"),                               # error
+        (5, '["a"]'),                                    # error
+    ]
+    df = spark.createDataFrame(rows, "conv_id bigint, messages string")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.content, r.kind)
+        for r in parse_conversations(df).collect()
+    )
+    con = duckdb.connect()
+    con.register("conversations", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(parse_conversations_sql()).fetchall()
+    )
+    assert got == want
+    kinds = {cid: k for cid, _, _, _, k in got}
+    assert kinds[0] == kinds[2] == kinds[4] == kinds[5] == "error"
+    assert kinds[1] == "turn" and kinds[3] == "turn"
+
+
 def test_validation_flags(spark, convs):
     v = validate_conversations(parse_conversations(convs))
     rows = {r.conv_id: r for r in v.collect()}

@@ -23,6 +23,15 @@ def test_chat_curate(spark, capsys, tmp_path):
     drop = tmp_path / "convs"
     drop.mkdir()
     lines = [
+        # INVALID twin with the same assistant transcript as conv 1 and
+        # a smaller id: dedup runs among VALID conversations only, so
+        # this must NOT become the canonical and erase conv 1 (review
+        # r12 regression)
+        json.dumps({"conv_id": 0, "messages": [
+            {"role": "user", "content": "hey"},
+            {"role": "assistant", "content": "HELLO "},
+            {"role": "user", "content": "dangling"},
+        ]}),
         json.dumps({"conv_id": 1, "messages": [
             {"role": "user", "content": "hi"},
             {"role": "assistant", "content": "hello"},
@@ -44,12 +53,13 @@ def test_chat_curate(spark, capsys, tmp_path):
         "chat-curate", "--path", str(drop), "--out", str(out),
     ])
     assert rc == 0
-    assert rep["conversations"] == 4
+    assert rep["conversations"] == 5
     assert rep["valid"] == 2
     assert rep["errors"] == 1
     assert rep["valid_dup_dropped"] == 1
     kept = spark.read.parquet(str(out))
-    assert {r.conv_id for r in kept.select("conv_id").collect()} == {1}
+    # conv ids are STRINGS now (the ShareGPT shape survives verbatim)
+    assert {r.conv_id for r in kept.select("conv_id").collect()} == {"1"}
 
 
 def test_bt_rank(spark, capsys, tmp_path):

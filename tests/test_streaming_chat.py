@@ -1,7 +1,8 @@
 """Streaming conversation ingest (`streaming/chat.py`): streamed turn
-rows equal the batch parse on identical payloads, malformed/id-less
-lines quarantine instead of vanishing, incremental drops process
-exactly once, and the sink feeds the validator directly."""
+rows equal the batch parse on identical payloads, string conv_ids
+(the ShareGPT/OASST shape) pass through, malformed/id-less lines
+quarantine instead of vanishing, incremental drops process exactly
+once, and the sink feeds the validator directly."""
 
 import json
 import os
@@ -17,7 +18,8 @@ CONVS = [
         {"role": "user", "content": "hi"},
         {"role": "assistant", "content": "hello"},
     ]},
-    {"conv_id": 2, "messages": [
+    # string id — the ShareGPT/OASST interchange shape
+    {"conv_id": "identity_0", "messages": [
         {"role": "system", "content": "be terse"},
         {"role": "user", "content": "q"},
         {"role": "assistant", "content": "a"},
@@ -60,15 +62,21 @@ def test_stream_matches_batch_and_quarantines(spark):
 
     batch = parse_conversations(
         spark.createDataFrame(
-            [(o["conv_id"], json.dumps(o["messages"])) for o in CONVS[:2]],
-            "conv_id bigint, messages string",
+            [
+                (str(o["conv_id"]), json.dumps(o["messages"]))
+                for o in CONVS[:2]
+            ],
+            "conv_id string, messages string",
         )
     )
     key = lambda r: (r.conv_id, r.turn_idx, r.role, r.content, r.kind)  # noqa: E731
-    got = sorted(map(key, streamed.where("conv_id >= 0").collect()))
+    real = streamed.where(~F.col("conv_id").startswith("_line_"))
+    got = sorted(map(key, real.collect()))
     assert got == sorted(map(key, batch.collect()))
-    # the garbage line quarantined under its synthetic negative id
-    errs = streamed.where("conv_id < 0").collect()
+    # the string id came through verbatim
+    assert any(k[0] == "identity_0" for k in got)
+    # the garbage line quarantined under its synthetic id
+    errs = streamed.where(F.col("conv_id").startswith("_line_")).collect()
     assert len(errs) == 1 and errs[0].kind == "error"
 
     # incremental drop: a second file processes exactly once (batch-id
@@ -80,10 +88,10 @@ def test_stream_matches_batch_and_quarantines(spark):
     q2.awaitTermination(120)
     after = spark.read.parquet(sink)
     assert after.count() == len(got) + 1 + 1  # + error row + empty row
-    empty = after.where("conv_id = 3").collect()
+    empty = after.where("conv_id = '3'").collect()
     assert len(empty) == 1 and empty[0].kind == "empty"
 
     # the sink is validator-shaped: hygiene straight off parquet
     v = {r.conv_id: r for r in validate_conversations(after).collect()}
-    assert v[1].valid and v[2].valid
-    assert not v[3].valid and v[3].is_empty
+    assert v["1"].valid and v["identity_0"].valid
+    assert not v["3"].valid and v["3"].is_empty

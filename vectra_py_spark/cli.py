@@ -490,25 +490,25 @@ def main(argv: list[str] | None = None) -> int:
             validate_conversations,
         )
 
+        from vectra_py_spark.operators.chat import jsonl_conversations
+
         lines = (
             spark.read.format("text")
             .option("recursiveFileLookup", "true")
             .load(args.path)
         )
-        cid = F.get_json_object(F.col("value"), "$.conv_id").cast("bigint")
-        convs = lines.select(
-            F.coalesce(cid, -F.abs(F.xxhash64(F.col("value"))))
-            .alias("conv_id"),
-            F.when(
-                cid.isNotNull(),
-                F.get_json_object(F.col("value"), "$.messages"),
-            ).otherwise(F.col("value")).alias("messages"),
-        )
+        convs = jsonl_conversations(lines)
         turns = parse_conversations(convs).persist()
         try:
             v = validate_conversations(turns)
-            d = dedup_conversations(turns)
-            verdicts = v.join(d.select("conv_id", "is_canonical"), "conv_id")
+            # dedup among VALID conversations only: an invalid min-id
+            # copy must not become the canonical and erase its valid
+            # twin from the output (review r12)
+            valid_ids = v.where("valid").select("conv_id")
+            d = dedup_conversations(turns.join(valid_ids, "conv_id"))
+            verdicts = v.join(
+                d.select("conv_id", "is_canonical"), "conv_id", "left"
+            ).fillna({"is_canonical": False})
             agg = verdicts.agg(
                 F.count(F.lit(1)).alias("n_convs"),
                 F.sum(F.col("valid").cast("int")).alias("n_valid"),

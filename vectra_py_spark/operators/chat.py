@@ -54,6 +54,7 @@ __all__ = [
     "ROLE_ASSISTANT",
     "parse_conversations",
     "parse_conversations_sql",
+    "jsonl_conversations",
     "validate_conversations",
     "conversation_stats",
     "conversation_fingerprints",
@@ -93,6 +94,15 @@ def parse_conversations(
 
     ``turn_idx`` is −1 for empty/error rows so the column stays
     non-null and orderable.
+
+    A NULL array ELEMENT is a legal (null-role, null-content) turn —
+    Spark's ``from_json`` keeps it — while any non-null non-object
+    element nulls the whole parse, i.e. quarantines the conversation;
+    the SQL twin reproduces both rules.
+
+    Single pass: the three classifications build ONE per-row array
+    (≥1 element by construction) and one explode — the source is
+    scanned and JSON-parsed exactly once, not once per branch.
     """
     raw = F.col(json_col)
     parsed = F.from_json(raw, TURN_SCHEMA)
@@ -100,37 +110,45 @@ def parse_conversations(
     # refuse non-'['-leading payloads up front so the quarantine rule is
     # engine-portable (see module docstring)
     ok = raw.isNotNull() & F.ltrim(raw).startswith("[") & parsed.isNotNull()
-    base = df.select(
-        F.col(id_col).alias("conv_id"),
-        parsed.alias("_turns"),
-        ok.alias("_ok"),
+
+    def one(role, content, kind: str):
+        return F.array(
+            F.struct(
+                role.alias("role"), content.alias("content"),
+                F.lit(kind).alias("kind"),
+            )
+        )
+
+    null_s = F.lit(None).cast("string")
+    rows = (
+        F.when(
+            ok & (F.size(parsed) > 0),
+            F.transform(
+                parsed,
+                lambda t: F.struct(
+                    t["role"].alias("role"),
+                    t["content"].alias("content"),
+                    F.lit("turn").alias("kind"),
+                ),
+            ),
+        )
+        .when(ok, one(null_s, null_s, "empty"))
+        .otherwise(one(null_s, F.lit(_PARSE_ERROR), "error"))
     )
-    turns = (
-        base.where(F.col("_ok") & (F.size("_turns") > 0))
-        .select("conv_id", F.posexplode("_turns").alias("turn_idx", "_t"))
+    return (
+        df.select(
+            F.col(id_col).alias("conv_id"),
+            F.posexplode(rows).alias("_pos", "_t"),
+        )
         .select(
             "conv_id",
-            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.when(F.col("_t.kind") == "turn", F.col("_pos"))
+            .otherwise(F.lit(-1)).cast("int").alias("turn_idx"),
             F.col("_t.role").alias("role"),
             F.col("_t.content").alias("content"),
-            F.lit("turn").alias("kind"),
+            F.col("_t.kind").alias("kind"),
         )
     )
-    empty = base.where(F.col("_ok") & (F.size("_turns") == 0)).select(
-        "conv_id",
-        F.lit(-1).cast("int").alias("turn_idx"),
-        F.lit(None).cast("string").alias("role"),
-        F.lit(None).cast("string").alias("content"),
-        F.lit("empty").alias("kind"),
-    )
-    errors = base.where(~F.col("_ok")).select(
-        "conv_id",
-        F.lit(-1).cast("int").alias("turn_idx"),
-        F.lit(None).cast("string").alias("role"),
-        F.lit(_PARSE_ERROR).alias("content"),
-        F.lit("error").alias("kind"),
-    )
-    return turns.unionByName(empty).unionByName(errors)
 
 
 def parse_conversations_sql(
@@ -139,24 +157,37 @@ def parse_conversations_sql(
     json_expr: str = "messages",
 ) -> str:
     """DuckDB twin of :func:`parse_conversations` — same quarantine rule
-    (leading-``[`` guard + parse validity), turns via a bounded range
-    unnest over ``json_array_length``."""
+    (leading-``[`` guard + parse validity + the non-object-element rule:
+    a NULL element is a legal null turn, any other non-object element
+    quarantines the whole conversation, matching Spark's ``from_json``),
+    turns via a bounded range unnest over ``json_array_length``."""
     return f"""
-        WITH base AS (
+        WITH base0 AS (
             SELECT {id_expr} AS conv_id, {json_expr} AS raw,
-                   ({json_expr} IS NOT NULL
-                    AND starts_with(ltrim({json_expr}), '[')
-                    AND json_valid({json_expr})) AS ok
+                   TRY_CAST({json_expr} AS JSON) AS j
             FROM {table}
+        ),
+        base AS (
+            SELECT conv_id, raw, j,
+                   (raw IS NOT NULL
+                    AND starts_with(ltrim(raw), '[')
+                    AND j IS NOT NULL
+                    AND NOT EXISTS (
+                        SELECT 1 FROM unnest(range(0,
+                            CAST(json_array_length(j) AS BIGINT))) AS e(i)
+                        WHERE json_type(json_extract(j, '$[' || i || ']'))
+                              NOT IN ('OBJECT', 'NULL')
+                    )) AS ok
+            FROM base0
         ),
         turns AS (
             SELECT conv_id, CAST(i AS INTEGER) AS turn_idx,
-                   json_extract_string(raw, '$[' || i || '].role') AS role,
-                   json_extract_string(raw, '$[' || i || '].content')
+                   json_extract_string(j, '$[' || i || '].role') AS role,
+                   json_extract_string(j, '$[' || i || '].content')
                        AS content,
                    'turn' AS kind
-            FROM (SELECT conv_id, raw,
-                         CAST(json_array_length(raw::JSON) AS BIGINT) AS n
+            FROM (SELECT conv_id, j,
+                         CAST(json_array_length(j) AS BIGINT) AS n
                   FROM base WHERE ok),
                  LATERAL unnest(range(0, n)) AS t(i)
         ),
@@ -164,7 +195,7 @@ def parse_conversations_sql(
             SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
                    CAST(NULL AS VARCHAR) AS role,
                    CAST(NULL AS VARCHAR) AS content, 'empty' AS kind
-            FROM base WHERE ok AND json_array_length(raw::JSON) = 0
+            FROM base WHERE ok AND json_array_length(j) = 0
         ),
         errors AS (
             SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
@@ -176,6 +207,32 @@ def parse_conversations_sql(
         UNION ALL SELECT * FROM empties
         UNION ALL SELECT * FROM errors
     """
+
+
+def jsonl_conversations(
+    lines: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """(conv_id string, messages string) from raw JSONL lines — the
+    ONE extraction both the batch CLI (`chat-curate`) and the streaming
+    twin (`streaming/chat.py`) use, so a line classifies identically on
+    either path.
+
+    ``conv_id`` is ``$.conv_id`` AS A STRING — ShareGPT/OASST ids are
+    strings (``"identity_0"``), numeric ids stringify losslessly. A
+    line without one (or that isn't JSON) gets a synthetic
+    ``_line_<xxhash64>`` id with the raw line as its payload, which
+    `parse_conversations` then quarantines — malformed lines surface
+    as kind='error' rows instead of vanishing."""
+    v = F.col(value_col)
+    cid = F.get_json_object(v, "$.conv_id")
+    synth = F.concat(
+        F.lit("_line_"), F.abs(F.xxhash64(v)).cast("string")
+    )
+    return lines.select(
+        F.coalesce(cid, synth).alias("conv_id"),
+        F.when(cid.isNotNull(), F.get_json_object(v, "$.messages"))
+        .otherwise(v).alias("messages"),
+    )
 
 
 def validate_conversations(
@@ -283,10 +340,12 @@ def conversation_stats(
     packing decisions read (length-bucketed batching over conversations
     keys on exactly these)."""
     t = turns.where(F.col("kind") == "turn")
-    words = F.size(F.split(F.coalesce(F.col("content"), F.lit("")), r"\s+"))
-    n_words = F.when(
-        F.trim(F.coalesce(F.col("content"), F.lit(""))) == "", 0
-    ).otherwise(words)
+    # trim BEFORE splitting: ' hi there' must be 2 words, not 3 (the
+    # geneval _words convention)
+    trimmed = F.trim(F.coalesce(F.col("content"), F.lit("")))
+    n_words = F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
 
     def n_role(r: str):
         return F.sum((F.col("role") == r).cast("int")).cast("bigint")

@@ -107,7 +107,10 @@ def validate_preference_pairs(
     ).select(
         *[col for col in flagged.columns if not col.startswith("_n")
           or col in ("_key",)],
-        F.col("_mk").isNotNull().alias("conflicting"),
+        # identical-sided pairs are their own mirror (_mirror == _key);
+        # that is the no-signal flag, not annotator disagreement
+        (F.col("_mk").isNotNull() & ~F.col("identical_sides"))
+        .alias("conflicting"),
     )
     return out.withColumn(
         "valid",

@@ -28,28 +28,22 @@ __all__ = ["conversation_file_stream", "stream_conversation_turns"]
 def conversation_file_stream(
     spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 64
 ) -> DataFrame:
-    """readStream over a JSONL drop directory → (conv_id, messages).
+    """readStream over a JSONL drop directory → (conv_id STRING,
+    messages) via the shared `operators/chat.py::jsonl_conversations`
+    extraction — string ids because that is what ShareGPT/OASST dumps
+    carry (numeric ids stringify losslessly); id-less/garbage lines
+    get a synthetic ``_line_<hash>`` id whose payload then quarantines
+    as a kind='error' row instead of vanishing. Batch `chat-curate`
+    uses the same helper, so a line classifies identically on either
+    path."""
+    from vectra_py_spark.operators.chat import jsonl_conversations
 
-    ``conv_id`` comes from the line's ``$.conv_id``; a line without one
-    (or that isn't JSON at all) gets a synthetic negative id derived
-    from the line bytes (``-|xxhash64|``, collision-safe in practice
-    and sorted apart from real non-negative ids) with the raw line as
-    its payload — `parse_conversations` then quarantines it, so
-    malformed lines surface as kind='error' rows instead of vanishing.
-    """
     lines = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(drop_dir)
     )
-    cid = F.get_json_object(F.col("value"), "$.conv_id").cast("bigint")
-    msgs = F.get_json_object(F.col("value"), "$.messages")
-    synth = -F.abs(F.xxhash64(F.col("value")))
-    return lines.select(
-        F.coalesce(cid, synth).alias("conv_id"),
-        F.when(cid.isNotNull(), msgs).otherwise(F.col("value"))
-        .alias("messages"),
-    )
+    return jsonl_conversations(lines)
 
 
 def stream_conversation_turns(
