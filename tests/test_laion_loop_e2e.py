@@ -90,7 +90,9 @@ def _pages(spark):
 def test_laion_loop_e2e(spark):
     stages = mine_image_corpus(
         _pages(spark), transport=_make_transport(dict(IMAGES)),
-        n_workers=3, default_delay=1.0, radius=7,
+        # tiny delay: the schedule SHAPE is asserted below; pacing is
+        # now actually enforced (r12), its wall tested in test_pairs
+        n_workers=3, default_delay=0.05, radius=7,
     )
 
     # 1) MINE + PAIR DEDUP: 12 pages × 2 good tags + 1 dead ref mined;
@@ -112,7 +114,7 @@ def test_laion_loop_e2e(spark):
     for host, rows in by_host.items():
         slots = sorted(r.slot for r in rows)
         assert slots == list(range(1, len(rows) + 1))
-        assert all(r.fetch_at_s == (r.slot - 1) * 1.0 for r in rows)
+        assert all(r.fetch_at_s == (r.slot - 1) * 0.05 for r in rows)
         assert len({r.worker for r in rows}) == 1  # host → ONE worker
 
     # 3) FETCH with the BYTES-TOUCHED BOUND: one fetch per unique URL

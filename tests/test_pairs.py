@@ -3,6 +3,7 @@ both quote styles, attribute order, entity unescape, the four URL
 resolution forms, scheme drops, the alt-quality gate, pair dedup, and
 the all-Catalyst plan shape."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from vectra_py_spark.operators.pairs import (
@@ -107,3 +108,37 @@ def test_plan_is_pure_catalyst(spark):
                 "Exchange"):
         assert bad not in plan, plan
     assert "Generate" in plan
+
+
+@pytest.mark.slow
+def test_fetch_pacing_enforces_schedule_gaps(spark):
+    """r12 review fix: the fetch SLEEPS to honor fetch_at_s, it does
+    not merely sort by it. The transport stamps executor-side
+    monotonic time into the payload; consecutive same-host slots
+    0.25 s apart must observe >= ~0.25 s gaps."""
+    import time
+
+    from vectra_py_spark.operators.pairs import fetch_images_df
+
+    sched = spark.createDataFrame(
+        [(f"http://one.host/i{k}.png", "one.host", k, 0.25 * k, 0)
+         for k in range(3)],
+        "image_url string, host string, slot int, fetch_at_s double,"
+        " worker int",
+    )
+
+    def stamping_transport(url):
+        return str(time.monotonic()).encode(), "image/png"
+
+    rows = fetch_images_df(
+        sched, transport=stamping_transport, n_workers=1
+    ).collect()
+    stamps = sorted(float(r.payload.decode()) for r in rows)
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    assert all(g >= 0.2 for g in gaps), gaps
+    # and pace=False restores the fast replay path
+    t0 = time.monotonic()
+    fetch_images_df(
+        sched, transport=stamping_transport, n_workers=1, pace=False
+    ).collect()
+    assert time.monotonic() - t0 < 5.0

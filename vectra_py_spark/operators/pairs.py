@@ -205,6 +205,7 @@ def fetch_images_df(
     url_col: str = "image_url",
     timeout: float = 30.0,
     n_workers: int | None = None,
+    pace: bool = True,
 ) -> DataFrame:
     """Scheduled fetch slots → image payloads: input columns +
     (payload BINARY, content_type STRING, fetch_error STRING), one row
@@ -215,11 +216,23 @@ def fetch_images_df(
     it carries a ``worker`` column the fetch repartitions on it (each
     host's slots land on ONE task, so per-host politeness holds even
     distributed) and executes slots in ``fetch_at_s`` order inside the
-    task. Without a worker column the input partitioning is used
-    as-is (caller owns the request rate). ``transport`` is any
+    task, SLEEPING to honor each slot's offset against a per-task
+    clock (``pace=True``, the default) — the inter-access delays
+    `schedule_fetches` encoded are actually enforced, not just sorted
+    by (review r12: sorting alone fired requests back-to-back).
+    ``pace=False`` turns the schedule back into a pure ordering for
+    hermetic replays. Without a worker column the input partitioning
+    is used as-is (caller owns the request rate). ``transport`` is any
     ``url -> (bytes, content_type)`` callable; default is polite HTTP
     (import-gated on `requests` — tests and hermetic runs inject a
     local resolver).
+
+    ``n_workers`` sets the exact partition count (pass it through from
+    the schedule); omitted, the fetch hash-partitions on ``worker``
+    into the session's shuffle partitions — per-host politeness holds
+    under ANY worker-hash partitioning (a host never splits), the
+    count only tunes parallelism, and deriving it exactly would cost
+    an extra pass over the whole upstream plan.
 
     Scale shape: payloads are BORN here (nothing large shuffles in);
     the single repartition moves URL strings only."""
@@ -229,11 +242,11 @@ def fetch_images_df(
         else _http_image_transport(timeout)
     src = schedule
     if "worker" in src.columns:
-        if n_workers is None:  # derive (one small aggregate job) only
-            n_workers = 1 + (  # when the caller didn't pass it through
-                src.agg(F.max("worker")).collect()[0][0] or 0
-            )
-        src = src.repartition(int(n_workers), "worker")
+        src = (
+            src.repartition(int(n_workers), "worker")
+            if n_workers is not None
+            else src.repartition("worker")
+        )
         if "fetch_at_s" in src.columns:
             src = src.sortWithinPartitions("fetch_at_s")
 
@@ -245,10 +258,27 @@ def fetch_images_df(
         f"fetch_error STRING"
     )
 
+    do_pace = pace and "fetch_at_s" in src.columns
+
     def run(batches):
+        import time
+
+        # pacing clock spans Arrow batches within the task: slot
+        # offsets are honored against the FIRST slot seen, so
+        # consecutive same-host requests keep their scheduled gap
+        t0 = s0 = None
         for pdf in batches:
+            slots = pdf["fetch_at_s"] if do_pace else None
             payloads, ctypes, errors = [], [], []
-            for url in pdf[url_col]:
+            for k, url in enumerate(pdf[url_col]):
+                if do_pace:
+                    slot = float(slots.iloc[k])
+                    if t0 is None:
+                        t0, s0 = time.monotonic(), slot
+                    else:
+                        wait = (slot - s0) - (time.monotonic() - t0)
+                        if wait > 0:
+                            time.sleep(wait)
                 try:
                     data, ctype = fetch(str(url))
                     payloads.append(data)
@@ -278,6 +308,7 @@ def mine_image_corpus(
     timeout: float = 30.0,
     min_alt_chars: int = 5,
     max_alt_chars: int = 1000,
+    pace: bool = True,
 ) -> dict[str, DataFrame]:
     """The LAION acquisition loop, composed end-to-end: (page url,
     html) rows → a fetched, perceptually-deduplicated image-text
@@ -341,7 +372,7 @@ def mine_image_corpus(
     )
     fetched = fetch_images_df(
         schedule, transport=transport, url_col="image_url",
-        timeout=timeout, n_workers=n_workers,
+        timeout=timeout, n_workers=n_workers, pace=pace,
     )
     # Lineage cut at the side-effect boundary (lazy localCheckpoint):
     # (a) a fetch must run EXACTLY ONCE however many downstream actions
