@@ -298,6 +298,7 @@ class SparkVectorIndex:
         delete_cond: Column | None = None,
         delete_scope: str = "existing",
         check_insert_ids: set[str] | None = None,
+        staged_is_materialized: bool = False,
     ) -> None:
         """Partition-scoped MERGE — the engine behind every mutation.
 
@@ -319,10 +320,14 @@ class SparkVectorIndex:
         touched: set[int] = set()
         if staged is not None:
             staged = staged.withColumn(BUCKET_COL, self._bucket_expr())
-            # Materialize once: freezes non-deterministic defaults (uuid
-            # ids) and runs any expensive upstream pipeline (split+embed)
-            # exactly one time; bounded by the batch, not the table.
-            staged = staged.localCheckpoint(eager=True)
+            if not staged_is_materialized:
+                # Materialize once: freezes non-deterministic defaults
+                # (uuid ids) and runs any expensive upstream pipeline
+                # (split+embed) exactly one time; bounded by the batch,
+                # not the table. commit() skips this: its staged rows
+                # are driver-literal (already frozen), so the extra
+                # checkpoint job bought nothing.
+                staged = staged.localCheckpoint(eager=True)
             touched |= {
                 int(r[0]) for r in staged.select(BUCKET_COL).distinct().collect()
             }
@@ -384,10 +389,17 @@ class SparkVectorIndex:
         )
         # Dynamic overwrite can't emit an EMPTY partition: a bucket whose
         # rows were all deleted produces no output directory, leaving the
-        # stale one behind — remove it explicitly.
-        kept = {int(r[0]) for r in out.select(BUCKET_COL).distinct().collect()}
-        for bucket in touched - kept:
-            self._delete_bucket_dir(bucket)
+        # stale one behind — remove it explicitly. Without a delete
+        # predicate no touched bucket can empty (every staged row
+        # survives the is-new-wins window), so the kept-bucket job is
+        # skipped entirely on pure insert/upsert merges.
+        if delete_cond is not None:
+            kept = {
+                int(r[0])
+                for r in out.select(BUCKET_COL).distinct().collect()
+            }
+            for bucket in touched - kept:
+                self._delete_bucket_dir(bucket)
         self._invalidate()
 
     def commit(self) -> None:
@@ -420,6 +432,9 @@ class SparkVectorIndex:
             delete_cond=delete_cond,
             delete_scope="merged",
             check_insert_ids=check_ids or None,
+            # staged rows are driver literals (values frozen in _stage),
+            # so the freeze-checkpoint would be a wasted job
+            staged_is_materialized=True,
         )
         self.cancel_update()
 
@@ -453,21 +468,37 @@ class SparkVectorIndex:
         # (possibly split+embed with uuid() ids) runs once, and the dup
         # check sees the same ids the merge will write.
         staged = staged.localCheckpoint(eager=True)
-        dup = staged.groupBy("id").count().filter(F.col("count") > 1).limit(1)
-        if dup.count():
-            raise ValueError("merge_batch: duplicate id within batch")
-        dim = self._resolved_dim()
-        if dim is None:
-            head = staged.select(F.size("vector").alias("d")).head(1)
-            if head:
-                self.vector_dim = dim = int(head[0]["d"])
-        if dim is not None:
-            bad = staged.filter(F.size("vector") != dim).limit(1)
-            if bad.count():
-                raise ValueError(
-                    f"merge_batch: vector dimension != index dim {dim}"
-                )
-        self._merge(staged, delete_cond=delete_cond, delete_scope="existing")
+        # ONE aggregate answers every validation over the checkpointed
+        # batch (was 3 jobs: dup-count, dim head, bad-dim count — guide
+        # §1.2, fewer passes): duplicates exist iff count != distinct
+        # ids; the batch is dimension-uniform iff min==max of
+        # size(vector), which is exactly what "adopt the first row's
+        # dim, then require every row to match it" accepted.
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("n_ids"),
+            F.min(F.size("vector")).alias("d_min"),
+            F.max(F.size("vector")).alias("d_max"),
+        ).head()
+        if int(stats["n"] or 0):
+            if int(stats["n"]) != int(stats["n_ids"]):
+                raise ValueError("merge_batch: duplicate id within batch")
+            dim = self._resolved_dim()
+            if stats["d_min"] is not None:  # min/max skip null vectors,
+                # matching the old per-row filter's null semantics
+                if dim is None:
+                    self.vector_dim = dim = int(stats["d_min"])
+                if int(stats["d_min"]) != dim or int(stats["d_max"]) != dim:
+                    raise ValueError(
+                        f"merge_batch: vector dimension != index dim {dim}"
+                    )
+        # staged is already checkpointed above and the bucket column is
+        # a deterministic hash of id, so _merge must not checkpoint a
+        # second time (was: two materializations of the same batch).
+        self._merge(
+            staged, delete_cond=delete_cond, delete_scope="existing",
+            staged_is_materialized=True,
+        )
 
     # -- reads (P12-P14, A2) ---------------------------------------------
     def get_item(self, item_id: str) -> DataFrame:

@@ -151,7 +151,10 @@ def audio_match_pairs(fp, min_matches: int = 5, id_col: str = "media_id"):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    clean = fp.filter(F.col("hash").isNotNull())
+    # NOTE (r12 audit): both self-join sides derive from this frame;
+    # ReuseExchange computes the decode pass once (see
+    # imagehash.phash_neardup_pairs), so no materialization here.
+    clean = fp.filter(F.col("hash").isNotNull()).select(id_col, "hash", "t")
     a = clean.select(
         F.col(id_col).alias("id_a"), "hash", F.col("t").alias("t_a")
     )

@@ -248,6 +248,12 @@ def phash_neardup_pairs(
     fp = hashes.filter(F.col(fp_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
     )
+    # NOTE (r12 audit): both self-join sides derive from this frame,
+    # but no materialization is needed — the join shuffles both sides
+    # by the same key over byte-identical subtrees, so ReuseExchange
+    # computes the decode+hash pass once (A/B-measured on the video
+    # twin: an explicit localCheckpoint here is a net LOSS, it adds a
+    # serial barrier without removing work).
     blocks = fp.select(
         "id", "fp",
         F.explode(

@@ -197,6 +197,12 @@ def video_match_pairs(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    # NOTE (r12 audit): both sides of the block self-join derive from
+    # the decode+hash pass, but the join shuffles both sides by the
+    # same key over byte-identical subtrees, so ReuseExchange computes
+    # the pass once. A/B-measured: an explicit localCheckpoint here is
+    # a net LOSS (3.2-3.5 s -> 3.6-4.1 s at sf0.1) — it adds a serial
+    # materialization barrier without removing any work.
     blocks = _frame_blocks(fh, radius, bits, id_col)
     a = blocks.select(
         F.col("id").alias("id_a"), F.col("frame_idx").alias("f_a"),
