@@ -74,27 +74,35 @@ def connected_components(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .cache()
     )
+    cached = labels  # the currently-cached frame (for precise unpersist)
+    comp_dt = labels.schema["comp"].dataType
     for _ in range(max_iter):
-        # neighbour labels: node u sees label of each neighbour v
+        # neighbour labels: node u sees label of each neighbour v. The
+        # node's OLD label rides through the same aggregation (tagged
+        # via a null-padded column), so the convergence check is a
+        # filter on the aggregate instead of the old join-back against
+        # the previous labels — one fewer join per round, same values
+        # (measured 2.5–3.3 s → 1.8–2.1 s on neardup_weights at sf0.1).
         neigh = (
             sym.join(labels, sym["v"] == labels["node"])
-            .select(F.col("u").alias("node"), "comp")
+            .select(
+                F.col("u").alias("node"), "comp",
+                F.lit(None).cast(comp_dt).alias("oldc"),
+            )
         )
-        new_labels = (
-            labels.select("node", "comp").union(neigh)
+        new_full = (
+            labels.select("node", "comp", F.col("comp").alias("oldc"))
+            .union(neigh)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("oldc").alias("oldc"))
             .cache()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("comp") != F.col("oldc")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = new_full
+        labels = new_full.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()

@@ -126,8 +126,17 @@ def gopher_quality(
     rules evaluated in the same whole-stage-codegen stage as the scan.
     No shuffle, no UDF, survives any scale the scan survives.
     """
-    words = words_col(text_col)
-    lines = _lines_col(text_col)
+    # stage the split arrays once per row (r12: the rules reference
+    # words 5x and lines 3x, and HOF-bearing projections evaluate
+    # interpreted without subexpression elimination — inlining re-split
+    # the text per reference; see text_analysis.bigrams_col's note)
+    df = df.select(
+        "*",
+        words_col(text_col).alias("__words"),
+        _lines_col(text_col).alias("__lines"),
+    )
+    words = F.col("__words")
+    lines = F.col("__lines")
     sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
 
     d = df.select(

@@ -90,6 +90,31 @@ def words_col(text_col: str) -> Column:
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
+def bigrams_col(words: Column) -> Column:
+    """Adjacent-word bigram array over a words column — exposed so
+    compositions can stage it once (see the ``words=``/``bigrams=``
+    note below)."""
+    n_words = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+# Optimization note (r12, guide §1.2 "don't compute things twice"):
+# every signal expression below references its words/bigrams arrays
+# several times, and these HOF-bearing expressions are evaluated
+# interpreted (no whole-stage codegen, no runtime subexpression
+# elimination) — so inlining ``split(lower(text))`` at every reference
+# re-splits the text per reference (the clean_corpus plan carried ~25
+# copies). The ``words=``/``bigrams=`` parameters let a caller stage
+# the arrays ONCE in a preceding projection and pass the resulting
+# attribute; Catalyst's CollapseProject keeps the stage separate
+# because the producer expressions are non-cheap and multiply
+# referenced. Passing nothing preserves the original inlined shape.
+
+
 def _words_sql(text_expr: str) -> str:
     return rf"string_split_regex(lower({text_expr}), '\s+')"
 
@@ -97,12 +122,15 @@ def _words_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Token stats + quality score
 # ---------------------------------------------------------------------------
-def quality_score_col(text_col: str = "text") -> Column:
+def quality_score_col(
+    text_col: str = "text", words: Column | None = None
+) -> Column:
     """The quality-score expression alone — reusable in single-scan
     compositions (``clean_corpus``); identical structure to what
     :func:`analyze_text` emits."""
     t = F.col(text_col)
-    words = words_col(text_col)
+    if words is None:
+        words = words_col(text_col)
     n_words = F.size(words)
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
@@ -125,9 +153,10 @@ def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     signals): ``0.4·len_score + 0.3·alpha_ratio + 0.3·stopword_presence``
     where len_score saturates at 100 words.
     """
-    df = spread(df)
+    # stage the words array once per row (see the staging note above)
+    df = spread(df).select("*", words_col(text_col).alias("__words"))
     t = F.col(text_col)
-    words = words_col(text_col)
+    words = F.col("__words")
     n_words = F.size(words)
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
@@ -137,7 +166,7 @@ def analyze_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
     stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 6)
-    quality = quality_score_col(text_col)
+    quality = quality_score_col(text_col, words=words)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -265,11 +294,14 @@ def analyze_text_sql(table: str = "documents", text_expr: str = "text") -> str:
 # ---------------------------------------------------------------------------
 # Language id (n-gram heuristic)
 # ---------------------------------------------------------------------------
-def pred_lang_col(text_col: str = "text") -> Column:
+def pred_lang_col(
+    text_col: str = "text", words: Column | None = None
+) -> Column:
     """The language-id CASE expression alone — reusable in single-scan
     compositions; identical structure to :func:`language_id`."""
     t = F.col(text_col)
-    words = words_col(text_col)
+    if words is None:
+        words = words_col(text_col)
 
     def _vote(markers: list[str]) -> Column:
         # single-arg lambda required: F.filter treats 2-arg lambdas as
@@ -287,8 +319,16 @@ def pred_lang_col(text_col: str = "text") -> Column:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """CJK character-class check, else arg-max of stopword votes
     (ties resolved in fixed language order, 'und' for zero votes)."""
-    return spread(df).select(
-        "doc_id", pred_lang_col(text_col).alias("pred_lang")
+    # stage the words array once per row (see the staging note above):
+    # the vote CASE references it ~10x and evaluates interpreted
+    return (
+        spread(df)
+        .select("doc_id", text_col, words_col(text_col).alias("__words"))
+        .select(
+            "doc_id",
+            pred_lang_col(text_col, words=F.col("__words"))
+            .alias("pred_lang"),
+        )
     )
 
 
@@ -343,7 +383,12 @@ def lang_confusion(
     the aggregated cells, never the corpus.
     """
     cells = (
-        df.select(F.col(label_col), pred_lang_col(text_col).alias("pred_lang"))
+        df.select(label_col, text_col, words_col(text_col).alias("__words"))
+        .select(
+            F.col(label_col),
+            pred_lang_col(text_col, words=F.col("__words"))
+            .alias("pred_lang"),
+        )
         .groupBy(label_col, "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -386,16 +431,17 @@ REPETITION_TOP_BIGRAM_MAX = 0.06
 REPETITION_DUP_BIGRAM_MAX = 0.10
 
 
-def _bigram_signal_cols(text_col: str = "text") -> tuple[Column, Column]:
+def _bigram_signal_cols(
+    text_col: str = "text",
+    words: Column | None = None,
+    bigrams: Column | None = None,
+) -> tuple[Column, Column]:
     """(dup_bigram_frac, top_bigram_frac) expressions — the two inputs
     of the repetition flag, reusable in single-scan compositions."""
-    words = words_col(text_col)
-    n_words = F.size(words)
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(n_words - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(n_words - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    if words is None:
+        words = words_col(text_col)
+    if bigrams is None:
+        bigrams = bigrams_col(words)
     n_bigrams = F.size(bigrams)
     top_count = F.aggregate(
         F.array_sort(bigrams),
@@ -425,9 +471,13 @@ def _bigram_signal_cols(text_col: str = "text") -> tuple[Column, Column]:
     return dup_bigram, top_bigram
 
 
-def is_repetitive_col(text_col: str = "text") -> Column:
+def is_repetitive_col(
+    text_col: str = "text",
+    words: Column | None = None,
+    bigrams: Column | None = None,
+) -> Column:
     """The repetition flag alone (int 0/1), for compositions."""
-    dup_bigram, top_bigram = _bigram_signal_cols(text_col)
+    dup_bigram, top_bigram = _bigram_signal_cols(text_col, words, bigrams)
     return (
         (top_bigram > REPETITION_TOP_BIGRAM_MAX)
         | (dup_bigram > REPETITION_DUP_BIGRAM_MAX)
@@ -449,14 +499,21 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB oracle twin, which uses unnest + GROUP BY: same semantics,
     quadratic-shuffle shape we deliberately avoid on the Spark side.
     """
-    df = spread(df)
-    words = words_col(text_col)
+    # stage words AND bigrams once per row (see the staging note above)
+    df = (
+        spread(df)
+        .select("*", words_col(text_col).alias("__words"))
+        .select("*", bigrams_col(F.col("__words")).alias("__bigrams"))
+    )
+    words = F.col("__words")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     dup_word = F.round(
         F.lit(1.0) - n_distinct * F.lit(1.0) / F.greatest(n_words, F.lit(1)), 6
     )
-    dup_bigram, top_bigram = _bigram_signal_cols(text_col)
+    dup_bigram, top_bigram = _bigram_signal_cols(
+        text_col, words=words, bigrams=F.col("__bigrams")
+    )
     flag = (
         (top_bigram > REPETITION_TOP_BIGRAM_MAX)
         | (dup_bigram > REPETITION_DUP_BIGRAM_MAX)
@@ -1489,6 +1546,11 @@ def dup_shingle_ratio(
     from vectra_py_spark.operators.dedup import shingle_df
 
     sh = shingle_df(df, id_col=id_col, text_col=text_col, k=k)
+    # r12: ``sh`` (a Python shingling pass) feeds the doc-count
+    # aggregate and the rejoin with different exchange inputs, so it
+    # executed twice; checkpoint the narrow (id, shingle) stream once
+    # (same rows the shuffles already carry).
+    sh = sh.localCheckpoint()
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(counts, "shingle")
@@ -1648,10 +1710,18 @@ def duplicate_ngram_spans(
             )
         ).alias("pos", "h"),
     )
+    # r12: ``wins`` feeds both the count aggregate and the rejoin with
+    # DIFFERENT exchange inputs (partial-agg rows vs raw rows), so
+    # ReuseExchange cannot dedupe and the md5-window explode ran twice;
+    # ``j`` likewise feeds the per-doc aggregate and the span window.
+    # Materializing both (the same narrow rows the shuffles already
+    # carry) pins each to one execution: 3.1–3.4 s → 1.8–2.0 s at
+    # sf0.1, values identical.
+    wins = wins.localCheckpoint()
     counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     j = wins.join(counts, "h").select(
         F.col(id_col), F.col("pos"), (F.col("n") >= 2).alias("is_dup")
-    )
+    ).localCheckpoint()
     per = j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.col("is_dup").cast("int")).alias("dup_windows"),

@@ -493,12 +493,28 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.col("text")))
+    # Stage the words/bigrams arrays ONCE per row (r12, guide §1.2):
+    # the three signal expressions reference them ~25 times between
+    # them, and HOF-bearing projections evaluate interpreted with no
+    # subexpression elimination — inlining re-split the text per
+    # reference. Measured 2.6 s → 1.8 s (isolate median) at sf0.1; same
+    # plan shape (scan → project → 1 exchange → window → filter), same
+    # values.
+    staged = docs.select(
+        "doc_id", "text", ta.words_col("text").alias("__w")
+    ).select(
+        "doc_id", "text", "__w",
+        ta.bigrams_col(F.col("__w")).alias("__b"),
+    )
+    wc = F.col("__w")
     return (
-        docs.select(
+        staged.select(
             "doc_id",
-            ta.quality_score_col("text").alias("quality_score"),
-            ta.pred_lang_col("text").alias("pred_lang"),
-            ta.is_repetitive_col("text").alias("is_repetitive"),
+            ta.quality_score_col("text", words=wc).alias("quality_score"),
+            ta.pred_lang_col("text", words=wc).alias("pred_lang"),
+            ta.is_repetitive_col(
+                "text", words=wc, bigrams=F.col("__b")
+            ).alias("is_repetitive"),
             F.min("doc_id").over(w).alias("keep_id"),
         )
         .filter(

@@ -48,6 +48,14 @@ def get_spark(
         # broadcast; AQE can still promote larger sides at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): skips both sort passes;
+        # identical results. The planner still falls back to SMJ when
+        # no side is safely buildable, and AQE can re-plan at runtime;
+        # measured a consistent few-percent win on the TPC-H-shaped
+        # registry joins with no plan-shape change (exchange counts
+        # unchanged).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Test fixtures write TIMESTAMP(NANOS) parquet, which Spark has no
         # native type for; read as BIGINT nanoseconds and convert in plans.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
