@@ -345,34 +345,38 @@ class SparkVectorIndex:
         if not touched:
             return  # nothing staged, delete matched nothing
         existing = raw.filter(F.col(BUCKET_COL).isin(*touched))
-        if check_insert_ids:
-            clash = (
-                existing.select("id")
-                .filter(F.col("id").isin(*check_insert_ids))
-                .limit(1)
-                .count()
-            )
-            if clash:
-                raise ValueError("insert_item: id already exists (unique=True)")
         if delete_cond is not None and delete_scope == "existing":
             # keep rows where the predicate is not TRUE (null-safe: a null
             # predicate must not delete the row)
             existing = existing.filter(~F.coalesce(delete_cond, F.lit(False)))
         if staged is not None:
+            # r12: the unique-insert check used to be a SEPARATE scan of
+            # the touched buckets before the merge. The merge's own
+            # is-new-wins window already sees every (existing, staged)
+            # id group, so the clash flag rides the same window pass as
+            # an extra aggregate (count of existing rows per id) and is
+            # checked on the CHECKPOINTED output below — before anything
+            # is written — one bucket scan instead of two (guide §1.2).
+            w_id = Window.partitionBy("id")
+            clash_col = (
+                (F.sum(F.lit(1) - F.col("_new")).over(w_id) >= 1)
+                & F.col("id").isin(*check_insert_ids)
+                if check_insert_ids
+                else F.lit(False)
+            )
             merged = (
                 existing.withColumn("_new", F.lit(0))
                 .unionByName(staged.withColumn("_new", F.lit(1)))
                 .withColumn(
                     "_rn",
-                    F.row_number().over(
-                        Window.partitionBy("id").orderBy(F.desc("_new"))
-                    ),
+                    F.row_number().over(w_id.orderBy(F.desc("_new"))),
                 )
+                .withColumn("_clash", clash_col)
                 .filter(F.col("_rn") == 1)
                 .drop("_new", "_rn")
             )
         else:
-            merged = existing
+            merged = existing.withColumn("_clash", F.lit(False))
         if delete_cond is not None and delete_scope == "merged":
             merged = merged.filter(~F.coalesce(delete_cond, F.lit(False)))
 
@@ -381,6 +385,12 @@ class SparkVectorIndex:
         # atomicity; dynamic mode replaces only directories present in the
         # output.
         out = merged.localCheckpoint(eager=True)
+        if check_insert_ids:
+            # post-checkpoint filter over materialized candidate rows —
+            # cheap, and nothing has been written yet
+            if out.filter(F.col("_clash")).limit(1).count():
+                raise ValueError("insert_item: id already exists (unique=True)")
+        out = out.drop("_clash")
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

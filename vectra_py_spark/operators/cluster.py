@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectra_py_spark.session import spread
 from vectra_py_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
@@ -348,6 +349,11 @@ def lloyd_kmeans(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     dec = "decimal(28,10)"
+    # r12: a one-file table arrives as ONE partition, serializing every
+    # per-iteration projection (8 interpreted HOF distance folds per
+    # row) and the posexplode update onto a single task; spread() is a
+    # no-op at real scale (guide §2 — scale-adaptive partitioning)
+    df = spread(df)
     seeds = (
         df.select(id_col, vector_col)
         .orderBy(id_col)

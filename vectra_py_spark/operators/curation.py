@@ -113,6 +113,62 @@ def _lines_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 # Gopher document-quality rules
 # ---------------------------------------------------------------------------
+def gopher_pass_col(
+    text_col: str = "text",
+    words: Column | None = None,
+    lines: Column | None = None,
+    dp: int = 6,
+) -> Column:
+    """The ``pass_gopher`` flag as ONE inline expression — reusable in
+    single-scan compositions (:func:`curation_funnel`), mirroring the
+    rounded-ratio-then-threshold arithmetic of :func:`gopher_quality`
+    operation-for-operation. Pass pre-staged ``words``/``lines``
+    attribute columns to avoid re-splitting the text per reference
+    (the r12 staging note in ``text_analysis``)."""
+    if words is None:
+        words = words_col(text_col)
+    if lines is None:
+        lines = _lines_col(text_col)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_words = F.size(words)
+    nw = F.greatest(n_words.cast("double"), F.lit(1.0))
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    word_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(word_chars / nw, dp)
+    sym = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("#|\\.\\.\\."))) / nw, dp
+    )
+    alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nw, dp
+    )
+    bullet = F.round(
+        F.size(
+            F.filter(
+                lines, lambda ln: ln.startswith("-") | ln.startswith("•")
+            )
+        )
+        / nl,
+        dp,
+    )
+    ellip = F.round(
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))) / nl, dp
+    )
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha >= GOPHER_MIN_ALPHA_FRAC)
+        & (bullet <= GOPHER_MAX_BULLET_RATIO)
+        & (ellip <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+
+
 def gopher_quality(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dp: int = 6
 ) -> DataFrame:
@@ -129,8 +185,12 @@ def gopher_quality(
     # stage the split arrays once per row (r12: the rules reference
     # words 5x and lines 3x, and HOF-bearing projections evaluate
     # interpreted without subexpression elimination — inlining re-split
-    # the text per reference; see text_analysis.bigrams_col's note)
-    df = df.select(
+    # the text per reference; see text_analysis.bigrams_col's note).
+    # spread(): one-file scans otherwise evaluate the whole interpreted
+    # rule stage on a single task (no-op at real scale).
+    from vectra_py_spark.session import spread
+
+    df = spread(df).select(
         "*",
         words_col(text_col).alias("__words"),
         _lines_col(text_col).alias("__lines"),
@@ -617,39 +677,91 @@ def curation_funnel(
 
     docs = df.select(id_col, text_col)
 
-    def stage_agg(sdf: DataFrame, name: str) -> DataFrame:
-        return sdf.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(
-                F.sum(F.size(words_col(text_col))), F.lit(0)
-            ).cast("long").alias("n_tokens"),
-        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+    # r12 restructure (guide §1.2): the old four-branch union scanned
+    # the corpus once PER STAGE (and reached s1 through a doc_id
+    # semi-join against the Gopher projection — two exchanges to apply
+    # a per-row flag). Now ONE tagged pass: each row carries its token
+    # count and q/e/n survival flags, and a single aggregate produces
+    # every stage's (n_docs, n_tokens) as conditional sums — same
+    # values (integer sums are order-free), four output rows via one
+    # inline explode of the 1-row aggregate. The exact-dedup survivor
+    # among quality rows is `min(CASE WHEN q THEN id END) OVER
+    # (PARTITION BY md5(text))` — identical to the old min-over-s1
+    # window because min ignores NULLs. The MinHash pass still sees
+    # exactly the s2 survivor rows.
+    from vectra_py_spark.session import spread
 
-    quality_ids = (
-        gopher_quality(docs, id_col=id_col, text_col=text_col)
-        .filter(F.col("pass_gopher"))
-        .select(id_col)
+    words = words_col(text_col)
+    staged = spread(docs).select(
+        F.col(id_col),
+        F.col(text_col),
+        words.alias("__w"),
+        _lines_col(text_col).alias("__l"),
     )
-    s1 = docs.join(quality_ids, id_col, "left_semi")
+    q = gopher_pass_col(text_col, words=F.col("__w"), lines=F.col("__l"))
     keep = Window.partitionBy(F.md5(F.col(text_col)))
-    s2 = (
-        s1.withColumn("keep_id", F.min(id_col).over(keep))
-        .filter(F.col(id_col) == F.col("keep_id"))
-        .drop("keep_id")
+    base = (
+        staged.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.size(F.col("__w")).alias("__tok"),
+            q.alias("__q"),
+        )
+        .withColumn(
+            "__keep",
+            F.min(F.when(F.col("__q"), F.col(id_col))).over(keep),
+        )
+        .withColumn("__e", F.col("__q") & (F.col(id_col) == F.col("__keep")))
     )
     dup_ids = (
         minhash_lsh_pairs(
-            s2, id_col=id_col, text_col=text_col, threshold=threshold
+            base.filter(F.col("__e")).select(id_col, text_col),
+            id_col=id_col, text_col=text_col, threshold=threshold,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        .withColumn("__dup", F.lit(1))
     )
-    s3 = s2.join(dup_ids, id_col, "left_anti")
-    return (
-        stage_agg(docs, "s0_input")
-        .unionAll(stage_agg(s1, "s1_quality"))
-        .unionAll(stage_agg(s2, "s2_exact"))
-        .unionAll(stage_agg(s3, "s3_neardup"))
+    tagged = base.join(dup_ids, id_col, "left").withColumn(
+        "__n", F.col("__e") & F.col("__dup").isNull()
+    )
+
+    def _cnt(flag):
+        return F.count(F.when(flag, F.lit(1)))
+
+    def _tok(flag):
+        return (
+            F.coalesce(F.sum(F.when(flag, F.col("__tok"))), F.lit(0))
+            .cast("long")
+        )
+
+    agg = tagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("__tok"), F.lit(0)).cast("long").alias("t0"),
+        _cnt(F.col("__q")).alias("d1"), _tok(F.col("__q")).alias("t1"),
+        _cnt(F.col("__e")).alias("d2"), _tok(F.col("__e")).alias("t2"),
+        _cnt(F.col("__n")).alias("d3"), _tok(F.col("__n")).alias("t3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("s0_input").alias("stage"),
+            F.col("d0").alias("n_docs"), F.col("t0").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("s1_quality").alias("stage"),
+            F.col("d1").alias("n_docs"), F.col("t1").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("s2_exact").alias("stage"),
+            F.col("d2").alias("n_docs"), F.col("t2").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("s3_neardup").alias("stage"),
+            F.col("d3").alias("n_docs"), F.col("t3").alias("n_tokens"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_docs", "s.n_tokens"
     )
 
 

@@ -1059,7 +1059,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    base = df.select(
+    base = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("w")
     )
     idx = F.when(

@@ -1179,7 +1179,12 @@ def group_centroids(
     """
     dec = "decimal(28,10)"
     return (
-        df.select(
+        # spread BEFORE the explode: the repartition moves compact
+        # vector rows, not the ×dim exploded stream, and the explode +
+        # partial aggregation then run on every core (r12; no-op at
+        # real scale where the scan arrives as many splits)
+        spread(df.select(group_col, vector_col))
+        .select(
             F.col(group_col),
             F.posexplode(vector_col).alias("pos", "x"),
         )
@@ -1437,7 +1442,7 @@ def label_outliers(
     cents = group_centroids(
         df, group_col=group_col, vector_col=vector_col, dp=dp
     ).select(group_col, "pos", "centroid")
-    parts = df.select(
+    parts = spread(df).select(
         F.col(group_col),
         F.col(id_col),
         F.posexplode(vector_col).alias("pos", "xf"),
@@ -1828,6 +1833,29 @@ def _collect_unit_broadcast(df, id_col: str, vector_col: str):
     )
 
 
+def _checkpoint_all(frames):
+    """Materialize several independent frames' ``localCheckpoint`` jobs
+    CONCURRENTLY from a small driver thread pool (guide §2.6: actions
+    are only sequential because driver code calls them sequentially —
+    these jobs are independent, and each is small enough that its tail
+    leaves most cores idle). Returns the checkpointed frames in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(frames) == 1:
+        return [frames[0].localCheckpoint()]
+    with ThreadPoolExecutor(max_workers=min(8, len(frames))) as pool:
+        return list(pool.map(lambda f: f.localCheckpoint(), frames))
+
+
+def _assemble_margin(fwd, bwd, threshold, direction):
+    """Candidate frames (checkpointed k-NN outputs) → mined pairs."""
+    fwd_mean = fwd.select("id_src", "sum_f", "k_f").distinct()
+    bwd_mean = bwd.select("id_tgt", "sum_b", "k_b").distinct()
+    fwd = fwd.select("id_src", "id_tgt", "cosine")
+    bwd = bwd.select("id_src", "id_tgt", "cosine")
+    return _margin_select(fwd, bwd, fwd_mean, bwd_mean, direction, threshold)
+
+
 def _mine_matmul(src, tgt, src_bc, tgt_bc, k, threshold, direction,
                  id_col, vector_col):
     """The matmul mining plan over pre-collected side broadcasts."""
@@ -1839,14 +1867,10 @@ def _mine_matmul(src, tgt, src_bc, tgt_bc, k, threshold, direction,
     # passes execute twice. localCheckpoint pins each pass to one
     # execution; the checkpointed frame is candidate-sized (N·k rows,
     # ids + scalars, no vectors), the same rows the joins below carry
-    # anyway (guide §4: pay the Python boundary once).
-    fwd = fwd.localCheckpoint()
-    bwd = bwd.localCheckpoint()
-    fwd_mean = fwd.select("id_src", "sum_f", "k_f").distinct()
-    bwd_mean = bwd.select("id_tgt", "sum_b", "k_b").distinct()
-    fwd = fwd.select("id_src", "id_tgt", "cosine")
-    bwd = bwd.select("id_src", "id_tgt", "cosine")
-    return _margin_select(fwd, bwd, fwd_mean, bwd_mean, direction, threshold)
+    # anyway (guide §4: pay the Python boundary once). The two
+    # checkpoint jobs are independent — run them concurrently.
+    fwd, bwd = _checkpoint_all([fwd, bwd])
+    return _assemble_margin(fwd, bwd, threshold, direction)
 
 
 def _margin_select(fwd, bwd, fwd_mean, bwd_mean, direction, threshold):
@@ -1946,22 +1970,69 @@ def margin_bitext_mine_sharded(
     # for P pairs where S+T suffice (guide §1.2: don't recompute what
     # a pass already produced). Outputs are unchanged: each pair still
     # mines from exactly its shards' vectors with shard-pair margins.
+    #
+    # r12 refinement: ONE size aggregate and ONE collect per SIDE —
+    # the shard column rides along and the driver splits the arrays —
+    # instead of per-shard jobs (n scans of the side each). The driver
+    # memory envelope is unchanged: the per-shard variant already held
+    # every shard's broadcast alive simultaneously for the pair loop.
     def _shards(df, n, side):
         parts = [
             df if n == 1 else df.filter(_shard_pred(id_col, n, i, assign))
             for i in range(n)
         ]
         budget = _broadcast_budget(df)
-        for i, p in enumerate(parts):
-            if _vector_set_bytes(p, vector_col) > budget:
+        if n == 1:
+            if _vector_set_bytes(df, vector_col) > budget:
+                raise ValueError(
+                    f"margin_bitext_mine_sharded: {side} shard 0/1 "
+                    f"exceeds the driver broadcast budget "
+                    f"({BROADCAST_BYTES_CONF}); raise the shard count."
+                )
+            return parts, [
+                _collect_unit_broadcast(df, id_col, vector_col)
+            ]
+        shard = (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n))
+            if assign == "hash"
+            else F.pmod(F.col(id_col), F.lit(n))
+        ).cast("int").alias("__shard")
+        sizes = {
+            r["__shard"]: (int(r["n"] or 0), int(r["d"] or 0))
+            for r in df.select(shard, id_col, vector_col)
+            .groupBy("__shard")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.size(vector_col)).alias("d"),
+            )
+            .collect()
+        }
+        for i in range(n):
+            cnt, dim = sizes.get(i, (0, 0))
+            if cnt * (dim * 8 + 24) > budget:
                 raise ValueError(
                     f"margin_bitext_mine_sharded: {side} shard {i}/{n} "
                     f"exceeds the driver broadcast budget "
                     f"({BROADCAST_BYTES_CONF}); raise the shard count."
                 )
-        return parts, [
-            _collect_unit_broadcast(p, id_col, vector_col) for p in parts
-        ]
+        rows = df.select(shard, id_col, vector_col).collect()
+        by_shard: dict[int, list] = {i: [] for i in range(n)}
+        for r in rows:
+            by_shard[r["__shard"]].append(r)
+        sc = df.sparkSession.sparkContext
+        bcs = []
+        for i in range(n):
+            grp = by_shard[i]
+            ids = np.array([r[id_col] for r in grp], dtype=np.int64)
+            mat = (
+                np.array([r[vector_col] for r in grp], dtype=np.float64)
+                if grp
+                else np.zeros((0, 1), dtype=np.float64)
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            bcs.append(sc.broadcast((ids, mat / norms[:, None])))
+        return parts, bcs
 
     # id-column validation comes from the base operator's contract;
     # run it once per side via a zero-shard-free probe of the dtypes
@@ -1984,15 +2055,27 @@ def margin_bitext_mine_sharded(
 
     s_parts, s_bcs = _shards(src, src_shards, "src")
     t_parts, t_bcs = _shards(tgt, tgt_shards, "tgt")
-    outs = []
+    # Build every pair's two k-NN candidate frames lazily, then
+    # materialize ALL 2·P checkpoint jobs from one thread pool (guide
+    # §2.6) — the old per-pair _mine_matmul call ran them as 2·P
+    # sequential driver jobs, each leaving most cores idle in its tail.
+    cands = []
     for i in range(src_shards):
         for j in range(tgt_shards):
-            outs.append(
-                _mine_matmul(
-                    s_parts[i], t_parts[j], s_bcs[i], t_bcs[j],
-                    k, threshold, direction, id_col, vector_col,
-                )
+            cands.append(
+                _knn_pass(s_parts[i], t_bcs[j], k, id_col, vector_col,
+                          True)
             )
+            cands.append(
+                _knn_pass(t_parts[j], s_bcs[i], k, id_col, vector_col,
+                          False)
+            )
+    cands = _checkpoint_all(cands)
+    outs = [
+        _assemble_margin(cands[2 * p], cands[2 * p + 1], threshold,
+                         direction)
+        for p in range(src_shards * tgt_shards)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -1694,7 +1694,9 @@ def duplicate_ngram_spans(
     run-length uses the gaps-and-islands trick under a per-doc window,
     partitioned by doc_id so no single-partition funnel.
     """
-    base = df.select(F.col(id_col), words_col(text_col).alias("w"))
+    base = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), words_col(text_col).alias("w")
+    )
     # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs
     # with an explicit empty array instead of greatest().
     idx = F.when(
@@ -1834,7 +1836,7 @@ def nb_quality_score(
     broadcast, so corpus-sized data never shuffles on token, and the
     per-doc score is one (doc_id)-keyed aggregate.
     """
-    lab = df.select(
+    lab = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         (quality_score_col(text_col) >= F.lit(seed_quality))
         .cast("int")
@@ -2440,7 +2442,8 @@ def word_entropy(
     """
     dec = "decimal(28,10)"
     counts = (
-        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
+        spread(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(words_col(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

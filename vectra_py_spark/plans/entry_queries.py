@@ -46,6 +46,7 @@ from vectra_py_spark.plans.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from vectra_py_spark.session import spread
 from vectra_py_spark.streaming import events as ev
 from vectra_py_spark.streaming.events import event_time_col as _t_us
 from vectra_py_spark.text.splitter import split_documents
@@ -500,7 +501,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference. Measured 2.6 s → 1.8 s (isolate median) at sf0.1; same
     # plan shape (scan → project → 1 exchange → window → filter), same
     # values.
-    staged = docs.select(
+    staged = spread(docs).select(
         "doc_id", "text", ta.words_col("text").alias("__w")
     ).select(
         "doc_id", "text", "__w",
@@ -1578,7 +1579,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["px_max"].append(int(dec.max()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return spread(docs).mapInPandas(
         run,
         schema="doc_id BIGINT, width INT, height INT, px_min INT, px_max INT",
     )
@@ -1661,7 +1662,7 @@ def q_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
     sampled = mm.sample_avi_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1756,7 +1757,7 @@ def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_mp4_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
     sampled = mm.sample_mp4_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1854,7 +1855,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_chars"].append(len(text))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return spread(docs).mapInPandas(
         run,
         schema="doc_id BIGINT, page INT, n_lines INT, n_chars INT",
     )
@@ -1929,7 +1930,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["http_status"].append(rec["http_status"])
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return spread(docs).mapInPandas(
         run,
         schema=(
             "doc_id BIGINT, rec_idx INT, n_bytes INT, byte_sum BIGINT, "
@@ -2017,7 +2018,7 @@ def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    raw = docs.mapInPandas(synth_archives, schema="path STRING, content BINARY")
+    raw = spread(docs).mapInPandas(synth_archives, schema="path STRING, content BINARY")
     out = warc_documents(explode_warc(raw))
     return out.select(
         "uri",
@@ -2128,7 +2129,7 @@ def q_office_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["content"].append(payload)
             yield pd.DataFrame(rows)
 
-    raw = docs.mapInPandas(
+    raw = spread(docs).mapInPandas(
         synth_payloads, schema="path STRING, content BINARY"
     )
     out = extract_documents_df(raw)
@@ -3255,7 +3256,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(b"P6\n32 32\n255\n" + rgb.tobytes())
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    imgs = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    imgs = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
     pairs = phash_neardup_pairs(media_phash_df(imgs), radius=_IMG_RADIUS)
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
@@ -3425,7 +3426,7 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_audio_payload(pcm, _AFP_SR, "wav"))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    clips = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    clips = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
     pairs = audio_match_pairs(audio_fingerprint_df(clips), min_matches=40)
     return pairs.select("id_a", "id_b", "offset").orderBy("id_a", "id_b")
 
@@ -3593,7 +3594,7 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(jpegs, 32, 32))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    vids = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
+    vids = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
     pairs = video_match_pairs(
         video_phash_df(vids), radius=7, min_aligned=_VID_MIN_ALIGNED
     )
@@ -3829,7 +3830,7 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "data": payloads, "meta": metas}
             )
 
-    media = docs.mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
+    media = spread(docs).mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
     from vectra_py_spark.operators.audio import transform_audio
 
     out = transform_audio(media, mono=True, trim_db=_TRIM_DB)
@@ -3994,7 +3995,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    media = docs.mapInPandas(
+    media = spread(docs).mapInPandas(
         _probe_synth, schema="media_id STRING, data BINARY"
     )
     from vectra_py_spark.operators.probe import probe_media
@@ -4036,7 +4037,7 @@ def q_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _PROBE_DOCS)
         .select("doc_id")
     )
-    media = docs.mapInPandas(
+    media = spread(docs).mapInPandas(
         _probe_synth, schema="media_id STRING, data BINARY"
     )
     kept = triage_media(
@@ -4155,7 +4156,7 @@ def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["s_sum"].append(int(s.sum()))
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    return spread(docs).mapInPandas(
         run,
         schema=(
             "doc_id BIGINT, n_samples INT, s_min BIGINT, "
