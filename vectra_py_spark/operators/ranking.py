@@ -265,7 +265,9 @@ def _probe_buckets(spark, terms: Sequence[str], n_buckets: int) -> list[int]:
     """The probed terms' bucket ids via a 1-row Spark job (xxhash64 is
     JVM-side — reimplementing it driver-side risks divergence; bounded
     collect, one row per term). Shared by single and batched probes."""
-    return sorted(
+    # dedupe DRIVER-side: .distinct() added a full exchange to a
+    # job whose input is a handful of literal rows (r12, guide §2.4)
+    return sorted({
         r["b"]
         for r in spark.createDataFrame([(t,) for t in terms], "term string")
         .select(
@@ -273,9 +275,8 @@ def _probe_buckets(spark, terms: Sequence[str], n_buckets: int) -> list[int]:
             .cast("int")
             .alias("b")
         )
-        .distinct()
         .collect()
-    )
+    })
 
 
 def _index_stats(spark, path: str) -> DataFrame:
