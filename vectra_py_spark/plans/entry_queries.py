@@ -1579,7 +1579,7 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["px_max"].append(int(dec.max()))
             yield pd.DataFrame(out)
 
-    return spread(docs).mapInPandas(
+    return docs.mapInPandas(
         run,
         schema="doc_id BIGINT, width INT, height INT, px_min INT, px_max INT",
     )
@@ -1662,7 +1662,7 @@ def q_mjpeg_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    media = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
     sampled = mm.sample_avi_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1757,7 +1757,7 @@ def q_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_mp4_mjpeg(frames, w, h))
             yield pd.DataFrame({"media_id": ids, "data": payloads})
 
-    media = spread(docs).mapInPandas(synth, schema="media_id STRING, data BINARY")
+    media = docs.mapInPandas(synth, schema="media_id STRING, data BINARY")
     sampled = mm.sample_mp4_frames(media, n_frames=_MJPEG_K)
 
     def dec(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1855,7 +1855,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_chars"].append(len(text))
             yield pd.DataFrame(out)
 
-    return spread(docs).mapInPandas(
+    return docs.mapInPandas(
         run,
         schema="doc_id BIGINT, page INT, n_lines INT, n_chars INT",
     )
@@ -1930,7 +1930,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["http_status"].append(rec["http_status"])
             yield pd.DataFrame(out)
 
-    return spread(docs).mapInPandas(
+    return docs.mapInPandas(
         run,
         schema=(
             "doc_id BIGINT, rec_idx INT, n_bytes INT, byte_sum BIGINT, "
@@ -2018,7 +2018,7 @@ def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    raw = spread(docs).mapInPandas(synth_archives, schema="path STRING, content BINARY")
+    raw = docs.mapInPandas(synth_archives, schema="path STRING, content BINARY")
     out = warc_documents(explode_warc(raw))
     return out.select(
         "uri",
@@ -3830,7 +3830,7 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "data": payloads, "meta": metas}
             )
 
-    media = spread(docs).mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
+    media = docs.mapInPandas(synth, schema=mm.MEDIA_SCHEMA)
     from vectra_py_spark.operators.audio import transform_audio
 
     out = transform_audio(media, mono=True, trim_db=_TRIM_DB)
@@ -3995,7 +3995,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    media = spread(docs).mapInPandas(
+    media = docs.mapInPandas(
         _probe_synth, schema="media_id STRING, data BINARY"
     )
     from vectra_py_spark.operators.probe import probe_media
@@ -4037,7 +4037,7 @@ def q_media_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _PROBE_DOCS)
         .select("doc_id")
     )
-    media = spread(docs).mapInPandas(
+    media = docs.mapInPandas(
         _probe_synth, schema="media_id STRING, data BINARY"
     )
     kept = triage_media(
@@ -4156,7 +4156,7 @@ def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["s_sum"].append(int(s.sum()))
             yield pd.DataFrame(out)
 
-    return spread(docs).mapInPandas(
+    return docs.mapInPandas(
         run,
         schema=(
             "doc_id BIGINT, n_samples INT, s_min BIGINT, "
