@@ -299,12 +299,14 @@ def host_hits(
     iterations: int = 10,
     weighted: bool = True,
     # per-ITERATION truncation, tighter than host_pagerank's 3: each
-    # HITS iteration has TWO normalize steps and each L1 total is
-    # consumed twice (raw aggregate + normalize), so un-truncated
-    # lineage recomputes the subtree ~4x per extra iteration (~64x at
-    # interval 3 — measured as a ~1,300-stage job on a 40-host toy
-    # graph). The checkpoint itself is host-sized and cheap at any
-    # scale; values are identical at any interval.
+    # HITS iteration's L1 totals are consumed twice (raw aggregate +
+    # normalize), so un-truncated lineage recomputes the subtree ~4x
+    # per extra iteration (~64x at interval 3 — measured as a
+    # ~1,300-stage job on a 40-host toy graph). One checkpoint per
+    # iteration (the h_raw aggregate; the a-phase lives inside the
+    # same job and reuses its own exchange). The checkpoint itself is
+    # host-sized and cheap at any scale; values are identical at any
+    # interval.
     checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Edge list → (host, hub, authority): Kleinberg's HITS (1999,
@@ -350,28 +352,28 @@ def host_hits(
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("h")).alias("a"))
         )
-        # Truncate lineage at the DOUBLE-CONSUMED aggregates: a_raw
-        # feeds both its L1 total and the normalize join (and h_raw
-        # likewise), so checkpointing the normalized frames AFTER both
-        # were built re-executed the a-chain once per iteration on top
-        # of the ~4x lineage blow-up the old comment records. One
-        # checkpoint per raw aggregate executes each chain exactly
-        # once: measured 5.8–6.1 s → 2.6–3.1 s for the 10-iteration
-        # sf0.1 registry query, values identical (guide §1.2 applied
-        # to the loop body, same fix as host_pagerank's contribs).
-        if do_ckpt:
+        # The loop carries only the RAW-aggregate rows: hosts absent
+        # from a_raw/h_raw have score exactly +0.0, and a +0.0 addend
+        # can never change an IEEE sum of non-negative terms, so the
+        # zero rows the old per-step `nodes` left-join re-attached were
+        # mathematically inert inside the loop — they exist only for
+        # the final report, attached ONCE after the loop. Normalizing
+        # as a projection over the raw aggregate (score / broadcast L1
+        # total) also lets the L1-total branch and the normalize branch
+        # share one physical scan of the same shuffle (identical
+        # subtrees in ONE job reuse the exchange), so each iteration is
+        # ONE checkpoint job carrying ONE host-sized join per phase —
+        # half the jobs and half the joins of the two-checkpoint shape
+        # (guide §1.2; measured on the 10-iteration sf0.1 registry
+        # query: 20 → 11 driver jobs, values bit-identical).
+        if do_ckpt and i == iterations - 1:
+            # the final auths feeds BOTH the last h_raw and the output
+            # join; truncate so the output job doesn't re-run the chain
             a_raw = a_raw.localCheckpoint()
         a_tot = a_raw.agg(F.sum("a").alias("t"))
-        auths = (
-            nodes.join(a_raw, nodes["host"] == a_raw["dst"], "left")
-            .crossJoin(F.broadcast(a_tot))
-            .select(
-                nodes["host"],
-                (
-                    F.coalesce(F.col("a"), F.lit(0.0))
-                    / F.coalesce(F.col("t"), F.lit(1.0))
-                ).alias("a"),
-            )
+        auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            F.col("dst").alias("host"),
+            (F.col("a") / F.coalesce(F.col("t"), F.lit(1.0))).alias("a"),
         )
         h_raw = (
             e.join(auths, e["dst"] == auths["host"])
@@ -381,20 +383,19 @@ def host_hits(
         if do_ckpt:
             h_raw = h_raw.localCheckpoint()
         h_tot = h_raw.agg(F.sum("hh").alias("t"))
-        hubs = (
-            nodes.join(h_raw, nodes["host"] == h_raw["src"], "left")
-            .crossJoin(F.broadcast(h_tot))
-            .select(
-                nodes["host"],
-                (
-                    F.coalesce(F.col("hh"), F.lit(0.0))
-                    / F.coalesce(F.col("t"), F.lit(1.0))
-                ).alias("h"),
-            )
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            F.col("src").alias("host"),
+            (F.col("hh") / F.coalesce(F.col("t"), F.lit(1.0))).alias("h"),
         )
-    out = hubs.join(
-        auths.withColumnRenamed("a", "authority"), "host"
-    ).select("host", F.col("h").alias("hub"), "authority")
+    out = (
+        nodes.join(hubs, "host", "left")
+        .join(auths.withColumnRenamed("a", "authority"), "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )
     # materialize, then release the working set (see host_pagerank)
     out = out.localCheckpoint()
     e.unpersist()
