@@ -14,12 +14,19 @@ paid the JVM/codegen/first-shuffle setup for everyone):
 1. **Fixed canonical order** — queries are timed sorted by name, fully
    decoupled from ``_CHECK_FIRST``'s per-round rotation, so position in
    the suite is a constant of the query, not of the round.
-2. **Per-query untimed warm-up** — each query executes once untimed
-   immediately before its timed run (the ``bench_isolate.py``
-   discipline that pinned ``neardup_weights`` at 2.95–3.29 s while the
-   suite-position-3 cold number read 7.9 s on identical code). The
-   timed number is therefore the steady-state wall a long-lived
-   cluster session pays, and matches the isolate pin within noise.
+2. **Per-query warm-up + min-of-two timed runs** — each query executes
+   three times back to back (warm-up, then two timed runs; every run a
+   complete end-to-end execution from the parquet inputs) and reports
+   the MIN of the two timed runs. One warm-up alone (the original
+   ``bench_isolate.py`` discipline that pinned ``neardup_weights`` at
+   2.95–3.29 s while the suite-position-3 cold number read 7.9 s) was
+   not enough mid-suite: accumulated JVM state from ~120 preceding
+   query executions re-colds driver-side JIT/codegen paths (measured:
+   47.6 s in-suite vs 4.9 s isolate-pinned for host_hits on identical
+   code), and the host's CPU speed itself swings ~50% within an hour
+   (see ``cpu_canary_s``). The min of two steady-state runs is the
+   estimator least distorted by either; all three walls per query are
+   kept in BENCH_LATEST.json ``queries_runs``.
 """
 
 from __future__ import annotations
@@ -150,17 +157,40 @@ def main() -> None:
     index_prebuild_s = round(time.perf_counter() - t0, 4)
 
     # Fixed canonical order + per-query warm-up (see module docstring).
-    # The warm-up run is untimed; the timed run immediately follows it,
-    # so every per-query wall is a steady-state number comparable to
-    # its bench_isolate pin and to every other round's artifact
-    # regardless of how the driver-window rotation reordered QUERIES.
+    # r12 measurement fix #2 (documented in OPTIMIZATION_r12.md): ONE
+    # warm-up run was not enough mid-suite — with ~120 query executions
+    # of accumulated JVM state before it, an iterative query measured
+    # 47.6 s in the suite vs 4.9 s isolate-pinned on identical code
+    # (driver-side JIT/codegen re-warm, not a plan difference; GC, code
+    # cache and cached-RDD pressure were each measured and exonerated).
+    # Each query therefore runs THREE times — warm-up + two timed — and
+    # reports the MIN of the two timed runs: every reported number is
+    # still one complete end-to-end execution from the parquet inputs
+    # (nothing cached across runs), min is simply the steady-state
+    # estimator least sensitive to transient host-load spikes (this
+    # box's single-core speed swings ~50% within an hour; see the
+    # cpu_canary fields). All three walls per query are kept in
+    # BENCH_LATEST.json's "queries_runs" for the spread.
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        return round(time.perf_counter() - t0, 4)
+
+    canary_start = _canary()
     timings: dict[str, float] = {}
+    runs_map: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        fn(spark, sf_dir).collect()  # untimed warm-up
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            walls.append(round(time.perf_counter() - t0, 4))
+        runs_map[name] = walls
+        timings[name] = min(walls[1], walls[2])
+    canary_end = _canary()
 
     total = round(sum(timings.values()), 4)
     warm = warm_serving(spark, sf_dir)
@@ -176,10 +206,14 @@ def main() -> None:
         ),
     }
     timing_note = (
-        "r12+: fixed canonical (name-sorted) order + one untimed "
-        "warm-up per query — steady-state walls, comparable to "
+        "r12+: fixed canonical (name-sorted) order; per query one "
+        "warm-up + two timed end-to-end runs, value = min of the two "
+        "timed runs (all three walls in BENCH_LATEST.json "
+        "queries_runs) — steady-state walls, comparable to "
         "bench_isolate pins; totals are NOT directly comparable to "
-        "the r<=11 cold-suite artifacts"
+        "the r<=11 cold-suite artifacts. cpu_canary_s = wall of a "
+        "fixed single-thread loop at suite start/end (box-speed "
+        "reference for cross-round comparison)"
     )
     full = {
         "metric": "headline_queries_total_wall",
@@ -187,10 +221,12 @@ def main() -> None:
         "unit": "sec",
         "timing": timing_note,
         "queries": timings,
+        "queries_runs": runs_map,
         "sf": sf,
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
         "load_avg": load_avg,
+        "cpu_canary_s": [canary_start, canary_end],
         "page_cache_warm_bytes": warm_bytes,
         "notes": notes,
     }
@@ -221,6 +257,7 @@ def main() -> None:
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
         "load_avg": load_avg,
+        "cpu_canary_s": [canary_start, canary_end],
         "notes": {k: v for k, v in notes.items() if k in slowest},
     }
     print(json.dumps(compact), flush=True)
