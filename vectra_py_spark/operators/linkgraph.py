@@ -363,9 +363,12 @@ def host_hits(
         # share one physical scan of the same shuffle (identical
         # subtrees in ONE job reuse the exchange), so each iteration is
         # ONE checkpoint job carrying ONE host-sized join per phase —
-        # half the jobs and half the joins of the two-checkpoint shape
-        # (guide §1.2; measured on the 10-iteration sf0.1 registry
-        # query: 20 → 11 driver jobs, values bit-identical).
+        # half the checkpoint jobs and half the joins of the old
+        # two-checkpoint shape (guide §1.2; measured on the
+        # 10-iteration sf0.1 registry query: 96 → 80 driver jobs
+        # counting AQE stage materializations; values agree to the
+        # last 1–2 ulps — a summation-order effect — and the 6-dp
+        # registry output is oracle-identical at every SF).
         if do_ckpt and i == iterations - 1:
             # the final auths feeds BOTH the last h_raw and the output
             # join; truncate so the output job doesn't re-run the chain
