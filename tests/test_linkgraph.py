@@ -264,6 +264,31 @@ def test_host_hits_matches_dense_reference(spark):
         host_hits(df, iterations=0)
 
 
+def test_host_hits_offphase_checkpoint_interval(spark):
+    """An interval whose phase misses the last iteration (3 over 4)
+    must still produce identical values — the final iteration now
+    truncates unconditionally (ADVICE r12), which is a lineage/perf
+    change only."""
+    edges = [
+        ("hub1", "auth1", 2.0),
+        ("hub1", "auth2", 1.0),
+        ("hub2", "auth1", 1.0),
+        ("auth1", "hub1", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "n_links"])
+    base = {
+        r.host: (r.hub, r.authority)
+        for r in host_hits(df, iterations=4, checkpoint_interval=1)
+        .collect()
+    }
+    off = {
+        r.host: (r.hub, r.authority)
+        for r in host_hits(df, iterations=4, checkpoint_interval=3)
+        .collect()
+    }
+    assert base == off
+
+
 def test_host_components(spark):
     from vectra_py_spark.operators.linkgraph import host_components
 

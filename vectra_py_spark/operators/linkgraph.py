@@ -344,8 +344,15 @@ def host_hits(
     hubs = nodes.select("host", F.lit(1.0 / n).alias("h"))
     auths = None
     for i in range(iterations):
+        # The LAST iteration always truncates (independent of the
+        # interval phase): the final a_raw/h_raw feed both the loop and
+        # the output join, and with an off-phase interval (e.g. 3 over
+        # 10 iterations) the output's localCheckpoint job would re-run
+        # the whole un-truncated tail (ADVICE r12).
+        last = i == iterations - 1
         do_ckpt = bool(
-            checkpoint_interval and (i + 1) % checkpoint_interval == 0
+            checkpoint_interval
+            and ((i + 1) % checkpoint_interval == 0 or last)
         )
         a_raw = (
             e.join(hubs, e["src"] == hubs["host"])
@@ -369,7 +376,7 @@ def host_hits(
         # counting AQE stage materializations; values agree to the
         # last 1–2 ulps — a summation-order effect — and the 6-dp
         # registry output is oracle-identical at every SF).
-        if do_ckpt and i == iterations - 1:
+        if do_ckpt and last:
             # the final auths feeds BOTH the last h_raw and the output
             # join; truncate so the output job doesn't re-run the chain
             a_raw = a_raw.localCheckpoint()

@@ -6990,94 +6990,98 @@ RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #
 # The correctness driver oracles only the FIRST 50 registry entries per
 # round, so registry order is evidence policy: queries that most need a
-# fresh driver row go first. Round-12 rotation (VERDICT r11 item 2,
-# executed verbatim): lead with the 24 surviving r8-vintage rows — the
-# staleness-SLO edge at round 12 (r8 = N−4 without a fresh row) — in
-# CORRECTNESS_r08 recording order, then the SIX round-12 registrations
-# (video_neardup, bitext_shards, image_text_pairs, subtitle_clips,
-# retrieval_eval, webdataset_roundtrip — all PRE-STAGED in round 11 and
-# harness-validated at both SFs, tests/test_prestaged_oracle.py, so
-# their first window slot carries no unverified risk), then the first
-# 20 surviving r9-vintage rows in CORRECTNESS_r09 recording order.
-# The 28 r9-vintage survivors that didn't fit (lloyd_kmeans,
-# tfidf_top_terms, pmi_collocations, seq_len_histogram, winnow_matches,
-# corpus_stats, random_projection, padding_efficiency, packed_sequences,
-# frame_sample, quantized_topk, label_centroids,
-# quality_weighted_sample, bloom_decontaminate, leakage_safe_split,
-# rollup_revenue, churned_rich, nation_volume, market_share,
-# returned_customers, disjunctive_revenue, waiting_suppliers,
-# event_funnel, cohort_retention, event_type_pivot,
-# viewers_not_purchasers, daily_rolling, late_ship_priority) stay
-# r9-vintage — exactly N−3 at round 12, inside the SLO — and MUST lead
-# round 13's window.
-# Registry arithmetic after this round: 175 registered (173 oracle-able)
-# = 50 r12-vintage + 50 r11 + 47 r10 + 28 r9 (the 2 rows-only entries
-# sit in the r10/r11 blocks). With a 50-slot window the round-13 lead
-# backlog is 28 rows, leaving 22 slots for the r10 block before ITS
-# edge at r14 (47 rows → needs two windows; the rotation stays solvent
-# because each round frees 50 slots and the backlog shrinks by the
-# pairing policy: every new registration is paired with a subsumption
-# retirement). Full arithmetic in COVERAGE.md's ledger.
+# fresh driver row go first. Round-13 rotation (VERDICT r12 item 3,
+# executed verbatim): lead with the 28 surviving r9-vintage rows — the
+# staleness-SLO edge at round 13 (r9 = N−4 without a fresh row) — in
+# CORRECTNESS_r09 recording order, then the NINE queries whose plans
+# were restructured in the r12 optimization round without landing in
+# the r12 driver window (so every r12 restructure gets driver
+# hash-match evidence), then the first 13 remaining r10-vintage rows
+# in CORRECTNESS_r10 recording order.
+# Registry arithmetic after this round (artifact-derived: vintages are
+# "newest CORRECTNESS_rNN containing the entry"): 175 registered
+# (173 oracle-able, doc_chunks/ingest_pipeline rows-only) = 50 r13 +
+# 50 r12-vintage + 42 r11 + 31 r10. The 31 r10 rows (big_spenders'
+# block tail: recrawl_priority, main_content, page_metadata,
+# mjpeg_sample, chunk_spans_simple, batch_topk, excess_suppliers,
+# minhash_lsh_neardup, gopher_quality, c4_line_stats, line_dedup,
+# length_trim, unimax_mix, domain_mix, oov_rate, nfc_normalize,
+# ivfpq_topk, label_outliers, word_entropy, dup_rate_by_source,
+# pq_rerank, corpus_diff, content_checksum, local_supplier_volume,
+# skew_report, embedding_coverage, tokenizer_fertility, span_cut,
+# encoding_report, bm25_batch_probe, hybrid_probe) are exactly N−3 at
+# round 13 and MUST lead round 14's window; the remaining 19 r14
+# slots start the 42-row r11 block, whose tail needs either the
+# standing 60-slot driver ask or round 15 (arithmetic in COVERAGE.md).
+# This round registers NOTHING (optimization round — the five
+# pre-staged r13 entries stay pre-staged; registration is feature
+# work).
 # Staleness SLO: see COVERAGE.md — no entry's newest evidence older
 # than N-3 rounds.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: list[str] = [
-    # 24 surviving r8-vintage rows (SLO edge at r12), CORRECTNESS_r08
-    # order (mp4_sample / events_windowed / lm_quality /
-    # simhash_fingerprint retired r11 — their slots pass down)
-    "doc_fingerprint",
-    "document_ranking",
-    "dup_shingle_ratio",
-    "embedding_neardup",
-    "events_sessionize",
-    "events_sliding",
-    "exact_dedup",
-    "filter_nin",
-    "filter_or_in_gt",
-    "frequent_tokens",
-    "hybrid_search",
-    "incremental_dedup",
-    "index_stats",
-    "language_id",
-    "lm_quality_cut",
-    "ngram_diversity",
-    "ngram_jaccard_neardup",
-    "pii_scrub",
-    "point_lookup",
-    "pricing_summary",
-    "props_json_stats",
-    "repetition_signals",
-    "rrf_fusion",
-    "semantic_dedup",
-    # 6 round-12 registrations, pre-staged + harness-validated in r11
-    "video_neardup",
-    "bitext_shards",
-    "image_text_pairs",
-    "subtitle_clips",
-    "retrieval_eval",
-    "webdataset_roundtrip",
-    # first 20 surviving r9-vintage rows, CORRECTNESS_r09 order
-    # (winnow_fingerprints / bpe_pair_counts retired r11)
-    "office_documents",
-    "url_canonical",
-    "simhash_neardup",
-    "source_quota",
-    "source_token_drift",
-    "temperature_mix",
-    "text_analysis",
-    "top_users_per_type",
-    "topk_orders_enriched",
-    "vector_topk",
-    "vector_topk_filtered",
-    "volume_anomalies",
-    "dsir_weights",
-    "jpeg_roundtrip",
-    "bpe_train_rounds",
-    "bpe_vocab_usage",
-    "curriculum_order",
-    "duplicate_ngram_spans",
-    "nb_quality_score",
-    "tokenize_ids",
+    # Round-13 window (VERDICT r12 item 3, executed verbatim):
+    # (a) the 28 r9-vintage survivors — exactly N−3 at r12, the SLO
+    # edge this round — in CORRECTNESS_r09 recording order;
+    "lloyd_kmeans",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "seq_len_histogram",
+    "winnow_matches",
+    "corpus_stats",
+    "random_projection",
+    "padding_efficiency",
+    "packed_sequences",
+    "frame_sample",
+    "quantized_topk",
+    "label_centroids",
+    "quality_weighted_sample",
+    "bloom_decontaminate",
+    "leakage_safe_split",
+    "rollup_revenue",
+    "churned_rich",
+    "nation_volume",
+    "market_share",
+    "returned_customers",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "event_funnel",
+    "cohort_retention",
+    "event_type_pivot",
+    "viewers_not_purchasers",
+    "daily_rolling",
+    "late_ship_priority",
+    # (b) the nine queries whose load-bearing plans were restructured
+    # in the r12 optimization round but sat OUTSIDE the r12 driver
+    # window — their r12 oracle evidence is builder-local only, and
+    # the restructures need driver hash-match confirmation
+    # (host_pagerank and curation_funnel are additionally r10-vintage,
+    # so their slots also advance the r10 block);
+    "host_hits",
+    "host_pagerank",
+    "lsh_neardup_strict",
+    "curation_funnel",
+    "clean_corpus",
+    "textclf_train",
+    "textclf_score",
+    "bitext_mine",
+    "winnow_contamination",
+    # (c) the first 13 remaining r10-vintage rows in CORRECTNESS_r10
+    # recording order (r10 block: 46 live rows − 2 covered via (b) −
+    # these 13 = 31 left, which MUST lead round 14's window).
+    "big_spenders",
+    "dml_insert",
+    "dml_upsert",
+    "dml_delete",
+    "min_cost_supplier",
+    "forecast_revenue",
+    "product_profit",
+    "important_stock",
+    "shipmode_priority",
+    "customer_distribution",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
 ]
 
 QUERIES = {

