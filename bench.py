@@ -102,6 +102,49 @@ def warm_serving(spark, sf_dir: str) -> dict:
     }
 
 
+def dml_phase_breakdown(spark, sf_dir: str) -> dict:
+    """UNTIMED instrumented run of the dml_insert lifecycle, phase by
+    phase (VERDICT r12 item 6): create (write empty partitioned table),
+    merge_batch (stage + validate + write buckets), staged inserts +
+    commit (rewrite touched buckets), state read. These four parquet
+    passes are the documented write-path floor of the ~2.5 s dml_*
+    walls; the breakdown lets a reader separate I/O floor from plan
+    regression without re-deriving it. Runs OUTSIDE the timed loop on a
+    separate scratch path — it adds fields to the artifact, it does not
+    change what the timed queries compute or how they are timed."""
+    from pyspark.sql import functions as F
+
+    from vectra_py_spark.index import SparkVectorIndex
+
+    t: dict[str, float] = {}
+    t0 = time.perf_counter()
+    idx = SparkVectorIndex(
+        spark, "/tmp/vectra_dml/bench_phases/insert", n_buckets=8
+    )
+    idx.create(overwrite=True)
+    t["create_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    idx.merge_batch(
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vector"),
+        )
+    )
+    t["merge_batch_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    for i in range(5):
+        idx.insert_item({"id": f"n{i}", "vector": [(i + 1) / 10.0] * 64})
+    idx.commit()
+    t["commit_s"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    idx.items(use_cache=False).collect()
+    t["state_read_s"] = round(time.perf_counter() - t0, 4)
+    t["total_s"] = round(sum(t.values()), 4)
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Record box load at bench start (VERDICT r7 item 8): the per-query
@@ -193,6 +236,10 @@ def main() -> None:
     canary_end = _canary()
 
     total = round(sum(timings.values()), 4)
+    try:
+        dml_phases = dml_phase_breakdown(spark, sf_dir)
+    except Exception as ex:  # diagnostic-only field; never fail the bench
+        dml_phases = {"error": str(ex)[:200]}
     warm = warm_serving(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Regime annotations for the artifact of record: per-query walls
@@ -225,6 +272,7 @@ def main() -> None:
         "sf": sf,
         "bench_warm": warm,
         "index_prebuild_s": index_prebuild_s,
+        "dml_phase_breakdown": dml_phases,
         "load_avg": load_avg,
         "cpu_canary_s": [canary_start, canary_end],
         "page_cache_warm_bytes": warm_bytes,
@@ -234,34 +282,43 @@ def main() -> None:
         (REPO / "BENCH_LATEST.json").write_text(json.dumps(full) + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still the contract
-    # Truncation-proofing: the driver captures only the LAST ~3 KB of
-    # stdout and parses the JSON line out of it. With 120+ per-query
-    # timings the full line exceeds that window and the start of the
-    # line is cut off (BENCH_r02/r03 parsed:null). The stdout contract
-    # line therefore carries the headline metric + the SLOWEST 20
-    # per-query walls (the ones worth a grader's eye); the complete
-    # per-query map lives in BENCH_LATEST.json, referenced inline.
+    print(json.dumps(compact_from_full(full)), flush=True)
+    spark.stop()
+
+
+def compact_from_full(full: dict) -> dict:
+    """The stdout contract line, derived from the full artifact.
+
+    Truncation-proofing: the driver captures only the LAST ~3 KB of
+    stdout and parses the JSON line out of it. With 120+ per-query
+    timings the full line exceeds that window and the start of the
+    line is cut off (BENCH_r02/r03 parsed:null). The stdout contract
+    line therefore carries the headline metric + the SLOWEST 20
+    per-query walls (the ones worth a grader's eye); the complete
+    per-query map lives in BENCH_LATEST.json, referenced inline.
+    tests/test_bench_contract.py asserts the rendered line stays under
+    the truncation window (ADVICE r12)."""
+    timings = full["queries"]
+    notes = full["notes"]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "timing": timing_note,
+    return {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "timing": full["timing"],
         "n_queries": len(timings),
         "queries": slowest,
         "queries_note": "slowest 20 of %d; full map in BENCH_LATEST.json"
         % len(timings),
-        "sf": sf,
-        "bench_warm": warm,
-        "index_prebuild_s": index_prebuild_s,
-        "load_avg": load_avg,
-        "cpu_canary_s": [canary_start, canary_end],
+        "sf": full["sf"],
+        "bench_warm": full["bench_warm"],
+        "index_prebuild_s": full["index_prebuild_s"],
+        "load_avg": full["load_avg"],
+        "cpu_canary_s": full["cpu_canary_s"],
         "notes": {k: v for k, v in notes.items() if k in slowest},
     }
-    print(json.dumps(compact), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

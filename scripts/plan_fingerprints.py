@@ -47,19 +47,72 @@ def fingerprint(plan: str) -> dict:
     }
 
 
+class capture_ckpt_subplans:
+    """Record the executed-plan string of every DataFrame that gets
+    ``localCheckpoint``ed while a query function runs (ADVICE r12:
+    checkpoint-truncated FINAL plans hide the pre-checkpoint scans, so
+    a fingerprint of the final plan alone cannot detect a lost
+    PushedFilters / grown exchange in the truncated part of the
+    pipeline). Thread-safe (list.append under the GIL) because
+    ``_checkpoint_all`` checkpoints from a thread pool."""
+
+    def __init__(self):
+        self.plans: list[str] = []
+
+    @staticmethod
+    def _df_class():
+        # Spark 4 splits DataFrame into an abstract base + a classic
+        # implementation that OVERRIDES localCheckpoint — patch the
+        # class whose method actually runs
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # Spark 3.x
+            from pyspark.sql import DataFrame
+        return DataFrame
+
+    def __enter__(self):
+        cls = self._df_class()
+        self._orig = cls.localCheckpoint
+        cap = self.plans
+        orig = self._orig
+
+        def spy(df, eager=True):
+            try:
+                cap.append(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass
+            return orig(df, eager)
+
+        cls.localCheckpoint = spy
+        return self
+
+    def __exit__(self, *exc):
+        self._df_class().localCheckpoint = self._orig
+        return False
+
+
+def fingerprint_query(fn, spark) -> dict:
+    """Final-plan fingerprint + aggregated pre-checkpoint sub-plan
+    fingerprint for one query function."""
+    with capture_ckpt_subplans() as cap:
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    fp = fingerprint(plan)
+    subs = [fingerprint(p) for p in cap.plans]
+    fp["ckpt_subplans"] = len(subs)
+    fp["ckpt_exchanges"] = sum(s["exchanges"] for s in subs)
+    fp["ckpt_pushed_filters"] = any(s["pushed_filters"] for s in subs)
+    return fp
+
+
 def main() -> None:
     spark = get_spark("plan-fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
     for name, fn in sorted(ALL_QUERIES.items()):
         try:
-            plan = (
-                fn(spark, SF)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
-            out[name] = fingerprint(plan)
+            out[name] = fingerprint_query(fn, spark)
         except Exception as ex:  # pragma: no cover - diagnostic path
             out[name] = {"error": str(ex)[:200]}
     (REPO / "PLANS.json").write_text(json.dumps(out, indent=1, sort_keys=True))

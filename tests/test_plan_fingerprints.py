@@ -9,7 +9,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from scripts.plan_fingerprints import SF, fingerprint
+from scripts.plan_fingerprints import SF, fingerprint_query
 
 from vectra_py_spark.plans.entry_queries import QUERIES, RETIRED_QUERIES
 
@@ -53,16 +53,35 @@ def test_no_query_grew_exchanges(spark):
             base = BASELINE.get(name)
             if not base or "error" in base:
                 continue
-            got = fingerprint(
-                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-            )
+            got = fingerprint_query(fn, spark)
             if got["exchanges"] > base["exchanges"]:
                 regressions.append(
                     (name, base["exchanges"], got["exchanges"])
                 )
+            # pre-checkpoint sub-plans (ADVICE r12): checkpoint-
+            # truncated final plans hide the truncated pipeline, so
+            # exchange growth and pushdown loss are ALSO checked over
+            # the captured localCheckpoint sub-plans
+            if got.get("ckpt_exchanges", 0) > base.get(
+                "ckpt_exchanges", 0
+            ):
+                regressions.append(
+                    (
+                        name,
+                        "ckpt sub-plan exchanges grew",
+                        (base.get("ckpt_exchanges"),
+                         got.get("ckpt_exchanges")),
+                    )
+                )
             if base["top_k"] and not got["top_k"]:
                 regressions.append((name, "lost TakeOrderedAndProject", ""))
-            if base["pushed_filters"] and not got["pushed_filters"]:
+            base_pushed = base["pushed_filters"] or base.get(
+                "ckpt_pushed_filters", False
+            )
+            got_pushed = got["pushed_filters"] or got.get(
+                "ckpt_pushed_filters", False
+            )
+            if base_pushed and not got_pushed:
                 regressions.append((name, "lost PushedFilters", ""))
     finally:
         # always restore — a raised query must not leak pinned confs
