@@ -221,7 +221,40 @@ def main() -> None:
             s += i * i
         return round(time.perf_counter() - t0, 4)
 
+    def _canary_mt() -> float:
+        # Multi-core box-speed reference (r13, additive): r12's closing
+        # benches proved this host's MULTI-core throughput degrades
+        # independently of its single-core speed (near-identical
+        # cpu_canary_s, 2× total wall, host_hits runs 3× apart), so the
+        # artifact needs a PARALLEL reference too. 16 concurrent
+        # SUBPROCESSES each run the cpu_canary_s loop (subprocesses,
+        # not threads: the GIL serializes pure-Python threads, and
+        # this box's BLAS is itself multithreaded, so neither
+        # thread-based shape isolates host parallelism; fork+exec from
+        # the driver is safe). Healthy box: ≈ cpu_canary_s + interpreter
+        # startup — measured 0.42–0.44 s on this host's fast state
+        # (16 ≤ cores/2 loops run concurrently). Degraded-multicore
+        # state: several × that, with cpu_canary_s still normal —
+        # exactly the state that is otherwise invisible in the
+        # artifact.
+        import subprocess
+
+        code = "s = 0\nfor i in range(2_000_000):\n    s += i * i\n"
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            for _ in range(16)
+        ]
+        for p in procs:
+            p.wait()
+        return round(time.perf_counter() - t0, 4)
+
     canary_start = _canary()
+    canary_mt_start = _canary_mt()
     timings: dict[str, float] = {}
     runs_map: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
@@ -234,6 +267,7 @@ def main() -> None:
         runs_map[name] = walls
         timings[name] = min(walls[1], walls[2])
     canary_end = _canary()
+    canary_mt_end = _canary_mt()
 
     total = round(sum(timings.values()), 4)
     try:
@@ -260,7 +294,10 @@ def main() -> None:
         "bench_isolate pins; totals are NOT directly comparable to "
         "the r<=11 cold-suite artifacts. cpu_canary_s = wall of a "
         "fixed single-thread loop at suite start/end (box-speed "
-        "reference for cross-round comparison)"
+        "reference for cross-round comparison); cpu_canary_mt_s "
+        "(r13+) = wall of 16 concurrent GIL-free numpy loops, "
+        "catching the host's multicore-degraded states that leave "
+        "the single-thread canary normal"
     )
     full = {
         "metric": "headline_queries_total_wall",
@@ -275,6 +312,7 @@ def main() -> None:
         "dml_phase_breakdown": dml_phases,
         "load_avg": load_avg,
         "cpu_canary_s": [canary_start, canary_end],
+        "cpu_canary_mt_s": [canary_mt_start, canary_mt_end],
         "page_cache_warm_bytes": warm_bytes,
         "notes": notes,
     }
@@ -317,6 +355,7 @@ def compact_from_full(full: dict) -> dict:
         "index_prebuild_s": full["index_prebuild_s"],
         "load_avg": full["load_avg"],
         "cpu_canary_s": full["cpu_canary_s"],
+        "cpu_canary_mt_s": full.get("cpu_canary_mt_s"),
         "notes": {k: v for k, v in notes.items() if k in slowest},
     }
 
